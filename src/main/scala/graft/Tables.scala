@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Parquet table loader for the driver-generated test corpus
   * (`TESTDATA.md`): one parquet file per table under `$sfDir/`.
@@ -15,6 +17,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read it as a long (legacy flag) and convert to a
+      // µs timestamp — lossless: the generator's ns values are µs-aligned
+      // (verified: 0 rows with sub-µs precision), and DuckDB's
+      // TIMESTAMP_NS→TIMESTAMP cast truncates identically.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      // integral `div`, NOT `/`: double division loses precision above
+      // 2^53 and epoch-ns values are ~1.7e18.
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 }

@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.Tables
+
+/** SURVEY.md §2.H — scalar function surface (string / date / math /
+  * array / map / json). All built-in codegen'd expressions, no UDFs —
+  * these stay inside WholeStageCodegen at any scale.
+  *
+  * Cross-engine cast traps honored (see Det + tools/check.py findings):
+  * DuckDB double→int CAST rounds while Spark truncates (only cast
+  * integral doubles); Spark ceil/floor(double) yields BIGINT while
+  * DuckDB yields DOUBLE (cast oracle side); Spark length() is INT,
+  * DuckDB BIGINT (cast oracle side).
+  */
+object Scalars extends OpModule {
+
+  def strFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "part")
+      .select(
+        $"p_partkey",
+        lower($"p_name").as("name_lc"),
+        upper($"p_brand").as("brand_uc"),
+        substring($"p_type", 1, 4).as("type4"),
+        concat($"p_brand", lit(":"), $"p_type").as("brand_type"),
+        length($"p_name").as("name_len"),
+        regexp_replace($"p_name", " ", "_").as("name_us"),
+        lpad($"p_brand", 10, "*").as("brand_pad"),
+        $"p_name".like("%widget%").as("has_widget"))
+      .orderBy($"p_partkey")
+  }
+
+  def strRegexpSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "part")
+      .select(
+        $"p_partkey",
+        regexp_extract($"p_brand", "([0-9]+)", 1).as("brand_num"),
+        element_at(split($"p_name", " "), 1).as("first_word"))
+      .orderBy($"p_partkey")
+  }
+
+  def dateFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("y"),
+        month($"o_orderdate").as("m"),
+        dayofmonth($"o_orderdate").as("d"),
+        date_trunc("month", $"o_orderdate").cast("date").as("month_start"),
+        datediff(lit("1998-01-01").cast("date"), $"o_orderdate".cast("date"))
+          .as("days_to_98"),
+        add_months($"o_orderdate", 3).as("plus3m"),
+        last_day($"o_orderdate").as("month_end"))
+      .orderBy($"o_orderkey")
+  }
+
+  def mathFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        round(sqrt($"l_extendedprice"), 4).as("sqrt_price"),
+        round(log($"l_extendedprice"), 4).as("ln_price"),
+        round(pow($"l_discount" + 1d, 2d), 4).as("pow_disc"),
+        abs($"l_quantity" - 25d).as("abs_qty"),
+        ceil($"l_discount" * 100d).as("ceil_disc"),
+        floor($"l_tax" * 100d).as("floor_tax"),
+        ($"l_quantity".cast(LongType) % 7L).as("qty_mod7"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"sqrt_price", $"ln_price",
+        $"pow_disc", $"abs_qty", $"ceil_disc", $"floor_tax", $"qty_mod7")
+  }
+
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "embeddings")
+      .select(
+        $"vec_id",
+        size($"embedding").as("dim"),
+        element_at($"embedding", 1).as("first_val"),
+        slice($"embedding", 1, 4).as("head4"),
+        array_contains(
+          transform($"embedding",
+            x => floor(x.cast("double") * 10d).cast(IntegerType)),
+          lit(3)).as("has_bucket3"))
+      .orderBy($"vec_id")
+  }
+
+  def arrayHof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // L2 norm via higher-order fold. Both engines fold the 64 squares
+    // left-to-right in array order (Spark `aggregate` with 0.0 init;
+    // DuckDB `list_reduce` starting at element 1 — identical sequence
+    // since 0.0 + x1 == x1 exactly), so the double sum is bit-identical.
+    Tables.t(s, dir, "embeddings")
+      .select(
+        $"vec_id",
+        round(sqrt(aggregate(
+          transform($"embedding",
+            x => x.cast("double") * x.cast("double")),
+          lit(0.0),
+          (acc, x) => acc + x)), 4).as("l2_norm"))
+      .orderBy($"vec_id")
+  }
+
+  def mapFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = from_json($"props",
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, IntegerType))
+    Tables.t(s, dir, "events")
+      .select(
+        $"event_id",
+        element_at(m, "k").as("k_val"),
+        size(m).as("n_keys"),
+        element_at(map_keys(m), 1).as("first_key"))
+      .orderBy($"event_id")
+  }
+
+  def jsonNested(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // struct → to_json → re-extract roundtrip; only the extracted values
+    // are emitted (JSON text formatting is engine-specific), so the
+    // oracle is the identity projection.
+    val j = to_json(struct($"user_id".as("user"), $"event_type".as("etype")))
+    Tables.t(s, dir, "events")
+      .select(
+        $"event_id",
+        get_json_object(j, "$.user").cast(LongType).as("rt_user"),
+        get_json_object(j, "$.etype").as("rt_etype"))
+      .orderBy($"event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_str_funcs" -> (strFuncs _),
+    "q_str_regexp_split" -> (strRegexpSplit _),
+    "q_date_funcs" -> (dateFuncs _),
+    "q_math_funcs" -> (mathFuncs _),
+    "q_array_funcs" -> (arrayFuncs _),
+    "q_array_hof" -> (arrayHof _),
+    "q_map_funcs" -> (mapFuncs _),
+    "q_json_nested" -> (jsonNested _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS name_lc,
+        |  upper(p_brand) AS brand_uc,
+        |  substring(p_type, 1, 4) AS type4,
+        |  p_brand || ':' || p_type AS brand_type,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  replace(p_name, ' ', '_') AS name_us,
+        |  lpad(p_brand, 10, '*') AS brand_pad,
+        |  p_name LIKE '%widget%' AS has_widget
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_str_regexp_split" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        |  split_part(p_name, ' ', 1) AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(sqrt(l_extendedprice), 4) AS sqrt_price,
+        |  ROUND(ln(l_extendedprice), 4) AS ln_price,
+        |  ROUND(pow(l_discount + 1, 2), 4) AS pow_disc,
+        |  abs(l_quantity - 25) AS abs_qty,
+        |  CAST(ceil(l_discount * 100) AS BIGINT) AS ceil_disc,
+        |  CAST(floor(l_tax * 100) AS BIGINT) AS floor_tax,
+        |  CAST(floor(l_quantity) AS BIGINT) % 7 AS qty_mod7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, sqrt_price, ln_price,
+        |  pow_disc, abs_qty, ceil_disc, floor_tax, qty_mod7""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  embedding[1] AS first_val,
+        |  embedding[1:4] AS head4,
+        |  list_contains(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INTEGER)), 3) AS has_bucket3
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_array_hof" ->
+      """SELECT vec_id,
+        |  ROUND(sqrt(list_reduce(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)), 4) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+        |  json_keys(props)[1] AS first_key
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_json_nested" ->
+      """SELECT event_id, user_id AS rt_user, event_type AS rt_etype
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.{Det, Tables}
+
+/** SURVEY.md §2.A (scans/sources) + §2.B (projection/filter/predicates).
+  *
+  * All filters/projections here are declarative so Catalyst pushes them
+  * into the parquet scan (`PushedFilters` / pruned `ReadSchema`) — at
+  * 100 TB these queries read only the row groups and columns they touch.
+  */
+object Scans extends OpModule {
+  import Det._
+
+  def scanProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+      // (l_orderkey, l_linenumber) is NOT unique in this synthetic data —
+      // order by every output column so row order is fully value-determined.
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+  }
+
+  def scanPrunePushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_shipdate".cast("date").as("ship_date"))
+      .orderBy($"l_orderkey", $"ship_date")
+  }
+
+  def sourceJsonCol(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast(IntegerType).as("k"))
+      .orderBy($"event_id")
+  }
+
+  def filterCompound(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .filter($"l_discount".between(0.02, 0.06) &&
+        $"l_quantity" < 24 && $"l_returnflag".isin("A", "R"))
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_discount", $"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_discount", $"l_returnflag")
+  }
+
+  def projectCase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .select(
+        $"o_orderkey",
+        when($"o_totalprice" < 100000, "low")
+          .when($"o_totalprice" < 300000, "mid")
+          .otherwise("high").as("price_band"),
+        dbl4(d12($"o_totalprice") * lit(0.9).cast(D6)).as("discounted"))
+      .orderBy($"o_orderkey")
+  }
+
+  def filterNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .select(nullif($"l_discount", lit(0.0)).isNull.as("is_zero_disc"),
+        $"l_quantity")
+      .groupBy($"is_zero_disc")
+      .agg(count(lit(1)).as("n"), sumMoney($"l_quantity").as("sum_qty"))
+      .orderBy($"is_zero_disc")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_project" -> (scanProject _),
+    "q_scan_prune_pushdown" -> (scanPrunePushdown _),
+    "q_source_json_col" -> (sourceJsonCol _),
+    "q_filter_compound" -> (filterCompound _),
+    "q_project_case" -> (projectCase _),
+    "q_filter_null_semantics" -> (filterNullSemantics _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+    "q_scan_prune_pushdown" ->
+      """SELECT l_orderkey, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY l_orderkey, ship_date""".stripMargin,
+    "q_source_json_col" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_filter_compound" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+        |  AND l_returnflag IN ('A', 'R')
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin,
+    "q_project_case" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 100000 THEN 'low'
+        |       WHEN o_totalprice < 300000 THEN 'mid'
+        |       ELSE 'high' END AS price_band,
+        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,4)) * CAST(0.9 AS DECIMAL(6,4)), 4) AS DOUBLE) AS discounted
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_filter_null_semantics" ->
+      """SELECT NULLIF(l_discount, 0.0) IS NULL AS is_zero_disc,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY is_zero_disc""".stripMargin
+  )
+}
