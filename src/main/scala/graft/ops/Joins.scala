@@ -1,0 +1,248 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** SURVEY.md §2.C — join surface.
+  *
+  * Scale notes (100 TB stance):
+  *  - dims (region/nation/part-probe) are `broadcast()` — no shuffle of
+  *    the fact side;
+  *  - fact⋈fact equi-joins shuffle on their keys and AQE handles skew;
+  *  - the theta/range join is BNLJ by nature, so the probe side is
+  *    explicitly bounded (broadcast probe × streamed big side keeps pair
+  *    count O(1e7) at bench scale);
+  *  - the as-of join is the window formulation (sort within user
+  *    partition), which scales as one shuffle by user_id — no native
+  *    Spark as-of exists.
+  */
+object Joins extends OpModule {
+  import Det._
+
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = Tables.t(s, dir, "nation")
+    val r = Tables.t(s, dir, "region")
+    n.join(broadcast(r), $"n_regionkey" === $"r_regionkey", "inner")
+      .select($"n_nationkey", $"n_name", $"r_regionkey", $"r_name")
+      .orderBy($"n_nationkey")
+  }
+
+  def joinShuffleChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer")
+    val o = Tables.t(s, dir, "orders")
+    val l = Tables.t(s, dir, "lineitem")
+    val one = lit(1).cast(D6)
+    c.join(o, $"c_custkey" === $"o_custkey")
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(
+        dbl4(sum(d12($"l_extendedprice") * (one - d6($"l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"c_custkey")
+  }
+
+  def joinLeft(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer")
+    val o = Tables.t(s, dir, "orders")
+    c.join(o, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        coalesce(sumMoney($"o_totalprice"), lit(0.0)).as("spend"))
+      .orderBy($"c_custkey")
+  }
+
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer")
+      .filter($"c_acctbal" > 5000)
+      .select($"c_custkey", $"c_acctbal")
+    val ev = Tables.t(s, dir, "events")
+      .filter($"user_id" < 1000)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sumMoney($"value").as("sum_value"))
+    c.join(ev, $"c_custkey" === $"user_id", "full")
+      .select(
+        coalesce($"c_custkey", $"user_id").as("ukey"),
+        $"c_acctbal", $"n_events", $"sum_value")
+      .orderBy($"ukey")
+  }
+
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer")
+    val purchases = Tables.t(s, dir, "events")
+      .filter($"event_type" === "purchase")
+    c.join(purchases, $"c_custkey" === $"user_id", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer")
+    val big = Tables.t(s, dir, "orders").filter($"o_totalprice" > 100000)
+    c.join(big, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  def joinCross(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = Tables.t(s, dir, "region")
+    val sup = Tables.t(s, dir, "supplier")
+    r.crossJoin(sup)
+      .select($"r_regionkey", $"r_name", $"s_suppkey", $"s_name")
+      .orderBy($"r_regionkey", $"s_suppkey")
+  }
+
+  /** Non-equi self-join: price-band pairs. Probe side bounded to
+    * p_partkey < 500 so the BNLJ pair count stays ≤ 1e7 at bench scale;
+    * the bounded probe is broadcast, the full table streams. */
+  def joinThetaRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val part = Tables.t(s, dir, "part")
+    val p1 = part.filter($"p_partkey" < 500)
+      .select($"p_partkey".as("a_key"), $"p_retailprice".as("a_price"))
+    val p2 = part
+      .select($"p_partkey".as("b_key"), $"p_retailprice".as("b_price"))
+    broadcast(p1).join(p2,
+        $"b_price".between($"a_price" * 0.99, $"a_price" * 1.01) &&
+        $"a_key" < $"b_key")
+      .select($"a_key", $"b_key", $"a_price", $"b_price")
+      .orderBy($"a_key", $"b_key")
+  }
+
+  /** Day-of-month-aligned event⋈order join (events are 2024, orders
+    * 1995–2001, so a pure time-interval join is empty by construction —
+    * see FIXTURES.md). Composite equi key (user, day) + value range. */
+  def joinInterval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+    val o = Tables.t(s, dir, "orders")
+    e.join(o,
+        $"user_id" === $"o_custkey" &&
+        dayofmonth($"ts") === dayofmonth($"o_orderdate") &&
+        $"o_totalprice".between($"value" * 500, $"value" * 5000))
+      .select($"event_id", $"o_orderkey", $"user_id")
+      .orderBy($"event_id", $"o_orderkey")
+  }
+
+  /** As-of: for each purchase event, the user's most recent strictly
+    * prior event of any other type. (ts, event_id) is packed into one
+    * BIGINT sort key (µs offset within 2024 × 1e5 + event_id, exact —
+    * event_id < 1e5 at every sf) so a single conditional-max window
+    * computes the arg-max portably in both engines. */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+    val base = lit(1704067200000000L) // unix_micros 2024-01-01T00:00Z
+    val key = when($"event_type" =!= "purchase",
+      (unix_micros($"ts") - base) * 100000L + $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("prior_key", max(key).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id",
+        ($"prior_key" % 100000L).as("prior_event_id"))
+      .orderBy($"event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_join_broadcast" -> (joinBroadcast _),
+    "q_join_shuffle_chain" -> (joinShuffleChain _),
+    "q_join_left" -> (joinLeft _),
+    "q_join_full" -> (joinFull _),
+    "q_join_semi" -> (joinSemi _),
+    "q_join_anti" -> (joinAnti _),
+    "q_join_cross" -> (joinCross _),
+    "q_join_theta_range" -> (joinThetaRange _),
+    "q_join_interval" -> (joinInterval _),
+    "q_join_asof" -> (joinAsof _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_regionkey, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_join_shuffle_chain" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |    (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, c_name,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE), 0.0) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_full" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000),
+        |ev AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+        |  FROM events WHERE user_id < 1000 GROUP BY user_id)
+        |SELECT COALESCE(c_custkey, user_id) AS ukey,
+        |  c_acctbal, n_events, sum_value
+        |FROM c FULL OUTER JOIN ev ON c_custkey = user_id
+        |ORDER BY ukey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM events
+        |  WHERE event_type = 'purchase' AND user_id = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, s_suppkey, s_name
+        |FROM region CROSS JOIN supplier
+        |ORDER BY r_regionkey, s_suppkey""".stripMargin,
+    "q_join_theta_range" ->
+      """SELECT p1.p_partkey AS a_key, p2.p_partkey AS b_key,
+        |  p1.p_retailprice AS a_price, p2.p_retailprice AS b_price
+        |FROM (SELECT * FROM part WHERE p_partkey < 500) p1
+        |JOIN part p2
+        |  ON p2.p_retailprice BETWEEN p1.p_retailprice * 0.99
+        |    AND p1.p_retailprice * 1.01
+        |  AND p1.p_partkey < p2.p_partkey
+        |ORDER BY a_key, b_key""".stripMargin,
+    "q_join_interval" ->
+      """SELECT event_id, o_orderkey, user_id
+        |FROM events JOIN orders
+        |  ON user_id = o_custkey
+        |  AND day(CAST(ts AS TIMESTAMP)) = day(o_orderdate)
+        |  AND o_totalprice BETWEEN value * 500 AND value * 5000
+        |ORDER BY event_id, o_orderkey""".stripMargin,
+    "q_join_asof" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |k AS (
+        |  SELECT event_id, user_id, event_type,
+        |    max(CASE WHEN event_type <> 'purchase'
+        |      THEN (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) * 100000 + event_id END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_key
+        |  FROM e)
+        |SELECT event_id, user_id, prior_key % 100000 AS prior_event_id
+        |FROM k WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin
+  )
+}
