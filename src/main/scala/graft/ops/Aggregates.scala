@@ -1,14 +1,18 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 import graft.{Det, Tables}
 
 /** SURVEY.md §2.D — aggregation + Customer-360 feature ops.
   *
   * All group-bys compile to partial+final `HashAggregateExec`, so the
   * shuffle carries one accumulator per (group, partition) — the map-side
-  * combine is what makes these survive a 100-TB lineitem.
+  * combine is what makes these survive a 100-TB lineitem. The feature ops
+  * (pivot / trailing windows / RFM) are the reference's featurization
+  * payload re-expressed as single-pass conditional aggregations: one
+  * shuffle by customer key, no per-window re-scans.
   */
 object Aggregates extends OpModule {
   import Det._
@@ -38,9 +42,173 @@ object Aggregates extends OpModule {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  def aggDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer")
+    val o = Tables.t(s, dir, "orders")
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        countDistinct($"o_custkey").as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private def revenueByGeo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = Tables.t(s, dir, "region")
+    val n = Tables.t(s, dir, "nation")
+    val c = Tables.t(s, dir, "customer")
+    val o = Tables.t(s, dir, "orders")
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+  }
+
+  def aggRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    revenueByGeo(s, dir)
+      .rollup($"r_name", $"n_name")
+      .agg(
+        grouping($"r_name").cast(IntegerType).as("g_r"),
+        grouping($"n_name").cast(IntegerType).as("g_n"),
+        sumMoney($"o_totalprice").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select($"g_r", $"g_n", $"r_name", $"n_name", $"revenue", $"n_orders")
+      .orderBy($"g_r", $"g_n", $"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  def aggCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping($"o_orderstatus").cast(IntegerType).as("g_s"),
+        grouping($"o_orderpriority").cast(IntegerType).as("g_p"),
+        count(lit(1)).as("n"),
+        sumMoney($"o_totalprice").as("revenue"))
+      .select($"g_s", $"g_p", $"o_orderstatus", $"o_orderpriority", $"n", $"revenue")
+      .orderBy($"g_s", $"g_p",
+        $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_p,
+        |  o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  def aggStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer")
+    val o = Tables.t(s, dir, "orders")
+    val spend = o.groupBy($"o_custkey")
+      .agg(sumMoney($"o_totalprice").as("spend"))
+    c.join(spend, $"c_custkey" === $"o_custkey")
+      .groupBy($"c_nationkey")
+      .agg(
+        count(lit(1)).as("n"),
+        r4(stddev_samp($"c_acctbal")).as("sd_bal"),
+        r4(var_samp($"c_acctbal")).as("var_bal"),
+        r4(corr($"c_acctbal", $"spend")).as("corr_bal_spend"))
+      .orderBy($"c_nationkey")
+  }
+
+  def aggCollect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(array_sort(collect_list(year($"o_orderdate"))).as("order_years"))
+      .orderBy($"o_custkey")
+  }
+
+  private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  /** Reference signature op: per-user event-type counts & value sums as a
+    * wide feature row. Single shuffle on user_id; the pivot is a
+    * conditional aggregation, not N passes. */
+  def featPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val piv = Tables.t(s, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)).as("cnt"), sumMoney($"value").as("val"))
+    val cols = $"user_id" +: eventTypes.flatMap(t => Seq(
+      coalesce(col(s"${t}_cnt"), lit(0L)).as(s"${t}_cnt"),
+      coalesce(col(s"${t}_val"), lit(0.0)).as(s"${t}_val")))
+    piv.select(cols: _*).orderBy($"user_id")
+  }
+
+  /** Reference signature op: trailing 30/60/90-day order count + spend
+    * per customer, windows anchored at the global max order date.
+    * One conditional-aggregation pass — the anchor is a broadcast scalar. */
+  def featTrailingWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+    val maxd = o.agg(max($"o_orderdate").cast("date").as("maxd"))
+    def win(days: Int): Column =
+      datediff($"maxd", $"o_orderdate".cast("date")) < days
+    def cnt(days: Int): Column = count(when(win(days), lit(1)))
+    def spend(days: Int): Column =
+      coalesce(sum(when(win(days), d12($"o_totalprice"))).cast("double"), lit(0.0))
+    o.crossJoin(broadcast(maxd))
+      .groupBy($"o_custkey")
+      .agg(
+        cnt(30).as("n_30d"), spend(30).as("spend_30d"),
+        cnt(60).as("n_60d"), spend(60).as("spend_60d"),
+        cnt(90).as("n_90d"), spend(90).as("spend_90d"))
+      .orderBy($"o_custkey")
+  }
+
+  /** RFM: recency (days since last order vs global max date), frequency,
+    * monetary — the C360 staple. */
+  def featRfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+    val maxd = o.agg(max($"o_orderdate").cast("date").as("maxd"))
+    o.crossJoin(broadcast(maxd))
+      .groupBy($"o_custkey")
+      .agg(
+        datediff(max($"maxd"), max($"o_orderdate".cast("date"))).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sumMoney($"o_totalprice").as("monetary"))
+      .orderBy($"o_custkey")
+  }
+
+  /** HLL approximate distinct — no SQL oracle (approx); bounds-checked
+    * against exact counts in ScalaTest. */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_users"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_agg_pricing_summary" -> (pricingSummary _)
+    "q_agg_pricing_summary" -> (pricingSummary _),
+    "q_agg_distinct" -> (aggDistinct _),
+    "q_agg_rollup" -> (aggRollup _),
+    "q_agg_cube" -> (aggCube _),
+    "q_agg_grouping_sets" -> (aggGroupingSets _),
+    "q_agg_stats" -> (aggStats _),
+    "q_agg_collect" -> (aggCollect _),
+    "q_feat_pivot" -> (featPivot _),
+    "q_feat_trailing_windows" -> (featTrailingWindows _),
+    "q_feat_rfm" -> (featRfm _),
+    "q_agg_approx_distinct" -> (aggApproxDistinct _)
   )
+
+  private val pivotOracleCols = eventTypes.map { t =>
+    s"""  COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS ${t}_cnt,
+       |  COALESCE(CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(12,4)) END) AS DOUBLE), 0.0) AS ${t}_val""".stripMargin
+  }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
     "q_agg_pricing_summary" ->
@@ -55,6 +223,76 @@ object Aggregates extends OpModule {
         |  COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT CAST(GROUPING(r_name) AS INTEGER) AS g_r,
+        |  CAST(GROUPING(n_name) AS INTEGER) AS g_n,
+        |  r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
+        |  o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,
+        |  o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_stats" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_nationkey, COUNT(*) AS n,
+        |  ROUND(stddev_samp(c_acctbal), 4) AS sd_bal,
+        |  ROUND(var_samp(c_acctbal), 4) AS var_bal,
+        |  ROUND(corr(c_acctbal, spend), 4) AS corr_bal_spend
+        |FROM customer JOIN spend ON c_custkey = o_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT o_custkey,
+        |  list(CAST(year(o_orderdate) AS INTEGER) ORDER BY year(o_orderdate)) AS order_years
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_feat_pivot" ->
+      s"""SELECT user_id,
+         |$pivotOracleCols
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_feat_trailing_windows" ->
+      """WITH md AS (SELECT CAST(max(o_orderdate) AS DATE) AS maxd FROM orders)
+        |SELECT o_custkey,
+        |  COUNT(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), maxd) < 30 THEN 1 END) AS n_30d,
+        |  COALESCE(CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), maxd) < 30 THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE), 0.0) AS spend_30d,
+        |  COUNT(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), maxd) < 60 THEN 1 END) AS n_60d,
+        |  COALESCE(CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), maxd) < 60 THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE), 0.0) AS spend_60d,
+        |  COUNT(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), maxd) < 90 THEN 1 END) AS n_90d,
+        |  COALESCE(CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), maxd) < 90 THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE), 0.0) AS spend_90d
+        |FROM orders CROSS JOIN md
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_feat_rfm" ->
+      """WITH md AS (SELECT CAST(max(o_orderdate) AS DATE) AS maxd FROM orders)
+        |SELECT o_custkey,
+        |  CAST(date_diff('day', max(CAST(o_orderdate AS DATE)), max(maxd)) AS INTEGER) AS recency_days,
+        |  COUNT(*) AS frequency,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS monetary
+        |FROM orders CROSS JOIN md
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }
