@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** SURVEY.md §2.E (window functions) + §2.F (sort / limit / top-k).
+  *
+  * Every window ORDER BY carries a unique tiebreaker (§2.0 rule 5).
+  * Running/moving sums go through DECIMAL so the frame aggregation is
+  * exact and order-insensitive. At scale each window is one shuffle on
+  * its partition key; `q_sort_multi` compiles to
+  * `TakeOrderedAndProjectExec` (per-partition top-k + merge, no global
+  * sort).
+  */
+object Windows extends OpModule {
+  import Det._
+
+  def winRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  def winNtilePct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal", $"c_custkey")
+    Tables.t(s, dir, "customer")
+      .select($"c_nationkey", $"c_custkey",
+        ntile(4).over(w).as("quartile"),
+        r4(percent_rank().over(w)).as("pct"))
+      .orderBy($"c_nationkey", $"c_custkey")
+  }
+
+  def winRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        sum(d12($"o_totalprice")).over(w).cast("double").as("run_total"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  def winMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(-2, 0)
+    Tables.t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        round(sum(d12($"o_totalprice")).over(w).cast("double") /
+          count(lit(1)).over(w), 4).as("mavg3"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Time-based RANGE frame: per-user trailing-hour event value sum over
+    * epoch seconds. Peers at equal seconds are all in-frame (RANGE
+    * semantics) so ties are deterministic by construction. */
+  def winRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+      .withColumn("epoch_s", expr("unix_micros(ts) div 1000000"))
+    val w = Window.partitionBy($"user_id").orderBy($"epoch_s")
+      .rangeBetween(-3600, 0)
+    e.select($"event_id", $"user_id", $"epoch_s",
+        sum(d12($"value")).over(w).cast("double").as("hour_sum"))
+      .orderBy($"event_id")
+  }
+
+  def winLeadLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.t(s, dir, "events")
+      .select($"event_id", $"user_id",
+        (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)).as("gap_us"),
+        lead($"event_type", 1).over(w).as("next_type"))
+      .orderBy($"event_id")
+  }
+
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  def sortMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(100)
+  }
+
+  /** Engine defaults differ (Spark ASC=nulls-first, DuckDB ASC=nulls-last)
+    * so null placement is always explicit. */
+  def sortNulls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .select($"o_orderkey",
+        nullif($"o_orderpriority", lit("4-NOT SPECIFIED")).as("prio_n"))
+      .orderBy($"prio_n".asc_nulls_last, $"o_orderkey".asc)
+      .limit(500)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_win_rank" -> (winRank _),
+    "q_win_ntile_pct" -> (winNtilePct _),
+    "q_win_running" -> (winRunning _),
+    "q_win_moving_avg" -> (winMovingAvg _),
+    "q_win_range_frame" -> (winRangeFrame _),
+    "q_win_lead_lag" -> (winLeadLag _),
+    "q_topk_per_group" -> (topkPerGroup _),
+    "q_sort_multi" -> (sortMulti _),
+    "q_sort_nulls" -> (sortNulls _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  CAST(rank() OVER w AS INTEGER) AS rk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_ntile_pct" ->
+      """SELECT c_nationkey, c_custkey,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  ROUND(percent_rank() OVER w, 4) AS pct
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w, 4) AS mavg3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_range_frame" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS epoch_s,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+        |     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_win_lead_lag" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) -
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w AS gap_us,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_sort_multi" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q_sort_nulls" ->
+      """SELECT o_orderkey, NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio_n
+        |FROM orders
+        |ORDER BY prio_n ASC NULLS LAST, o_orderkey ASC LIMIT 500""".stripMargin
+  )
+}
