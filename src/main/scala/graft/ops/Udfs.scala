@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.Tables
+import graft.functions.GeoMean
+
+/** SURVEY.md §2.L — UDF / UDAF / UDTF surface.
+  *
+  * These are the one place where opaque user code is the point; everywhere
+  * else the engine prefers built-in (codegen'd) expressions. The UDAF is a
+  * typed `Aggregator` (partial-aggregable — scales like any built-in agg);
+  * the generator op uses `posexplode`, Spark's built-in UDTF mechanism.
+  */
+object Udfs extends OpModule {
+
+  /** Scalar Scala UDF — same banding logic as q_project_case's CASE, so
+    * the oracle is the CASE expression. */
+  def udfScalar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val priceBand = udf((p: Double) =>
+      if (p < 100000) "low" else if (p < 300000) "mid" else "high")
+    Tables.t(s, dir, "orders")
+      .select($"o_orderkey", priceBand($"o_totalprice").as("band"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Geometric mean of retail price per brand via typed Aggregator.
+    * exp(avg(ln(x))) — double log-sum; rounded at 4 dp (libm ulp noise is
+    * ~1e-12 relative, far inside the rounding). */
+  def udafGeomean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val geomean = udaf(GeoMean)
+    Tables.t(s, dir, "part")
+      .groupBy($"p_brand")
+      .agg(round(geomean($"p_retailprice"), 4).as("geo_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"p_brand")
+  }
+
+  /** Generator: words with position for the first 50 docs. DuckDB zips
+    * parallel UNNESTs positionally for the ordinal. */
+  def udtfExplode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .filter($"doc_id" < 50)
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", $"pos".cast(IntegerType).as("pos"), $"col".as("word"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_udf_scalar" -> (udfScalar _),
+    "q_udaf_geomean" -> (udafGeomean _),
+    "q_udtf_explode" -> (udtfExplode _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_udf_scalar" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 100000 THEN 'low'
+        |       WHEN o_totalprice < 300000 THEN 'mid'
+        |       ELSE 'high' END AS band
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_udaf_geomean" ->
+      """SELECT p_brand,
+        |  ROUND(exp(avg(ln(p_retailprice))), 4) AS geo_price,
+        |  COUNT(*) AS n
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_udtf_explode" ->
+      """SELECT doc_id,
+        |  CAST(UNNEST(range(len(string_split(text, ' ')))) AS INTEGER) AS pos,
+        |  UNNEST(string_split(text, ' ')) AS word
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id, pos""".stripMargin
+  )
+}
