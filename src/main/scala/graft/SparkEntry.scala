@@ -8,7 +8,8 @@ import graft.ops._
   */
 object SparkEntry {
   private val modules: Seq[OpModule] = Seq(
-    Scans, Scalars, Joins, Aggregates, Windows, SetOps, Udfs
+    Scans, Scalars, Joins, Aggregates, Windows, SetOps, Udfs,
+    Dedup, TextOps, Multimodal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

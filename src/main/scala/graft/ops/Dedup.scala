@@ -1,0 +1,248 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.J — deduplication operators over `documents`.
+  *
+  * Scale design: exact dedup is a hash group-by (one shuffle on the
+  * digest). Near-dup goes shingle→explode→self-equi-join on shingle —
+  * the join key is the shingle, so at 100 TB this shuffles by shingle
+  * (no cross join) and skew is bounded by shingle frequency. MinHash
+  * signatures compress each doc to 8×8 bytes so the LSH band join
+  * shuffles signatures, not text. All hashing is md5-derived so the
+  * DuckDB oracle computes bit-identical 60-bit integers.
+  */
+object Dedup extends OpModule {
+
+  /** Portable 60-bit integer from the first 15 hex chars of md5. */
+  private def md5int(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .groupBy(sha2($"text", 256).as("digest"))
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("min_id"))
+      .orderBy($"min_id")
+  }
+
+  /** 5-gram word shingles per doc (distinct). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("words"))
+      .filter(size($"words") >= 5)
+      .select($"doc_id", array_distinct(transform(
+        sequence(lit(0), size($"words") - 5),
+        i => concat_ws(" ",
+          element_at($"words", i + 1), element_at($"words", i + 2),
+          element_at($"words", i + 3), element_at($"words", i + 4),
+          element_at($"words", i + 5)))).as("sh"))
+  }
+
+  /** Exact Jaccard ≥ 0.8 near-dup pairs via shingle-key equi-join. */
+  def dedupNearJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir)
+      .select($"doc_id", explode($"sh").as("shingle"))
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select($"doc_id".as("a_id"), $"shingle")
+    val b = sh.select($"doc_id".as("b_id"), $"shingle")
+    val common = a.join(b, Seq("shingle")).filter($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("common"))
+    common
+      .join(cnt.select($"doc_id".as("a_id"), $"n_sh".as("na")), Seq("a_id"))
+      .join(cnt.select($"doc_id".as("b_id"), $"n_sh".as("nb")), Seq("b_id"))
+      .select($"a_id", $"b_id",
+        round($"common".cast("double") / ($"na" + $"nb" - $"common"), 4)
+          .as("jaccard"))
+      .filter($"jaccard" >= 0.8)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** MinHash signatures: per doc, min over shingles of md5(salt‖shingle)
+    * for 8 salts — deterministic, engine-portable. The 100-TB LSH path
+    * bands these signatures (q_dedup_minhash_lsh). */
+  def dedupMinhashSig(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir)
+      .select($"doc_id", explode($"sh").as("shingle"))
+    val aggs = (0 until 8).map(k =>
+      min(md5int(concat(lit(s"$k|"), $"shingle"))).as(s"mh$k"))
+    sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .orderBy($"doc_id")
+  }
+
+  /** 32-bit SimHash fingerprint: per bit, vote +1/−1 over distinct word
+    * hashes; bit set iff the vote is positive. Exact integer arithmetic
+    * on both engines. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.t(s, dir, "documents")
+      .select($"doc_id",
+        explode(array_distinct(split($"text", " "))).as("word"))
+      .select($"doc_id", md5int($"word").as("h"))
+    val bits = words
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(31))).as("bit"))
+      .groupBy($"doc_id", $"bit")
+      .agg(sum(when(expr("shiftright(h, CAST(bit AS INT)) & 1") === 1L,
+        1L).otherwise(-1L)).as("vote"))
+    bits.groupBy($"doc_id")
+      .agg(sum(when($"vote" > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+        .otherwise(0L)).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** Brute-force cosine top-10 per probe (vec_id < 10). Rank on the
+    * 4-dp-rounded similarity + vec_id tiebreak so ordering is immune to
+    * sub-round float noise. The fold order (left→right over the 64
+    * elements) is identical in both engines, so the doubles are in fact
+    * bit-identical. */
+  def simTopkCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column): Column =
+      sqrt(aggregate(transform(x, a => a.cast("double") * a.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+    val e = Tables.t(s, dir, "embeddings")
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+    val corpus = e.select($"vec_id".as("nbr_id"), $"embedding".as("ce"))
+    val scored = broadcast(probes).join(corpus, $"probe_id" =!= $"nbr_id")
+      .select($"probe_id", $"nbr_id",
+        round(dot($"pe", $"ce") / (norm($"pe") * norm($"ce")), 4).as("sim4"))
+    val w = Window.partitionBy($"probe_id").orderBy($"sim4".desc, $"nbr_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"probe_id", $"rank".cast("int").as("rank"), $"nbr_id", $"sim4")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** MLlib MinHash-LSH approximate near-dup join — the variant that
+    * scales (bucketed candidate generation, no all-pairs). Approx +
+    * seeded ⇒ no SQL oracle; recall is bounds-checked in ScalaTest. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    import s.implicits._
+    val docs = shingles(s, dir)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(docs)
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
+      .setNumHashTables(8).setSeed(42L)
+    val model = mh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, 0.5, "dist")
+      .select(
+        col("datasetA.doc_id").as("a_id"),
+        col("datasetB.doc_id").as("b_id"),
+        round(col("dist"), 4).as("dist"))
+      .filter($"a_id" < $"b_id")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** MLlib random-projection LSH ANN — approx, seeded; ScalaTest checks
+    * recall vs the brute-force truth. */
+  def simLshKnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    import s.implicits._
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val e = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", toVec($"embedding").as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(e)
+    val probes = e.filter($"vec_id" < 10)
+    model.approxSimilarityJoin(probes, e, 15.0, "dist")
+      .select(
+        col("datasetA.vec_id").as("probe_id"),
+        col("datasetB.vec_id").as("nbr_id"),
+        round(col("dist"), 4).as("dist"))
+      .filter($"probe_id" =!= $"nbr_id")
+      .orderBy($"probe_id", $"dist", $"nbr_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_near_jaccard" -> (dedupNearJaccard _),
+    "q_dedup_minhash_sig" -> (dedupMinhashSig _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_sim_topk_cosine" -> (simTopkCosine _),
+    "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "q_sim_lsh_knn" -> (simLshKnn _)
+  )
+
+  private val shinglesCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |sh AS (SELECT doc_id, UNNEST(list_distinct(list_transform(
+      |    range(1, len(words) - 3),
+      |    i -> array_to_string(words[i:i+4], ' ')))) AS shingle
+      |  FROM w WHERE len(words) >= 5)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT sha256(text) AS digest, COUNT(*) AS n, min(doc_id) AS min_id
+        |FROM documents GROUP BY sha256(text) ORDER BY min_id""".stripMargin,
+    "q_dedup_near_jaccard" ->
+      s"""WITH $shinglesCte,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id,
+         |  ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
+         |FROM pairs
+         |JOIN cnt ca ON ca.doc_id = a_id
+         |JOIN cnt cb ON cb.doc_id = b_id
+         |WHERE ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_minhash_sig" ->
+      (s"WITH $shinglesCte\n" +
+        "SELECT doc_id,\n" +
+        (0 until 8).map(k =>
+          s"  min(CAST(('0x' || substr(md5('$k|' || shingle), 1, 15)) AS BIGINT)) AS mh$k")
+          .mkString(",\n") +
+        "\nFROM sh GROUP BY doc_id ORDER BY doc_id"),
+    "q_dedup_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(UNNEST(list_distinct(string_split(text, ' ')))), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, bit,
+        |    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM words CROSS JOIN (SELECT UNNEST(range(0, 32)) AS bit) b
+        |  GROUP BY doc_id, bit)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_sim_topk_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+        |    ROUND(
+        |      list_reduce(list_transform(range(1, 65),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_transform(range(1, 65),
+        |          i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(range(1, 65),
+        |          i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b))), 4) AS sim4
+        |  FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT probe_id, nbr_id, sim4,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY sim4 DESC, nbr_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT probe_id, rank, nbr_id, sim4 FROM ranked
+        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
+  )
+}

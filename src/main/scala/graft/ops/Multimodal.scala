@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** SURVEY.md §2.J — multimodal-column operators.
+  *
+  * Model: media is an opaque `binary` column + typed metadata struct,
+  * exactly as a 100-TB training-data pipeline would carry images/audio
+  * (the bytes travel through shuffles untouched; feature extraction is a
+  * per-partition map, no shuffle). The container has no image/audio
+  * codecs, so `FakeDecoder` below is a clearly-marked deterministic stub
+  * — the Spark-side plumbing (schema, batch-wise partition iteration,
+  * typed output) is real and tested.
+  */
+object Multimodal extends OpModule {
+  import Det._
+
+  /** Decoded-media feature row (what a real image decode would yield). */
+  case class MediaFeatures(doc_id: Long, byte_len: Int, width: Int,
+      height: Int, channels: Int, checksum: Long)
+
+  /** STUB: deterministic fake decoder standing in for a codec.
+    * A real implementation would parse the container format; this derives
+    * "dimensions" from a rolling hash of the payload bytes so output is
+    * reproducible. */
+  object FakeDecoder {
+    def decode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      val pos = h & Long.MaxValue
+      MediaFeatures(docId, bytes.length,
+        width = (pos % 1920L).toInt + 1,
+        height = ((pos / 1920L) % 1080L).toInt + 1,
+        channels = (pos % 3L).toInt + 1,
+        checksum = pos % 1000000007L)
+    }
+  }
+
+  /** Binary plumbing (oracled): text → UTF-8 bytes as the opaque payload;
+    * byte length + hex head are engine-portable byte-level features. */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select($"doc_id",
+        encode($"text", "UTF-8").as("payload"),
+        $"lang")
+      .select($"doc_id",
+        octet_length($"payload").as("byte_len"),
+        lower(hex(substring($"payload", 1, 8))).as("head_hex"),
+        $"lang")
+      .orderBy($"doc_id")
+  }
+
+  /** Per-partition typed decode over the opaque payload (mapPartitions —
+    * batchwise, no shuffle; the shape a real codec UDF would have).
+    * Stubbed decoder ⇒ no SQL oracle; covered by ScalaTest. */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => FakeDecoder.decode(id, bytes) })
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  /** documents ⋈ embeddings (1:1 on doc_id=vec_id) → struct metadata +
+    * vector column; per-label aggregate profile. */
+  def multimodalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.t(s, dir, "documents")
+    val e = Tables.t(s, dir, "embeddings")
+    d.join(e, $"doc_id" === $"vec_id")
+      .select($"label",
+        struct($"lang", $"source", $"n_chars").as("text_meta"),
+        $"embedding")
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"text_meta.n_chars").cast("double") / count(lit(1)), 2)
+          .as("avg_chars"),
+        countDistinct($"text_meta.lang").as("n_langs"))
+      .orderBy($"label")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_multimodal_features" -> (multimodalFeatures _),
+    "q_multimodal_decode" -> (multimodalDecode _),
+    "q_multimodal_join" -> (multimodalJoin _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  lower(substring(hex(encode(text)), 1, 16)) AS head_hex,
+        |  lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_join" ->
+      """SELECT label, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY label ORDER BY label""".stripMargin
+  )
+}

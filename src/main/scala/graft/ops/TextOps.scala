@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.J — text-analysis operators over `documents`.
+  *
+  * All single-pass, shuffle-light shapes: token explode → group-by for
+  * the global term stats; everything per-doc is a narrow projection that
+  * stays in WholeStageCodegen. The corpus is lowercase space-separated
+  * text, so `split` on a single space is exact tokenization.
+  */
+object TextOps extends OpModule {
+
+  private val stopwords = Seq("the", "a", "data", "value")
+
+  /** Portable 60-bit integer from the first 15 hex chars of md5. */
+  private def md5int(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def textTokensTf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select(explode(split(lower($"text"), " ")).as("term"))
+      .filter(length($"term") > 0 && !$"term".isin(stopwords: _*))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy($"tf".desc, $"term".asc)
+      .limit(20)
+  }
+
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum($"n_chars").cast("double") / count(lit(1)), 2).as("avg_chars"),
+        max(size(split($"text", " "))).as("max_tokens"))
+      .orderBy($"lang", $"source")
+  }
+
+  /** TF-IDF: top-5 terms per language by tf·ln(N/df), rank-deterministic
+    * via 4-dp rounding + term tiebreak. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.t(s, dir, "documents")
+    val n = d.agg(count(lit(1)).as("n_total"))
+    val terms = d.select($"lang", $"doc_id",
+      explode(array_distinct(split($"text", " "))).as("term"))
+    val df = terms.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val tf = terms.groupBy($"lang", $"term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy($"lang").orderBy($"score".desc, $"term".asc)
+    tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .select($"lang", $"term",
+        round($"tf".cast("double") *
+          log($"n_total".cast("double") / $"df".cast("double")), 4).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter($"rnk" <= 5)
+      .select($"lang", $"rnk", $"term", $"score")
+      .orderBy($"lang", $"rnk")
+  }
+
+  /** Quality profile per doc: char/token counts, token-length and
+    * stopword ratios, plus a BPE-ish regex token count. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split($"text", " ")
+    Tables.t(s, dir, "documents")
+      .select(
+        $"doc_id", $"n_chars",
+        size(words).as("n_tokens"),
+        regexp_count($"text", lit("[a-z]+|[0-9]+")).cast("int").as("n_re_tokens"),
+        round(($"n_chars" - size(words) + 1).cast("double") /
+          size(words), 4).as("avg_token_len"),
+        round(size(filter(words, w => w.isin(stopwords: _*))).cast("double") /
+          size(words), 4).as("stopword_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** Rolling-hash document fingerprint: left fold over words of
+    * h → (h·31 + md5int(word)) mod 10^15. Exact integer arithmetic,
+    * identical fold order in both engines. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select($"doc_id",
+        aggregate(split($"text", " "), lit(0L),
+          (h, w) => (h * 31L + md5int(w)) % 1000000000000000L)
+          .as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID heuristic: char-trigram overlap against fixed per-lang
+    * profile strings (argmax, fixed priority tiebreak). The synthetic
+    * corpus shares one vocabulary across langs, so accuracy is
+    * meaningless here — the operator contract is the deterministic
+    * scoring pipeline. */
+  private val langProfiles: Seq[(String, String)] = Seq(
+    "en" -> "hash order table window row batch big group",
+    "zh" -> "join small customer row column scan the value",
+    "es" -> "slow agg hash merge vector value customer query",
+    "fr" -> "scan data batch query small join column key",
+    "de" -> "customer hash join row column big batch key")
+
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def tris(c: Column): Column =
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(c) - 2, lit(1))),
+        i => c.substr(i, lit(3))))
+    val scores = langProfiles.map { case (lang, prof) =>
+      size(array_intersect(tris($"text"), tris(lit(prof)))).as(s"s_$lang")
+    }
+    val best = greatest($"s_en", $"s_zh", $"s_es", $"s_fr", $"s_de")
+    val pred = when($"s_en" === best, "en")
+      .when($"s_zh" === best, "zh")
+      .when($"s_es" === best, "es")
+      .when($"s_fr" === best, "fr")
+      .otherwise("de")
+    Tables.t(s, dir, "documents")
+      .select(($"doc_id" +: $"lang".as("lang_true") +: scores): _*)
+      .withColumn("lang_pred", pred)
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_text_tokens_tf" -> (textTokensTf _),
+    "q_text_stats" -> (textStats _),
+    "q_text_tfidf" -> (textTfidf _),
+    "q_text_quality" -> (textQuality _),
+    "q_text_fingerprint" -> (textFingerprint _),
+    "q_text_langid" -> (textLangid _)
+  )
+
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "q_text_tokens_tf" ->
+      s"""SELECT term, COUNT(*) AS tf FROM (
+         |  SELECT UNNEST(string_split(lower(text), ' ')) AS term FROM documents) t
+         |WHERE length(term) > 0 AND term NOT IN ($stopList)
+         |GROUP BY term ORDER BY tf DESC, term ASC LIMIT 20""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars,
+        |  CAST(max(len(string_split(text, ' '))) AS INTEGER) AS max_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT lang, doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS n_total FROM documents),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+        |tf AS (SELECT lang, term, COUNT(*) AS tf FROM terms GROUP BY lang, term),
+        |scored AS (
+        |  SELECT lang, tf.term,
+        |    ROUND(CAST(tf AS DOUBLE) * ln(CAST(n_total AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT lang, term, score,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS INTEGER) AS rnk
+        |  FROM scored)
+        |SELECT lang, rnk, term, score FROM ranked WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id, n_chars,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_re_tokens,
+         |  ROUND(CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         |    / len(string_split(text, ' ')), 4) AS avg_token_len,
+         |  ROUND(CAST(len(list_filter(string_split(text, ' '),
+         |    w -> w IN ($stopList))) AS DOUBLE)
+         |    / len(string_split(text, ' ')), 4) AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT))),
+        |    (h, w) -> (h * 31 + w) % 1000000000000000) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_langid" -> {
+      def tris(e: String) =
+        s"list_distinct(list_transform(range(1, greatest(length($e) - 2, 1) + 1), i -> substr($e, CAST(i AS INTEGER), 3)))"
+      val scores = langProfiles.map { case (lang, prof) =>
+        s"  CAST(len(list_filter(${tris("text")}, t -> list_contains(${tris(s"'$prof'")}, t))) AS INTEGER) AS s_$lang"
+      }.mkString(",\n")
+      val best = "greatest(s_en, s_zh, s_es, s_fr, s_de)"
+      s"""WITH scored AS (
+         |SELECT doc_id, lang AS lang_true,
+         |$scores
+         |FROM documents)
+         |SELECT doc_id, lang_true, s_en, s_zh, s_es, s_fr, s_de,
+         |  CASE WHEN s_en = $best THEN 'en'
+         |       WHEN s_zh = $best THEN 'zh'
+         |       WHEN s_es = $best THEN 'es'
+         |       WHEN s_fr = $best THEN 'fr'
+         |       ELSE 'de' END AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin
+    }
+  )
+}
