@@ -1,0 +1,159 @@
+package graft.ops
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Det
+
+/** SURVEY.md §2.I — Structured Streaming over the `events` log.
+  *
+  * Verification strategy: each query runs the events parquet as a file
+  * source with `Trigger.AvailableNow` to exhaustion into a memory sink;
+  * the final state is then deterministically equal to the batch query
+  * that the DuckDB oracle expresses. Aggregations use `complete` output
+  * mode so end-of-stream state is fully emitted regardless of watermark
+  * position; watermarks are still declared (and exercised against
+  * MemoryStream in ScalaTest) because at 100 TB they are what bound the
+  * state store.
+  */
+object Streaming extends OpModule {
+  import Det._
+
+  private val runId = new AtomicInteger(0)
+
+  /** events as a streaming DataFrame (ns timestamps handled as in
+    * Tables: read as long, convert to µs). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    // The file-stream source requires a DIRECTORY; the corpus is one
+    // read-only file. Stage a symlink dir under /tmp (data not copied).
+    val stageDir = java.nio.file.Paths.get(
+      "/tmp/graft_stream_src", dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    java.nio.file.Files.createDirectories(stageDir)
+    val link = stageDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(dir, "events.parquet"))
+    val stream = s.readStream.schema(raw.schema).parquet(stageDir.toString)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream
+  }
+
+  /** Run a streaming aggregation to exhaustion, return the final table. */
+  private def runToTable(s: SparkSession, agg: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  def streamTumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sumMoney($"value").as("val_sum"))
+    runToTable(s, agg, "complete")
+      .select($"window.start".as("hour_start"), $"event_type", $"n", $"val_sum")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  def streamSliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    runToTable(s, agg, "complete")
+      .select($"window.start".as("win_start"), $"event_type", $"n")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  def streamSession(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(s, agg, "complete")
+      .select($"user_id",
+        $"session_window.start".as("sess_start"),
+        $"session_window.end".as("sess_end"),
+        $"n_events")
+      .orderBy($"user_id", $"sess_start")
+  }
+
+  /** Streaming exact dedup on (user_id, event_type); the emitted distinct
+    * pairs are then profiled per type. Which concrete row survives the
+    * dedup is racy, but the KEY SET is deterministic — so only keys are
+    * aggregated. */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val deduped = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .select($"user_id", $"event_type")
+      .dropDuplicates("user_id", "event_type")
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = deduped.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_stream_tumbling" -> (streamTumbling _),
+    "q_stream_sliding" -> (streamSliding _),
+    "q_stream_session" -> (streamSession _),
+    "q_stream_dedup" -> (streamDedup _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      """WITH slid AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |    - k * INTERVAL '15 minutes' AS win_start, event_type
+        |  FROM events CROSS JOIN (SELECT UNNEST(range(0, 4)) AS k) ks)
+        |SELECT win_start, event_type, COUNT(*) AS n
+        |FROM slid GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q_stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS sess_start,
+        |  max(ts) + INTERVAL '30 minutes' AS sess_end,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
