@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** SURVEY.md §2.K — MLlib pipeline stage (the reference's Azure-ML model
+  * step re-expressed as Spark MLlib).
+  *
+  * Trained models aren't SQL-expressible, so the three q_ml_* ops are
+  * non-oracled (driver rows-only check) with fixed seeds; quality
+  * assertions live in ScalaTest. `q_feat_scale_sql` is the
+  * SQL-expressible twin of the scaler stage and IS oracled.
+  */
+object MlOps extends OpModule {
+  import Det._
+
+  private def toVec = udf((a: Seq[Float]) =>
+    org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+
+  /** StringIndexer → OneHotEncoder → VectorAssembler → StandardScaler
+    * over per-user event features — the canonical featurization chain. */
+  def mlFeaturePipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature._
+    import s.implicits._
+    val feats = Tables.t(s, dir, "events")
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sumMoney($"value").as("v"))
+    val pipe = new Pipeline().setStages(Array(
+      new StringIndexer().setInputCol("event_type").setOutputCol("et_idx")
+        .setStringOrderType("alphabetAsc"),
+      new OneHotEncoder().setInputCol("et_idx").setOutputCol("et_oh"),
+      new VectorAssembler().setInputCols(Array("et_oh", "n", "v"))
+        .setOutputCol("raw"),
+      new StandardScaler().setInputCol("raw").setOutputCol("scaled")
+        .setWithMean(true).setWithStd(true)))
+    val out = pipe.fit(feats).transform(feats)
+    val firstScaled = udf((v: org.apache.spark.ml.linalg.Vector) =>
+      math.round(v(0) * 10000).toDouble / 10000)
+    out.select($"user_id", $"event_type", $"et_idx",
+        firstScaled($"scaled").as("scaled0"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** Multiclass logistic regression: embedding → label (10 classes),
+    * fixed seed. Emits per-class prediction counts (stable summary). */
+  def mlPropensity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import s.implicits._
+    val data = Tables.t(s, dir, "embeddings")
+      .select(toVec($"embedding").as("features"),
+        $"label".cast("double").as("label"))
+    val lr = new LogisticRegression()
+      .setMaxIter(30).setRegParam(0.01).setTol(1e-7)
+    val model = lr.fit(data)
+    model.transform(data)
+      .groupBy($"label", $"prediction")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"label", $"prediction")
+  }
+
+  /** KMeans customer segmentation on RFM features, k=5, fixed seed.
+    * Emits cluster sizes + centroid-distance profile. */
+  def mlSegmentation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+    import org.apache.spark.ml.Pipeline
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+    val maxd = o.agg(max($"o_orderdate").cast("date").as("maxd"))
+    val rfm = o.crossJoin(broadcast(maxd))
+      .groupBy($"o_custkey")
+      .agg(
+        datediff(max($"maxd"), max($"o_orderdate".cast("date")))
+          .cast("double").as("recency"),
+        count(lit(1)).cast("double").as("frequency"),
+        sumMoney($"o_totalprice").as("monetary"))
+    val pipe = new Pipeline().setStages(Array(
+      new VectorAssembler()
+        .setInputCols(Array("recency", "frequency", "monetary"))
+        .setOutputCol("raw"),
+      new StandardScaler().setInputCol("raw").setOutputCol("features")
+        .setWithMean(true).setWithStd(true),
+      new KMeans().setK(5).setSeed(42L).setMaxIter(50)))
+    pipe.fit(rfm).transform(rfm)
+      .groupBy($"prediction")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"prediction")
+  }
+
+  /** SQL-expressible scaler twin (oracled): per-nation z-score of
+    * customer balance, 4-dp. */
+  def featScaleSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+    Tables.t(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey",
+        round(($"c_acctbal" - avg($"c_acctbal").over(w)) /
+          stddev_samp($"c_acctbal").over(w), 4).as("z_bal"))
+      .orderBy($"c_custkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_ml_feature_pipeline" -> (mlFeaturePipeline _),
+    "q_ml_propensity" -> (mlPropensity _),
+    "q_ml_segmentation" -> (mlSegmentation _),
+    "q_feat_scale_sql" -> (featScaleSql _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_feat_scale_sql" ->
+      """SELECT c_custkey, c_nationkey,
+        |  ROUND((c_acctbal - avg(c_acctbal) OVER w)
+        |    / stddev_samp(c_acctbal) OVER w, 4) AS z_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey)
+        |ORDER BY c_custkey""".stripMargin
+  )
+}
