@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generator-driven properties (SURVEY §5.3), sampled with
+  * fixed seeds (the scalatest–scalacheck bridge artifact isn't available
+  * offline, so sampling is driven manually). Spark-backed properties use
+  * few cases — each case is a Spark job. */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("decimal sums are order-invariant") {
+    val money = Gen.listOfN(40, Gen.chooseNum(0L, 9999999L).map(_ / 100.0))
+    samples(money, 20).foreach { xs =>
+      val a = xs.map(BigDecimal(_)).sum
+      val b = scala.util.Random.shuffle(xs).map(BigDecimal(_)).sum
+      assert(a === b)
+    }
+  }
+
+  test("jaccard is symmetric and within [0,1]") {
+    val words = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    samples(Gen.zip(words, words), 20).foreach { case (x, y) =>
+      val (sx, sy) = (x.toSet, y.toSet)
+      val j = sx.intersect(sy).size.toDouble / sx.union(sy).size
+      val j2 = sy.intersect(sx).size.toDouble / sy.union(sx).size
+      assert(j === j2 && j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("dedup is idempotent (Spark distinct)") {
+    samples(Gen.listOfN(30, Gen.chooseNum(0, 5)), 3).foreach { xs =>
+      val d1 = xs.toDF("x").distinct()
+      val d2 = d1.distinct()
+      assert(d1.as[Int].collect().sorted === d2.as[Int].collect().sorted)
+    }
+  }
+
+  test("window running sum ≡ brute-force prefix scan") {
+    import org.apache.spark.sql.expressions.Window
+    samples(Gen.listOfN(20, Gen.chooseNum(-100, 100)), 3).foreach { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+      val w = Window.orderBy($"i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = df.orderBy($"i").select(sum($"v").over(w).as("s"))
+        .as[Long].collect()
+      val want = xs.map(_.toLong).scanLeft(0L)(_ + _).drop(1)
+      assert(got.toSeq === want)
+    }
+  }
+
+  test("pivot ≡ conditional aggregation") {
+    val rows = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(1, 4), Gen.oneOf("x", "y", "z")))
+    samples(rows, 3).foreach { data =>
+      val df = data.toDF("k", "t")
+      val piv = df.groupBy($"k").pivot("t", Seq("x", "y", "z")).count()
+        .select($"k", coalesce($"x", lit(0L)).as("x"),
+          coalesce($"y", lit(0L)).as("y"), coalesce($"z", lit(0L)).as("z"))
+      val cond = df.groupBy($"k").agg(
+        count(when($"t" === "x", 1)).as("x"),
+        count(when($"t" === "y", 1)).as("y"),
+        count(when($"t" === "z", 1)).as("z"))
+      assert(piv.orderBy($"k").collect().toSeq ===
+        cond.orderBy($"k").collect().toSeq)
+    }
+  }
+
+  test("A except B is disjoint from A intersect B") {
+    val keys = Gen.listOfN(20, Gen.chooseNum(0, 10))
+    samples(Gen.zip(keys, keys), 3).foreach { case (a, b) =>
+      val da = a.toDF("k"); val db = b.toDF("k")
+      val ex = da.except(db).as[Int].collect().toSet
+      val in = da.intersect(db).as[Int].collect().toSet
+      assert(ex.intersect(in).isEmpty)
+    }
+  }
+}

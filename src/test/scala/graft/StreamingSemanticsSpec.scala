@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming semantics that the batch-equivalence oracle can't see:
+  * watermark late-data drop and session merge across micro-batches. */
+class StreamingSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("append mode drops events later than the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"k")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), "a"), (ts(5), "a"))
+      q.processAllAvailable() // watermark → 10:00
+      mem.addData((ts(21), "a"))
+      q.processAllAvailable() // watermark → 10:16, [10:00,10:10) closes
+      mem.addData((ts(2), "a")) // LATE: before watermark
+      q.processAllAvailable()
+      mem.addData((ts(40), "a"))
+      q.processAllAvailable() // close remaining windows
+      val rows = spark.table("wm_test")
+        .select($"window.start".cast("string"), $"n")
+        .as[(String, Long)].collect().toMap
+      // late 10:02 event must NOT be counted in the closed window
+      assert(rows("2024-01-01 10:00:00") === 2L)
+    } finally q.stop()
+  }
+
+  test("session windows merge across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val agg = mem.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"uid")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData((ts(0), 1L))
+      q.processAllAvailable()
+      mem.addData((ts(20), 1L)) // within 30-min gap → same session
+      q.processAllAvailable()
+      mem.addData((ts(55), 1L)) // ≥30 min after 10:20 → new session
+      q.processAllAvailable()
+      val sessions = spark.table("sess_test")
+        .select($"n").as[Long].collect().sorted
+      assert(sessions === Array(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("AvailableNow streaming aggregate equals batch aggregate") {
+    val streamed = ops.Streaming.streamTumbling(spark, sf)
+      .select($"hour_start".cast("string"), $"event_type", $"n")
+      .collect().toSeq
+    val batch = Tables.t(spark, sf, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"hour_start", $"event_type")
+      .select($"hour_start".cast("string"), $"event_type", $"n")
+      .collect().toSeq
+    assert(streamed === batch)
+  }
+}
