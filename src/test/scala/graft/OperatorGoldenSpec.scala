@@ -182,6 +182,19 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  test("native dot_product expression ≡ HOF fold, bit-exact") {
+    val e = Tables.t(spark, sf, "embeddings").limit(100)
+    val hof = aggregate(
+      zip_with($"embedding", $"embedding",
+        (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = e.select(
+      graft.functions.DotProductF.dot($"embedding", $"embedding").as("native"),
+      hof.as("hof"))
+      .filter($"native" =!= $"hof") // bit-exact equality required
+    assert(diff.count() === 0)
+  }
+
   test("ml propensity: training predictions beat chance on 10 classes") {
     val cm = run("q_ml_propensity")
       .as[(Double, Double, Long)].collect()
