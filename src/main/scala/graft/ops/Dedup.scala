@@ -200,6 +200,70 @@ object Dedup extends OpModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Embedding-cosine near-dup: all pairs with 4-dp cosine ≥ 0.45
+    * (the synthetic corpus has no clusters — max pair cosine ≈ 0.51 —
+    * so the threshold sits inside the observed range). Self-join on a
+    * band of vector-norm buckets would prune at scale; at bench scale
+    * the full n²/2 pair set with the codegen'd dot product is the
+    * honest baseline. */
+  def dedupNearEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dot(x: Column, y: Column): Column = graft.functions.DotProductF.dot(x, y)
+    val e = Tables.t(s, dir, "embeddings")
+    val a = e.select($"vec_id".as("a_id"), $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("b_id"), $"embedding".as("eb"))
+    a.join(b, $"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        round(dot($"ea", $"eb") / (sqrt(dot($"ea", $"ea")) * sqrt(dot($"eb", $"eb"))), 4)
+          .as("sim4"))
+      .filter($"sim4" >= 0.45)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** IVF (inverted-file) ANN — the other scale path beside LSH: KMeans
+    * coarse quantizer (fixed seed), probes search only the nearest
+    * `nprobe` centroid cells instead of the full corpus. Approx +
+    * trained centroids ⇒ no SQL oracle; recall vs brute force is
+    * bounds-checked in ScalaTest. */
+  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    import s.implicits._
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val e = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", toVec($"embedding").as("features"))
+    val km = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
+      .setInitMode("random").setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(e)
+    val centers = model.clusterCenters
+    val corpus = model.transform(e).select($"vec_id", $"embedding", $"cell")
+    // nprobe=4 nearest cells per probe vector
+    val nearestCells = udf((a: Seq[Float]) => {
+      val v = a.map(_.toDouble).toArray
+      centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy { case (i, d) => (d, i) }.take(4).map(_._1)
+    })
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pe"),
+        explode(nearestCells($"embedding")).as("cell"))
+    def dot(x: Column, y: Column): Column = graft.functions.DotProductF.dot(x, y)
+    val scored = probes.join(corpus, Seq("cell"))
+      .filter($"probe_id" =!= $"vec_id")
+      .select($"probe_id", $"vec_id".as("nbr_id"),
+        round(dot($"pe", $"embedding") /
+          (sqrt(dot($"pe", $"pe")) * sqrt(dot($"embedding", $"embedding"))), 4)
+          .as("sim4"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"probe_id").orderBy($"sim4".desc, $"nbr_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"probe_id", $"rank".cast("int").as("rank"), $"nbr_id", $"sim4")
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** MLlib random-projection LSH ANN — approx, seeded; ScalaTest checks
     * recall vs the brute-force truth. */
   def simLshKnn(s: SparkSession, dir: String): DataFrame = {
@@ -231,6 +295,8 @@ object Dedup extends OpModule {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_sim_topk_cosine" -> (simTopkCosine _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "q_dedup_near_embedding" -> (dedupNearEmbedding _),
+    "q_sim_ivf_topk" -> (simIvfTopk _),
     "q_sim_lsh_knn" -> (simLshKnn _)
   )
 
@@ -313,6 +379,25 @@ object Dedup extends OpModule {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_near_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  ROUND(
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))), 4) AS sim4
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(
+        |    list_reduce(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(range(1, 65),
+        |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))), 4) >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_sim_topk_cosine" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |scored AS (

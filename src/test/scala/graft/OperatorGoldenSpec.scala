@@ -195,6 +195,26 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("dot_product_f is SQL-callable after registration") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    Tables.t(spark, sf, "embeddings").limit(5)
+      .createOrReplaceTempView("emb_sql_test")
+    val rows = spark.sql(
+      """SELECT vec_id, dot_product_f(embedding, embedding) AS d
+        |FROM emb_sql_test ORDER BY vec_id""".stripMargin).collect()
+    assert(rows.length === 5)
+    rows.foreach(r => assert(r.getDouble(1) >= 0.0))
+  }
+
+  test("IVF ANN recall ≥ 0.5 vs brute force top-10") {
+    val truth = run("q_sim_topk_cosine")
+      .select($"probe_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    val approx = run("q_sim_ivf_topk")
+      .select($"probe_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    val recall = truth.count(approx.contains).toDouble / truth.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
   test("ml propensity: training predictions beat chance on 10 classes") {
     val cm = run("q_ml_propensity")
       .as[(Double, Double, Long)].collect()

@@ -61,6 +61,27 @@ class StreamingSemanticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState accumulates per-user counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = streaming.StatefulOps.runningCounts(
+      mem.toDF().toDF("user_id", "event_type"))
+    val q = out.writeStream.format("memory").queryName("fmgs_test")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, "click"), (1L, "view"), (2L, "click"))
+      q.processAllAvailable()
+      mem.addData((1L, "purchase"))
+      q.processAllAvailable()
+      val latest = spark.table("fmgs_test")
+        .groupBy($"user_id")
+        .agg(max($"running_count").as("c"))
+        .as[(Long, Long)].collect().toMap
+      assert(latest(1L) === 3L) // 2 from batch 1 + 1 from batch 2
+      assert(latest(2L) === 1L)
+    } finally q.stop()
+  }
+
   test("AvailableNow streaming aggregate equals batch aggregate") {
     val streamed = ops.Streaming.streamTumbling(spark, sf)
       .select($"hour_start".cast("string"), $"event_type", $"n")
