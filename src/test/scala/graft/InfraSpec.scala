@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.plans.SkewJoin
+import graft.sources.Formats
+
+/** Sources/sinks + skew-handling infrastructure. */
+class InfraSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv / json / orc / parquet round-trips preserve data") {
+    val base = Files.createTempDirectory("graft_fmt").toString
+    val df = Tables.t(spark, sf, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+    val want = df.orderBy($"c_custkey").collect().toSeq
+    Seq("csv", "json", "orc", "parquet").foreach { fmt =>
+      val back = Formats.roundTrip(df, fmt, s"$base/$fmt")
+      assert(back.schema === df.schema, s"$fmt schema")
+      assert(back.orderBy($"c_custkey").collect().toSeq === want, s"$fmt data")
+    }
+  }
+
+  test("salted join ≡ plain join under skew") {
+    // skewed big side: 90% of rows share key 7
+    val big = spark.range(0, 2000)
+      .select((when($"id" % 10 === 0, $"id" % 5).otherwise(7L)).as("k"),
+        $"id".as("payload"))
+    val small = spark.range(0, 10).select($"id".as("sk"),
+      concat(lit("dim"), $"id").as("dim_val"))
+    val plain = big.join(small, $"k" === $"sk")
+      .select($"k", $"payload", $"dim_val")
+      .orderBy($"payload")
+    val salted = SkewJoin.salted(big, small, "k", "sk", 8)
+      .select($"k", $"payload", $"dim_val")
+      .orderBy($"payload")
+    assert(salted.collect().toSeq === plain.collect().toSeq)
+  }
+}
