@@ -1,0 +1,43 @@
+package graft
+
+/** Physical-plan shape guards: the scale properties SURVEY §4 promises
+  * (pushdown, pruning, broadcast, top-k fusion, group-limit pushdown)
+  * must survive refactors — a correctness-green but plan-regressed
+  * operator would only show up at 100 TB. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter + projection reach the parquet scan") {
+    val p = plan("q_scan_prune_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      "shipdate filter not pushed to parquet")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp"),
+      "column pruning lost — scan reads more than 2 columns")
+  }
+
+  test("dimension join broadcasts") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("global sort+limit fuses to TakeOrderedAndProject") {
+    assert(plan("q_sort_multi").contains("TakeOrderedAndProject"))
+  }
+
+  test("top-k per group gets WindowGroupLimit pushdown") {
+    assert(plan("q_topk_per_group").contains("WindowGroupLimit"))
+  }
+
+  test("flagship aggregation is partial+final (map-side combine)") {
+    val p = plan("q_agg_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected two-phase hash aggregation")
+  }
+
+  test("theta-range join broadcasts the bounded probe side") {
+    val p = plan("q_join_theta_range")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "bounded probe should be the broadcast side of a BNLJ")
+  }
+}
