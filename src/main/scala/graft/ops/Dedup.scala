@@ -209,13 +209,14 @@ object Dedup extends OpModule {
   def dedupNearEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def dot(x: Column, y: Column): Column = graft.functions.DotProductF.dot(x, y)
+    // norms precomputed per vector (n values), not per pair (n²/2 × 2)
     val e = Tables.t(s, dir, "embeddings")
-    val a = e.select($"vec_id".as("a_id"), $"embedding".as("ea"))
-    val b = e.select($"vec_id".as("b_id"), $"embedding".as("eb"))
+      .select($"vec_id", $"embedding", sqrt(dot($"embedding", $"embedding")).as("nrm"))
+    val a = e.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na"))
+    val b = e.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb"))
     a.join(b, $"a_id" < $"b_id")
       .select($"a_id", $"b_id",
-        round(dot($"ea", $"eb") / (sqrt(dot($"ea", $"ea")) * sqrt(dot($"eb", $"eb"))), 4)
-          .as("sim4"))
+        round(dot($"ea", $"eb") / ($"na" * $"nb"), 4).as("sim4"))
       .filter($"sim4" >= 0.45)
       .orderBy($"a_id", $"b_id")
   }

@@ -78,6 +78,9 @@ object MlOps extends OpModule {
           .cast("double").as("recency"),
         count(lit(1)).cast("double").as("frequency"),
         sumMoney($"o_totalprice").as("monetary"))
+      // persisted: assembler/scaler fits + every KMeans iteration
+      // re-derive the input otherwise
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pipe = new Pipeline().setStages(Array(
       new VectorAssembler()
         .setInputCols(Array("recency", "frequency", "monetary"))
