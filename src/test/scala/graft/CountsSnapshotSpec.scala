@@ -8,6 +8,8 @@ class CountsSnapshotSpec extends SparkSpec {
 
   private val expected: Map[String, Long] = Map(
     "q_agg_approx_distinct" -> 5L,
+    "q_c360_profile" -> 150L,
+    "q_c360_scored" -> 150L,
     "q_agg_collect" -> 150L,
     "q_agg_cube" -> 24L,
     "q_agg_distinct" -> 5L,
