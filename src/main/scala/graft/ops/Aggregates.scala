@@ -181,6 +181,31 @@ object Aggregates extends OpModule {
       .orderBy($"o_custkey")
   }
 
+  /** Exact interpolated percentiles of quantity per returnflag. Quarter
+    * percentiles over INTEGRAL data keep every interpolation value
+    * binary-exact (x.0/x.25/x.5/x.75), so no cross-engine rounding is
+    * needed at all. */
+  def aggPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_quantity", lit(0.25)).as("p25_qty"),
+        percentile($"l_quantity", lit(0.5)).as("median_qty"),
+        percentile($"l_quantity", lit(0.75)).as("p75_qty"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Fixed-width histogram of order totals: exact integer bucketing. */
+  def aggHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .groupBy(floor($"o_totalprice" / 50000d).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("bucket_total"))
+      .orderBy($"bucket")
+  }
+
   /** HLL approximate distinct — no SQL oracle (approx); bounds-checked
     * against exact counts in ScalaTest. */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
@@ -202,6 +227,8 @@ object Aggregates extends OpModule {
     "q_feat_pivot" -> (featPivot _),
     "q_feat_trailing_windows" -> (featTrailingWindows _),
     "q_feat_rfm" -> (featRfm _),
+    "q_agg_percentile" -> (aggPercentile _),
+    "q_agg_histogram" -> (aggHistogram _),
     "q_agg_approx_distinct" -> (aggApproxDistinct _)
   )
 
@@ -286,6 +313,18 @@ object Aggregates extends OpModule {
         |  COALESCE(CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), maxd) < 90 THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE), 0.0) AS spend_90d
         |FROM orders CROSS JOIN md
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25_qty,
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS median_qty,
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS bucket_total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_feat_rfm" ->
       """WITH md AS (SELECT CAST(max(o_orderdate) AS DATE) AS maxd FROM orders)
         |SELECT o_custkey,

@@ -14,6 +14,8 @@ class CountsSnapshotSpec extends SparkSpec {
     "q_agg_cube" -> 24L,
     "q_agg_distinct" -> 5L,
     "q_agg_grouping_sets" -> 9L,
+    "q_agg_percentile" -> 3L,
+    "q_agg_histogram" -> 10L,
     "q_agg_pricing_summary" -> 6L,
     "q_agg_rollup" -> 31L,
     "q_agg_stats" -> 25L,
