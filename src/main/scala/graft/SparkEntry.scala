@@ -8,7 +8,7 @@ import graft.ops._
   */
 object SparkEntry {
   private val modules: Seq[OpModule] = Seq(
-    Scans, Scalars, Joins, Aggregates, Windows, SetOps, Udfs,
+    Scans, Scalars, Joins, Subqueries, Aggregates, Windows, SetOps, Udfs,
     Dedup, TextOps, Multimodal, Streaming, MlOps, C360
   )
 

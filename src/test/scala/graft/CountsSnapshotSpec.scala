@@ -67,6 +67,8 @@ class CountsSnapshotSpec extends SparkSpec {
     "q_sort_nulls" -> 500L,
     "q_source_json_col" -> 1000L,
     "q_str_funcs" -> 200L,
+    "q_subquery_scalar" -> 335L,
+    "q_subquery_in" -> 93L,
     "q_str_regexp_split" -> 200L,
     "q_stream_dedup" -> 5L,
     "q_stream_session" -> 946L,
