@@ -113,7 +113,36 @@ object Streaming extends OpModule {
       .orderBy($"event_type")
   }
 
+  /** Stream-stream inner join: each purchase joined to the same user's
+    * clicks in the preceding hour. Both sides watermarked — the time
+    * bound is what lets the state store evict at scale. AvailableNow to
+    * exhaustion ⇒ equal to the batch range join the oracle runs. */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStream(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = eventsStream(s, dir).filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      $"user_id" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts")
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select($"p_id", $"c_id", $"user_id")
+      .orderBy($"p_id", $"c_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_join" -> (streamJoin _),
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_sliding" -> (streamSliding _),
     "q_stream_session" -> (streamSession _),
@@ -121,6 +150,15 @@ object Streaming extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+        |ORDER BY p_id, c_id""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
         |  event_type, COUNT(*) AS n,

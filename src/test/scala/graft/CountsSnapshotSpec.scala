@@ -71,6 +71,7 @@ class CountsSnapshotSpec extends SparkSpec {
     "q_subquery_in" -> 93L,
     "q_str_regexp_split" -> 200L,
     "q_stream_dedup" -> 5L,
+    "q_stream_join" -> 5L,
     "q_stream_session" -> 946L,
     "q_stream_sliding" -> 3457L,
     "q_stream_tumbling" -> 868L,
