@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
       (exprs: Seq[Expression]) => DotProductF(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }

@@ -215,6 +215,28 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("optimizer rule rewrites HOF dot-product into native expression") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.DotProductRewrite
+    try {
+      val hofDf = Tables.t(spark, sf, "embeddings").limit(50)
+        .select($"vec_id",
+          aggregate(
+            zip_with($"embedding", $"embedding",
+              (a, b) => a.cast("double") * b.cast("double")),
+            lit(0.0), (acc, v) => acc + v).as("d"))
+      val optimized = hofDf.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("dot_product_f"),
+        s"rule did not fire:\n$optimized")
+      // and values are unchanged
+      val native = Tables.t(spark, sf, "embeddings").limit(50)
+        .select($"vec_id",
+          graft.functions.DotProductF.dot($"embedding", $"embedding").as("d"))
+      assert(hofDf.orderBy($"vec_id").collect().toSeq ===
+        native.orderBy($"vec_id").collect().toSeq)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("ml propensity: training predictions beat chance on 10 classes") {
     val cm = run("q_ml_propensity")
       .as[(Double, Double, Long)].collect()
