@@ -104,18 +104,28 @@ object Aggregates extends OpModule {
         |  o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Variance/stddev are computed from EXACT decimal sums, not the
+    * built-in merge-formula aggregates: at magnitude ~5e6 the two
+    * engines' ulp noise (~1e-9 relative) crosses the 4-dp rounding
+    * boundary (observed at sf0.001). (Sxx - Sx²/n)/(n-1) over exact
+    * inputs is the same IEEE double sequence on both engines.
+    * `corr` stays built-in — magnitude ≤1 keeps rounding safe. */
   def aggStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = Tables.t(s, dir, "customer")
     val o = Tables.t(s, dir, "orders")
     val spend = o.groupBy($"o_custkey")
       .agg(sumMoney($"o_totalprice").as("spend"))
+    val sx = sum(d12($"c_acctbal")).cast("double")
+    val sxx = round(sum(d12($"c_acctbal") * d12($"c_acctbal")), 4).cast("double")
+    val n = count(lit(1))
+    val variance = (sxx - sx * sx / n) / (n - lit(1))
     c.join(spend, $"c_custkey" === $"o_custkey")
       .groupBy($"c_nationkey")
       .agg(
-        count(lit(1)).as("n"),
-        r4(stddev_samp($"c_acctbal")).as("sd_bal"),
-        r4(var_samp($"c_acctbal")).as("var_bal"),
+        n.as("n"),
+        r4(sqrt(variance)).as("sd_bal"),
+        r4(variance).as("var_bal"),
         r4(corr($"c_acctbal", $"spend")).as("corr_bal_spend"))
       .orderBy($"c_nationkey")
   }
@@ -289,8 +299,12 @@ object Aggregates extends OpModule {
         |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS spend
         |  FROM orders GROUP BY o_custkey)
         |SELECT c_nationkey, COUNT(*) AS n,
-        |  ROUND(stddev_samp(c_acctbal), 4) AS sd_bal,
-        |  ROUND(var_samp(c_acctbal), 4) AS var_bal,
+        |  ROUND(sqrt((CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,4)) * CAST(c_acctbal AS DECIMAL(12,4))), 4) AS DOUBLE)
+        |    - CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1)), 4) AS sd_bal,
+        |  ROUND((CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,4)) * CAST(c_acctbal AS DECIMAL(12,4))), 4) AS DOUBLE)
+        |    - CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1), 4) AS var_bal,
         |  ROUND(corr(c_acctbal, spend), 4) AS corr_bal_spend
         |FROM customer JOIN spend ON c_custkey = o_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
