@@ -75,6 +75,35 @@ object Scalars extends OpModule {
         $"pow_disc", $"abs_qty", $"ceil_disc", $"floor_tax", $"qty_mod7")
   }
 
+  /** Calendar-part extraction. DuckDB's dayofweek is 0-based
+    * (Sunday=0) where Spark's is 1-based — the oracle shifts. */
+  def dateParts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .select(
+        $"o_orderkey",
+        dayofweek($"o_orderdate").as("dow"),
+        weekofyear($"o_orderdate").as("week"),
+        quarter($"o_orderdate").as("qtr"),
+        dayofyear($"o_orderdate").as("doy"))
+      .orderBy($"o_orderkey")
+  }
+
+  def strMore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "part")
+      .select(
+        $"p_partkey",
+        reverse($"p_name").as("rev_name"),
+        repeat($"p_brand", 2).as("brand_x2"),
+        ascii($"p_name").as("first_ascii"),
+        instr($"p_name", "e").as("e_pos"),
+        substring($"p_name", 1, 3).as("l3"),
+        expr("right(p_name, 3)").as("r3"),
+        translate($"p_name", "aeiou", "AEIOU").as("vowels_uc"))
+      .orderBy($"p_partkey")
+  }
+
   def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.t(s, dir, "embeddings")
@@ -139,6 +168,8 @@ object Scalars extends OpModule {
     "q_str_funcs" -> (strFuncs _),
     "q_str_regexp_split" -> (strRegexpSplit _),
     "q_date_funcs" -> (dateFuncs _),
+    "q_date_parts" -> (dateParts _),
+    "q_str_more" -> (strMore _),
     "q_math_funcs" -> (mathFuncs _),
     "q_array_funcs" -> (arrayFuncs _),
     "q_array_hof" -> (arrayHof _),
@@ -173,6 +204,23 @@ object Scalars extends OpModule {
         |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
         |  last_day(CAST(o_orderdate AS DATE)) AS month_end
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_date_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS week,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_str_more" ->
+      """SELECT p_partkey,
+        |  reverse(p_name) AS rev_name,
+        |  repeat(p_brand, 2) AS brand_x2,
+        |  CAST(ascii(p_name) AS INTEGER) AS first_ascii,
+        |  CAST(strpos(p_name, 'e') AS INTEGER) AS e_pos,
+        |  substring(p_name, 1, 3) AS l3,
+        |  right(p_name, 3) AS r3,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS vowels_uc
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |  ROUND(sqrt(l_extendedprice), 4) AS sqrt_price,

@@ -83,6 +83,18 @@ object Windows extends OpModule {
       .orderBy($"event_id")
   }
 
+  def winFirstLast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        first($"o_orderkey").over(w).as("first_key"),
+        last($"o_orderkey").over(w).as("last_key"),
+        nth_value($"o_orderkey", 2).over(w).as("second_key"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"o_custkey")
@@ -120,6 +132,7 @@ object Windows extends OpModule {
     "q_win_moving_avg" -> (winMovingAvg _),
     "q_win_range_frame" -> (winRangeFrame _),
     "q_win_lead_lag" -> (winLeadLag _),
+    "q_win_first_last" -> (winFirstLast _),
     "q_topk_per_group" -> (topkPerGroup _),
     "q_sort_multi" -> (sortMulti _),
     "q_sort_nulls" -> (sortNulls _)
@@ -170,6 +183,15 @@ object Windows extends OpModule {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
         |ORDER BY event_id""".stripMargin,
+    "q_win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS last_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_topk_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -22,6 +22,9 @@ class CountsSnapshotSpec extends SparkSpec {
     "q_array_funcs" -> 500L,
     "q_array_hof" -> 500L,
     "q_date_funcs" -> 1500L,
+    "q_date_parts" -> 1500L,
+    "q_str_more" -> 200L,
+    "q_win_first_last" -> 1500L,
     "q_dedup_exact" -> 500L,
     "q_dedup_minhash_lsh" -> 28L,
     "q_dedup_minhash_sig" -> 500L,
