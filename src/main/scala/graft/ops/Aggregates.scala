@@ -216,6 +216,40 @@ object Aggregates extends OpModule {
       .orderBy($"bucket")
   }
 
+  /** Mode (most frequent value) per group via the deterministic arg-max
+    * pattern: count, then rank by (count DESC, value ASC). */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counted = Tables.t(s, dir, "orders")
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"cnt".desc, $"o_orderpriority".asc)
+    counted.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"), $"cnt")
+      .orderBy($"o_orderstatus")
+  }
+
+  /** NULL-semantics parity across aggregates: count(*) vs count(col),
+    * sum/avg/min over a partly- and a fully-null column. */
+  def aggNulls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val partly = when($"o_totalprice" > 200000, $"o_totalprice") // nulls below
+    val allNull = when(lit(false), $"o_totalprice")
+    Tables.t(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(partly).as("n_big"),
+        sumMoney(partly).as("sum_big"),
+        round(sum(d12(partly)).cast("double") / count(partly), 4).as("avg_big"),
+        sumMoney(allNull).as("sum_none"),
+        count(allNull).as("n_none"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** HLL approximate distinct — no SQL oracle (approx); bounds-checked
     * against exact counts in ScalaTest. */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
@@ -239,6 +273,8 @@ object Aggregates extends OpModule {
     "q_feat_rfm" -> (featRfm _),
     "q_agg_percentile" -> (aggPercentile _),
     "q_agg_histogram" -> (aggHistogram _),
+    "q_agg_mode" -> (aggMode _),
+    "q_agg_nulls" -> (aggNulls _),
     "q_agg_approx_distinct" -> (aggApproxDistinct _)
   )
 
@@ -339,6 +375,26 @@ object Aggregates extends OpModule {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS bucket_total
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_agg_mode" ->
+      """WITH counted AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY cnt DESC, o_orderpriority ASC) AS INTEGER) AS rn
+        |  FROM counted)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+        |FROM ranked WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_nulls" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN o_totalprice > 200000 THEN o_totalprice END) AS n_big,
+        |  CAST(SUM(CASE WHEN o_totalprice > 200000 THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE) AS sum_big,
+        |  ROUND(CAST(SUM(CASE WHEN o_totalprice > 200000 THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE)
+        |    / COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END), 4) AS avg_big,
+        |  CAST(SUM(CASE WHEN FALSE THEN CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE) AS sum_none,
+        |  COUNT(CASE WHEN FALSE THEN 1 END) AS n_none
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_feat_rfm" ->
       """WITH md AS (SELECT CAST(max(o_orderdate) AS DATE) AS maxd FROM orders)
         |SELECT o_custkey,

@@ -15,6 +15,8 @@ class CountsSnapshotSpec extends SparkSpec {
     "q_agg_distinct" -> 5L,
     "q_agg_grouping_sets" -> 9L,
     "q_agg_percentile" -> 3L,
+    "q_agg_mode" -> 3L,
+    "q_agg_nulls" -> 3L,
     "q_agg_histogram" -> 10L,
     "q_agg_pricing_summary" -> 6L,
     "q_agg_rollup" -> 31L,
