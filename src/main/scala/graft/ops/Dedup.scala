@@ -28,6 +28,20 @@ object Dedup extends OpModule {
       .orderBy($"min_id")
   }
 
+  /** Dedup MATERIALIZATION: the corpus with exact duplicates removed,
+    * keeping the lowest doc_id per distinct text (the actual pipeline
+    * operation, not just group stats). One shuffle on the digest. */
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sha2($"text", 256)).orderBy($"doc_id".asc)
+    Tables.t(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** 5-gram word shingles per doc (distinct). */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -291,6 +305,7 @@ object Dedup extends OpModule {
 
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_survivors" -> (dedupSurvivors _),
     "q_dedup_near_jaccard" -> (dedupNearJaccard _),
     "q_dedup_minhash_sig" -> (dedupMinhashSig _),
     "q_dedup_simhash" -> (dedupSimhash _),
@@ -312,6 +327,12 @@ object Dedup extends OpModule {
     "q_dedup_exact" ->
       """SELECT sha256(text) AS digest, COUNT(*) AS n, min(doc_id) AS min_id
         |FROM documents GROUP BY sha256(text) ORDER BY min_id""".stripMargin,
+    "q_dedup_survivors" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id ASC) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_dedup_near_jaccard" ->
       s"""WITH $shinglesCte,
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

@@ -30,6 +30,21 @@ object TextOps extends OpModule {
       .limit(20)
   }
 
+  /** Word-bigram frequency: top-30 adjacent word pairs corpus-wide. */
+  def textNgrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split($"text", " ")
+    Tables.t(s, dir, "documents")
+      .select(explode(transform(
+        sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+        .as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"bigram".asc)
+      .limit(30)
+  }
+
   def textStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.t(s, dir, "documents")
@@ -128,6 +143,7 @@ object TextOps extends OpModule {
 
   val queries: Map[String, Q] = Map(
     "q_text_tokens_tf" -> (textTokensTf _),
+    "q_text_ngrams" -> (textNgrams _),
     "q_text_stats" -> (textStats _),
     "q_text_tfidf" -> (textTfidf _),
     "q_text_quality" -> (textQuality _),
@@ -143,6 +159,13 @@ object TextOps extends OpModule {
          |  SELECT UNNEST(string_split(lower(text), ' ')) AS term FROM documents) t
          |WHERE length(term) > 0 AND term NOT IN ($stopList)
          |GROUP BY term ORDER BY tf DESC, term ASC LIMIT 20""".stripMargin,
+    "q_text_ngrams" ->
+      """SELECT bigram, COUNT(*) AS freq FROM (
+        |  SELECT UNNEST(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')), 2)),
+        |    i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS bigram
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2) t
+        |GROUP BY bigram ORDER BY freq DESC, bigram ASC LIMIT 30""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars,

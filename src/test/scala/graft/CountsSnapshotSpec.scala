@@ -28,6 +28,8 @@ class CountsSnapshotSpec extends SparkSpec {
     "q_str_more" -> 200L,
     "q_win_first_last" -> 1500L,
     "q_dedup_exact" -> 500L,
+    "q_dedup_survivors" -> 500L,
+    "q_text_ngrams" -> 30L,
     "q_dedup_minhash_lsh" -> 28L,
     "q_dedup_minhash_sig" -> 500L,
     "q_dedup_near_embedding" -> 7L,
