@@ -130,11 +130,17 @@ object Aggregates extends OpModule {
       .orderBy($"c_nationkey")
   }
 
+  /** collect_list + array_sort, emitted as a canonical comma-joined
+    * string: the driver's pandas comparator cannot hash array-typed
+    * columns (round-1 FAIL), and int→string renders identically in both
+    * engines, so the serialized form participates in the hash gate. */
   def aggCollect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.t(s, dir, "orders")
       .groupBy($"o_custkey")
-      .agg(array_sort(collect_list(year($"o_orderdate"))).as("order_years"))
+      .agg(array_join(
+        array_sort(collect_list(year($"o_orderdate"))).cast("array<string>"),
+        ",").as("order_years"))
       .orderBy($"o_custkey")
   }
 
@@ -346,7 +352,7 @@ object Aggregates extends OpModule {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_agg_collect" ->
       """SELECT o_custkey,
-        |  list(CAST(year(o_orderdate) AS INTEGER) ORDER BY year(o_orderdate)) AS order_years
+        |  array_to_string(list(CAST(year(o_orderdate) AS INTEGER) ORDER BY year(o_orderdate)), ',') AS order_years
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_feat_pivot" ->
       s"""SELECT user_id,

@@ -104,14 +104,23 @@ object Scalars extends OpModule {
       .orderBy($"p_partkey")
   }
 
+  /** Array function surface. The sliced head is emitted as scalar
+    * element extracts (exact floats, engine-portable) rather than an
+    * array column: the driver's pandas comparator cannot hash
+    * array-typed columns (round-1 FAIL), and serializing floats to
+    * text would reopen the float-formatting trap — element floats
+    * round-trip parquet exactly on both sides. */
   def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val head4 = slice($"embedding", 1, 4)
     Tables.t(s, dir, "embeddings")
       .select(
         $"vec_id",
         size($"embedding").as("dim"),
         element_at($"embedding", 1).as("first_val"),
-        slice($"embedding", 1, 4).as("head4"),
+        element_at(head4, 2).as("head4_2"),
+        element_at(head4, 4).as("head4_4"),
+        element_at(reverse(head4), 1).as("head4_last"),
         array_contains(
           transform($"embedding",
             x => floor(x.cast("double") * 10d).cast(IntegerType)),
@@ -236,7 +245,9 @@ object Scalars extends OpModule {
       """SELECT vec_id,
         |  CAST(len(embedding) AS INTEGER) AS dim,
         |  embedding[1] AS first_val,
-        |  embedding[1:4] AS head4,
+        |  embedding[1:4][2] AS head4_2,
+        |  embedding[1:4][4] AS head4_4,
+        |  list_reverse(embedding[1:4])[1] AS head4_last,
         |  list_contains(list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INTEGER)), 3) AS has_bucket3
         |FROM embeddings ORDER BY vec_id""".stripMargin,

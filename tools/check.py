@@ -33,7 +33,9 @@ def main():
             print(f"{name}: MISSING spark output"); fails.append(name); continue
         try:
             exp = con.execute(sql).fetch_arrow_table()
-            got = con.execute(f"SELECT * FROM '{files[0]}'").fetch_arrow_table()
+            # all part files, in sorted (= Spark output) order — a
+            # multi-part output would otherwise spuriously fail rows
+            got = con.execute("SELECT * FROM read_parquet(?)", [files]).fetch_arrow_table()
         except Exception as e:
             print(f"{name}: ERROR {e}"); fails.append(name); continue
         exps = exp.select(sorted(exp.column_names))
