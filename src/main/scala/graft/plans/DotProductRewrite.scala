@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 import graft.functions.DotProductF
 
 /** Optimizer rule (SURVEY §4.2 stretch): rewrites the declarative HOF
@@ -12,18 +12,37 @@ import graft.functions.DotProductF
   *   aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)),
   *             0.0, (acc, v) -> acc + v)
   *
-  * into the native codegen'd `DotProductF(a, b)`. Semantics are
-  * identical (both are a strict left fold of the products in array
-  * order), so user code written against plain `functions._` silently
-  * gets the tight primitive loop. Registered via
+  * and its self-product (squared-L2) sibling
+  *
+  *   aggregate(transform(a, x -> double(x) * double(x)), 0.0, +)
+  *
+  * into the native codegen'd `DotProductF(a, b)` / `DotProductF(a, a)`.
+  * Semantics are identical (both are a strict left fold of the products
+  * in array order), so user code written against plain `functions._`
+  * silently gets the tight primitive loop. Registered via
   * `graft.GraftExtensions` (`injectOptimizerRule`) or
   * `spark.experimental.extraOptimizations`.
+  *
+  * The rule is deliberately NARROW because it is injected session-wide:
+  * it fires only when (1) both array inputs resolve to
+  * `array<float>` — DotProductF reads elements with getFloat, so an
+  * `array<double>` input would reinterpret bits — and (2) every product
+  * operand is an explicit `CAST(var AS DOUBLE)` — the uncast float form
+  * `x * y` rounds each product to float first, which the double
+  * accumulator does not, so rewriting it would silently change results.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 
-  private def isVar(e: Expression, v: NamedLambdaVariable): Boolean =
+  private def isFloatArray(e: Expression): Boolean =
+    e.resolved && (e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+
+  /** Exactly CAST(v AS DOUBLE) of the given lambda variable — a bare
+    * (uncast) variable is NOT accepted: see class doc. */
+  private def isDoubleVar(e: Expression, v: NamedLambdaVariable): Boolean =
     e match {
-      case x: NamedLambdaVariable => x.exprId == v.exprId
       case Cast(x: NamedLambdaVariable, DoubleType, _, _) => x.exprId == v.exprId
       case _ => false
     }
@@ -31,13 +50,26 @@ object DotProductRewrite extends Rule[LogicalPlan] {
   /** (x, y) -> double(x) * double(y) over the two zip lambda args. */
   private def isPairProduct(f: Expression): Boolean = f match {
     case LambdaFunction(Multiply(l, r, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
-      (isVar(l, x) && isVar(r, y)) || (isVar(l, y) && isVar(r, x))
+      (isDoubleVar(l, x) && isDoubleVar(r, y)) ||
+        (isDoubleVar(l, y) && isDoubleVar(r, x))
     case _ => false
   }
 
-  /** (acc, v) -> acc + v */
+  /** x -> double(x) * double(x) over a single transform lambda arg. */
+  private def isSelfProduct(f: Expression): Boolean = f match {
+    case LambdaFunction(Multiply(l, r, _), Seq(x: NamedLambdaVariable), _) =>
+      isDoubleVar(l, x) && isDoubleVar(r, x)
+    case _ => false
+  }
+
+  /** (acc, v) -> acc + v; both vars are DoubleType here (accumulator
+    * domain), so bare variables are the expected — and safe — shape. */
   private def isSumMerge(f: Expression): Boolean = f match {
     case LambdaFunction(Add(l, r, _), Seq(a: NamedLambdaVariable, v: NamedLambdaVariable), _) =>
+      def isVar(e: Expression, w: NamedLambdaVariable): Boolean = e match {
+        case x: NamedLambdaVariable => x.exprId == w.exprId
+        case _ => false
+      }
       (isVar(l, a) && isVar(r, v)) || (isVar(l, v) && isVar(r, a))
     case _ => false
   }
@@ -52,7 +84,14 @@ object DotProductRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(ZipWith(a, b, pair), Literal(0.0, DoubleType), merge, finish)
-          if isPairProduct(pair) && isSumMerge(merge) && isIdentityFinish(finish) =>
+          if isFloatArray(a) && isFloatArray(b) &&
+            isPairProduct(pair) && isSumMerge(merge) && isIdentityFinish(finish) =>
         DotProductF(a, b)
+      // the self-product duplicates `a` into both children, so it must
+      // be deterministic (column refs in practice) to stay semantics-safe
+      case ArrayAggregate(ArrayTransform(a, sq), Literal(0.0, DoubleType), merge, finish)
+          if isFloatArray(a) && a.deterministic &&
+            isSelfProduct(sq) && isSumMerge(merge) && isIdentityFinish(finish) =>
+        DotProductF(a, a)
     }
 }

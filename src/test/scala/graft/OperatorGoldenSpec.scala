@@ -237,6 +237,51 @@ class OperatorGoldenSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("optimizer rule rewrites the L2 self-product transform pattern") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.DotProductRewrite
+    try {
+      val hofDf = Tables.t(spark, sf, "embeddings").limit(50)
+        .select($"vec_id",
+          aggregate(
+            transform($"embedding", x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, v) => acc + v).as("d"))
+      val optimized = hofDf.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("dot_product_f"),
+        s"L2 rule did not fire:\n$optimized")
+      val native = Tables.t(spark, sf, "embeddings").limit(50)
+        .select($"vec_id",
+          graft.functions.DotProductF.dot($"embedding", $"embedding").as("d"))
+      assert(hofDf.orderBy($"vec_id").collect().toSeq ===
+        native.orderBy($"vec_id").collect().toSeq)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("optimizer rule does NOT fire on double arrays or uncast floats") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.DotProductRewrite
+    try {
+      // array<double> input: DotProductF reads getFloat — must not fire
+      val dblDf = Tables.t(spark, sf, "embeddings").limit(10)
+        .select(transform($"embedding", x => x.cast("double")).as("emb_d"))
+        .select(
+          aggregate(
+            zip_with($"emb_d", $"emb_d",
+              (a, b) => a.cast("double") * b.cast("double")),
+            lit(0.0), (acc, v) => acc + v).as("d"))
+      assert(!dblDf.queryExecution.optimizedPlan.toString.contains("dot_product_f"),
+        "rule must not fire on array<double> inputs")
+      // uncast float product: per-element float rounding — must not fire
+      val fltDf = Tables.t(spark, sf, "embeddings").limit(10)
+        .select(
+          aggregate(
+            zip_with($"embedding", $"embedding", (a, b) => a * b),
+            lit(0.0).cast("float"), (acc, v) => acc + v).as("d"))
+      assert(!fltDf.queryExecution.optimizedPlan.toString.contains("dot_product_f"),
+        "rule must not fire on uncast float products")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("ml propensity: training predictions beat chance on 10 classes") {
     val cm = run("q_ml_propensity")
       .as[(Double, Double, Long)].collect()
