@@ -72,7 +72,29 @@ object Scans extends OpModule {
       .orderBy($"is_zero_disc")
   }
 
+  /** Partitioned-sink round trip: write `events` date-partitioned,
+    * read it back with a partition filter, aggregate. The read-back
+    * scan lists only the 7 filtered date directories out of 30
+    * (PartitionFilters, pinned in PlanSpec) — the layout pattern that
+    * turns a 100-TB event log into per-day scans. The write itself is
+    * part of the op (it IS the sink under test), re-done per run with
+    * dynamic overwrite. */
+  def partitionedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = "/tmp/graft_part_sink/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_by_date"
+    Tables.t(s, dir, "events")
+      .withColumn("event_date", $"ts".cast("date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(path)
+    s.read.parquet(path)
+      .filter($"event_date".between("2024-01-10", "2024-01-16"))
+      .groupBy($"event_date", $"event_type")
+      .agg(count(lit(1)).as("n"), sumMoney($"value").as("val_sum"))
+      .orderBy($"event_date", $"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_part_roundtrip" -> (partitionedRoundtrip _),
     "q_scan_project" -> (scanProject _),
     "q_scan_prune_pushdown" -> (scanPrunePushdown _),
     "q_source_json_col" -> (sourceJsonCol _),
@@ -82,6 +104,14 @@ object Scans extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_part_roundtrip" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+        |FROM events
+        |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |  BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+        |GROUP BY 1, 2 ORDER BY event_date, event_type""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem

@@ -60,6 +60,7 @@ class CountsSnapshotSpec extends SparkSpec {
     "q_multimodal_decode" -> 500L,
     "q_multimodal_features" -> 500L,
     "q_multimodal_join" -> 10L,
+    "q_part_roundtrip" -> 35L,
     "q_project_case" -> 1500L,
     "q_scan_project" -> 6000L,
     "q_scan_prune_pushdown" -> 3349L,

@@ -40,4 +40,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"),
       "bounded probe should be the broadcast side of a BNLJ")
   }
+
+  test("partitioned round-trip read prunes to the filtered partitions") {
+    val df = SparkEntry.queries("q_part_roundtrip")(spark, sf)
+    // sparkPlan, not executedPlan: AQE wraps the tree in an adaptive
+    // leaf node that hides the scan from collect()
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in the round-trip plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "no partition filter on the read-back scan")
+    // 7 of the 30 date directories survive pruning
+    assert(scan.selectedPartitions.partitionCount === 7,
+      s"expected 7 selected partitions, got ${scan.selectedPartitions.partitionCount}")
+  }
 }
