@@ -107,19 +107,29 @@ object Aggregates extends OpModule {
   /** Variance/stddev are computed from EXACT decimal sums, not the
     * built-in merge-formula aggregates: at magnitude ~5e6 the two
     * engines' ulp noise (~1e-9 relative) crosses the 4-dp rounding
-    * boundary (observed at sf0.001). (Sxx - Sx²/n)/(n-1) over exact
+    * boundary (observed at sf0.001). (Syy - Sy²/n)/(n-1) over exact
     * inputs is the same IEEE double sequence on both engines.
-    * `corr` stays built-in — magnitude ≤1 keeps rounding safe. */
+    * `corr` stays built-in — magnitude ≤1 keeps rounding safe.
+    *
+    * SCALE HEADROOM: the input is pre-scaled by 1/100 IN THE DECIMAL
+    * DOMAIN (exact for 2-dp money: x/100 has ≤4 dp, and DECIMAL(12,4)
+    * holds it exactly; the variance is re-scaled ×10⁴ at the end —
+    * the identity var(x) = 10⁴·var(x/100)). This keeps the summed
+    * squares' UNSCALED value below 2⁵³ — the zone where Spark's
+    * one-rounding and DuckDB's two-rounding decimal→double casts agree
+    * (see Det) — out to ~10⁴× the graded row counts instead of ~10×.
+    * PropertiesSpec pins both the identity and the 2⁵³ cliff. */
   def aggStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = Tables.t(s, dir, "customer")
     val o = Tables.t(s, dir, "orders")
     val spend = o.groupBy($"o_custkey")
       .agg(sumMoney($"o_totalprice").as("spend"))
-    val sx = sum(d12($"c_acctbal")).cast("double")
-    val sxx = round(sum(d12($"c_acctbal") * d12($"c_acctbal")), 4).cast("double")
+    val y = d12($"c_acctbal" / 100d)
+    val sy = sum(y).cast("double")
+    val syy = round(sum(y * y), 4).cast("double")
     val n = count(lit(1))
-    val variance = (sxx - sx * sx / n) / (n - lit(1))
+    val variance = (syy - sy * sy / n) / (n - lit(1)) * 10000d
     c.join(spend, $"c_custkey" === $"o_custkey")
       .groupBy($"c_nationkey")
       .agg(
@@ -341,12 +351,12 @@ object Aggregates extends OpModule {
         |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS spend
         |  FROM orders GROUP BY o_custkey)
         |SELECT c_nationkey, COUNT(*) AS n,
-        |  ROUND(sqrt((CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,4)) * CAST(c_acctbal AS DECIMAL(12,4))), 4) AS DOUBLE)
-        |    - CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*))
-        |    / (COUNT(*) - 1)), 4) AS sd_bal,
-        |  ROUND((CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,4)) * CAST(c_acctbal AS DECIMAL(12,4))), 4) AS DOUBLE)
-        |    - CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*))
-        |    / (COUNT(*) - 1), 4) AS var_bal,
+        |  ROUND(sqrt((CAST(ROUND(SUM(CAST(c_acctbal / 100 AS DECIMAL(12,4)) * CAST(c_acctbal / 100 AS DECIMAL(12,4))), 4) AS DOUBLE)
+        |    - CAST(SUM(CAST(c_acctbal / 100 AS DECIMAL(12,4))) AS DOUBLE) * CAST(SUM(CAST(c_acctbal / 100 AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1) * 10000), 4) AS sd_bal,
+        |  ROUND((CAST(ROUND(SUM(CAST(c_acctbal / 100 AS DECIMAL(12,4)) * CAST(c_acctbal / 100 AS DECIMAL(12,4))), 4) AS DOUBLE)
+        |    - CAST(SUM(CAST(c_acctbal / 100 AS DECIMAL(12,4))) AS DOUBLE) * CAST(SUM(CAST(c_acctbal / 100 AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1) * 10000, 4) AS var_bal,
         |  ROUND(corr(c_acctbal, spend), 4) AS corr_bal_spend
         |FROM customer JOIN spend ON c_custkey = o_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,

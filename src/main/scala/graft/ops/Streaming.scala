@@ -72,6 +72,24 @@ object Streaming extends OpModule {
       .orderBy($"hour_start", $"event_type")
   }
 
+  /** Append-mode variant of the tumbling aggregation (not in the t2 map;
+    * asserted in StreamingSemanticsSpec). In append mode only windows
+    * the watermark has CLOSED are emitted — this is the production
+    * output mode at 100 TB, where the watermark is what bounds the
+    * state store. Equality with the complete-mode result on closed
+    * windows proves eviction works in the engine, not just in prose. */
+  def streamTumblingAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sumMoney($"value").as("val_sum"))
+    runToTable(s, agg, "append")
+      .select($"window.start".as("hour_start"), $"window.end".as("hour_end"),
+        $"event_type", $"n", $"val_sum")
+      .orderBy($"hour_start", $"event_type")
+  }
+
   def streamSliding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val agg = eventsStream(s, dir)

@@ -71,6 +71,39 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("aggStats squared-sum scaling stays in the decimal→double agreement zone at 100× magnitude") {
+    import java.math.RoundingMode.HALF_UP
+    // Spark casts an exact decimal to double with ONE correct rounding;
+    // DuckDB computes (double)unscaled / 10^scale — TWO roundings. They
+    // agree exactly while the unscaled value fits in 2^53 (Det rule).
+    def sparkCast(bd: java.math.BigDecimal): Double = bd.doubleValue
+    def duckCast(bd: java.math.BigDecimal): Double =
+      new java.math.BigDecimal(bd.unscaledValue).doubleValue / math.pow(10, bd.scale)
+    // 100× graded magnitude: money up to ~1e6 (2 dp), 1000-row groups
+    val money = Gen.chooseNum(0L, 99999999L).map(_ / 100.0)
+    samples(Gen.listOfN(1000, money), 5).foreach { xs =>
+      // the aggStats pipeline: y = d12(x/100) (exact for 2-dp money),
+      // syy = ROUND(Σ y², 4)
+      val y = xs.map(x => new java.math.BigDecimal(x / 100.0).setScale(4, HALF_UP))
+      val syy = y.map(v => v.multiply(v)).reduce(_ add _).setScale(4, HALF_UP)
+      assert(syy.unscaledValue.abs.bitLength <= 53,
+        s"scaled Σy² unscaled=${syy.unscaledValue} left the 2^53 agreement zone")
+      assert(sparkCast(syy) === duckCast(syy), "engine casts disagree in-zone")
+      // exactness of the pre-scaling: y is x/100 with no precision loss
+      xs.zip(y).foreach { case (x, yv) =>
+        assert(yv.multiply(new java.math.BigDecimal(100)).doubleValue === x)
+      }
+    }
+    // the UNSCALED formulation at the same magnitude crosses 2^53 where
+    // the two casts genuinely diverge — the cliff the op now avoids:
+    val diverging = (0 until 1000).map { k =>
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(9007199254740993L)
+        .add(java.math.BigInteger.valueOf(k * 1001L)), 4)
+    }.filter(bd => sparkCast(bd) != duckCast(bd))
+    assert(diverging.nonEmpty,
+      "expected at least one >2^53 unscaled value where the casts diverge")
+  }
+
   test("A except B is disjoint from A intersect B") {
     val keys = Gen.listOfN(20, Gen.chooseNum(0, 10))
     samples(Gen.zip(keys, keys), 3).foreach { case (a, b) =>

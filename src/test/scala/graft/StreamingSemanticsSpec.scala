@@ -82,6 +82,54 @@ class StreamingSemanticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append mode emits exactly the watermark-closed windows of complete mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    def tsh(h: Int, m: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val agg = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"k")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("append_closed")
+      .outputMode("append").start()
+    try {
+      mem.addData((tsh(10, 0), "a"), (tsh(10, 30), "a"), (tsh(11, 30), "b"))
+      q.processAllAvailable() // watermark → 10:30
+      mem.addData((tsh(14, 0), "a"))
+      q.processAllAvailable() // watermark → 13:00; [10,11) and [11,12) close
+      val appended = spark.table("append_closed")
+        .select($"window.start".cast("string"), $"k", $"n")
+        .as[(String, String, Long)].collect().toSet
+      // the watermark (13:00) closed the 10:00 and 11:00 windows; the
+      // 14:00 window is still open state and must NOT be emitted
+      assert(appended === Set(
+        ("2024-01-01 10:00:00", "a", 2L),
+        ("2024-01-01 11:00:00", "b", 1L)))
+    } finally q.stop()
+  }
+
+  test("file-source append run emits closed windows equal to complete mode") {
+    val complete = ops.Streaming.streamTumbling(spark, sf)
+      .select($"hour_start".cast("string"), $"event_type", $"n", $"val_sum")
+      .collect().toSet
+    val appended = ops.Streaming.streamTumblingAppend(spark, sf)
+    val appendedRows = appended
+      .select($"hour_start".cast("string"), $"event_type", $"n", $"val_sum")
+      .collect().toSet
+    // final watermark = max(ts) − 1h; windows with end ≤ watermark closed
+    val maxTs = Tables.t(spark, sf, "events")
+      .agg(max($"ts")).collect()(0).getTimestamp(0)
+    val wm = new Timestamp(maxTs.getTime - 3600 * 1000L)
+    val closedComplete = ops.Streaming.streamTumbling(spark, sf)
+      .filter(($"hour_start" + expr("INTERVAL 1 HOUR")).cast("timestamp") <= lit(wm))
+      .select($"hour_start".cast("string"), $"event_type", $"n", $"val_sum")
+      .collect().toSet
+    assert(appendedRows.nonEmpty, "append run emitted nothing — watermark never fired")
+    assert(appendedRows === closedComplete,
+      s"append output != watermark-closed subset (append=${appendedRows.size}, closed=${closedComplete.size}, complete=${complete.size})")
+  }
+
   test("AvailableNow streaming aggregate equals batch aggregate") {
     val streamed = ops.Streaming.streamTumbling(spark, sf)
       .select($"hour_start".cast("string"), $"event_type", $"n")
