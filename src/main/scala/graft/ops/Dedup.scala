@@ -171,6 +171,63 @@ object Dedup extends OpModule {
       .orderBy($"doc_id")
   }
 
+  /** 60-bit SimHash per doc (same bit-vote construction as
+    * dedupSimhash, wider fingerprint so the shared-vocabulary corpus
+    * doesn't collapse into one bucket). Persisted: consumed by both
+    * sides of the Hamming band join. */
+  private def simhash60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cached(s, dir, "simhash60") {
+      val words = Tables.t(s, dir, "documents")
+        .select($"doc_id",
+          explode(array_distinct(split($"text", " "))).as("word"))
+        .select($"doc_id", md5int($"word").as("h"))
+      words
+        .select($"doc_id", $"h", explode(sequence(lit(0), lit(59))).as("bit"))
+        .groupBy($"doc_id", $"bit")
+        .agg(sum(when(expr("shiftright(h, CAST(bit AS INT)) & 1") === 1L,
+          1L).otherwise(-1L)).as("vote"))
+        .groupBy($"doc_id")
+        .agg(sum(when($"vote" > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+          .otherwise(0L)).as("sh"))
+    }
+  }
+
+  /** SimHash near-dup CLUSTERING: each doc is assigned the minimum
+    * doc_id among all docs within Hamming distance ≤ 2 of its 60-bit
+    * SimHash (including itself) — the dedup-cluster representative —
+    * plus its neighbor count.
+    *
+    * Scale design: EXACT pigeonhole banding. The fingerprint splits
+    * into 3 disjoint 20-bit blocks; two fingerprints within distance 2
+    * differ in at most 2 blocks, so they MATCH on at least one —
+    * candidates come from an equi-join on (block, block-value), shuffled
+    * by block key, recall exactly 1. Verification is a codegen'd
+    * `bit_count(a ^ b)` on the candidate pairs only. This is the banded
+    * near-dup shape with genuinely exact pruning (unlike probabilistic
+    * MinHash bands), and at 100 TB it shuffles 8-byte fingerprints,
+    * never text. */
+  def dedupSimhashCluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = simhash60(s, dir)
+    def banded(idCol: String, shCol: String) =
+      fp.select($"doc_id".as(idCol), $"sh".as(shCol),
+        explode(array((0 until 3).map { b =>
+          struct(lit(b).as("blk"),
+            expr(s"shiftright(sh, ${20 * b}) & 1048575").as("key"))
+        }: _*)).as("bb"))
+        .select(col(idCol), col(shCol), $"bb.blk".as("blk"), $"bb.key".as("key"))
+    val cand = banded("a_id", "sh_a")
+      .join(banded("b_id", "sh_b"), Seq("blk", "key"))
+      .select($"a_id", $"b_id", $"sh_a", $"sh_b").distinct()
+    cand
+      .filter(expr("bit_count(sh_a ^ sh_b)") <= 2) // self-pairs: distance 0
+      .groupBy($"a_id".as("doc_id"))
+      .agg(min($"b_id").as("rep_id"), (count(lit(1)) - 1).as("n_near"))
+      .orderBy($"doc_id")
+  }
+
   /** Brute-force cosine top-10 per probe (vec_id < 10). Rank on the
     * 4-dp-rounded similarity + vec_id tiebreak so ordering is immune to
     * sub-round float noise. The fold order (left→right over the 64
@@ -377,6 +434,7 @@ object Dedup extends OpModule {
     "q_dedup_near_jaccard" -> (dedupNearJaccard _),
     "q_dedup_minhash_sig" -> (dedupMinhashSig _),
     "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_simhash_cluster" -> (dedupSimhashCluster _),
     "q_sim_topk_cosine" -> (simTopkCosine _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "q_dedup_near_embedding" -> (dedupNearEmbedding _),
@@ -469,6 +527,25 @@ object Dedup extends OpModule {
         |SELECT doc_id,
         |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_simhash_cluster" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(UNNEST(list_distinct(string_split(text, ' ')))), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, bit,
+        |    SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM words CROSS JOIN (SELECT UNNEST(range(0, 60)) AS bit) b
+        |  GROUP BY doc_id, bit),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM bits GROUP BY doc_id),
+        |near AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM fp a JOIN fp b ON bit_count(xor(a.sh, b.sh)) <= 2)
+        |SELECT a_id AS doc_id, MIN(b_id) AS rep_id, COUNT(*) - 1 AS n_near
+        |FROM near GROUP BY a_id ORDER BY doc_id""".stripMargin,
     "q_dedup_near_embedding" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -93,8 +93,28 @@ object Scans extends OpModule {
       .orderBy($"event_date", $"event_type")
   }
 
+  /** CSV source round trip: write `part` as headered CSV, read it back
+    * with an EXPLICIT schema (never inference at scale — a schema scan
+    * of a 100-TB directory is a full extra pass), project and filter.
+    * Doubles survive the text round trip exactly: Spark writes the
+    * shortest representation that parses back to the identical bits.
+    * The oracle reads the original table — equality proves the sink →
+    * source loop is lossless. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = "/tmp/graft_csv_sink/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/part_csv"
+    val src = Tables.t(s, dir, "part")
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    s.read.schema(src.schema).option("header", "true").csv(path)
+      .filter($"p_size" >= 20)
+      .select($"p_partkey", $"p_name", $"p_size", $"p_retailprice")
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_part_roundtrip" -> (partitionedRoundtrip _),
+    "q_source_csv_roundtrip" -> (csvRoundtrip _),
     "q_scan_project" -> (scanProject _),
     "q_scan_prune_pushdown" -> (scanPrunePushdown _),
     "q_source_json_col" -> (sourceJsonCol _),
@@ -104,6 +124,9 @@ object Scans extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_source_csv_roundtrip" ->
+      """SELECT p_partkey, p_name, p_size, p_retailprice
+        |FROM part WHERE p_size >= 20 ORDER BY p_partkey""".stripMargin,
     "q_part_roundtrip" ->
       """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date, event_type,
         |  COUNT(*) AS n,

@@ -35,6 +35,8 @@ class CountsSnapshotSpec extends SparkSpec {
     "q_dedup_near_embedding" -> 7L,
     "q_dedup_near_jaccard" -> 28L,
     "q_dedup_simhash" -> 500L,
+    "q_dedup_simhash_cluster" -> 500L,
+    "q_source_csv_roundtrip" -> 111L,
     "q_feat_pivot" -> 15L,
     "q_feat_rfm" -> 150L,
     "q_feat_scale_sql" -> 150L,
