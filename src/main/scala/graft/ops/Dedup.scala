@@ -136,6 +136,29 @@ object Dedup extends OpModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Directional shingle CONTAINMENT ≥ 0.9: C(a→b) = |Sa∩Sb| / |Sa| —
+    * the sub-document-duplicate detector (a contained in b scores high
+    * even when b is much longer, where Jaccard would dilute). Same
+    * scalable shape as Jaccard: equi-join on the shingle key over the
+    * shared persisted shingle table, per-doc counts broadcast; only the
+    * denominator differs. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleRows(s, dir)
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select($"doc_id".as("a_id"), $"shingle")
+    val b = sh.select($"doc_id".as("b_id"), $"shingle")
+    a.join(b, Seq("shingle"))
+      .filter($"a_id" =!= $"b_id")
+      .groupBy($"a_id", $"b_id")
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(cnt.select($"doc_id".as("a_id"), $"n_sh".as("na"))), Seq("a_id"))
+      .select($"a_id", $"b_id",
+        round($"common".cast("double") / $"na", 4).as("containment"))
+      .filter($"containment" >= 0.9)
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** MinHash constants for the universal-hash family
     * h_k(x) = (A_k·x + B_k) mod P over base = md5int(shingle) mod 2^30.
     * One md5 per shingle instead of 8 (8× cheaper at scale); the affine
@@ -432,6 +455,7 @@ object Dedup extends OpModule {
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_survivors" -> (dedupSurvivors _),
     "q_dedup_near_jaccard" -> (dedupNearJaccard _),
+    "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_minhash_sig" -> (dedupMinhashSig _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash_cluster" -> (dedupSimhashCluster _),
@@ -472,6 +496,19 @@ object Dedup extends OpModule {
          |JOIN cnt ca ON ca.doc_id = a_id
          |JOIN cnt cb ON cb.doc_id = b_id
          |WHERE ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH $shinglesCte,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id,
+         |  ROUND(CAST(common AS DOUBLE) / ca.n_sh, 4) AS containment
+         |FROM pairs
+         |JOIN cnt ca ON ca.doc_id = a_id
+         |WHERE ROUND(CAST(common AS DOUBLE) / ca.n_sh, 4) >= 0.9
          |ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_minhash_sig" ->
       (s"WITH $shinglesCte,\n" +

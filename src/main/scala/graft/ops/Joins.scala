@@ -154,7 +154,26 @@ object Joins extends OpModule {
       .orderBy($"event_id")
   }
 
+  /** Salted skew join, end-to-end: events (the big, potentially skewed
+    * side) joined to customer through `SkewJoin.salted` — each hot
+    * user_id is spread over 8 salt partitions, the dimension side is
+    * exploded 8× with every salt. The aggregate is provably identical
+    * to the plain join (the salt key is surgery on the key space, not
+    * semantics; InfraSpec pins plain≡salted row equality). At 100 TB
+    * this is the manual fallback when one pathological key defeats
+    * AQE's post-shuffle skew split. */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events").select($"user_id", $"value")
+    val c = Tables.t(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+    graft.plans.SkewJoin.salted(e, c, "user_id", "c_custkey", 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), sumMoney($"value").as("val_sum"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_salted" -> (joinSalted _),
     "q_join_broadcast" -> (joinBroadcast _),
     "q_join_shuffle_chain" -> (joinShuffleChain _),
     "q_join_left" -> (joinLeft _),
@@ -168,6 +187,11 @@ object Joins extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_salted" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_join_broadcast" ->
       """SELECT n_nationkey, n_name, r_regionkey, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -28,6 +28,8 @@ class CountsSnapshotSpec extends SparkSpec {
     "q_str_more" -> 200L,
     "q_win_first_last" -> 1500L,
     "q_dedup_exact" -> 500L,
+    "q_dedup_containment" -> 55L,
+    "q_join_salted" -> 4L,
     "q_dedup_survivors" -> 500L,
     "q_text_ngrams" -> 30L,
     "q_dedup_minhash_lsh" -> 28L,
