@@ -383,6 +383,29 @@ object Dedup extends OpModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** int8 scalar quantization of the embedding column — the 4×
+    * compression stage a 100-TB vector corpus runs before ANN. The
+    * grid is FIXED (code = ⌊127·x + 0.5⌋, unit-norm inputs ⇒ |x| ≤ 1):
+    * 127·x is exact in double for any float x (mantissa ≤ 24+7 bits),
+    * +0.5 exact, floor of an exact dyadic double is identical in both
+    * engines — the whole op is integer-deterministic with zero
+    * float-rounding ambiguity (unlike per-vector max-abs rescaling,
+    * whose quotients can straddle a .5 boundary). Codes are emitted as
+    * a canonical comma string (the comparator can't hash arrays);
+    * reconstruction error is bounds-checked in ScalaTest. */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = transform($"embedding",
+      x => floor(x.cast("double") * 127d + 0.5d).cast("long"))
+    Tables.t(s, dir, "embeddings")
+      .select(
+        $"vec_id",
+        array_join(codes.cast("array<string>"), ",").as("codes"),
+        aggregate(codes, lit(0L), (a, c) => a + c).as("code_sum"),
+        size(filter(codes, c => c > 0L)).as("n_pos"))
+      .orderBy($"vec_id")
+  }
+
   /** IVF (inverted-file) ANN — the other scale path beside LSH: KMeans
     * coarse quantizer (fixed seed), probes search only the nearest
     * `nprobe` centroid cells instead of the full corpus. Approx +
@@ -460,6 +483,7 @@ object Dedup extends OpModule {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash_cluster" -> (dedupSimhashCluster _),
     "q_sim_topk_cosine" -> (simTopkCosine _),
+    "q_emb_quantize" -> (embQuantize _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "q_dedup_near_embedding" -> (dedupNearEmbedding _),
     "q_sim_ivf_topk" -> (simIvfTopk _),
@@ -602,6 +626,17 @@ object Dedup extends OpModule {
         |     * sqrt(list_reduce(list_transform(range(1, 65),
         |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))), 4) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_emb_quantize" ->
+      """WITH q AS (SELECT vec_id,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT)) AS code_arr
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  array_to_string(code_arr, ',') AS codes,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), code_arr),
+        |    (a, c) -> a + c) AS BIGINT) AS code_sum,
+        |  CAST(len(list_filter(code_arr, c -> c > 0)) AS INTEGER) AS n_pos
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_sim_topk_cosine" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |scored AS (

@@ -105,6 +105,24 @@ object TextOps extends OpModule {
       .orderBy($"doc_id")
   }
 
+  /** Quality-FILTER materialization (the C4-style pipeline stage): keep
+    * documents whose token count is in [40, 200] and whose stopword
+    * ratio is ≤ 0.18. Pure narrow projection+filter — stays inside
+    * WholeStageCodegen, embarrassingly parallel at any scale. The
+    * ratio COMPARISON is engine-safe (both engines compare the same
+    * IEEE double against the same constant; no rounding involved). */
+  def textQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split($"text", " ")
+    Tables.t(s, dir, "documents")
+      .withColumn("n_tokens", size(words))
+      .withColumn("n_stop", size(filter(words, w => w.isin(stopwords: _*))))
+      .filter($"n_tokens".between(40, 200) &&
+        $"n_stop".cast("double") / $"n_tokens" <= 0.18)
+      .select($"doc_id", $"lang", $"source", $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
   /** Rolling-hash document fingerprint: left fold over words of
     * h → (h·31 + md5int(word)) mod 10^15. Exact integer arithmetic,
     * identical fold order in both engines. */
@@ -157,6 +175,7 @@ object TextOps extends OpModule {
     "q_text_stats" -> (textStats _),
     "q_text_tfidf" -> (textTfidf _),
     "q_text_quality" -> (textQuality _),
+    "q_text_quality_filter" -> (textQualityFilter _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_langid" -> (textLangid _)
   )
@@ -208,6 +227,15 @@ object TextOps extends OpModule {
          |    w -> w IN ($stopList))) AS DOUBLE)
          |    / len(string_split(text, ' ')), 4) AS stopword_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality_filter" ->
+      s"""SELECT doc_id, lang, source,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+         |FROM documents
+         |WHERE len(string_split(text, ' ')) BETWEEN 40 AND 200
+         |  AND CAST(len(list_filter(string_split(text, ' '),
+         |    w -> w IN ($stopList))) AS DOUBLE)
+         |    / len(string_split(text, ' ')) <= 0.18
+         |ORDER BY doc_id""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

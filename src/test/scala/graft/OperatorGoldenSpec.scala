@@ -282,6 +282,18 @@ class OperatorGoldenSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("int8 quantization reconstructs within half a grid step") {
+    val maxErr = Tables.t(spark, sf, "embeddings")
+      .select(aggregate(
+        zip_with($"embedding",
+          transform($"embedding",
+            x => floor(x.cast("double") * 127d + 0.5d) / 127d),
+          (x, r) => abs(x.cast("double") - r)),
+        lit(0.0), (m, e) => greatest(m, e)).as("err"))
+      .agg(max($"err")).collect()(0).getDouble(0)
+    assert(maxErr <= 0.5 / 127 + 1e-12, s"max reconstruction error $maxErr")
+  }
+
   test("ml propensity: training predictions beat chance on 10 classes") {
     val cm = run("q_ml_propensity")
       .as[(Double, Double, Long)].collect()
