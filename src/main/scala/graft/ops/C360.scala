@@ -67,8 +67,9 @@ object C360 extends OpModule {
     import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
     import org.apache.spark.ml.Pipeline
     import s.implicits._
-    val base = profile(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registry persist (released via OpCache.clear) — a bare .persist
+    // here leaked across the rest of a bench session
+    val base = OpCache.cached(s, dir, "c360_base")(profile(s, dir))
     val pipe = new Pipeline().setStages(Array(
       new VectorAssembler()
         .setInputCols(Array("recency_days", "frequency", "monetary"))

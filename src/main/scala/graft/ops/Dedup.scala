@@ -63,25 +63,12 @@ object Dedup extends OpModule {
     * (both join sides + the per-doc counts) would otherwise re-run the
     * scan+explode each. MEMORY_AND_DISK is the level that still works
     * when the exploded table outgrows executor memory at scale. */
-  private val dfCache = scala.collection.concurrent
-    .TrieMap.empty[(SparkSession, String, String), DataFrame]
-
-  /** Persist-once registry for intermediates shared across the dedup
-    * family (shingle rows, minhash signatures). MEMORY_AND_DISK still
-    * works when the exploded table outgrows executor memory at scale. */
+  /** Persist-once intermediates (shingle rows, minhash signatures,
+    * banded vectors) live in the module-wide [[OpCache]], released per
+    * bench query / on demand via `OpCache.clear`. */
   private def cached(s: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame =
-    dfCache.getOrElseUpdate((s, dir, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-
-  /** Release the persisted dedup intermediates for a session. Bench/long
-    * sessions call this after the dedup family so the executor-storage
-    * footprint doesn't accumulate across unrelated queries (round-1
-    * judge flagged the leak as bench interference). */
-  def clearShingleCache(s: SparkSession): Unit =
-    dfCache.keys.filter(_._1 eq s).foreach { k =>
-      dfCache.remove(k).foreach(_.unpersist(blocking = false))
-    }
+    OpCache.cached(s, dir, key)(build)
 
   private def shingleRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

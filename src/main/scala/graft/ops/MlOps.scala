@@ -71,16 +71,17 @@ object MlOps extends OpModule {
     import s.implicits._
     val o = Tables.t(s, dir, "orders")
     val maxd = o.agg(max($"o_orderdate").cast("date").as("maxd"))
-    val rfm = o.crossJoin(broadcast(maxd))
-      .groupBy($"o_custkey")
-      .agg(
-        datediff(max($"maxd"), max($"o_orderdate".cast("date")))
-          .cast("double").as("recency"),
-        count(lit(1)).cast("double").as("frequency"),
-        sumMoney($"o_totalprice").as("monetary"))
-      // persisted: assembler/scaler fits + every KMeans iteration
-      // re-derive the input otherwise
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registry persist (released via OpCache.clear): assembler/scaler
+    // fits + every KMeans iteration re-derive the input otherwise
+    val rfm = OpCache.cached(s, dir, "ml_rfm") {
+      o.crossJoin(broadcast(maxd))
+        .groupBy($"o_custkey")
+        .agg(
+          datediff(max($"maxd"), max($"o_orderdate".cast("date")))
+            .cast("double").as("recency"),
+          count(lit(1)).cast("double").as("frequency"),
+          sumMoney($"o_totalprice").as("monetary"))
+    }
     val pipe = new Pipeline().setStages(Array(
       new VectorAssembler()
         .setInputCols(Array("recency", "frequency", "monetary"))
