@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProductF
+import graft.functions.{CosineSimF, DotProductF}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available to SQL. Activate with
@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
       (exprs: Seq[Expression]) => DotProductF(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim_f"),
+      new ExpressionInfo(classOf[CosineSimF].getName, "cosine_sim_f"),
+      (exprs: Seq[Expression]) => CosineSimF(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }

@@ -246,17 +246,16 @@ object Dedup extends OpModule {
   def simTopkCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    // native codegen'd expression; bit-identical to the HOF fold
-    // (equivalence covered in ScalaTest)
-    def dot(x: Column, y: Column): Column = graft.functions.DotProductF.dot(x, y)
-    def norm(x: Column): Column = sqrt(dot(x, x))
+    // fused native codegen'd expression (one array pass per pair for
+    // dot + both norms); bit-identical to the composed HOF/DotProductF
+    // form — equivalence pinned in ScalaTest
     val e = Tables.t(s, dir, "embeddings")
     val probes = e.filter($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
     val corpus = e.select($"vec_id".as("nbr_id"), $"embedding".as("ce"))
     val scored = broadcast(probes).join(corpus, $"probe_id" =!= $"nbr_id")
       .select($"probe_id", $"nbr_id",
-        round(dot($"pe", $"ce") / (norm($"pe") * norm($"ce")), 4).as("sim4"))
+        round(graft.functions.CosineSimF.cosine($"pe", $"ce"), 4).as("sim4"))
     val w = Window.partitionBy($"probe_id").orderBy($"sim4".desc, $"nbr_id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 10)
@@ -422,12 +421,10 @@ object Dedup extends OpModule {
     val probes = e.filter($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"embedding".as("pe"),
         explode(nearestCells($"embedding")).as("cell"))
-    def dot(x: Column, y: Column): Column = graft.functions.DotProductF.dot(x, y)
     val scored = probes.join(corpus, Seq("cell"))
       .filter($"probe_id" =!= $"vec_id")
       .select($"probe_id", $"vec_id".as("nbr_id"),
-        round(dot($"pe", $"embedding") /
-          (sqrt(dot($"pe", $"pe")) * sqrt(dot($"embedding", $"embedding"))), 4)
+        round(graft.functions.CosineSimF.cosine($"pe", $"embedding"), 4)
           .as("sim4"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"probe_id").orderBy($"sim4".desc, $"nbr_id".asc)

@@ -1,16 +1,21 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.DotProductF
+import graft.functions.{CosineSimF, DotProductF}
 
 /** Imperative twin of `graft.GraftExtensions` for sessions that are
   * already built (the extensions config is only read at build time).
   * Lives in the sql package for `sessionState` access.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product_f",
       exprs => DotProductF(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim_f",
+      exprs => CosineSimF(exprs(0), exprs(1)),
+      "scala_udf")
+  }
 }

@@ -195,6 +195,21 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("fused cosine_sim_f ≡ composed dot/norm form, bit-exact") {
+    val e = Tables.t(spark, sf, "embeddings").limit(60)
+    val a = e.select($"vec_id".as("a_id"), $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("b_id"), $"embedding".as("eb"))
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      graft.functions.DotProductF.dot(x, y)
+    val diff = a.join(b, $"a_id" < $"b_id")
+      .select(
+        graft.functions.CosineSimF.cosine($"ea", $"eb").as("fused"),
+        (dot($"ea", $"eb") / (sqrt(dot($"ea", $"ea")) * sqrt(dot($"eb", $"eb"))))
+          .as("composed"))
+      .filter($"fused" =!= $"composed") // bit-exact equality required
+    assert(diff.count() === 0)
+  }
+
   test("dot_product_f is SQL-callable after registration") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     Tables.t(spark, sf, "embeddings").limit(5)
