@@ -45,11 +45,20 @@ object Bench {
       graft.ops.OpCache.clear(spark)
       name -> dt
     }
+    val (mapLine, totalLine) = renderLines(results, sfDir)
+    println(mapLine)
+    println(totalLine)
+    spark.stop()
+  }
+
+  /** The two output lines: per-query map first, compact total LAST
+    * (tail-capture truncates the front of long output — InfraSpec pins
+    * that both lines are valid JSON with the driver's expected keys). */
+  def renderLines(results: Seq[(String, Double)], sfDir: String): (String, String) = {
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"queries":$qs,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}""")
-    spark.stop()
+    (s"""{"queries":$qs,"sf":"$sfDir"}""",
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}""")
   }
 }

@@ -85,6 +85,10 @@ object Scans extends OpModule {
       dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_by_date"
     Tables.t(s, dir, "events")
       .withColumn("event_date", $"ts".cast("date"))
+      // repartition BY the partition column before partitionBy: without
+      // it every task writes every date — tasks × dates small files
+      // (960 here, millions at 100 TB). With it: one file per date dir.
+      .repartition($"event_date")
       .write.mode("overwrite").partitionBy("event_date").parquet(path)
     s.read.parquet(path)
       .filter($"event_date".between("2024-01-10", "2024-01-16"))

@@ -9,6 +9,19 @@ import graft.sources.Formats
 class InfraSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Bench output lines are valid JSON with the driver's expected keys") {
+    val (mapLine, totalLine) = Bench.renderLines(
+      Seq("q_a" -> 1.23456, "q_b" -> 0.5), "/root/testdata/sf0.1")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = om.readTree(mapLine)
+    assert(m.get("queries").get("q_a").asDouble() === 1.235)
+    assert(m.get("sf").asText() === "/root/testdata/sf0.1")
+    val t = om.readTree(totalLine)
+    assert(t.get("metric").asText() === "total")
+    assert(t.get("value").asDouble() === 1.735)
+    assert(t.get("unit").asText() === "sec")
+  }
+
   test("csv / json / orc / parquet round-trips preserve data") {
     val base = Files.createTempDirectory("graft_fmt").toString
     val df = Tables.t(spark, sf, "customer")
