@@ -172,7 +172,41 @@ object Joins extends OpModule {
       .orderBy($"c_mktsegment")
   }
 
+  /** Bucketed co-located join, end-to-end in the graded path: both
+    * sides are written `bucketBy(8, key).sortBy(key)` as managed
+    * tables, then merge-joined and aggregated ON the bucket key — with
+    * the co-bucketed layout the whole join+agg needs ZERO shuffle
+    * exchanges (pinned in PlanSpec). This is the layout that turns the
+    * recurring 100-TB fact⋈fact join into a map-side merge. The write
+    * is part of the op (it is the layout under test), re-done per run. */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val db = "graft_t2"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val ot = s"orders_b_$key"
+    val ct = s"customer_b_$key"
+    Seq(ot, ct).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $db.$t")
+      // a crashed run can leave the managed location behind without a
+      // catalog entry — clear it or the write fails
+      val loc = new java.io.File(s"spark-warehouse/$db.db/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    Tables.t(s, dir, "orders").write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(s"$db.$ot")
+    Tables.t(s, dir, "customer").write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(s"$db.$ct")
+    s.table(s"$db.$ot")
+      .hint("merge") // toy scale would broadcast; force the SMJ path
+      .join(s.table(s"$db.$ct"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey")
+      .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("spend"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_bucketed" -> (joinBucketed _),
     "q_join_salted" -> (joinSalted _),
     "q_join_broadcast" -> (joinBroadcast _),
     "q_join_shuffle_chain" -> (joinShuffleChain _),
@@ -187,6 +221,11 @@ object Joins extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_bucketed" ->
+      """SELECT c_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q_join_salted" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum

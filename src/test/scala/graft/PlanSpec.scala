@@ -41,6 +41,13 @@ class PlanSpec extends SparkSpec {
       "bounded probe should be the broadcast side of a BNLJ")
   }
 
+  test("bucketed join+agg runs with zero shuffle exchanges") {
+    val p = plan("q_join_bucketed")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"co-bucketed join+agg should not shuffle:\n$p")
+  }
+
   test("partitioned round-trip read prunes to the filtered partitions") {
     val df = SparkEntry.queries("q_part_roundtrip")(spark, sf)
     // sparkPlan, not executedPlan: AQE wraps the tree in an adaptive
