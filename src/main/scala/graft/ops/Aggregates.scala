@@ -154,6 +154,28 @@ object Aggregates extends OpModule {
       .orderBy($"o_custkey")
   }
 
+  /** Gap-filled 6-hour resample of the event log: every (bucket, type)
+    * cell of the observed time range, zero-filled where no events
+    * landed — the time-series shape dashboards and feature pipelines
+    * need (a plain group-by silently drops empty buckets). The calendar
+    * grid is generated from a 1-row bounds aggregate (`sequence` +
+    * explode — O(calendar), not O(events)); batch `window()` buckets
+    * are epoch-anchored, matching DuckDB's `time_bucket`. */
+  def eventsGapfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+    val counts = e
+      .select(window($"ts", "6 hours").getField("start").as("bucket"), $"event_type")
+      .groupBy($"bucket", $"event_type").agg(count(lit(1)).as("n"))
+    val grid = counts.agg(min($"bucket").as("t0"), max($"bucket").as("t1"))
+      .select(explode(sequence($"t0", $"t1", expr("INTERVAL 6 HOURS"))).as("bucket"))
+    val types = e.select($"event_type").distinct()
+    grid.crossJoin(broadcast(types))
+      .join(counts, Seq("bucket", "event_type"), "left")
+      .select($"bucket", $"event_type", coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"bucket", $"event_type")
+  }
+
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
   /** Reference signature op: per-user event-type counts & value sums as a
@@ -284,6 +306,7 @@ object Aggregates extends OpModule {
     "q_agg_grouping_sets" -> (aggGroupingSets _),
     "q_agg_stats" -> (aggStats _),
     "q_agg_collect" -> (aggCollect _),
+    "q_events_gapfill" -> (eventsGapfill _),
     "q_feat_pivot" -> (featPivot _),
     "q_feat_trailing_windows" -> (featTrailingWindows _),
     "q_feat_rfm" -> (featRfm _),
@@ -364,6 +387,18 @@ object Aggregates extends OpModule {
       """SELECT o_custkey,
         |  array_to_string(list(CAST(year(o_orderdate) AS INTEGER) ORDER BY year(o_orderdate)), ',') AS order_years
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_events_gapfill" ->
+      """WITH c AS (
+        |  SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT UNNEST(generate_series(min_b, max_b, INTERVAL '6 hours')) AS bucket
+        |  FROM (SELECT min(bucket) AS min_b, max(bucket) AS max_b FROM c)),
+        |t AS (SELECT DISTINCT event_type FROM events)
+        |SELECT g.bucket AS bucket, t.event_type AS event_type, COALESCE(c.n, 0) AS n
+        |FROM g CROSS JOIN t
+        |LEFT JOIN c ON c.bucket = g.bucket AND c.event_type = t.event_type
+        |ORDER BY g.bucket, t.event_type""".stripMargin,
     "q_feat_pivot" ->
       s"""SELECT user_id,
          |$pivotOracleCols

@@ -104,6 +104,21 @@ object Scalars extends OpModule {
       .orderBy($"p_partkey")
   }
 
+  /** Fuzzy string matching — the edit-distance surface entity
+    * resolution / fuzzy dedup builds on. Exact integer distances,
+    * engine-portable. */
+  def strFuzzy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w1 = element_at(split($"p_name", " "), 1)
+    Tables.t(s, dir, "part")
+      .select(
+        $"p_partkey",
+        w1.as("w1"),
+        levenshtein(w1, lit("widget")).as("lev_widget"),
+        levenshtein($"p_brand", $"p_type").as("lev_brand_type"))
+      .orderBy($"p_partkey")
+  }
+
   /** Array function surface. The sliced head is emitted as scalar
     * element extracts (exact floats, engine-portable) rather than an
     * array column: the driver's pandas comparator cannot hash
@@ -179,6 +194,7 @@ object Scalars extends OpModule {
     "q_date_funcs" -> (dateFuncs _),
     "q_date_parts" -> (dateParts _),
     "q_str_more" -> (strMore _),
+    "q_str_fuzzy" -> (strFuzzy _),
     "q_math_funcs" -> (mathFuncs _),
     "q_array_funcs" -> (arrayFuncs _),
     "q_array_hof" -> (arrayHof _),
@@ -229,6 +245,12 @@ object Scalars extends OpModule {
         |  substring(p_name, 1, 3) AS l3,
         |  right(p_name, 3) AS r3,
         |  translate(p_name, 'aeiou', 'AEIOU') AS vowels_uc
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_str_fuzzy" ->
+      """SELECT p_partkey,
+        |  split_part(p_name, ' ', 1) AS w1,
+        |  CAST(levenshtein(split_part(p_name, ' ', 1), 'widget') AS INTEGER) AS lev_widget,
+        |  CAST(levenshtein(p_brand, p_type) AS INTEGER) AS lev_brand_type
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,

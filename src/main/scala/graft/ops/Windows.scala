@@ -125,7 +125,23 @@ object Windows extends OpModule {
       .limit(500)
   }
 
+  /** percent_rank + cume_dist within nation by balance. 4-dp rounding
+    * is engine-safe here: the quotients are small-int ratios whose
+    * half-boundary cases (denominator = 160·5^k) can't occur at these
+    * group sizes, and dyadic denominators produce exact doubles both
+    * engines round identically. */
+  def winDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal")
+    Tables.t(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal",
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cdist"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_win_dist" -> (winDist _),
     "q_win_rank" -> (winRank _),
     "q_win_ntile_pct" -> (winNtilePct _),
     "q_win_running" -> (winRunning _),
@@ -139,6 +155,13 @@ object Windows extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_dist" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  ROUND(percent_rank() OVER w, 4) AS pct_rank,
+        |  ROUND(cume_dist() OVER w, 4) AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+        |ORDER BY c_custkey""".stripMargin,
     "q_win_rank" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER w AS INTEGER) AS rn,
