@@ -146,6 +146,53 @@ object Dedup extends OpModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Connected components over the Jaccard ≥ 0.8 near-dup pair graph:
+    * each non-singleton document gets its CLUSTER representative (the
+    * minimum doc_id reachable through near-dup edges) — the transitive
+    * closure that turns pairwise similarity into dedup groups (A≈B≈C
+    * must collapse to ONE cluster even when A≉C directly).
+    *
+    * Scale design: Pregel-style min-label propagation — each round is
+    * one equi-join (labels ⋈ edges, shuffle by doc_id) + min-aggregate,
+    * converging in O(cluster diameter) rounds (near-dup clusters are
+    * shallow; 20 rounds bounds diameter 2^20-ish with doubling-free
+    * propagation). The driver-side loop only checks a per-round
+    * convergence COUNT — no row data ever reaches the driver. The
+    * DuckDB oracle is a recursive CTE computing the same reachability
+    * minimum. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = dedupNearJaccard(s, dir).select($"a_id", $"b_id")
+    // undirected: propagate labels both ways
+    val edges = pairs.union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("rep"))
+    var converged = false
+    var round = 0
+    while (!converged && round < 20) {
+      val propagated = labels.join(edges, $"doc_id" === $"src")
+        .select($"dst".as("doc_id"), $"rep")
+        .union(labels)
+        .groupBy($"doc_id").agg(min($"rep").as("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = propagated.join(labels.select($"doc_id", $"rep".as("old_rep")), Seq("doc_id"))
+        .filter($"rep" =!= $"old_rep").count()
+      labels.unpersist(blocking = false)
+      labels = propagated
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedup clustering did not converge in $round rounds")
+    // the surviving persist is registered so OpCache.clear releases it
+    OpCache.register(s, dir, "dedup_cc_labels", labels)
+    labels.orderBy($"doc_id")
+  }
+
   /** MinHash constants for the universal-hash family
     * h_k(x) = (A_k·x + B_k) mod P over base = md5int(shingle) mod 2^30.
     * One md5 per shingle instead of 8 (8× cheaper at scale); the affine
@@ -463,6 +510,7 @@ object Dedup extends OpModule {
     "q_dedup_survivors" -> (dedupSurvivors _),
     "q_dedup_near_jaccard" -> (dedupNearJaccard _),
     "q_dedup_containment" -> (dedupContainment _),
+    "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_minhash_sig" -> (dedupMinhashSig _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash_cluster" -> (dedupSimhashCluster _),
@@ -505,6 +553,26 @@ object Dedup extends OpModule {
          |JOIN cnt cb ON cb.doc_id = b_id
          |WHERE ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |jp AS (
+         |  SELECT a_id, b_id FROM p
+         |  JOIN cnt ca ON ca.doc_id = a_id
+         |  JOIN cnt cb ON cb.doc_id = b_id
+         |  WHERE ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) >= 0.8),
+         |e AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |  UNION ALL SELECT b_id, a_id FROM jp),
+         |walk(doc_id, rep) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, w.rep FROM walk w JOIN e ON e.src = w.doc_id)
+         |SELECT doc_id, MIN(rep) AS rep FROM walk
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_containment" ->
       s"""WITH $shinglesCte,
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

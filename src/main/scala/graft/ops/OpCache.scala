@@ -26,6 +26,13 @@ object OpCache {
     cache.getOrElseUpdate((s, dir, key),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Track an ALREADY-persisted DataFrame so `clear` releases it
+    * (for eagerly-built intermediates, e.g. iterative fixpoints). */
+  def register(s: SparkSession, dir: String, key: String, df: DataFrame): DataFrame = {
+    cache.put((s, dir, key), df)
+    df
+  }
+
   /** Unpersist and forget every cached intermediate of this session. */
   def clear(s: SparkSession): Unit =
     cache.keys.filter(_._1 eq s).foreach { k =>
