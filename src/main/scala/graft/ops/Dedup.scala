@@ -193,6 +193,21 @@ object Dedup extends OpModule {
     labels.orderBy($"doc_id")
   }
 
+  /** The dedup END PRODUCT: the corpus with near-dup clusters collapsed
+    * to their representative — every singleton plus one doc (the min
+    * doc_id) per Jaccard-cluster. Composes q_dedup_clusters with an
+    * anti-join; this is the materialization a training pipeline
+    * actually writes out. */
+  def dedupSurvivorsNear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val drop = dedupClusters(s, dir)
+      .filter($"doc_id" =!= $"rep").select($"doc_id")
+    Tables.t(s, dir, "documents")
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** MinHash constants for the universal-hash family
     * h_k(x) = (A_k·x + B_k) mod P over base = md5int(shingle) mod 2^30.
     * One md5 per shingle instead of 8 (8× cheaper at scale); the affine
@@ -511,6 +526,7 @@ object Dedup extends OpModule {
     "q_dedup_near_jaccard" -> (dedupNearJaccard _),
     "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_survivors_near" -> (dedupSurvivorsNear _),
     "q_dedup_minhash_sig" -> (dedupMinhashSig _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash_cluster" -> (dedupSimhashCluster _),
@@ -573,6 +589,29 @@ object Dedup extends OpModule {
          |  SELECT e.dst, w.rep FROM walk w JOIN e ON e.src = w.doc_id)
          |SELECT doc_id, MIN(rep) AS rep FROM walk
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_survivors_near" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |jp AS (
+         |  SELECT a_id, b_id FROM p
+         |  JOIN cnt ca ON ca.doc_id = a_id
+         |  JOIN cnt cb ON cb.doc_id = b_id
+         |  WHERE ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) >= 0.8),
+         |e AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |  UNION ALL SELECT b_id, a_id FROM jp),
+         |walk(doc_id, rep) AS (
+         |  SELECT DISTINCT src, src FROM e
+         |  UNION
+         |  SELECT e.dst, w.rep FROM walk w JOIN e ON e.src = w.doc_id),
+         |cc AS (SELECT doc_id, MIN(rep) AS rep FROM walk GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> rep)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_containment" ->
       s"""WITH $shinglesCte,
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
