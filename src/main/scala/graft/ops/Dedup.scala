@@ -162,6 +162,14 @@ object Dedup extends OpModule {
     * minimum. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    cached(s, dir, "dedup_cc_labels")(dedupClustersBuild(s, dir))
+      .orderBy($"doc_id")
+  }
+
+  /** The eager fixpoint computation behind [[dedupClusters]] — runs once
+    * per (session, sf) and is reused by q_dedup_survivors_near. */
+  private def dedupClustersBuild(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val pairs = dedupNearJaccard(s, dir).select($"a_id", $"b_id")
     // undirected: propagate labels both ways
     val edges = pairs.union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
@@ -188,9 +196,7 @@ object Dedup extends OpModule {
     if (!converged)
       throw new IllegalStateException(
         s"dedup clustering did not converge in $round rounds")
-    // the surviving persist is registered so OpCache.clear releases it
-    OpCache.register(s, dir, "dedup_cc_labels", labels)
-    labels.orderBy($"doc_id")
+    labels // already persisted; OpCache tracks it for release
   }
 
   /** The dedup END PRODUCT: the corpus with near-dup clusters collapsed

@@ -23,15 +23,13 @@ object OpCache {
 
   def cached(s: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((s, dir, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-
-  /** Track an ALREADY-persisted DataFrame so `clear` releases it
-    * (for eagerly-built intermediates, e.g. iterative fixpoints). */
-  def register(s: SparkSession, dir: String, key: String, df: DataFrame): DataFrame = {
-    cache.put((s, dir, key), df)
-    df
-  }
+    cache.getOrElseUpdate((s, dir, key), {
+      val df = build
+      // iterative builds (fixpoints) return already-persisted results
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    })
 
   /** Unpersist and forget every cached intermediate of this session. */
   def clear(s: SparkSession): Unit =

@@ -119,6 +119,25 @@ object Scalars extends OpModule {
       .orderBy($"p_partkey")
   }
 
+  /** Per-row array set algebra (union/intersect/except) between the
+    * name-word and type-word sets. Engine order semantics differ
+    * (Spark keeps first-seen order, DuckDB concat order), so results
+    * are SORTED then serialized — set-equal ⇒ string-equal. */
+  def arraySetops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = array_distinct(split($"p_name", " "))
+    val b = array_distinct(split($"p_type", " "))
+    def ser(c: org.apache.spark.sql.Column) = array_join(array_sort(c), ",")
+    Tables.t(s, dir, "part")
+      .select(
+        $"p_partkey",
+        ser(array_union(a, b)).as("u"),
+        ser(array_intersect(a, b)).as("i"),
+        ser(array_except(a, b)).as("d"),
+        size(array_intersect(a, b)).as("n_common"))
+      .orderBy($"p_partkey")
+  }
+
   /** Array function surface. The sliced head is emitted as scalar
     * element extracts (exact floats, engine-portable) rather than an
     * array column: the driver's pandas comparator cannot hash
@@ -197,6 +216,7 @@ object Scalars extends OpModule {
     "q_str_fuzzy" -> (strFuzzy _),
     "q_math_funcs" -> (mathFuncs _),
     "q_array_funcs" -> (arrayFuncs _),
+    "q_array_setops" -> (arraySetops _),
     "q_array_hof" -> (arrayHof _),
     "q_map_funcs" -> (mapFuncs _),
     "q_json_nested" -> (jsonNested _)
@@ -273,6 +293,17 @@ object Scalars extends OpModule {
         |  list_contains(list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 10) AS INTEGER)), 3) AS has_bucket3
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_array_setops" ->
+      """WITH ab AS (SELECT p_partkey,
+        |  list_distinct(string_split(p_name, ' ')) AS a,
+        |  list_distinct(string_split(p_type, ' ')) AS b
+        |  FROM part)
+        |SELECT p_partkey,
+        |  COALESCE(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '') AS u,
+        |  COALESCE(array_to_string(list_sort(list_intersect(a, b)), ','), '') AS i,
+        |  COALESCE(array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ','), '') AS d,
+        |  CAST(len(list_intersect(a, b)) AS INTEGER) AS n_common
+        |FROM ab ORDER BY p_partkey""".stripMargin,
     "q_array_hof" ->
       """SELECT vec_id,
         |  ROUND(sqrt(list_reduce(list_transform(embedding,
