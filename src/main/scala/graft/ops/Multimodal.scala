@@ -67,6 +67,31 @@ object Multimodal extends OpModule {
       .orderBy($"doc_id")
   }
 
+  /** Fixed-size chunking of the opaque binary payload — the stage that
+    * splits large media blobs into embedder-sized pieces. 256-byte
+    * chunks, per chunk: index, exact length, and the first 16 bytes as
+    * hex (a content witness). Chunk count via exact integer arithmetic
+    * (`(len + 255) div 256` — no float ceil). The payload is substring'd
+    * per chunk row (the shape a 100-TB chunker has: bytes stay on the
+    * executor, one Generate, no shuffle). DuckDB has no BLOB substring,
+    * so the oracle slices the hex encoding at doubled offsets. */
+  def multimodalChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payload = encode($"text", "UTF-8")
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", payload.as("payload"),
+        octet_length(payload).as("blen"))
+      .select($"doc_id", $"payload", $"blen",
+        explode(sequence(lit(0L), expr("(blen + 255) div 256") - 1L))
+          .as("chunk_id"))
+      .select($"doc_id", $"chunk_id",
+        least(lit(256L), $"blen" - $"chunk_id" * 256L).cast("int").as("chunk_len"),
+        lower(hex(substring($"payload",
+          ($"chunk_id" * 256L + 1L).cast("int"), lit(16))))
+          .as("head_hex"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** documents ⋈ embeddings (1:1 on doc_id=vec_id) → struct metadata +
     * vector column; per-label aggregate profile. */
   def multimodalJoin(s: SparkSession, dir: String): DataFrame = {
@@ -89,10 +114,24 @@ object Multimodal extends OpModule {
   val queries: Map[String, Q] = Map(
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_multimodal_decode" -> (multimodalDecode _),
+    "q_multimodal_chunks" -> (multimodalChunks _),
     "q_multimodal_join" -> (multimodalJoin _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_chunks" ->
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS payload_hex,
+        |    octet_length(encode(text)) AS blen
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, blen,
+        |    UNNEST(range(0, (blen + 255) // 256)) AS chunk_id, payload_hex
+        |  FROM p)
+        |SELECT doc_id, chunk_id,
+        |  CAST(least(256, blen - chunk_id * 256) AS INTEGER) AS chunk_len,
+        |  lower(substring(payload_hex, CAST(chunk_id * 512 + 1 AS INTEGER), 32)) AS head_hex
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_multimodal_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
