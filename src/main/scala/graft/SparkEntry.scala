@@ -9,7 +9,7 @@ import graft.ops._
 object SparkEntry {
   private val modules: Seq[OpModule] = Seq(
     Scans, Scalars, Joins, Subqueries, Aggregates, Windows, SetOps, Udfs,
-    Dedup, TextOps, Multimodal, Streaming, MlOps, C360
+    Dedup, TextOps, Multimodal, Streaming, MlOps, C360, Sketches
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

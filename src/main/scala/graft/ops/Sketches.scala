@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY.md §2.J — sketch aggregates built from first principles as
+  * DataFrame ops, DETERMINISTIC and therefore exact-oracle-able (unlike
+  * `approx_count_distinct`, whose HLL++ implementation is
+  * engine-internal and only ScalaTest-gated).
+  *
+  * The HLL register build IS the distributed-merge story: registers are
+  * `groupBy(bucket).agg(max(rank))` — map-side partial max per
+  * partition, one tiny shuffle of (bucket, rank) pairs, associative and
+  * commutative merge. At 100 TB the sketch of any column costs one scan
+  * plus a 64-row shuffle. The float ESTIMATE is intentionally left out
+  * of the graded output (computed-double rounding is the one
+  * cross-engine hazard) — accuracy is bounds-checked in ScalaTest; the
+  * graded artifact is the exact register table.
+  */
+object Sketches extends OpModule {
+
+  /** Portable 60-bit integer from the first 15 hex chars of md5. */
+  private def md5int(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private val M = 64 // registers
+
+  /** HLL register table for distinct `user_id` over events: bucket =
+    * low 6 hash bits; rank = leading-zero count (+1) of the remaining
+    * 54-bit field, computed EXACTLY in both engines via the length of
+    * the base-2 string (no float log2 — its floor is off-by-one-prone
+    * near powers of two). */
+  def sketchHllRegisters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .select(md5int($"user_id".cast("string")).as("hv"))
+      .select(
+        ($"hv" % M).as("bucket"),
+        // `div`, not `/`: Column `/` on longs is DOUBLE division, which
+        // loses bits at 2^60 magnitudes. rest has ≤54 significant bits;
+        // bin-length(0) is 1, giving the conventional saturated rank 55
+        // for an all-zero field.
+        (lit(55) - length(conv(expr("hv div 64").cast("string"), 10, 2)))
+          .as("rank"))
+      .groupBy($"bucket")
+      .agg(max($"rank").cast("int").as("register"))
+      .orderBy($"bucket")
+  }
+
+  /** Driver-side estimate from the register table: standard HLL
+    * harmonic mean with the linear-counting small-range correction
+    * (raw HLL is heavily biased when n ≪ m) — used by the accuracy
+    * ScalaTest, not by the graded output. */
+  def hllEstimate(registers: Seq[Int]): Double = {
+    val m = registers.size.toDouble
+    val alpha = 0.709 // alpha_64
+    val z = registers.map(r => math.pow(2.0, -r)).sum
+    val raw = alpha * m * m / z
+    val zeros = registers.count(_ == 0)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sketch_hll" -> (sketchHllRegisters _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sketch_hll" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events)
+        |SELECT hv % 64 AS bucket,
+        |  CAST(MAX(55 - length(bin(hv // 64))) AS INTEGER) AS register
+        |FROM h GROUP BY hv % 64 ORDER BY bucket""".stripMargin
+  )
+}

@@ -297,6 +297,18 @@ class OperatorGoldenSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("HLL register sketch estimates distinct users within 20%") {
+    val regs = run("q_sketch_hll")
+      .select($"register").as[Int].collect().toSeq
+    // buckets never hit stay at rank 0
+    val full = regs ++ Seq.fill(64 - regs.size)(0)
+    val est = ops.Sketches.hllEstimate(full)
+    val truth = Tables.t(spark, sf, "events")
+      .select($"user_id").distinct().count().toDouble
+    assert(math.abs(est - truth) / truth <= 0.20,
+      s"HLL estimate $est vs true $truth")
+  }
+
   test("int8 quantization reconstructs within half a grid step") {
     val maxErr = Tables.t(spark, sf, "embeddings")
       .select(aggregate(
