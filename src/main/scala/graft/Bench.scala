@@ -55,10 +55,14 @@ object Bench {
     * (tail-capture truncates the front of long output — InfraSpec pins
     * that both lines are valid JSON with the driver's expected keys). */
   def renderLines(results: Seq[(String, Double)], sfDir: String): (String, String) = {
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    // Locale.ROOT: the default-locale f"%.3f" renders a COMMA decimal
+    // separator on e.g. de_DE JVMs — malformed JSON
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = d3(results.map(_._2).sum)
     (s"""{"queries":$qs,"sf":"$sfDir"}""",
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
   }
 }

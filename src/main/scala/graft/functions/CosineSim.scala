@@ -17,23 +17,28 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * IEEE op order) — pinned in OperatorGoldenSpec. Versus the composed
   * expression tree this turns 3 array traversals per pair into 1, which
   * is the dominant cost of brute-force / IVF cosine scoring where
-  * neighbor norms can't be cheaply pre-joined. Nulls propagate; lengths
-  * follow zip semantics (shorter array).
+  * neighbor norms can't be cheaply pre-joined. NULL semantics mirror
+  * the composed DotProductF form: null array, length mismatch, or any
+  * null element yields NULL.
   */
 case class CosineSimF(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // may be null even for non-null inputs (length mismatch / null element)
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim_f"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var naa = 0.0; var nbb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv
@@ -54,16 +59,23 @@ case class CosineSimF(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0; double $naa = 0.0; double $nbb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $x.getFloat($i);
-         |  double $yv = (double) $y.getFloat($i);
-         |  $dot += $xv * $yv;
-         |  $naa += $xv * $xv;
-         |  $nbb += $yv * $yv;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $naa = 0.0; double $nbb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xv = (double) $x.getFloat($i);
+         |    double $yv = (double) $y.getFloat($i);
+         |    $dot += $xv * $yv;
+         |    $naa += $xv * $xv;
+         |    $nbb += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($naa) * java.lang.Math.sqrt($nbb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($naa) * java.lang.Math.sqrt($nbb));
        """.stripMargin
     })
 

@@ -15,23 +15,29 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * a strict left-to-right double accumulation over the elements — but
   * evaluated as a tight primitive loop instead of per-element lambda
   * dispatch, which keeps the brute-force cosine path inside one codegen
-  * stage. Nulls propagate (null array → null); lengths must match the
-  * shorter array per zip semantics.
+  * stage. NULL semantics mirror the HOF form exactly (required because
+  * DotProductRewrite substitutes this expression session-wide): a null
+  * array, a LENGTH MISMATCH (zip_with pads the shorter side with nulls,
+  * which poison the sum), or any null element all yield NULL.
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // may be null even for non-null inputs (length mismatch / null element)
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product_f"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -44,12 +50,17 @@ case class DotProductF(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -169,7 +169,10 @@ object Aggregates extends OpModule {
       .groupBy($"bucket", $"event_type").agg(count(lit(1)).as("n"))
     val grid = counts.agg(min($"bucket").as("t0"), max($"bucket").as("t1"))
       .select(explode(sequence($"t0", $"t1", expr("INTERVAL 6 HOURS"))).as("bucket"))
-    val types = e.select($"event_type").distinct()
+    // types from the tiny counts aggregate, NOT a second events scan
+    // (at 100 TB that second pass is a whole extra table read); the
+    // oracle derives its type list from the same aggregate
+    val types = counts.select($"event_type").distinct()
     grid.crossJoin(broadcast(types))
       .join(counts, Seq("bucket", "event_type"), "left")
       .select($"bucket", $"event_type", coalesce($"n", lit(0L)).as("n"))
@@ -394,7 +397,7 @@ object Aggregates extends OpModule {
         |  FROM events GROUP BY 1, 2),
         |g AS (SELECT UNNEST(generate_series(min_b, max_b, INTERVAL '6 hours')) AS bucket
         |  FROM (SELECT min(bucket) AS min_b, max(bucket) AS max_b FROM c)),
-        |t AS (SELECT DISTINCT event_type FROM events)
+        |t AS (SELECT DISTINCT event_type FROM c)
         |SELECT g.bucket AS bucket, t.event_type AS event_type, COALESCE(c.n, 0) AS n
         |FROM g CROSS JOIN t
         |LEFT JOIN c ON c.bucket = g.bucket AND c.event_type = t.event_type

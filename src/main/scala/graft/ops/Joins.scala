@@ -186,11 +186,14 @@ object Joins extends OpModule {
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     val ot = s"orders_b_$key"
     val ct = s"customer_b_$key"
+    val warehouse = new java.net.URI(
+      s.conf.get("spark.sql.warehouse.dir")).getPath
     Seq(ot, ct).foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $db.$t")
       // a crashed run can leave the managed location behind without a
-      // catalog entry — clear it or the write fails
-      val loc = new java.io.File(s"spark-warehouse/$db.db/$t")
+      // catalog entry — clear it or the write fails (location derived
+      // from the session's warehouse dir, not a cwd-relative guess)
+      val loc = new java.io.File(s"$warehouse/$db.db/$t")
       if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
     }
     Tables.t(s, dir, "orders").write.mode("overwrite")

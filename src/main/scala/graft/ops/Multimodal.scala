@@ -81,6 +81,10 @@ object Multimodal extends OpModule {
     Tables.t(s, dir, "documents")
       .select($"doc_id", payload.as("payload"),
         octet_length(payload).as("blen"))
+      // empty payloads yield no chunks: Spark's sequence(0, -1) would
+      // otherwise DESCEND, emitting spurious chunk_ids 0 and -1 where
+      // the oracle's range(0, 0) emits none
+      .filter($"blen" > 0)
       .select($"doc_id", $"payload", $"blen",
         explode(sequence(lit(0L), expr("(blen + 255) div 256") - 1L))
           .as("chunk_id"))

@@ -39,8 +39,11 @@ object Sketches extends OpModule {
         ($"hv" % M).as("bucket"),
         // `div`, not `/`: Column `/` on longs is DOUBLE division, which
         // loses bits at 2^60 magnitudes. rest has ≤54 significant bits;
-        // bin-length(0) is 1, giving the conventional saturated rank 55
-        // for an all-zero field.
+        // bin-length(0) is 1, so an all-zero field gets rank 54 — one
+        // BELOW the conventional saturated 55. Self-consistent: the
+        // oracle computes the identical 54 and hllEstimate weights
+        // registers exactly as built (the 2^-54 vs 2^-55 difference is
+        // far below the estimator's error at this width).
         (lit(55) - length(conv(expr("hv div 64").cast("string"), 10, 2)))
           .as("rank"))
       .groupBy($"bucket")

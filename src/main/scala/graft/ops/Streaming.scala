@@ -142,18 +142,7 @@ object Streaming extends OpModule {
       .withWatermark("ts", "1 hour")
       .select($"user_id", $"event_type")
       .dropDuplicates("user_id", "event_type")
-    val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = withFewPartitions(s) {
-      deduped.writeStream
-        .format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-    }
-    q.awaitTermination()
-    val out = s.table(name)
-    s.catalog.dropTempView(name)
-    out
+    runToTable(s, deduped, "append")
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_users"))
       .orderBy($"event_type")
@@ -175,18 +164,7 @@ object Streaming extends OpModule {
     val joined = purchases.join(clicks,
       $"user_id" === $"c_user" &&
         $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts")
-    val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = withFewPartitions(s) {
-      joined.writeStream
-        .format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-    }
-    q.awaitTermination()
-    val out = s.table(name)
-    s.catalog.dropTempView(name)
-    out
+    runToTable(s, joined, "append")
       .select($"p_id", $"c_id", $"user_id")
       .orderBy($"p_id", $"c_id")
   }

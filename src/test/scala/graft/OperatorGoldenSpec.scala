@@ -195,6 +195,33 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("native expressions mirror HOF null semantics (length mismatch / null element)") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f)),              // length mismatch
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))          // well-formed
+    ).toDF("a", "b")
+    val rows = df.select(
+      graft.functions.DotProductF.dot($"a", $"b").as("dp"),
+      graft.functions.CosineSimF.cosine($"a", $"b").as("cs"),
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("hof")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1) && rows(0).isNullAt(2),
+      "mismatched lengths must yield NULL from both native and HOF forms")
+    assert(rows(1).getDouble(0) === 5.0 && rows(1).getDouble(2) === 5.0)
+    // null element: HOF poisons; native must agree
+    val withNull = spark.sql(
+      """SELECT aggregate(zip_with(array(CAST(1.0 AS FLOAT), NULL),
+        |  array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)),
+        |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v) AS hof
+        |""".stripMargin)
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val nativeNull = spark.sql(
+      """SELECT dot_product_f(array(CAST(1.0 AS FLOAT), NULL),
+        |  array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS dp""".stripMargin)
+    assert(withNull.collect()(0).isNullAt(0))
+    assert(nativeNull.collect()(0).isNullAt(0))
+  }
+
   test("fused cosine_sim_f ≡ composed dot/norm form, bit-exact") {
     val e = Tables.t(spark, sf, "embeddings").limit(60)
     val a = e.select($"vec_id".as("a_id"), $"embedding".as("ea"))

@@ -15,9 +15,11 @@ class ScaleLayoutSpec extends SparkSpec {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     // a previously crashed run can leave the managed location behind
     // without a catalog entry — clear both
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
     Seq("orders_b", "customer_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $db.$t")
-      val loc = new java.io.File(s"spark-warehouse/$db.db/$t")
+      val loc = new java.io.File(s"$warehouse/$db.db/$t")
       if (loc.exists())
         org.apache.commons.io.FileUtils.deleteDirectory(loc)
     }
