@@ -154,6 +154,39 @@ object Aggregates extends OpModule {
       .orderBy($"o_custkey")
   }
 
+  /** Boolean aggregate surface: bool_and / bool_or / count_if per
+    * market segment — exact, engine-shared semantics. */
+  def aggBool(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "customer")
+      .groupBy($"c_mktsegment")
+      .agg(
+        expr("bool_and(c_acctbal > 0)").as("all_positive"),
+        expr("bool_or(c_acctbal > 9000)").as("any_rich"),
+        expr("count_if(c_acctbal < 0)").as("n_negative"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** arg-max/arg-min aggregates (max_by / min_by): per nation the
+    * richest and poorest customer. Ties on balance are broken by
+    * custkey through a composite integer key — money is 2-dp so
+    * round(bal·100) is exactly integral, and custkey < 10^7 at every
+    * graded sf, so key = bal_cents·10^7 + custkey is collision-free
+    * int64 (mirrored verbatim in DuckDB's arg_max/arg_min, whose
+    * struct-key overload doesn't exist). */
+  def aggArgmax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = (round($"c_acctbal" * 100d).cast("long") * 10000000L +
+      $"c_custkey").as("k")
+    Tables.t(s, dir, "customer")
+      .select($"c_nationkey", $"c_custkey", key)
+      .groupBy($"c_nationkey")
+      .agg(
+        expr("max_by(c_custkey, k)").as("richest_custkey"),
+        expr("min_by(c_custkey, k)").as("poorest_custkey"))
+      .orderBy($"c_nationkey")
+  }
+
   /** Gap-filled 6-hour resample of the event log: every (bucket, type)
     * cell of the observed time range, zero-filled where no events
     * landed — the time-series shape dashboards and feature pipelines
@@ -310,6 +343,8 @@ object Aggregates extends OpModule {
     "q_agg_stats" -> (aggStats _),
     "q_agg_collect" -> (aggCollect _),
     "q_events_gapfill" -> (eventsGapfill _),
+    "q_agg_bool" -> (aggBool _),
+    "q_agg_argmax" -> (aggArgmax _),
     "q_feat_pivot" -> (featPivot _),
     "q_feat_trailing_windows" -> (featTrailingWindows _),
     "q_feat_rfm" -> (featRfm _),
@@ -390,6 +425,21 @@ object Aggregates extends OpModule {
       """SELECT o_custkey,
         |  array_to_string(list(CAST(year(o_orderdate) AS INTEGER) ORDER BY year(o_orderdate)), ',') AS order_years
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_agg_bool" ->
+      """SELECT c_mktsegment,
+        |  bool_and(c_acctbal > 0) AS all_positive,
+        |  bool_or(c_acctbal > 9000) AS any_rich,
+        |  CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_agg_argmax" ->
+      """WITH k AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey AS k
+        |  FROM customer)
+        |SELECT c_nationkey,
+        |  arg_max(c_custkey, k) AS richest_custkey,
+        |  arg_min(c_custkey, k) AS poorest_custkey
+        |FROM k GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_events_gapfill" ->
       """WITH c AS (
         |  SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS bucket,

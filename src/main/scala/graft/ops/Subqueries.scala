@@ -41,9 +41,30 @@ object Subqueries extends OpModule {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Correlated EXISTS / NOT EXISTS in one result: customers split by
+    * whether they have a large recent order — Catalyst rewrites both
+    * branches into semi/anti joins on the correlation key. */
+  def subqueryExists(s: SparkSession, dir: String): DataFrame = {
+    viewsFor(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  EXISTS (SELECT 1 FROM orders_sq o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_totalprice > 400000) AS has_big_order
+        |FROM customer_sq c
+        |WHERE EXISTS (SELECT 1 FROM orders_sq o
+        |              WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_sq o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F'
+        |                    AND o.o_totalprice > 500000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_subquery_scalar" -> (subqueryScalar _),
-    "q_subquery_in" -> (subqueryIn _)
+    "q_subquery_in" -> (subqueryIn _),
+    "q_subquery_exists" -> (subqueryExists _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -59,6 +80,19 @@ object Subqueries extends OpModule {
         |FROM customer
         |WHERE c_custkey IN (
         |  SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_subquery_exists" ->
+      """SELECT c_custkey, c_name,
+        |  EXISTS (SELECT 1 FROM orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_totalprice > 400000) AS has_big_order
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F'
+        |                    AND o.o_totalprice > 500000)
         |ORDER BY c_custkey""".stripMargin
   )
 }
