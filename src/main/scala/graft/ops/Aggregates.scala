@@ -229,6 +229,24 @@ object Aggregates extends OpModule {
     piv.select(cols: _*).orderBy($"user_id")
   }
 
+  /** UNPIVOT (wide → long), the inverse of featPivot: per-type event
+    * counts pivoted wide then `stack`ed back to (user_id, type, cnt)
+    * rows. Absent cells (null from the pivot) are dropped, so the
+    * round trip equals the direct long-form group-by the oracle runs —
+    * proving pivot⇄unpivot is lossless. */
+  def featUnpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val piv = Tables.t(s, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    val stackArgs = eventTypes.map(t => s"'$t', `$t`").mkString(", ")
+    piv.select($"user_id",
+        expr(s"stack(${eventTypes.size}, $stackArgs) AS (event_type, cnt)"))
+      .filter($"cnt".isNotNull)
+      .orderBy($"user_id", $"event_type")
+  }
+
   /** Reference signature op: trailing 30/60/90-day order count + spend
     * per customer, windows anchored at the global max order date.
     * One conditional-aggregation pass — the anchor is a broadcast scalar. */
@@ -344,6 +362,7 @@ object Aggregates extends OpModule {
     "q_agg_collect" -> (aggCollect _),
     "q_events_gapfill" -> (eventsGapfill _),
     "q_agg_bool" -> (aggBool _),
+    "q_feat_unpivot" -> (featUnpivot _),
     "q_agg_argmax" -> (aggArgmax _),
     "q_feat_pivot" -> (featPivot _),
     "q_feat_trailing_windows" -> (featTrailingWindows _),
@@ -425,6 +444,10 @@ object Aggregates extends OpModule {
       """SELECT o_custkey,
         |  array_to_string(list(CAST(year(o_orderdate) AS INTEGER) ORDER BY year(o_orderdate)), ',') AS order_years
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_feat_unpivot" ->
+      """SELECT user_id, event_type, COUNT(*) AS cnt
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "q_agg_bool" ->
       """SELECT c_mktsegment,
         |  bool_and(c_acctbal > 0) AS all_positive,

@@ -140,7 +140,28 @@ object Windows extends OpModule {
       .orderBy($"c_custkey")
   }
 
+  /** TIME-range window frame: per customer, rolling 7-day order count
+    * and spend (RANGE BETWEEN INTERVAL 7 DAYS PRECEDING). Value-based
+    * frames include all peers of the current order date, so the result
+    * is tie-safe and row-order independent by construction — the
+    * CORRECT trailing-feature formulation (the anchored conditional agg
+    * in q_feat_trailing_windows is the single-anchor variant). One
+    * shuffle by customer, sort within partition — the 100-TB shape. */
+  def winTimeRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders").createOrReplaceTempView("orders_wtr")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  COUNT(*) OVER w AS n_7d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER w AS DOUBLE) AS spend_7d
+        |FROM orders_wtr
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP)
+        |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_win_time_range" -> (winTimeRange _),
     "q_win_dist" -> (winDist _),
     "q_win_rank" -> (winRank _),
     "q_win_ntile_pct" -> (winNtilePct _),
@@ -155,6 +176,14 @@ object Windows extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_time_range" ->
+      """SELECT o_orderkey, o_custkey,
+        |  COUNT(*) OVER w AS n_7d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER w AS DOUBLE) AS spend_7d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP)
+        |  RANGE BETWEEN INTERVAL '7 days' PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_win_dist" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
         |  ROUND(percent_rank() OVER w, 4) AS pct_rank,
