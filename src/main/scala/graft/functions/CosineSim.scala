@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: cosine similarity of two float arrays in
   * ONE fused loop (dot, ‖a‖², ‖b‖² as three accumulators), with
@@ -23,6 +24,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class CosineSimF(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // getFloat reads require array<float> inputs — reject anything else at
+  // analysis time (the expression is SQL-reachable via GraftExtensions,
+  // where array<double> literals would otherwise yield garbage).
+  // Hand-rolled: ExpectsInputTypes needs private[sql] AbstractDataType.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<float>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true

@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: dot product of two float arrays, with
   * whole-stage codegen (SURVEY §2.L stretch item).
@@ -22,6 +23,24 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // The eval/codegen bodies read elements with getFloat, so anything but
+  // array<float> must FAIL ANALYSIS — on array<double> the same reads
+  // would bit-reinterpret garbage under codegen. This expression is
+  // SQL-reachable (GraftExtensions registers it), so the guard is load-
+  // bearing for direct user SQL, not just for the rewrite rule.
+  // (ExpectsInputTypes is unusable outside the sql package —
+  // AbstractDataType is private[sql] — so the check is hand-rolled.)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<float>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true

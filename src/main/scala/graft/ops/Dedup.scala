@@ -193,9 +193,14 @@ object Dedup extends OpModule {
       round += 1
     }
     edges.unpersist(blocking = false)
-    if (!converged)
+    if (!converged) {
+      // error path: the final propagated frame never reaches OpCache, so
+      // release it here or its MEMORY_AND_DISK storage leaks for the
+      // rest of the session
+      labels.unpersist(blocking = false)
       throw new IllegalStateException(
         s"dedup clustering did not converge in $round rounds")
+    }
     labels // already persisted; OpCache tracks it for release
   }
 

@@ -248,6 +248,23 @@ class OperatorGoldenSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(1) >= 0.0))
   }
 
+  test("native expressions reject non-float-array inputs at analysis time") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    // array<double> would be read with getFloat (bit-reinterpreted
+    // garbage under codegen) — must fail analysis, not produce numbers
+    for (fn <- Seq("dot_product_f", "cosine_sim_f")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $fn(array(1.0D, 2.0D), array(1.0D, 2.0D))").collect()
+      }
+      assert(e.getMessage.contains("array<float>"), s"$fn: ${e.getMessage}")
+    }
+    // well-typed call still analyzes fine
+    val ok = spark.sql(
+      """SELECT dot_product_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+    assert(ok.collect()(0).getDouble(0) === 11.0)
+  }
+
   test("IVF ANN recall ≥ 0.5 vs brute force top-10") {
     val truth = run("q_sim_topk_cosine")
       .select($"probe_id", $"nbr_id").as[(Long, Long)].collect().toSet
