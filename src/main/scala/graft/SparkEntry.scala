@@ -9,7 +9,8 @@ import graft.ops._
 object SparkEntry {
   private val modules: Seq[OpModule] = Seq(
     Scans, Scalars, Joins, Subqueries, Aggregates, Windows, SetOps, Udfs,
-    Dedup, TextOps, Multimodal, Streaming, MlOps, C360, Sketches
+    Dedup, TextOps, Multimodal, Streaming, MlOps, C360, Sketches,
+    PipelineOps, Embeddings
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

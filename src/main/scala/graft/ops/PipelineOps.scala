@@ -1,0 +1,226 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Data-pipeline operators a large-scale training-data / feature-store
+  * build needs beyond the relational core: deterministic sampling and
+  * dataset splits, incremental (partial-aggregate merge) computation,
+  * snapshot diffing (CDC shape), a JSONL source/sink round trip, and
+  * blocked fuzzy entity resolution.
+  *
+  * All six are exact/deterministic by construction (hash splits via the
+  * portable md5 60-bit integer; systematic sampling via row_number on a
+  * unique key; integer edit distances), so every one is DuckDB-oracled.
+  */
+object PipelineOps extends OpModule {
+  import Det._
+
+  /** Portable 60-bit integer from the first 15 hex chars of md5. */
+  private def md5int(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic stratified (systematic) sampling: every 10th
+    * customer per market segment in c_custkey order. One shuffle by
+    * stratum; at 100 TB the same shape samples per partition with the
+    * window bounded by the stratum key. For sampling that must avoid
+    * even that shuffle, [[splitHash]] is the stateless alternative. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_custkey")
+    Tables.t(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(($"rn" - 1) % 10 === 0)
+      .orderBy($"c_custkey")
+  }
+
+  /** Deterministic train/val/test split assignment by content hash —
+    * the standard reproducible-split recipe for training corpora.
+    * Stateless and shuffle-free: each row's split is a pure function of
+    * its key, so the same doc lands in the same split on any cluster,
+    * any partitioning, any day. 80/10/10 via md5 bucket. */
+  def splitHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", (md5int($"doc_id".cast("string")) % 10).as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 8, "train")
+          .when($"bucket" === 8, "val")
+          .otherwise("test"))
+      .orderBy($"doc_id")
+  }
+
+  /** Incremental aggregation: two disjoint slices of lineitem are
+    * aggregated INDEPENDENTLY, then their partial states are merged —
+    * and the merge equals the direct aggregate (the oracle). This is
+    * the algebraic-aggregate contract that makes incremental /
+    * streaming / partition-parallel aggregation correct: COUNT merges
+    * by sum, decimal SUM merges by sum (exact, order-insensitive).
+    * At 100 TB this is how yesterday's aggregate plus today's delta
+    * avoids rescanning the corpus. */
+  def aggIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.t(s, dir, "lineitem")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(d12($"l_quantity")).as("qty"))
+    val early = partial(li.filter($"l_shipdate" < "1996-01-01"))
+    val late  = partial(li.filter($"l_shipdate" >= "1996-01-01"))
+    early.unionAll(late)
+      .groupBy($"l_returnflag")
+      .agg(sum($"n").cast("long").as("n"),
+        sum($"qty").cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Snapshot diff (the CDC shape): per-customer order count + decimal
+    * spend at two cutoff dates, full-outer joined; each customer is
+    * `added` (absent from the old snapshot), `changed`, or `same`.
+    * One shuffle per snapshot aggregate + one join on the entity key —
+    * the scalable delta-detection pattern (never a row-level diff of
+    * raw snapshots when an aggregate key exists). */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.t(s, dir, "orders")
+    def snap(cut: String) =
+      orders.filter($"o_orderdate" < cut)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n"), sum(d12($"o_totalprice")).as("spend"))
+    val a = snap("1997-01-01")
+      .select($"o_custkey".as("custkey"), $"n".as("a_n"), $"spend".as("a_spend"))
+    val b = snap("1998-01-01")
+      .select($"o_custkey".as("custkey"), $"n".as("b_n"), $"spend".as("b_spend"))
+    a.join(b, Seq("custkey"), "full")
+      .select($"custkey",
+        when($"a_n".isNull, "added")
+          .when($"a_n" === $"b_n", "same")
+          .otherwise("changed").as("status"),
+        $"a_n".cast("long").as("a_n"), $"b_n".cast("long").as("b_n"),
+        $"a_spend".cast("double").as("a_spend"),
+        $"b_spend".cast("double").as("b_spend"))
+      .orderBy($"custkey")
+  }
+
+  /** JSONL source/sink round trip: write documents as JSON lines, read
+    * back with an EXPLICIT schema (schema inference over a 100-TB
+    * directory is a full extra pass), aggregate with an exact integer
+    * text witness (md5-derived) per (lang, source). The oracle reads
+    * the original parquet — equality proves the text survived the
+    * JSON escape/unescape loop byte-exactly. */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = "/tmp/graft_jsonl_sink/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/documents_jsonl"
+    val src = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"lang", $"source", $"n_chars", $"text")
+    src.write.mode("overwrite").json(path)
+    s.read.schema(src.schema).json(path)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n"),
+        sum($"n_chars").cast("long").as("chars"),
+        sum(md5int($"text") % 1000000).cast("long").as("text_wit"))
+      .orderBy($"lang", $"source")
+  }
+
+  /** Blocked fuzzy entity resolution: a deterministic "dirty" copy of
+    * every customer name (one digit replaced by 'x' at a key-dependent
+    * position) is matched back to the clean table. Blocking on the
+    * unperturbed last-4-digit suffix turns the O(n²) all-pairs edit-
+    * distance problem into an equi-join with ~1–2 candidates per block;
+    * the levenshtein ≤ 1 verify runs on candidates only — the standard
+    * block→verify ER plan that survives 100 TB (candidates bounded by
+    * block size, shuffle on the block key). */
+  def erBlocking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.t(s, dir, "customer")
+    // c_name = 'Customer#%09d' (length 18); perturbed digit position is
+    // 10 + custkey%5, so chars 15..18 (the block key) are never touched
+    val dirty = cust.select(
+      $"c_custkey".as("dirty_id"),
+      expr("concat(substr(c_name, 1, cast(9 + c_custkey % 5 as int)), 'x'," +
+        " substr(c_name, cast(11 + c_custkey % 5 as int)))").as("dirty_name"),
+      substring($"c_name", 15, 4).as("blk"))
+    val clean = cust.select($"c_custkey", $"c_name",
+      substring($"c_name", 15, 4).as("blk"))
+    dirty.join(clean, Seq("blk"))
+      .filter(levenshtein($"dirty_name", $"c_name") <= 1)
+      .select($"dirty_id", $"c_custkey".as("matched_id"),
+        levenshtein($"dirty_name", $"c_name").as("dist"))
+      .orderBy($"dirty_id", $"matched_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sample_stratified" -> (sampleStratified _),
+    "q_split_hash" -> (splitHash _),
+    "q_agg_incremental" -> (aggIncremental _),
+    "q_snapshot_diff" -> (snapshotDiff _),
+    "q_source_jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "q_er_blocking" -> (erBlocking _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      """WITH r AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_custkey) AS BIGINT) AS rn
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment, rn FROM r
+        |WHERE (rn - 1) % 10 = 0 ORDER BY c_custkey""".stripMargin,
+    "q_split_hash" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    % 10 AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    % 10 < 8 THEN 'train'
+        |  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    % 10 = 8 THEN 'val' ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_agg_incremental" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS spend
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY o_custkey),
+        |b AS (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS spend
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY o_custkey)
+        |SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+        |  CASE WHEN a.n IS NULL THEN 'added'
+        |       WHEN a.n = b.n THEN 'same' ELSE 'changed' END AS status,
+        |  CAST(a.n AS BIGINT) AS a_n, CAST(b.n AS BIGINT) AS b_n,
+        |  CAST(a.spend AS DOUBLE) AS a_spend,
+        |  CAST(b.spend AS DOUBLE) AS b_spend
+        |FROM a FULL JOIN b ON a.custkey = b.custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_source_jsonl_roundtrip" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1000000)
+        |    AS BIGINT) AS text_wit
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_er_blocking" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS dirty_id,
+        |    substr(c_name, 1, CAST(9 + c_custkey % 5 AS INTEGER)) || 'x' ||
+        |      substr(c_name, CAST(11 + c_custkey % 5 AS INTEGER)) AS dirty_name,
+        |    substr(c_name, 15, 4) AS blk
+        |  FROM customer),
+        |clean AS (
+        |  SELECT c_custkey, c_name, substr(c_name, 15, 4) AS blk FROM customer)
+        |SELECT d.dirty_id, c.c_custkey AS matched_id,
+        |  CAST(levenshtein(d.dirty_name, c.c_name) AS INTEGER) AS dist
+        |FROM dirty d JOIN clean c USING (blk)
+        |WHERE levenshtein(d.dirty_name, c.c_name) <= 1
+        |ORDER BY dirty_id, matched_id""".stripMargin
+  )
+}

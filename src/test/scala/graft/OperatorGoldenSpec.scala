@@ -265,6 +265,50 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(ok.collect()(0).getDouble(0) === 11.0)
   }
 
+  test("hash split partitions the corpus: disjoint, complete, 3-way") {
+    val sp = run("q_split_hash")
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(sp.count() === total, "every doc gets exactly one split")
+    val bySplit = sp.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.values.sum === total)
+    // hash split dominance: train is the 8/10 share
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+  }
+
+  test("incremental partial-agg merge equals the direct aggregate") {
+    val merged = run("q_agg_incremental").collect()
+    val direct = Tables.t(spark, sf, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(graft.Det.d12($"l_quantity")).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag").collect()
+    assert(merged.toSeq === direct.toSeq)
+  }
+
+  test("blocked ER resolves every dirty record back to its source") {
+    val matches = run("q_er_blocking")
+      .select($"dirty_id", $"matched_id").as[(Long, Long)].collect()
+    val selfMatched = matches.filter { case (d, m) => d == m }.map(_._1).toSet
+    val all = Tables.t(spark, sf, "customer")
+      .select($"c_custkey").as[Long].collect().toSet
+    assert(selfMatched === all, "recall must be 1 (blocking never drops the true match)")
+  }
+
+  test("snapshot diff statuses are consistent with cumulative snapshots") {
+    val rows = run("q_snapshot_diff").collect()
+    rows.foreach { r =>
+      val status = r.getAs[String]("status")
+      if (status == "added") assert(r.isNullAt(r.fieldIndex("a_n")))
+      else {
+        val (a, b) = (r.getAs[Long]("a_n"), r.getAs[Long]("b_n"))
+        assert(b >= a, "snapshots are cumulative")
+        assert((a == b) == (status == "same"))
+      }
+    }
+  }
+
   test("IVF ANN recall ≥ 0.5 vs brute force top-10") {
     val truth = run("q_sim_topk_cosine")
       .select($"probe_id", $"nbr_id").as[(Long, Long)].collect().toSet
