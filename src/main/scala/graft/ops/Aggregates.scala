@@ -352,7 +352,59 @@ object Aggregates extends OpModule {
       .orderBy($"event_type")
   }
 
+  /** Weighted average + EXACT weighted median of extended price
+    * weighted by quantity, per returnflag. The average is the decimal-
+    * sum-of-products recipe with the /100 pre-scale (2-dp money ⇒ the
+    * 4-dp rescale is exact; keeps the summed unscaled value under 2^53
+    * so the decimal→double cast is bit-identical in both engines). The
+    * median is pure integer/decimal arithmetic: cumulative weight over
+    * a RANGE frame (both engines' default — ties share one cumulative
+    * value, so the result is order-independent), smallest price whose
+    * doubled cumulative weight reaches the total. */
+  def aggWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_returnflag".as("rf"),
+        d12($"l_extendedprice").as("price"),
+        ($"l_extendedprice" / 100).cast(D12).as("p2"),
+        $"l_quantity".cast("long").as("qty"))
+    val tot = li.groupBy($"rf")
+      .agg(sum($"qty").as("w_total"), sum($"p2" * $"qty").as("pq_sum"))
+    val w = Window.partitionBy($"rf").orderBy($"price")
+    val med = li.withColumn("cumw", sum($"qty").over(w))
+      .join(tot.select($"rf", $"w_total"), Seq("rf"))
+      .filter($"cumw" * 2 >= $"w_total")
+      .groupBy($"rf").agg(min($"price").as("wmed"))
+    tot.join(med, Seq("rf"))
+      .select($"rf", $"w_total".cast("long").as("w_total"),
+        round(($"pq_sum".cast("double") * 100) / $"w_total".cast("double"), 4)
+          .as("wavg"),
+        $"wmed".cast("double").as("wmedian"))
+      .orderBy($"rf")
+  }
+
+  /** Per-user event-type diversity as exact integer-scaled Gini
+    * impurity: 1 − Σ pᵢ² over the user's event-type distribution,
+    * scaled ×10⁴ and floor-divided — pure int64 (Shannon entropy needs
+    * ln, which is not bit-portable across engines; Gini is rational).
+    * Two-level group-by, both map-side combinable. */
+  def aggGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_i"))
+      .groupBy($"user_id")
+      .agg(sum($"n_i").as("n_events"), sum($"n_i" * $"n_i").as("ss"))
+      .select($"user_id", $"n_events".cast("long").as("n_events"),
+        expr("(n_events * n_events - ss) * 10000 div (n_events * n_events)")
+          .as("gini_scaled"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_weighted" -> (aggWeighted _),
+    "q_agg_gini" -> (aggGini _),
     "q_agg_pricing_summary" -> (pricingSummary _),
     "q_agg_distinct" -> (aggDistinct _),
     "q_agg_rollup" -> (aggRollup _),
@@ -380,6 +432,39 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_agg_weighted" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(l_extendedprice AS DECIMAL(12,4)) AS price,
+        |    CAST(l_extendedprice / 100 AS DECIMAL(12,4)) AS p2,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |tot AS (
+        |  SELECT rf, SUM(qty) AS w_total, SUM(p2 * qty) AS pq_sum
+        |  FROM li GROUP BY rf),
+        |cum AS (
+        |  SELECT rf, price,
+        |    SUM(qty) OVER (PARTITION BY rf ORDER BY price) AS cumw
+        |  FROM li),
+        |med AS (
+        |  SELECT c.rf, MIN(c.price) AS wmed
+        |  FROM cum c JOIN tot t ON c.rf = t.rf
+        |  WHERE c.cumw * 2 >= t.w_total GROUP BY c.rf)
+        |SELECT t.rf, CAST(t.w_total AS BIGINT) AS w_total,
+        |  ROUND(CAST(t.pq_sum AS DOUBLE) * 100 / CAST(t.w_total AS DOUBLE), 4)
+        |    AS wavg,
+        |  CAST(m.wmed AS DOUBLE) AS wmedian
+        |FROM tot t JOIN med m ON t.rf = m.rf ORDER BY t.rf""".stripMargin,
+    "q_agg_gini" ->
+      """WITH pt AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n_i
+        |  FROM events GROUP BY user_id, event_type),
+        |u AS (
+        |  SELECT user_id, SUM(n_i) AS n, SUM(n_i * n_i) AS ss
+        |  FROM pt GROUP BY user_id)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST((n * n - ss) * 10000 // (n * n) AS BIGINT) AS gini_scaled
+        |FROM u ORDER BY user_id""".stripMargin,
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,

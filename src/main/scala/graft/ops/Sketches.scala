@@ -64,8 +64,71 @@ object Sketches extends OpModule {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
   }
 
+  /** Universal-hash family shared by the CMS and Bloom sketches:
+    * h_k(x) = ((A_k·(md5int(x) mod 2^30) + B_k) mod P) mod width —
+    * exact int64 in both engines (A·b ≤ ~1.2e18 < 2^63). */
+  private val P = 2147483647L // 2^31 - 1 (prime)
+  private val HA = Seq(1103515245L, 1299709L, 104729L, 15485863L)
+  private val HB = Seq(12345L, 54321L, 98765L, 424242L)
+
+  private def hbase(c: Column): Column = md5int(c) % 1073741824L // 2^30
+
+  /** hash row/bucket for family member k (a 0-based int column). */
+  private def hk(b: Column, k: Column, width: Int): Column =
+    ((element_at(array(HA.map(lit): _*), k + 1) * b +
+      element_at(array(HB.map(lit): _*), k + 1)) % P) % width
+
+  /** Count-Min sketch of per-user event frequencies: a d=4 × w=64
+    * register table of exact counts. The build is the distributed-merge
+    * story: one 4×-amplified shuffle of (row, col) pairs with map-side
+    * partial counts; registers merge by + (associative, commutative),
+    * so sketching 100 TB costs one scan + a 256-row shuffle. Point
+    * estimates (min over rows — never an underestimate) are bounds-
+    * checked in ScalaTest; the graded artifact is the exact register
+    * table, which DuckDB reproduces bit-for-bit. */
+  def sketchCms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .select(hbase($"user_id".cast("string")).as("b"))
+      .select(explode(sequence(lit(0), lit(3))).as("r"), $"b")
+      .select($"r".cast("int").as("r"), hk($"b", $"r", 64).as("col"))
+      .groupBy($"r", $"col")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"r", $"col")
+  }
+
+  /** Bloom-filter membership from first principles: k=3 bit positions
+    * in an m=8192-bit filter for every distinct high-value order
+    * customer (the build side), then every customer probed — flagged
+    * `maybe_present` iff all 3 of its positions are set. The bit table
+    * (≤8192 rows regardless of corpus size) is broadcast, so probes
+    * never shuffle — exactly how a pre-computed Bloom filter prunes a
+    * 100-TB scan. Deterministic md5-affine hashing ⇒ exact-oracled;
+    * the no-false-negative invariant is asserted in ScalaTest. */
+  def sketchBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ks = explode(sequence(lit(0), lit(2)))
+    val bits = Tables.t(s, dir, "orders")
+      .filter($"o_totalprice" > 480000)
+      .select($"o_custkey").distinct()
+      .select(hbase($"o_custkey".cast("string")).as("h"))
+      .select(ks.as("k"), $"h")
+      .select(hk($"h", $"k", 8192).as("pos")).distinct()
+    val probes = Tables.t(s, dir, "customer")
+      .select($"c_custkey", hbase($"c_custkey".cast("string")).as("h"))
+      .select($"c_custkey", ks.as("k"), $"h")
+      .select($"c_custkey", hk($"h", $"k", 8192).as("pos"))
+    probes.join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy($"c_custkey")
+      .agg((sum(coalesce($"hit", lit(0))) === 3).as("maybe_present"))
+      .select($"c_custkey".as("custkey"), $"maybe_present")
+      .orderBy($"custkey")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_sketch_hll" -> (sketchHllRegisters _)
+    "q_sketch_hll" -> (sketchHllRegisters _),
+    "q_sketch_cms" -> (sketchCms _),
+    "q_sketch_bloom" -> (sketchBloom _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -75,6 +138,40 @@ object Sketches extends OpModule {
         |  FROM events)
         |SELECT hv % 64 AS bucket,
         |  CAST(MAX(55 - length(bin(hv // 64))) AS INTEGER) AS register
-        |FROM h GROUP BY hv % 64 ORDER BY bucket""".stripMargin
+        |FROM h GROUP BY hv % 64 ORDER BY bucket""".stripMargin,
+    "q_sketch_cms" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    % 1073741824 AS b
+        |  FROM events),
+        |amp AS (
+        |  SELECT CAST(k AS INTEGER) AS r,
+        |    (([1103515245, 1299709, 104729, 15485863][k + 1] * b +
+        |      [12345, 54321, 98765, 424242][k + 1]) % 2147483647) % 64 AS col
+        |  FROM h CROSS JOIN (SELECT UNNEST(range(4)) AS k) ks)
+        |SELECT r, col, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM amp GROUP BY r, col ORDER BY r, col""".stripMargin,
+    "q_sketch_bloom" ->
+      """WITH members AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 480000),
+        |mh AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    % 1073741824 AS h
+        |  FROM members),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    (([1103515245, 1299709, 104729][k + 1] * h +
+        |      [12345, 54321, 98765][k + 1]) % 2147483647) % 8192 AS pos
+        |  FROM mh CROSS JOIN (SELECT UNNEST(range(3)) AS k) ks),
+        |probes AS (
+        |  SELECT c_custkey,
+        |    (([1103515245, 1299709, 104729][k + 1] *
+        |      (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        % 1073741824) +
+        |      [12345, 54321, 98765][k + 1]) % 2147483647) % 8192 AS pos
+        |  FROM customer CROSS JOIN (SELECT UNNEST(range(3)) AS k) ks)
+        |SELECT p.c_custkey AS custkey, COUNT(b.pos) = 3 AS maybe_present
+        |FROM probes p LEFT JOIN bits b ON p.pos = b.pos
+        |GROUP BY p.c_custkey ORDER BY custkey""".stripMargin
   )
 }

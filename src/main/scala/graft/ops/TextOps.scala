@@ -169,6 +169,58 @@ object TextOps extends OpModule {
       .orderBy($"doc_id")
   }
 
+  /** PII redaction: emails then digit runs masked via regexp_replace.
+    * The corpus is digit-free, so a deterministic contact string
+    * (derived from doc_id) is appended first — making the op
+    * demonstrable and the redaction observable. Pure narrow projection
+    * in WholeStageCodegen; patterns are in the Java∩RE2 regex
+    * intersection so both engines rewrite identically. */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enriched = concat(
+      substring($"text", 1, 40),
+      lit(" contact u"), $"doc_id".cast("string"),
+      lit("@ex.com or call 555-0"),
+      lpad(($"doc_id" % 100).cast("string"), 2, "0"))
+    Tables.t(s, dir, "documents")
+      .select($"doc_id",
+        regexp_replace(
+          regexp_replace(enriched, "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("redacted"))
+      .orderBy($"doc_id")
+  }
+
+  /** Bigram collocations by integer-scaled PMI: how much more often a
+    * word pair co-occurs than its positional unigram frequencies
+    * predict. pmi_scaled = n_ab·N·10⁴ div (n_{a·}·n_{·b}) — an exact
+    * int64 monotone image of the PMI ratio (ln is not bit-portable
+    * across engines; the scaled ratio is). Tokenizes once via
+    * posexplode + window lead (the no-CSE-in-HOF-lambdas lesson);
+    * unigram margins are small (vocab-sized) and broadcast. */
+  def textCollocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val big = OpCache.cached(s, dir, "colloc_bigrams") {
+      Tables.t(s, dir, "documents")
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+        .withColumn("nxt", lead($"word", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .select($"word".as("w1"), $"nxt".as("w2"))
+    }
+    val nab = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+    val n1 = big.groupBy($"w1").agg(count(lit(1)).as("n_w1"))
+    val n2 = big.groupBy($"w2").agg(count(lit(1)).as("n_w2"))
+    nab.join(broadcast(n1), Seq("w1"))
+      .join(broadcast(n2), Seq("w2"))
+      .crossJoin(broadcast(big.agg(count(lit(1)).as("n_tot"))))
+      .filter($"n_ab" >= 5)
+      .select($"w1", $"w2", $"n_ab",
+        expr("n_ab * n_tot * 10000 div (n_w1 * n_w2)").as("pmi_scaled"))
+      .orderBy($"pmi_scaled".desc, $"w1".asc, $"w2".asc)
+      .limit(30)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_tokens_tf" -> (textTokensTf _),
     "q_text_ngrams" -> (textNgrams _),
@@ -177,12 +229,43 @@ object TextOps extends OpModule {
     "q_text_quality" -> (textQuality _),
     "q_text_quality_filter" -> (textQualityFilter _),
     "q_text_fingerprint" -> (textFingerprint _),
-    "q_text_langid" -> (textLangid _)
+    "q_text_langid" -> (textLangid _),
+    "q_text_redact" -> (textRedact _),
+    "q_text_collocations" -> (textCollocations _)
   )
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    substr(text, 1, 40) || ' contact u' || CAST(doc_id AS VARCHAR)
+        |      || '@ex.com or call 555-0'
+        |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+        |    '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(UNNEST(range(len(string_split(text, ' ')))) AS INTEGER) AS pos,
+        |    UNNEST(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |big AS (
+        |  SELECT word AS w1,
+        |    lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks),
+        |b2 AS (SELECT w1, w2 FROM big WHERE w2 IS NOT NULL),
+        |nab AS (SELECT w1, w2, COUNT(*) AS n_ab FROM b2 GROUP BY w1, w2),
+        |n1 AS (SELECT w1, COUNT(*) AS n_w1 FROM b2 GROUP BY w1),
+        |n2 AS (SELECT w2, COUNT(*) AS n_w2 FROM b2 GROUP BY w2),
+        |tot AS (SELECT COUNT(*) AS n_tot FROM b2)
+        |SELECT nab.w1, nab.w2, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST((n_ab * n_tot * 10000) // (n_w1 * n_w2) AS BIGINT) AS pmi_scaled
+        |FROM nab JOIN n1 USING (w1) JOIN n2 USING (w2) CROSS JOIN tot
+        |WHERE n_ab >= 5
+        |ORDER BY pmi_scaled DESC, w1 ASC, w2 ASC LIMIT 30""".stripMargin,
     "q_text_tokens_tf" ->
       s"""SELECT term, COUNT(*) AS tf FROM (
          |  SELECT UNNEST(string_split(lower(text), ' ')) AS term FROM documents) t

@@ -309,6 +309,71 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  // JVM replica of the engines' portable md5-affine hash family
+  private def md5int60(x: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.substring(0, 15), 16)
+  }
+  private val HA = Seq(1103515245L, 1299709L, 104729L, 15485863L)
+  private val HB = Seq(12345L, 54321L, 98765L, 424242L)
+  private def hk(b: Long, k: Int, width: Int): Long =
+    ((HA(k) * b + HB(k)) % 2147483647L) % width
+
+  test("CMS point estimates never underestimate true counts") {
+    val regs = run("q_sketch_cms")
+      .select($"r", $"col", $"n").as[(Int, Long, Long)].collect()
+      .map { case (r, c, n) => (r, c) -> n }.toMap
+    val truth = Tables.t(spark, sf, "events")
+      .groupBy($"user_id").count()
+      .as[(Long, Long)].collect()
+    val total = truth.map(_._2).sum
+    truth.foreach { case (u, n) =>
+      val b = md5int60(u.toString) % 1073741824L
+      val est = (0 until 4).map(r => regs.getOrElse((r, hk(b, r, 64)), 0L)).min
+      assert(est >= n, s"CMS underestimated user $u: $est < $n")
+      // sanity cap: a single register can't exceed the corpus
+      assert(est <= total)
+    }
+  }
+
+  test("Bloom filter has no false negatives; bounded false positives") {
+    val flagged = run("q_sketch_bloom")
+      .filter($"maybe_present").select($"custkey").as[Long].collect().toSet
+    val members = Tables.t(spark, sf, "orders")
+      .filter($"o_totalprice" > 480000)
+      .select($"o_custkey").distinct().as[Long].collect().toSet
+    val missed = members.diff(flagged)
+    assert(missed.isEmpty, s"false negatives (impossible for a Bloom filter): $missed")
+    val universe = Tables.t(spark, sf, "customer").count()
+    val fpr = (flagged.size - members.size).toDouble /
+      math.max(1L, universe - members.size)
+    // m=8192, k=3: fill is light at test scale — fpr must stay small
+    assert(fpr <= 0.2, s"false-positive rate $fpr out of bounds")
+  }
+
+  test("weighted median equals the brute-force definition") {
+    val got = run("q_agg_weighted")
+      .select($"rf", $"wmedian").as[(String, Double)].collect().toMap
+    val rows = Tables.t(spark, sf, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice", $"l_quantity")
+      .as[(String, Double, Double)].collect()
+    rows.groupBy(_._1).foreach { case (rf, grp) =>
+      val sorted = grp.sortBy(_._2)
+      val total = sorted.map(_._3.toLong).sum
+      var cum = 0L
+      val expected = sorted.find { r => cum += r._3.toLong; cum * 2 >= total }.get._2
+      assert(got(rf) === expected, s"weighted median mismatch for $rf")
+    }
+  }
+
+  test("gini impurity stays in [0, 8000] for a 5-type taxonomy") {
+    val g = run("q_agg_gini").select($"gini_scaled").as[Long].collect()
+    assert(g.forall(v => v >= 0 && v <= 8000),
+      "gini_scaled must lie in [0, 10^4·(1−1/5)]")
+    assert(g.exists(_ > 0), "at least one user has a mixed event profile")
+  }
+
   test("IVF ANN recall ≥ 0.5 vs brute force top-10") {
     val truth = run("q_sim_topk_cosine")
       .select($"probe_id", $"nbr_id").as[(Long, Long)].collect().toSet
