@@ -402,7 +402,41 @@ object Aggregates extends OpModule {
       .orderBy($"user_id")
   }
 
+  /** Per-nation simple linear regression (OLS) of customer balance on
+    * order count — regression AS aggregation: the five sufficient
+    * statistics (n, Σx, Σx², Σy, Σxy) are map-side-combinable exact
+    * sums (ints + decimals, all under 2^53 unscaled so the → double
+    * casts are bit-identical), and slope/intercept are then composed in
+    * pure double arithmetic with the IDENTICAL expression tree in both
+    * engines. This is how a 100-TB regression runs: one scan, one tiny
+    * shuffle of sufficient statistics, closed-form solve. */
+  def aggOls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.t(s, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("x"))
+    val base = Tables.t(s, dir, "customer")
+      .join(perCust, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_nationkey", coalesce($"x", lit(0L)).as("x"),
+        d12($"c_acctbal").as("y"))
+    base.groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"),
+        sum($"y").as("sy"), sum($"y" * $"x").as("sxy"))
+      .select($"c_nationkey", $"n".cast("long").as("n"),
+        $"n".cast("double").as("nd"), $"sx".cast("double").as("sxd"),
+        $"sxx".cast("double").as("sxxd"), $"sy".cast("double").as("syd"),
+        $"sxy".cast("double").as("sxyd"))
+      .withColumn("slope_raw",
+        (($"nd" * $"sxyd" - $"sxd" * $"syd") /
+          nullif($"nd" * $"sxxd" - $"sxd" * $"sxd", lit(0.0))))
+      .select($"c_nationkey", $"n",
+        round($"slope_raw", 4).as("slope"),
+        round(($"syd" - $"slope_raw" * $"sxd") / $"nd", 4).as("intercept"))
+      .orderBy($"c_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_ols" -> (aggOls _),
     "q_agg_weighted" -> (aggWeighted _),
     "q_agg_gini" -> (aggGini _),
     "q_agg_pricing_summary" -> (pricingSummary _),
@@ -432,6 +466,30 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_agg_ols" ->
+      """WITH base AS (
+        |  SELECT c.c_nationkey,
+        |    COALESCE(o.x, 0) AS x,
+        |    CAST(c.c_acctbal AS DECIMAL(12,4)) AS y
+        |  FROM customer c LEFT JOIN (
+        |    SELECT o_custkey, COUNT(*) AS x FROM orders GROUP BY o_custkey) o
+        |    ON c.c_custkey = o.o_custkey),
+        |sums AS (
+        |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(x) AS DOUBLE) AS sxd,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxxd,
+        |    CAST(SUM(y) AS DOUBLE) AS syd,
+        |    CAST(SUM(y * x) AS DOUBLE) AS sxyd
+        |  FROM base GROUP BY c_nationkey),
+        |sl AS (
+        |  SELECT c_nationkey, n, nd, sxd, syd,
+        |    (nd * sxyd - sxd * syd) / NULLIF(nd * sxxd - sxd * sxd, 0.0)
+        |      AS slope_raw
+        |  FROM sums)
+        |SELECT c_nationkey, n, ROUND(slope_raw, 4) AS slope,
+        |  ROUND((syd - slope_raw * sxd) / nd, 4) AS intercept
+        |FROM sl ORDER BY c_nationkey""".stripMargin,
     "q_agg_weighted" ->
       """WITH li AS (
         |  SELECT l_returnflag AS rf,

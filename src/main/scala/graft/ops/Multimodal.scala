@@ -96,6 +96,32 @@ object Multimodal extends OpModule {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** Strided frame sampling of the opaque binary payload — the
+    * video/audio analogue of sampling every Nth frame at a fixed rate
+    * instead of decoding the whole stream. One 8-byte "frame" every
+    * 512 bytes (offsets 0, 512, 1024, …), each with its exact offset
+    * and hex content witness. Same executor-local Generate shape as
+    * chunking: bytes never shuffle, sampling cost is O(frames) not
+    * O(bytes). Oracle slices the hex encoding at doubled offsets
+    * (DuckDB has no BLOB substring). */
+  def multimodalFramesample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payload = encode($"text", "UTF-8")
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", payload.as("payload"),
+        octet_length(payload).as("blen"))
+      .filter($"blen" > 0) // sequence(0,-1) would descend on empties
+      .select($"doc_id", $"payload", $"blen",
+        explode(sequence(lit(0L), expr("(blen + 511) div 512") - 1L))
+          .as("frame_id"))
+      .select($"doc_id", $"frame_id",
+        ($"frame_id" * 512L).as("frame_off"),
+        lower(hex(substring($"payload",
+          ($"frame_id" * 512L + 1L).cast("int"), lit(8))))
+          .as("frame_hex"))
+      .orderBy($"doc_id", $"frame_id")
+  }
+
   /** documents ⋈ embeddings (1:1 on doc_id=vec_id) → struct metadata +
     * vector column; per-label aggregate profile. */
   def multimodalJoin(s: SparkSession, dir: String): DataFrame = {
@@ -119,10 +145,24 @@ object Multimodal extends OpModule {
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_chunks" -> (multimodalChunks _),
+    "q_multimodal_framesample" -> (multimodalFramesample _),
     "q_multimodal_join" -> (multimodalJoin _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_framesample" ->
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS payload_hex,
+        |    octet_length(encode(text)) AS blen
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, blen,
+        |    UNNEST(range(0, (blen + 511) // 512)) AS frame_id, payload_hex
+        |  FROM p)
+        |SELECT doc_id, frame_id, frame_id * 512 AS frame_off,
+        |  lower(substring(payload_hex, CAST(frame_id * 1024 + 1 AS INTEGER), 16))
+        |    AS frame_hex
+        |FROM f ORDER BY doc_id, frame_id""".stripMargin,
     "q_multimodal_chunks" ->
       """WITH p AS (
         |  SELECT doc_id, hex(encode(text)) AS payload_hex,

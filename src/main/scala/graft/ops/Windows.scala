@@ -160,7 +160,27 @@ object Windows extends OpModule {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Longest consecutive-day activity streak per user — gaps-and-
+    * islands via the date-minus-row_number trick (the difference is
+    * constant within one unbroken run of days). Distinct days first, so
+    * the window is bounded by days-per-user (≤ the calendar span), not
+    * by event count — at 100 TB the heavy dedup happens in the
+    * map-side-combinable distinct, and the window stays tiny. */
+  def winStreak(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    Tables.t(s, dir, "events")
+      .select($"user_id", $"ts".cast("date").as("d")).distinct()
+      .withColumn("grp", date_sub($"d", row_number().over(w)))
+      .groupBy($"user_id", $"grp").agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(max($"len").cast("long").as("max_streak"),
+        count(lit(1)).cast("long").as("n_streaks"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_win_streak" -> (winStreak _),
     "q_win_time_range" -> (winTimeRange _),
     "q_win_dist" -> (winDist _),
     "q_win_rank" -> (winRank _),
@@ -176,6 +196,20 @@ object Windows extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, d,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, d - CAST(rn AS INTEGER) AS grp, COUNT(*) AS len
+        |  FROM r GROUP BY user_id, grp)
+        |SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_win_time_range" ->
       """SELECT o_orderkey, o_custkey,
         |  COUNT(*) OVER w AS n_7d,

@@ -48,6 +48,22 @@ class PlanSpec extends SparkSpec {
       s"co-bucketed join+agg should not shuffle:\n$p")
   }
 
+  test("bloom probe joins against a broadcast bit table (probes never shuffle)") {
+    assert(plan("q_sketch_bloom").contains("BroadcastHashJoin"),
+      "the ≤8192-row bit table must broadcast")
+  }
+
+  test("centroid classification broadcasts the centroid table") {
+    assert(plan("q_sim_centroid_assign").contains("BroadcastHashJoin"),
+      "the 640-row centroid table must broadcast")
+  }
+
+  test("ER blocking is an equi-join on the block key, not a nested loop") {
+    val p = plan("q_er_blocking")
+    assert(!p.contains("NestedLoopJoin"),
+      s"blocked ER must never degrade to all-pairs:\n$p")
+  }
+
   test("partitioned round-trip read prunes to the filtered partitions") {
     val df = SparkEntry.queries("q_part_roundtrip")(spark, sf)
     // sparkPlan, not executedPlan: AQE wraps the tree in an adaptive
