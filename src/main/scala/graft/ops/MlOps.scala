@@ -97,6 +97,39 @@ object MlOps extends OpModule {
       .orderBy($"prediction")
   }
 
+  /** ALS implicit-feedback recommender — the reference's per-customer
+    * product-affinity model re-expressed as MLlib collaborative
+    * filtering. Ratings = per-(customer, brand) purchase-line counts
+    * (lineitem ⋈ orders ⋈ broadcast part); top-3 brand recommendations
+    * per customer. Fixed seed; trained factors aren't SQL ⇒ non-oracled
+    * (rows-only check), ranking sanity asserted in ScalaTest. Scale
+    * shape: the ratings build is two shuffles + a broadcast dim, and
+    * ALS itself is MLlib's blocked alternating least squares — the
+    * standard 100-TB recommender layout. */
+  def mlRecommend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.recommendation.ALS
+    import s.implicits._
+    val brands = Tables.t(s, dir, "part")
+      .select($"p_partkey",
+        regexp_extract($"p_brand", "([0-9]+)", 1).cast("int").as("brand_id"))
+    val ratings = OpCache.cached(s, dir, "ml_als_ratings") {
+      Tables.t(s, dir, "lineitem")
+        .join(Tables.t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(brands), $"l_partkey" === $"p_partkey")
+        .groupBy($"o_custkey".cast("int").as("user"), $"brand_id".as("item"))
+        .agg(count(lit(1)).cast("float").as("rating"))
+    }
+    val als = new ALS().setRank(8).setMaxIter(5).setSeed(42L)
+      .setImplicitPrefs(true).setUserCol("user").setItemCol("item")
+      .setRatingCol("rating").setColdStartStrategy("drop")
+    val model = als.fit(ratings)
+    model.recommendForAllUsers(3)
+      .select($"user".as("custkey"),
+        posexplode($"recommendations").as(Seq("rec_rank", "rec")))
+      .select($"custkey", $"rec_rank", $"rec.item".as("brand_id"))
+      .orderBy($"custkey", $"rec_rank")
+  }
+
   /** SQL-expressible scaler twin (oracled): per-nation z-score of
     * customer balance, 4-dp. */
   def featScaleSql(s: SparkSession, dir: String): DataFrame = {
@@ -113,6 +146,7 @@ object MlOps extends OpModule {
     "q_ml_feature_pipeline" -> (mlFeaturePipeline _),
     "q_ml_propensity" -> (mlPropensity _),
     "q_ml_segmentation" -> (mlSegmentation _),
+    "q_ml_recommend" -> (mlRecommend _),
     "q_feat_scale_sql" -> (featScaleSql _)
   )
 

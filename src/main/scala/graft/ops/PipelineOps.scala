@@ -145,10 +145,14 @@ object PipelineOps extends OpModule {
       substring($"c_name", 15, 4).as("blk"))
     val clean = cust.select($"c_custkey", $"c_name",
       substring($"c_name", 15, 4).as("blk"))
+    // threshold form: early-exits once distance exceeds 1 (O(k·n) band
+    // instead of the O(n²) full matrix — the verify stage's dominant
+    // cost at scale), returns -1 past the bound, the true distance
+    // within it — so kept rows carry exactly the oracle's value
+    val lev = levenshtein($"dirty_name", $"c_name", 1)
     dirty.join(clean, Seq("blk"))
-      .filter(levenshtein($"dirty_name", $"c_name") <= 1)
-      .select($"dirty_id", $"c_custkey".as("matched_id"),
-        levenshtein($"dirty_name", $"c_name").as("dist"))
+      .filter(lev >= 0)
+      .select($"dirty_id", $"c_custkey".as("matched_id"), lev.as("dist"))
       .orderBy($"dirty_id", $"matched_id")
   }
 

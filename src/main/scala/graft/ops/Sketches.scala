@@ -31,9 +31,16 @@ object Sketches extends OpModule {
     * 54-bit field, computed EXACTLY in both engines via the length of
     * the base-2 string (no float log2 — its floor is off-by-one-prone
     * near powers of two). */
-  def sketchHllRegisters(s: SparkSession, dir: String): DataFrame = {
+  def sketchHllRegisters(s: SparkSession, dir: String): DataFrame =
+    hllOf(Tables.t(s, dir, "events"))
+
+  /** HLL register build over any (user_id) frame — exposed so the
+    * merge-law test can sketch disjoint slices and prove
+    * registers(A ∪ B) = max(registers(A), registers(B)). */
+  private[graft] def hllOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
-    Tables.t(s, dir, "events")
+    events
       .select(md5int($"user_id".cast("string")).as("hv"))
       .select(
         ($"hv" % M).as("bucket"),
@@ -86,9 +93,16 @@ object Sketches extends OpModule {
     * estimates (min over rows — never an underestimate) are bounds-
     * checked in ScalaTest; the graded artifact is the exact register
     * table, which DuckDB reproduces bit-for-bit. */
-  def sketchCms(s: SparkSession, dir: String): DataFrame = {
+  def sketchCms(s: SparkSession, dir: String): DataFrame =
+    cmsOf(Tables.t(s, dir, "events"))
+
+  /** CMS register build over any (user_id) frame — exposed so the
+    * merge-law test can sketch disjoint slices and prove
+    * registers(A ∪ B) = registers(A) + registers(B). */
+  private[graft] def cmsOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
-    Tables.t(s, dir, "events")
+    events
       .select(hbase($"user_id".cast("string")).as("b"))
       .select(explode(sequence(lit(0), lit(3))).as("r"), $"b")
       .select($"r".cast("int").as("r"), hk($"b", $"r", 64).as("col"))

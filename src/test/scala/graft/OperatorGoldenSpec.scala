@@ -374,6 +374,41 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(g.exists(_ > 0), "at least one user has a mixed event profile")
   }
 
+  test("sketch merge laws: CMS adds, HLL maxes, across disjoint slices") {
+    val ev = Tables.t(spark, sf, "events")
+    val (a, b) = (ev.filter($"event_id" % 2 === 0), ev.filter($"event_id" % 2 =!= 0))
+    // CMS: counts are additive under union
+    def cmsMap(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsOf(df).as[(Int, Long, Long)].collect()
+        .map { case (r, c, n) => (r, c) -> n }.toMap
+    val (fullC, aC, bC) = (cmsMap(ev), cmsMap(a), cmsMap(b))
+    fullC.foreach { case (k, n) =>
+      assert(aC.getOrElse(k, 0L) + bC.getOrElse(k, 0L) === n,
+        s"CMS register $k is not the sum of slice registers")
+    }
+    // HLL: max-ranks merge by max under union
+    def hllMap(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllOf(df).as[(Long, Int)].collect().toMap
+    val (fullH, aH, bH) = (hllMap(ev), hllMap(a), hllMap(b))
+    fullH.foreach { case (k, r) =>
+      assert(math.max(aH.getOrElse(k, 0), bH.getOrElse(k, 0)) === r,
+        s"HLL register $k is not the max of slice registers")
+    }
+  }
+
+  test("ALS recommender: 3 ranked brand recs per purchasing customer") {
+    val recs = run("q_ml_recommend").collect()
+    val users = recs.map(_.getAs[Int]("custkey")).distinct.length
+    assert(recs.length === users * 3, "exactly 3 recommendations per user")
+    assert(recs.forall { r =>
+      val b = r.getAs[Int]("brand_id"); b >= 1 && b <= 30
+    }, "recommended brands must be real brand ids")
+    val purchasers = Tables.t(spark, sf, "orders")
+      .select($"o_custkey").distinct().count()
+    assert(users === purchasers.toInt,
+      "every customer with purchase history gets recommendations")
+  }
+
   test("IVF ANN recall ≥ 0.5 vs brute force top-10") {
     val truth = run("q_sim_topk_cosine")
       .select($"probe_id", $"nbr_id").as[(Long, Long)].collect().toSet
