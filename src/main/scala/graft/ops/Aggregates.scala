@@ -364,16 +364,36 @@ object Aggregates extends OpModule {
   def aggWeighted(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // Two-pass bucketed median, not one global window: a per-group
+    // total-order window puts each group's ENTIRE row set through one
+    // task (3 tasks for 600k rows here; fatal at 100 TB). Instead:
+    // (1) histogram the weights per (group, price-bucket) — fully
+    // parallel partial+final agg; (2) walk the tiny cumulative bucket
+    // table to find the bucket containing the weighted median; (3)
+    // window ONLY that bucket's rows (≈1/bucket-count of the data) with
+    // the prior buckets' weight as an offset. Bucket is a function of
+    // price, so RANGE-frame tie groups never span buckets and the
+    // result is identical to the single-window form the oracle runs.
     val li = Tables.t(s, dir, "lineitem")
       .select($"l_returnflag".as("rf"),
         d12($"l_extendedprice").as("price"),
         ($"l_extendedprice" / 100).cast(D12).as("p2"),
-        $"l_quantity".cast("long").as("qty"))
+        $"l_quantity".cast("long").as("qty"),
+        floor($"l_extendedprice" / 1000).cast("long").as("bucket"))
     val tot = li.groupBy($"rf")
       .agg(sum($"qty").as("w_total"), sum($"p2" * $"qty").as("pq_sum"))
-    val w = Window.partitionBy($"rf").orderBy($"price")
-    val med = li.withColumn("cumw", sum($"qty").over(w))
+    val wb = Window.partitionBy($"rf").orderBy($"bucket")
+    val bkCum = li.groupBy($"rf", $"bucket").agg(sum($"qty").as("bw"))
+      .withColumn("cumb", sum($"bw").over(wb))
       .join(tot.select($"rf", $"w_total"), Seq("rf"))
+    // minimal bucket reaching half the total weight contains the median
+    val target = bkCum.filter($"cumb" * 2 >= $"w_total")
+      .groupBy($"rf").agg(min($"bucket").as("bucket"))
+      .join(bkCum, Seq("rf", "bucket"))
+      .select($"rf", $"bucket", ($"cumb" - $"bw").as("prior"), $"w_total")
+    val wIn = Window.partitionBy($"rf").orderBy($"price")
+    val med = li.join(broadcast(target), Seq("rf", "bucket"))
+      .withColumn("cumw", sum($"qty").over(wIn) + $"prior")
       .filter($"cumw" * 2 >= $"w_total")
       .groupBy($"rf").agg(min($"price").as("wmed"))
     tot.join(med, Seq("rf"))
@@ -435,7 +455,57 @@ object Aggregates extends OpModule {
       .orderBy($"c_nationkey")
   }
 
+  /** Ordered conversion funnel: view → click-after-first-view →
+    * purchase-after-first-qualifying-click, counted per stage. Each
+    * stage is one filtered aggregate joined to the previous stage's
+    * per-user first-qualifying timestamp — per-user state is a single
+    * timestamp, so each stage is one shuffle by user and the funnel
+    * composes linearly at 100 TB (never a per-user event sort). */
+  def featFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.t(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, Seq("user_id")).filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, Seq("user_id")).filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), $"n_users")
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), $"n_users"))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), $"n_users"))
+      .orderBy($"stage")
+  }
+
+  /** Cohort retention matrix: users grouped by first-activity week,
+    * counted distinct-active at each week offset since their cohort —
+    * the standard retention triangle. Two shuffles (first-touch agg,
+    * distinct active weeks) + one join; offsets are exact integer
+    * week differences. */
+  def featRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.t(s, dir, "events")
+    val cohort = ev.groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).cast("date").as("cohort_week"))
+    val active = ev
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+      .distinct()
+    active.join(cohort, Seq("user_id"))
+      .select($"cohort_week",
+        expr("datediff(wk, cohort_week) div 7").cast("int").as("week_offset"),
+        $"user_id")
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_feat_funnel" -> (featFunnel _),
+    "q_feat_retention" -> (featRetention _),
     "q_agg_ols" -> (aggOls _),
     "q_agg_weighted" -> (aggWeighted _),
     "q_agg_gini" -> (aggGini _),
@@ -466,6 +536,44 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_feat_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM ev e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM ev e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+        |ORDER BY stage""".stripMargin,
+    "q_feat_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |cohort AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM ev GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM ev)
+        |SELECT c.cohort_week,
+        |  CAST((a.wk - c.cohort_week) // 7 AS INTEGER) AS week_offset,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY c.cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_agg_ols" ->
       """WITH base AS (
         |  SELECT c.c_nationkey,

@@ -409,6 +409,25 @@ class OperatorGoldenSpec extends SparkSpec {
       "every customer with purchase history gets recommendations")
   }
 
+  test("funnel stages are monotone non-increasing") {
+    val stages = run("q_feat_funnel")
+      .select($"stage", $"n_users").as[(String, Long)].collect().toMap
+    assert(stages.keySet === Set("1_view", "2_click", "3_purchase"))
+    assert(stages("1_view") >= stages("2_click"))
+    assert(stages("2_click") >= stages("3_purchase"))
+    assert(stages("3_purchase") > 0, "the corpus has full conversions")
+  }
+
+  test("retention triangle: offset-0 cohort counts cover every user once") {
+    val rows = run("q_feat_retention")
+      .select($"week_offset", $"n_users").as[(Int, Long)].collect()
+    val users = Tables.t(spark, sf, "events")
+      .select($"user_id").distinct().count()
+    // every user is active in their own cohort week by definition
+    assert(rows.filter(_._1 == 0).map(_._2).sum === users)
+    assert(rows.forall(_._1 >= 0), "offsets are non-negative")
+  }
+
   test("IVF ANN recall ≥ 0.5 vs brute force top-10") {
     val truth = run("q_sim_topk_cosine")
       .select($"probe_id", $"nbr_id").as[(Long, Long)].collect().toSet
