@@ -123,6 +123,24 @@ object Dedup extends OpModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Duplicated-span detection: the 5-gram word spans shared by ≥2
+    * documents, ranked by document frequency — the boilerplate/
+    * template-phrase detector an LLM-data pipeline runs before span-
+    * level dedup (repeated headers, license blurbs, navigation chrome).
+    * One group-by over the shared shingle table: counts are per-doc-
+    * distinct by construction (shingles are array_distinct'd per doc),
+    * so n_docs IS document frequency. Linear, map-side combinable. */
+  def dedupSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shingleRows(s, dir)
+      .groupBy($"shingle")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"n_docs".desc, $"shingle".asc)
+      .limit(30)
+  }
+
   /** Directional shingle CONTAINMENT ≥ 0.9: C(a→b) = |Sa∩Sb| / |Sa| —
     * the sub-document-duplicate detector (a contained in b scores high
     * even when b is much longer, where Jaccard would dilute). Same
@@ -535,6 +553,7 @@ object Dedup extends OpModule {
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_survivors" -> (dedupSurvivors _),
     "q_dedup_near_jaccard" -> (dedupNearJaccard _),
+    "q_dedup_spans" -> (dedupSpans _),
     "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_survivors_near" -> (dedupSurvivorsNear _),
@@ -566,6 +585,12 @@ object Dedup extends OpModule {
         |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id ASC) AS rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_spans" ->
+      s"""WITH $shinglesCte
+         |SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         |FROM sh GROUP BY shingle HAVING COUNT(*) >= 2
+         |ORDER BY n_docs DESC, shingle ASC LIMIT 30""".stripMargin,
     "q_dedup_near_jaccard" ->
       s"""WITH $shinglesCte,
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),

@@ -119,6 +119,38 @@ object Joins extends OpModule {
       .orderBy($"a_key", $"b_key")
   }
 
+  /** The same price-band semantics as [[joinThetaRange]] but as a
+    * BINNED EQUI-JOIN — the 100-TB shape for range joins. Each probe
+    * row explodes into the fixed-width price bins its band overlaps
+    * (2–3 bins at 1% width), the build side keys by its own bin, and
+    * the exact BETWEEN predicate filters the equi-join's candidates.
+    * Candidate count is rows × bins-per-row × rows-per-bin instead of
+    * |probe|×|build| — which is why the probe bound can be 4× looser
+    * than the BNLJ's and still run faster. A pair can only meet in the
+    * build row's single home bin, so no dedup is needed. */
+  def joinRangeBinned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val binW = 25.0
+    val part = Tables.t(s, dir, "part")
+    val a = part.filter($"p_partkey" < 2000)
+      .select($"p_partkey".as("a_key"), $"p_retailprice".as("a_price"))
+      .select($"a_key", $"a_price",
+        explode(sequence(
+          floor($"a_price" * 0.99 / binW).cast("long"),
+          floor($"a_price" * 1.01 / binW).cast("long"))).as("bin"))
+    val b = part
+      .select($"p_partkey".as("b_key"), $"p_retailprice".as("b_price"),
+        floor($"p_retailprice" / binW).cast("long").as("bin"))
+    a.join(b, Seq("bin"))
+      .filter($"b_price".between($"a_price" * 0.99, $"a_price" * 1.01) &&
+        $"a_key" < $"b_key")
+      .groupBy($"a_key")
+      .agg(count(lit(1)).as("n_matches"),
+        min($"b_key").as("min_b"), max($"b_key").as("max_b"),
+        sum(Det.d12($"b_price")).cast("double").as("sum_b_price"))
+      .orderBy($"a_key")
+  }
+
   /** Day-of-month-aligned event⋈order join (events are 2024, orders
     * 1995–2001, so a pure time-interval join is empty by construction —
     * see FIXTURES.md). Composite equi key (user, day) + value range. */
@@ -219,6 +251,7 @@ object Joins extends OpModule {
     "q_join_anti" -> (joinAnti _),
     "q_join_cross" -> (joinCross _),
     "q_join_theta_range" -> (joinThetaRange _),
+    "q_join_range_binned" -> (joinRangeBinned _),
     "q_join_interval" -> (joinInterval _),
     "q_join_asof" -> (joinAsof _)
   )
@@ -289,6 +322,18 @@ object Joins extends OpModule {
         |    AND p1.p_retailprice * 1.01
         |  AND p1.p_partkey < p2.p_partkey
         |ORDER BY a_key, b_key""".stripMargin,
+    "q_join_range_binned" ->
+      """SELECT p1.p_partkey AS a_key, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  MIN(p2.p_partkey) AS min_b, MAX(p2.p_partkey) AS max_b,
+        |  CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(12,4))) AS DOUBLE)
+        |    AS sum_b_price
+        |FROM (SELECT * FROM part WHERE p_partkey < 2000) p1
+        |JOIN part p2
+        |  ON p2.p_retailprice BETWEEN p1.p_retailprice * 0.99
+        |    AND p1.p_retailprice * 1.01
+        |  AND p1.p_partkey < p2.p_partkey
+        |GROUP BY p1.p_partkey
+        |ORDER BY a_key""".stripMargin,
     "q_join_interval" ->
       """SELECT event_id, o_orderkey, user_id
         |FROM events JOIN orders

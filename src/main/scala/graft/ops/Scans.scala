@@ -116,9 +116,26 @@ object Scans extends OpModule {
       .orderBy($"p_partkey")
   }
 
+  /** ORC source round trip — same lossless sink→source contract as the
+    * CSV loop but through the other columnar format Spark bundles
+    * (vectorized reader, predicate pushdown). Explicit schema on
+    * read-back, as always at scale. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = "/tmp/graft_orc_sink/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/part_orc"
+    val src = Tables.t(s, dir, "part")
+    src.write.mode("overwrite").orc(path)
+    s.read.schema(src.schema).orc(path)
+      .filter($"p_size" < 15)
+      .select($"p_partkey", $"p_brand", $"p_size", $"p_retailprice")
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_part_roundtrip" -> (partitionedRoundtrip _),
     "q_source_csv_roundtrip" -> (csvRoundtrip _),
+    "q_source_orc_roundtrip" -> (orcRoundtrip _),
     "q_scan_project" -> (scanProject _),
     "q_scan_prune_pushdown" -> (scanPrunePushdown _),
     "q_source_json_col" -> (sourceJsonCol _),
@@ -128,6 +145,9 @@ object Scans extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_source_orc_roundtrip" ->
+      """SELECT p_partkey, p_brand, p_size, p_retailprice
+        |FROM part WHERE p_size < 15 ORDER BY p_partkey""".stripMargin,
     "q_source_csv_roundtrip" ->
       """SELECT p_partkey, p_name, p_size, p_retailprice
         |FROM part WHERE p_size >= 20 ORDER BY p_partkey""".stripMargin,

@@ -64,6 +64,12 @@ class PlanSpec extends SparkSpec {
       s"blocked ER must never degrade to all-pairs:\n$p")
   }
 
+  test("binned range join is an equi-join, not a nested loop") {
+    val p = plan("q_join_range_binned")
+    assert(!p.contains("NestedLoopJoin"),
+      s"binning must turn the range predicate into an equi-join:\n$p")
+  }
+
   test("partitioned round-trip read prunes to the filtered partitions") {
     val df = SparkEntry.queries("q_part_roundtrip")(spark, sf)
     // sparkPlan, not executedPlan: AQE wraps the tree in an adaptive
