@@ -174,7 +174,24 @@ object Streaming extends OpModule {
       .orderBy($"p_id", $"c_id")
   }
 
+  /** Custom streaming state in the graded path: the per-user
+    * count+type-bitmask profile from [[graft.streaming.StatefulOps]],
+    * run to exhaustion in update mode. Every emitted field is
+    * cumulative-monotone, so max-per-user over the update stream IS
+    * the final state — equal to the batch aggregate the oracle runs. */
+  def streamStateful(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runToTable(s, "update") { ss =>
+      graft.streaming.StatefulOps.typeProfile(eventsStream(ss, dir))
+    }
+      .groupBy($"user_id")
+      .agg(max($"n_events").as("n_events"),
+        max($"n_types").as("n_types"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_stateful" -> (streamStateful _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_sliding" -> (streamSliding _),
@@ -183,6 +200,10 @@ object Streaming extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_stateful" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
         |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
