@@ -139,10 +139,41 @@ object Sketches extends OpModule {
       .orderBy($"custkey")
   }
 
+  /** Quantile sketch from equi-width histogram registers — the
+    * deterministic, exactly-oracle-able stand-in for t-digest:
+    * per-bin counts (mergeable by +, like CMS) plus quartile estimates
+    * read off the cumulative register table (min bin whose cumulative
+    * count reaches k·N/4, in pure integer arithmetic). Error is
+    * bounded by the bin width by construction. One scan + a ~100-row
+    * register shuffle at any corpus size; the cumulative window runs
+    * over the registers, never the rows. */
+  def sketchQuantile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bins = Tables.t(s, dir, "lineitem")
+      .select(floor($"l_extendedprice" / 1000).cast("long").as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("n"))
+    // global window over ~100 register rows — trivially single-task
+    val cum = bins
+      .withColumn("cum", sum($"n").over(Window.orderBy($"bin")))
+      .crossJoin(broadcast(bins.agg(sum($"n").as("total"))))
+    cum.crossJoin(broadcast(
+        s.range(1, 4).select($"id".cast("int").as("k"))))
+      .filter($"cum" * 4 >= $"k" * $"total")
+      .groupBy($"k")
+      .agg((min($"bin") * 1000).cast("long").as("est_lo"))
+      .select(
+        when($"k" === 1, "p25").when($"k" === 2, "p50").otherwise("p75")
+          .as("quartile"),
+        $"est_lo")
+      .orderBy($"quartile")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sketch_hll" -> (sketchHllRegisters _),
     "q_sketch_cms" -> (sketchCms _),
-    "q_sketch_bloom" -> (sketchBloom _)
+    "q_sketch_bloom" -> (sketchBloom _),
+    "q_sketch_quantile" -> (sketchQuantile _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -153,6 +184,20 @@ object Sketches extends OpModule {
         |SELECT hv % 64 AS bucket,
         |  CAST(MAX(55 - length(bin(hv // 64))) AS INTEGER) AS register
         |FROM h GROUP BY hv % 64 ORDER BY bucket""".stripMargin,
+    "q_sketch_quantile" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bin,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY bin),
+        |c AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum FROM b),
+        |t AS (SELECT SUM(n) AS total FROM b),
+        |ks AS (SELECT UNNEST([1, 2, 3]) AS k)
+        |SELECT CASE k WHEN 1 THEN 'p25' WHEN 2 THEN 'p50' ELSE 'p75' END
+        |    AS quartile,
+        |  CAST(MIN(bin) * 1000 AS BIGINT) AS est_lo
+        |FROM c CROSS JOIN t CROSS JOIN ks
+        |WHERE cum * 4 >= k * total
+        |GROUP BY k ORDER BY quartile""".stripMargin,
     "q_sketch_cms" ->
       """WITH h AS (
         |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)

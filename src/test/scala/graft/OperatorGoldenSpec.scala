@@ -428,6 +428,37 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(rows.forall(_._1 >= 0), "offsets are non-negative")
   }
 
+  test("quantile sketch estimates land within one bin of exact quartiles") {
+    val est = run("q_sketch_quantile")
+      .select($"quartile", $"est_lo").as[(String, Long)].collect().toMap
+    val exact = Tables.t(spark, sf, "lineitem")
+      .selectExpr("percentile(l_extendedprice, array(0.25, 0.5, 0.75)) AS p")
+      .select(explode($"p").as("v")).as[Double].collect()
+    val pairs = Seq("p25" -> exact(0), "p50" -> exact(1), "p75" -> exact(2))
+    pairs.foreach { case (q, ex) =>
+      val lo = est(q)
+      assert(ex >= lo && ex < lo + 1000,
+        s"$q: exact $ex outside sketch bin [$lo, ${lo + 1000})")
+    }
+  }
+
+  test("hash split is invariant to physical partitioning") {
+    val base = run("q_split_hash").collect().toSeq
+    val reparted = Tables.t(spark, sf, "documents").repartition(7)
+      .createOrReplaceTempView("docs_reparted")
+    // same op over a differently-partitioned frame: identical assignment
+    val viaView = spark.table("docs_reparted")
+      .select($"doc_id",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long") % 10).as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 8, "train")
+          .when($"bucket" === 8, "val").otherwise("test"))
+      .orderBy($"doc_id").collect().toSeq
+    assert(base === viaView,
+      "split assignment must be a pure function of the key, not the layout")
+  }
+
   test("IVF ANN recall ≥ 0.5 vs brute force top-10") {
     val truth = run("q_sim_topk_cosine")
       .select($"probe_id", $"nbr_id").as[(Long, Long)].collect().toSet
