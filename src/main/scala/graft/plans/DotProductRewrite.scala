@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-import graft.functions.DotProductF
+import graft.functions.{CosineSimF, DotProductF}
 
 /** Optimizer rule (SURVEY §4.2 stretch): rewrites the declarative HOF
   * dot-product pattern
@@ -81,8 +81,28 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  /** dot(a,b) / (√dot(a,a) · √dot(b,b)) with matching operands — the
+    * composed cosine. Fusing into CosineSimF is bit-exact: one loop
+    * with three independent accumulators preserves each accumulation
+    * sequence, and the final combine is the identical IEEE op order
+    * (including the commuted norm product — double `*` commutes
+    * exactly). Pinned in OperatorGoldenSpec. */
+  private def fuseCosine(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      case Divide(DotProductF(a, b),
+          Multiply(Sqrt(DotProductF(a2, a3)), Sqrt(DotProductF(b2, b3)), _), _)
+          if a.semanticEquals(a2) && a.semanticEquals(a3) &&
+            b.semanticEquals(b2) && b.semanticEquals(b3) =>
+        CosineSimF(a, b)
+      case Divide(DotProductF(a, b),
+          Multiply(Sqrt(DotProductF(b2, b3)), Sqrt(DotProductF(a2, a3)), _), _)
+          if a.semanticEquals(a2) && a.semanticEquals(a3) &&
+            b.semanticEquals(b2) && b.semanticEquals(b3) =>
+        CosineSimF(a, b)
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val dots = plan.transformAllExpressions {
       case ArrayAggregate(ZipWith(a, b, pair), Literal(0.0, DoubleType), merge, finish)
           if isFloatArray(a) && isFloatArray(b) &&
             isPairProduct(pair) && isSumMerge(merge) && isIdentityFinish(finish) =>
@@ -94,4 +114,8 @@ object DotProductRewrite extends Rule[LogicalPlan] {
             isSelfProduct(sq) && isSumMerge(merge) && isIdentityFinish(finish) =>
         DotProductF(a, a)
     }
+    // second phase so HOFs rewritten above (top-down) can still fuse
+    // into the cosine form within one rule application
+    fuseCosine(dots)
+  }
 }

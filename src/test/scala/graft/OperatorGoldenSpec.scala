@@ -510,6 +510,35 @@ class OperatorGoldenSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("optimizer rule fuses the composed cosine into cosine_sim_f") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.DotProductRewrite
+    try {
+      val e = Tables.t(spark, sf, "embeddings").limit(40)
+      val a = e.select($"vec_id".as("a_id"), $"embedding".as("ea"))
+      val b = e.select($"vec_id".as("b_id"), $"embedding".as("eb"))
+      def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      // user writes the composed HOF cosine; the rule must fuse the
+      // whole thing (HOF → dot_product_f → cosine_sim_f) in one pass
+      val composed = a.join(b, $"a_id" < $"b_id")
+        .select($"a_id", $"b_id",
+          (hofDot($"ea", $"eb") /
+            (sqrt(hofDot($"ea", $"ea")) * sqrt(hofDot($"eb", $"eb"))))
+            .as("cos"))
+      val optimized = composed.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("cosine_sim_f"),
+        s"cosine fusion did not fire:\n$optimized")
+      // and bit-exact vs the native form
+      val native = a.join(b, $"a_id" < $"b_id")
+        .select($"a_id", $"b_id",
+          graft.functions.CosineSimF.cosine($"ea", $"eb").as("cos"))
+      assert(composed.orderBy($"a_id", $"b_id").collect().toSeq ===
+        native.orderBy($"a_id", $"b_id").collect().toSeq)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("optimizer rule does NOT fire on double arrays or uncast floats") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ graft.plans.DotProductRewrite
