@@ -132,10 +132,35 @@ object Scans extends OpModule {
       .orderBy($"p_partkey")
   }
 
+  /** Schema evolution across parquet batches: an old batch written
+    * WITHOUT `o_orderpriority`, a newer one with it, read back under
+    * `mergeSchema` — the unified schema null-fills the legacy rows,
+    * which the aggregation surfaces as an explicit `<legacy>` band.
+    * This is how a 100-TB corpus absorbs a new feature column without
+    * rewriting history: merge on read, coalesce at the consumer. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = "/tmp/graft_schemaevo_sink/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/orders_evolving"
+    val o = Tables.t(s, dir, "orders")
+    val cut = "1997-01-01"
+    o.filter($"o_orderdate" < cut)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .write.mode("overwrite").parquet(path)
+    o.filter($"o_orderdate" >= cut)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      .write.mode("append").parquet(path)
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(coalesce($"o_orderpriority", lit("<legacy>")).as("priority"))
+      .agg(count(lit(1)).as("n"), sumMoney($"o_totalprice").as("spend"))
+      .orderBy($"priority")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_part_roundtrip" -> (partitionedRoundtrip _),
     "q_source_csv_roundtrip" -> (csvRoundtrip _),
     "q_source_orc_roundtrip" -> (orcRoundtrip _),
+    "q_source_schema_evolution" -> (schemaEvolution _),
     "q_scan_project" -> (scanProject _),
     "q_scan_prune_pushdown" -> (scanPrunePushdown _),
     "q_source_json_col" -> (sourceJsonCol _),
@@ -145,6 +170,12 @@ object Scans extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_source_schema_evolution" ->
+      """SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  THEN '<legacy>' ELSE o_orderpriority END AS priority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY priority ORDER BY priority""".stripMargin,
     "q_source_orc_roundtrip" ->
       """SELECT p_partkey, p_brand, p_size, p_retailprice
         |FROM part WHERE p_size < 15 ORDER BY p_partkey""".stripMargin,
