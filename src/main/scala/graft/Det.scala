@@ -53,4 +53,12 @@ object Det {
 
   /** 4-dp rounding for stat outputs (both dialects: ROUND(x, 4)). */
   def r4(c: Column): Column = round(c, 4)
+
+  /** THE cross-engine hash primitive (splits, witnesses, sketches,
+    * minhash): a portable 60-bit integer from the first 15 hex chars of
+    * md5. DuckDB mirror: `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`.
+    * One definition — the op modules delegate here so the contract
+    * can't drift per module. */
+  def md5int60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 }

@@ -20,7 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * is the dominant cost of brute-force / IVF cosine scoring where
   * neighbor norms can't be cheaply pre-joined. NULL semantics mirror
   * the composed DotProductF form: null array, length mismatch, or any
-  * null element yields NULL.
+  * null element yields NULL — and so does a zero-norm (or empty) input,
+  * where cosine is undefined (the composed form's non-ANSI Divide also
+  * NULLs on the 0.0 divisor; a raw NaN would silently flip IS NULL
+  * filters after the optimizer rule fuses user SQL).
   */
 case class CosineSimF(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -62,7 +65,11 @@ case class CosineSimF(left: Expression, right: Expression)
       nbb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(naa) * math.sqrt(nbb))
+    // zero-norm (or empty) input: cosine is undefined — NULL, matching
+    // the composed form's non-ANSI Divide-by-zero result rather than
+    // leaking a raw-Java NaN into comparisons and filters
+    val denom = math.sqrt(naa) * math.sqrt(nbb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -74,6 +81,7 @@ case class CosineSimF(left: Expression, right: Expression)
       val nbb = ctx.freshName("nbb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
       s"""
          |int $n = $x.numElements();
          |if ($n != $y.numElements()) {
@@ -89,7 +97,9 @@ case class CosineSimF(left: Expression, right: Expression)
          |    $nbb += $yv * $yv;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / (java.lang.Math.sqrt($naa) * java.lang.Math.sqrt($nbb));
+         |    double $denom = java.lang.Math.sqrt($naa) * java.lang.Math.sqrt($nbb);
+         |    if ($denom == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / $denom; }
          |  }
          |}
        """.stripMargin

@@ -16,9 +16,8 @@ import graft.Tables
   */
 object Dedup extends OpModule {
 
-  /** Portable 60-bit integer from the first 15 hex chars of md5. */
-  private def md5int(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Portable 60-bit hash — single definition in [[graft.Det.md5int60]]. */
+  private def md5int(c: Column): Column = graft.Det.md5int60(c)
 
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -56,8 +56,11 @@ object Embeddings extends OpModule {
       .select($"vec_id".as("probe_id"), $"dim", $"q".as("pq"))
     val scored = probes.join(broadcast(cents), Seq("dim"))
       .groupBy($"probe_id", $"label")
+      // n is constant per label on THIS corpus (fixed-length vectors);
+      // min(), not first(), keeps the divisor deterministic even if a
+      // variable-length vector ever makes n vary across dims
       .agg((sum($"pq" * $"code_sum") * 1000000L).as("dotsum"),
-        first($"n").as("n"))
+        min($"n").as("n"))
       .select($"probe_id", $"label",
         expr("dotsum div n").as("score_scaled"))
     val w = Window.partitionBy($"probe_id")
@@ -96,7 +99,7 @@ object Embeddings extends OpModule {
         |  FROM codes GROUP BY label, dim),
         |scored AS (
         |  SELECT p.vec_id AS probe_id, c.label,
-        |    CAST((SUM(p.q * c.code_sum) * 1000000) // ANY_VALUE(c.n) AS BIGINT)
+        |    CAST((SUM(p.q * c.code_sum) * 1000000) // MIN(c.n) AS BIGINT)
         |      AS score_scaled
         |  FROM codes p JOIN cents c USING (dim)
         |  WHERE p.vec_id < 10

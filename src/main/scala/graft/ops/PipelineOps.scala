@@ -18,9 +18,8 @@ import graft.{Det, Tables}
 object PipelineOps extends OpModule {
   import Det._
 
-  /** Portable 60-bit integer from the first 15 hex chars of md5. */
-  private def md5int(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Portable 60-bit hash — single definition in [[graft.Det.md5int60]]. */
+  private def md5int(c: Column): Column = graft.Det.md5int60(c)
 
   /** Deterministic stratified (systematic) sampling: every 10th
     * customer per market segment in c_custkey order. One shuffle by

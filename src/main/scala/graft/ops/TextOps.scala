@@ -15,9 +15,8 @@ object TextOps extends OpModule {
 
   private val stopwords = Seq("the", "a", "data", "value")
 
-  /** Portable 60-bit integer from the first 15 hex chars of md5. */
-  private def md5int(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Portable 60-bit hash — single definition in [[graft.Det.md5int60]]. */
+  private def md5int(c: Column): Column = graft.Det.md5int60(c)
 
   def textTokensTf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -18,7 +18,12 @@ object StatefulOps {
 
   case class ProfState(count: Long, mask: Int)
 
-  private val typeIdx = Map(
+  /** The corpus event taxonomy (FIXTURES.md). An UNKNOWN type fails
+    * fast rather than silently sharing an overflow bit — a collapsed
+    * bit would undercount n_types and diverge from the oracle's
+    * COUNT(DISTINCT) with no error anywhere near the cause. Pinned
+    * against the actual corpus in StreamingSemanticsSpec. */
+  private[graft] val typeIdx = Map(
     "click" -> 0, "error" -> 1, "purchase" -> 2, "signup" -> 3, "view" -> 4)
 
   /** Per-user activity profile with CUSTOM state: event count + a
@@ -42,7 +47,9 @@ object StatefulOps {
           var mask = prev.mask
           rows.foreach { case (_, t) =>
             n += 1
-            mask |= (1 << typeIdx.getOrElse(t, 5))
+            mask |= (1 << typeIdx.getOrElse(t,
+              throw new IllegalArgumentException(
+                s"unknown event_type '$t' — extend StatefulOps.typeIdx")))
           }
           state.update(ProfState(n, mask))
           Iterator((uid, n, Integer.bitCount(mask)))

@@ -248,6 +248,27 @@ class OperatorGoldenSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(1) >= 0.0))
   }
 
+  test("cosine_sim_f yields NULL (not NaN) on zero-norm and empty inputs") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT
+        |  cosine_sim_f(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |    array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS zero_norm,
+        |  cosine_sim_f(CAST(array() AS ARRAY<FLOAT>),
+        |    CAST(array() AS ARRAY<FLOAT>)) AS empty
+        |""".stripMargin).collect()(0)
+    assert(rows.isNullAt(0), "zero-norm cosine must be NULL, not NaN")
+    assert(rows.isNullAt(1), "empty-array cosine must be NULL, not NaN")
+  }
+
+  test("stateful profile taxonomy covers exactly the corpus event types") {
+    val corpus = Tables.t(spark, sf, "events")
+      .select($"event_type").distinct().as[String].collect().toSet
+    assert(corpus === graft.streaming.StatefulOps.typeIdx.keySet,
+      "q_stream_stateful's bitmask taxonomy must match the fixture exactly — " +
+        "an unmapped type would fail fast at runtime, a stale one wastes a bit")
+  }
+
   test("native expressions reject non-float-array inputs at analysis time") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     // array<double> would be read with getFloat (bit-reinterpreted
