@@ -194,6 +194,14 @@ object Dedup extends OpModule {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select($"src".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("rep"))
+    // Convergence via the MONOTONE INVARIANT instead of a self-join:
+    // min-propagation can only lower each rep, so Σrep strictly
+    // decreases every non-converged round and is stable exactly at the
+    // fixpoint. That makes the per-round driver action one tiny
+    // aggregate over the new labels (already being materialized for the
+    // next round) — the old propagated⋈labels diff count doubled each
+    // round's join work just to ask "did anything change?".
+    var prevSum = Option.empty[Long]
     var converged = false
     var round = 0
     while (!converged && round < 20) {
@@ -202,11 +210,11 @@ object Dedup extends OpModule {
         .union(labels)
         .groupBy($"doc_id").agg(min($"rep").as("rep"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = propagated.join(labels.select($"doc_id", $"rep".as("old_rep")), Seq("doc_id"))
-        .filter($"rep" =!= $"old_rep").count()
+      val repSum = propagated.agg(sum($"rep")).as[Long].first()
       labels.unpersist(blocking = false)
       labels = propagated
-      converged = changed == 0
+      converged = prevSum.contains(repSum)
+      prevSum = Some(repSum)
       round += 1
     }
     edges.unpersist(blocking = false)
