@@ -503,7 +503,22 @@ object Aggregates extends OpModule {
       .orderBy($"cohort_week", $"week_offset")
   }
 
+  /** LISTAGG / string_agg surface: per-nation sorted distinct segment
+    * roster as one canonical comma string (sorted ⇒ order-insensitive,
+    * §2.0 rule 4; a string column also sidesteps the comparator's
+    * array-hashing limitation). */
+  def aggStringAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "customer")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        array_join(array_sort(collect_set($"c_mktsegment")), ",")
+          .as("segments"))
+      .orderBy($"c_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_string_agg" -> (aggStringAgg _),
     "q_feat_funnel" -> (featFunnel _),
     "q_feat_retention" -> (featRetention _),
     "q_agg_ols" -> (aggOls _),
@@ -536,6 +551,11 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_agg_string_agg" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+        |    AS segments
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_feat_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
