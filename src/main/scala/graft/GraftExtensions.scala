@@ -14,14 +14,22 @@ import graft.functions.{CosineSimF, DotProductF}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // arity checked here: a bad call must fail resolution with a clear
+    // message, not an IndexOutOfBoundsException from exprs(1)
+    def binary(name: String, make: (Expression, Expression) => Expression)
+        : Seq[Expression] => Expression = {
+      case Seq(a, b) => make(a, b)
+      case other => throw new IllegalArgumentException(
+        s"$name requires exactly 2 arguments, got ${other.length}")
+    }
     ext.injectFunction((
       FunctionIdentifier("dot_product_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_product_f"),
-      (exprs: Seq[Expression]) => DotProductF(exprs(0), exprs(1))))
+      binary("dot_product_f", DotProductF(_, _))))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim_f"),
       new ExpressionInfo(classOf[CosineSimF].getName, "cosine_sim_f"),
-      (exprs: Seq[Expression]) => CosineSimF(exprs(0), exprs(1))))
+      binary("cosine_sim_f", CosineSimF(_, _))))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }

@@ -25,7 +25,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * NULLs on the 0.0 divisor; a raw NaN would silently flip IS NULL
   * filters after the optimizer rule fuses user SQL).
   */
-case class CosineSimF(left: Expression, right: Expression)
+case class CosineSimF(left: Expression, right: Expression,
+    failOnZero: Boolean = false)
     extends BinaryExpression {
 
   // getFloat reads require array<float> inputs — reject anything else at
@@ -65,11 +66,16 @@ case class CosineSimF(left: Expression, right: Expression)
       nbb += yv * yv
       i += 1
     }
-    // zero-norm (or empty) input: cosine is undefined — NULL, matching
-    // the composed form's non-ANSI Divide-by-zero result rather than
-    // leaking a raw-Java NaN into comparisons and filters
+    // zero-norm (or empty) input: cosine is undefined — NULL on the
+    // direct function surface (never a raw-Java NaN, which would flip
+    // IS NULL filters), or an arithmetic error when the optimizer rule
+    // fused an ANSI-mode Divide (failOnZero preserves the un-fused
+    // query's divide-by-zero semantics exactly)
     val denom = math.sqrt(naa) * math.sqrt(nbb)
-    if (denom == 0.0) null else dot / denom
+    if (denom == 0.0) {
+      if (failOnZero) throw new ArithmeticException("Division by zero")
+      null
+    } else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -98,7 +104,11 @@ case class CosineSimF(left: Expression, right: Expression)
          |  }
          |  if (!${ev.isNull}) {
          |    double $denom = java.lang.Math.sqrt($naa) * java.lang.Math.sqrt($nbb);
-         |    if ($denom == 0.0) { ${ev.isNull} = true; }
+         |    if ($denom == 0.0) {
+         |      ${if (failOnZero)
+                  s"""throw new ArithmeticException("Division by zero");"""
+                else s"${ev.isNull} = true;"}
+         |    }
          |    else { ${ev.value} = $dot / $denom; }
          |  }
          |}
@@ -107,7 +117,7 @@ case class CosineSimF(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+    copy(left = newLeft, right = newRight) // failOnZero preserved
 }
 
 object CosineSimF {

@@ -6,6 +6,18 @@ import org.apache.spark.sql.expressions.Aggregator
 /** Typed UDAF: geometric mean via sum-of-logs, exp(Σln(x)/n).
   * Buffer is (Σln, n) — associative + commutative, so Spark can combine
   * partial aggregates map-side; the shuffle carries 16 bytes per group.
+  *
+  * Known exposure (shared with every double aggregate incl. built-in
+  * `corr`/window `stddev_samp`): double addition is non-associative, so
+  * partial-merge order can move the sum by ~1 ulp; a group landing
+  * within 1 ulp of a 0.00005 rounding boundary could then flip its 4-dp
+  * output between runs. Mitigations in place: outputs are 4-dp rounded
+  * (ulp noise ≪ boundary width for these magnitudes) and full-run
+  * determinism is re-verified every round (BASELINE.md: two Verify runs
+  * value-identical). The exact-decimal path (Det) is used wherever the
+  * summed domain allows it; logs are inherently irrational, so this
+  * aggregate accepts the documented residual risk instead of silently
+  * pretending exactness.
   */
 object GeoMean extends Aggregator[Double, (Double, Long), Double] {
   override def zero: (Double, Long) = (0.0, 0L)

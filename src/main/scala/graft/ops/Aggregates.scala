@@ -129,7 +129,11 @@ object Aggregates extends OpModule {
     val sy = sum(y).cast("double")
     val syy = round(sum(y * y), 4).cast("double")
     val n = count(lit(1))
-    val variance = (syy - sy * sy / n) / (n - lit(1)) * 10000d
+    // nullif on (n-1): a 1-row group must yield NULL sample variance
+    // (the statistical convention, and what the oracle's NULLIF gives)
+    // instead of an ANSI divide-by-zero error killing the whole query
+    val variance =
+      (syy - sy * sy / n) / nullif((n - lit(1)).cast("double"), lit(0.0)) * 10000d
     c.join(spend, $"c_custkey" === $"o_custkey")
       .groupBy($"c_nationkey")
       .agg(
@@ -473,11 +477,22 @@ object Aggregates extends OpModule {
     val p = ev.filter($"event_type" === "purchase")
       .join(c, Seq("user_id")).filter($"ts" > $"t_click")
       .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
-    v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), $"n_users")
-      .unionAll(c.agg(count(lit(1)).as("n_users"))
-        .select(lit("2_click").as("stage"), $"n_users"))
-      .unionAll(p.agg(count(lit(1)).as("n_users"))
-        .select(lit("3_purchase").as("stage"), $"n_users"))
+    // one row per user → explode the stages reached → group by stage.
+    // NOT a union of three global aggregates: those are statically
+    // 1-row plans, which `.count()`-based benchmarking prunes away
+    // entirely (the count-only-pruning trap in the perf notes) — a
+    // group-by over exploded rows keeps the measured work honest and
+    // produces the identical cumulative stage counts.
+    val empty = array().cast("array<string>")
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(explode(concat(
+        array(lit("1_view")),
+        when($"t_click".isNotNull, array(lit("2_click"))).otherwise(empty),
+        when($"t_purchase".isNotNull, array(lit("3_purchase"))).otherwise(empty)
+      )).as("stage"))
+      .groupBy($"stage")
+      .agg(count(lit(1)).as("n_users"))
       .orderBy($"stage")
   }
 
@@ -704,10 +719,10 @@ object Aggregates extends OpModule {
         |SELECT c_nationkey, COUNT(*) AS n,
         |  ROUND(sqrt((CAST(ROUND(SUM(CAST(c_acctbal / 100 AS DECIMAL(12,4)) * CAST(c_acctbal / 100 AS DECIMAL(12,4))), 4) AS DOUBLE)
         |    - CAST(SUM(CAST(c_acctbal / 100 AS DECIMAL(12,4))) AS DOUBLE) * CAST(SUM(CAST(c_acctbal / 100 AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*))
-        |    / (COUNT(*) - 1) * 10000), 4) AS sd_bal,
+        |    / NULLIF(COUNT(*) - 1, 0) * 10000), 4) AS sd_bal,
         |  ROUND((CAST(ROUND(SUM(CAST(c_acctbal / 100 AS DECIMAL(12,4)) * CAST(c_acctbal / 100 AS DECIMAL(12,4))), 4) AS DOUBLE)
         |    - CAST(SUM(CAST(c_acctbal / 100 AS DECIMAL(12,4))) AS DOUBLE) * CAST(SUM(CAST(c_acctbal / 100 AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*))
-        |    / (COUNT(*) - 1) * 10000, 4) AS var_bal,
+        |    / NULLIF(COUNT(*) - 1, 0) * 10000, 4) AS var_bal,
         |  ROUND(corr(c_acctbal, spend), 4) AS corr_bal_spend
         |FROM customer JOIN spend ON c_custkey = o_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,

@@ -169,14 +169,14 @@ object Dedup extends OpModule {
     * closure that turns pairwise similarity into dedup groups (A≈B≈C
     * must collapse to ONE cluster even when A≉C directly).
     *
-    * Scale design: Pregel-style min-label propagation — each round is
-    * one equi-join (labels ⋈ edges, shuffle by doc_id) + min-aggregate,
-    * converging in O(cluster diameter) rounds (near-dup clusters are
-    * shallow; 20 rounds bounds diameter 2^20-ish with doubling-free
-    * propagation). The driver-side loop only checks a per-round
-    * convergence COUNT — no row data ever reaches the driver. The
-    * DuckDB oracle is a recursive CTE computing the same reachability
-    * minimum. */
+    * Scale design: Pregel-style min-label propagation with POINTER
+    * JUMPING — each round propagates one hop over the edges, then
+    * shortcuts every label to its label's label (path halving), so
+    * reach doubles per round and 20 rounds genuinely cover clusters of
+    * radius ~2^20 (plain propagation would cap at radius 20 and throw
+    * on longer boilerplate chains). Driver sees only a per-round
+    * convergence aggregate — no row data. The DuckDB oracle is a
+    * recursive CTE computing the same reachability minimum. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     cached(s, dir, "dedup_cc_labels")(dedupClustersBuild(s, dir))
@@ -209,10 +209,17 @@ object Dedup extends OpModule {
         .select($"dst".as("doc_id"), $"rep")
         .union(labels)
         .groupBy($"doc_id").agg(min($"rep").as("rep"))
+      // pointer jump: shortcut each rep to ITS rep (reps are node ids,
+      // so they appear as keys). min-invariant: rep's rep ≤ rep, so
+      // this only lowers labels — reach doubles per round.
+      val jumped = propagated
+        .join(propagated.select($"doc_id".as("r_doc"), $"rep".as("r_rep")),
+          $"rep" === $"r_doc")
+        .select($"doc_id", least($"rep", $"r_rep").as("rep"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val repSum = propagated.agg(sum($"rep")).as[Long].first()
+      val repSum = jumped.agg(sum($"rep")).as[Long].first()
       labels.unpersist(blocking = false)
-      labels = propagated
+      labels = jumped
       converged = prevSum.contains(repSum)
       prevSum = Some(repSum)
       round += 1

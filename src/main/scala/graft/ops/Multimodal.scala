@@ -75,23 +75,35 @@ object Multimodal extends OpModule {
     * per chunk row (the shape a 100-TB chunker has: bytes stay on the
     * executor, one Generate, no shuffle). DuckDB has no BLOB substring,
     * so the oracle slices the hex encoding at doubled offsets. */
-  def multimodalChunks(s: SparkSession, dir: String): DataFrame = {
+  /** One row per `stride`-byte window of the binary payload:
+    * (doc_id, idx) with payload/blen carried — the shared executor-
+    * local Generate behind chunking and frame sampling. Window count
+    * via exact integer arithmetic (no float ceil); empty payloads are
+    * filtered FIRST because Spark's sequence(0, -1) would DESCEND,
+    * emitting spurious indices 0 and -1 where the oracle's range(0, 0)
+    * emits none. The window-slice shape must stay in lockstep with the
+    * oracles' doubled-offset hex slicing (DuckDB has no BLOB
+    * substring) — one definition keeps both ops and both oracles from
+    * drifting. */
+  private def stridedWindows(s: SparkSession, dir: String, stride: Long): DataFrame = {
     import s.implicits._
     val payload = encode($"text", "UTF-8")
     Tables.t(s, dir, "documents")
       .select($"doc_id", payload.as("payload"),
         octet_length(payload).as("blen"))
-      // empty payloads yield no chunks: Spark's sequence(0, -1) would
-      // otherwise DESCEND, emitting spurious chunk_ids 0 and -1 where
-      // the oracle's range(0, 0) emits none
       .filter($"blen" > 0)
       .select($"doc_id", $"payload", $"blen",
-        explode(sequence(lit(0L), expr("(blen + 255) div 256") - 1L))
-          .as("chunk_id"))
-      .select($"doc_id", $"chunk_id",
-        least(lit(256L), $"blen" - $"chunk_id" * 256L).cast("int").as("chunk_len"),
+        explode(sequence(lit(0L),
+          expr(s"(blen + ${stride - 1}) div $stride") - 1L)).as("idx"))
+  }
+
+  def multimodalChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    stridedWindows(s, dir, 256L)
+      .select($"doc_id", $"idx".as("chunk_id"),
+        least(lit(256L), $"blen" - $"idx" * 256L).cast("int").as("chunk_len"),
         lower(hex(substring($"payload",
-          ($"chunk_id" * 256L + 1L).cast("int"), lit(16))))
+          ($"idx" * 256L + 1L).cast("int"), lit(16))))
           .as("head_hex"))
       .orderBy($"doc_id", $"chunk_id")
   }
@@ -106,18 +118,11 @@ object Multimodal extends OpModule {
     * (DuckDB has no BLOB substring). */
   def multimodalFramesample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val payload = encode($"text", "UTF-8")
-    Tables.t(s, dir, "documents")
-      .select($"doc_id", payload.as("payload"),
-        octet_length(payload).as("blen"))
-      .filter($"blen" > 0) // sequence(0,-1) would descend on empties
-      .select($"doc_id", $"payload", $"blen",
-        explode(sequence(lit(0L), expr("(blen + 511) div 512") - 1L))
-          .as("frame_id"))
-      .select($"doc_id", $"frame_id",
-        ($"frame_id" * 512L).as("frame_off"),
+    stridedWindows(s, dir, 512L)
+      .select($"doc_id", $"idx".as("frame_id"),
+        ($"idx" * 512L).as("frame_off"),
         lower(hex(substring($"payload",
-          ($"frame_id" * 512L + 1L).cast("int"), lit(8))))
+          ($"idx" * 512L + 1L).cast("int"), lit(8))))
           .as("frame_hex"))
       .orderBy($"doc_id", $"frame_id")
   }

@@ -189,7 +189,11 @@ object Scalars extends OpModule {
         $"event_id",
         element_at(m, "k").as("k_val"),
         size(m).as("n_keys"),
-        element_at(map_keys(m), 1).as("first_key"))
+        // try_: ANSI element_at on an out-of-range ARRAY index throws;
+        // an empty props map must yield NULL like the oracle's
+        // json_keys[1], not kill the query (map-key lookups already
+        // NULL on miss — only the array index needs the guard)
+        try_element_at(map_keys(m), lit(1)).as("first_key"))
       .orderBy($"event_id")
   }
 

@@ -33,9 +33,12 @@ object Streaming extends OpModule {
       "/tmp/graft_stream_src", dir.replaceAll("[^A-Za-z0-9.]", "_"))
     java.nio.file.Files.createDirectories(stageDir)
     val link = stageDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(dir, "events.parquet"))
+    // create-then-tolerate, not exists-then-create: two JVMs staging the
+    // same dir concurrently (Verify + Bench) would otherwise race the
+    // exists check and the loser would crash
+    try java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get(dir, "events.parquet"))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
     val stream = s.readStream.schema(raw.schema).parquet(stageDir.toString)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -86,19 +86,25 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     * with three independent accumulators preserves each accumulation
     * sequence, and the final combine is the identical IEEE op order
     * (including the commuted norm product — double `*` commutes
-    * exactly). Pinned in OperatorGoldenSpec. */
+    * exactly). The Divide's evalMode is carried into the fused
+    * expression: an ANSI divide throws on a zero-norm denominator, a
+    * legacy divide NULLs — failOnZero reproduces exactly that, so the
+    * session-wide rewrite never changes observable zero-norm behavior
+    * (TRY mode is left un-fused). Pinned in OperatorGoldenSpec. */
   private def fuseCosine(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case Divide(DotProductF(a, b),
-          Multiply(Sqrt(DotProductF(a2, a3)), Sqrt(DotProductF(b2, b3)), _), _)
-          if a.semanticEquals(a2) && a.semanticEquals(a3) &&
+          Multiply(Sqrt(DotProductF(a2, a3)), Sqrt(DotProductF(b2, b3)), _), ctx)
+          if ctx.evalMode != EvalMode.TRY &&
+            a.semanticEquals(a2) && a.semanticEquals(a3) &&
             b.semanticEquals(b2) && b.semanticEquals(b3) =>
-        CosineSimF(a, b)
+        CosineSimF(a, b, failOnZero = ctx.evalMode == EvalMode.ANSI)
       case Divide(DotProductF(a, b),
-          Multiply(Sqrt(DotProductF(b2, b3)), Sqrt(DotProductF(a2, a3)), _), _)
-          if a.semanticEquals(a2) && a.semanticEquals(a3) &&
+          Multiply(Sqrt(DotProductF(b2, b3)), Sqrt(DotProductF(a2, a3)), _), ctx)
+          if ctx.evalMode != EvalMode.TRY &&
+            a.semanticEquals(a2) && a.semanticEquals(a3) &&
             b.semanticEquals(b2) && b.semanticEquals(b3) =>
-        CosineSimF(a, b)
+        CosineSimF(a, b, failOnZero = ctx.evalMode == EvalMode.ANSI)
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

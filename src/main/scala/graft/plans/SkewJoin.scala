@@ -19,6 +19,11 @@ object SkewJoin {
     * replicated `salts`× — keep it the dimension side. */
   def salted(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String, salts: Int): DataFrame = {
+    // fail fast on a column-name collision: withColumn would silently
+    // REPLACE a caller's __salt column and drop("__salt") would then
+    // strip their data from the result
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "salted(): inputs must not already have a __salt column")
     // deterministic salt: hash of the whole big row modulo S (a random
     // salt would also be correct, but determinism keeps t2-style
     // comparisons possible)

@@ -11,11 +11,15 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product_f",
-      exprs => DotProductF(exprs(0), exprs(1)),
+      { case Seq(a, b) => DotProductF(a, b)
+        case other => throw new IllegalArgumentException(
+          s"dot_product_f requires exactly 2 arguments, got ${other.length}") },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim_f",
-      exprs => CosineSimF(exprs(0), exprs(1)),
+      { case Seq(a, b) => CosineSimF(a, b)
+        case other => throw new IllegalArgumentException(
+          s"cosine_sim_f requires exactly 2 arguments, got ${other.length}") },
       "scala_udf")
   }
 }

@@ -560,6 +560,32 @@ class OperatorGoldenSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("fused cosine preserves ANSI divide-by-zero on zero-norm rows") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.DotProductRewrite
+    try {
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        graft.functions.DotProductF.dot(x, y)
+      // zero vector DERIVED from a column (a literal one would be
+      // constant-folded — and thrown on — before this rule ever runs)
+      val zero = Tables.t(spark, sf, "embeddings").limit(1)
+        .select(transform($"embedding", _ => lit(0.0f)).as("a"),
+          $"embedding".as("b"))
+      val composed = zero.select(
+        (dot($"a", $"b") / (sqrt(dot($"a", $"a")) * sqrt(dot($"b", $"b"))))
+          .as("cos"))
+      assert(composed.queryExecution.optimizedPlan.toString.contains("cosine_sim_f"))
+      // the session runs ANSI: the un-fused divide would throw, so the
+      // fused expression must too (the executor wraps it in
+      // SparkException — walk the cause chain)
+      val e = intercept[Exception] { composed.collect() }
+      def causes(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: causes(t.getCause)
+      assert(causes(e).exists(_.isInstanceOf[ArithmeticException]),
+        s"expected an ArithmeticException in the cause chain, got $e")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("optimizer rule does NOT fire on double arrays or uncast floats") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ graft.plans.DotProductRewrite
