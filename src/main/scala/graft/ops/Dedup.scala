@@ -187,9 +187,20 @@ object Dedup extends OpModule {
     * per (session, sf) and is reused by q_dedup_survivors_near. */
   private def dedupClustersBuild(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = dedupNearJaccard(s, dir).select($"a_id", $"b_id")
+    connectedComponents(dedupNearJaccard(s, dir).select($"a_id", $"b_id"))
+  }
+
+  /** Min-label connected components over an undirected pair list
+    * (a_id, b_id) — exposed so ScalaTest can drive the deep-chain
+    * pointer-jumping path with a synthetic graph (the fixture corpus
+    * only has shallow clusters). */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val (aCol, bCol) = (pairs.columns(0), pairs.columns(1))
+    val p2 = pairs.select(col(aCol).as("a_id"), col(bCol).as("b_id"))
     // undirected: propagate labels both ways
-    val edges = pairs.union(pairs.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+    val edges = p2.union(p2.select($"b_id".as("a_id"), $"a_id".as("b_id")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select($"src".as("doc_id")).distinct()
@@ -205,35 +216,46 @@ object Dedup extends OpModule {
     var converged = false
     var round = 0
     while (!converged && round < 20) {
+      // eager localCheckpoint: materializes the round AND truncates the
+      // logical lineage — without it each round's plan references the
+      // previous round twice (join + union), so the plan tree doubles
+      // per round and a deep-chain run OOMs just RENDERING it. (On a
+      // real cluster a reliable checkpoint dir does the same job with
+      // fault tolerance; local mode has no lineage-recovery need.)
       val propagated = labels.join(edges, $"doc_id" === $"src")
         .select($"dst".as("doc_id"), $"rep")
         .union(labels)
         .groupBy($"doc_id").agg(min($"rep").as("rep"))
-      // pointer jump: shortcut each rep to ITS rep (reps are node ids,
-      // so they appear as keys). min-invariant: rep's rep ≤ rep, so
-      // this only lowers labels — reach doubles per round.
-      val jumped = propagated
-        .join(propagated.select($"doc_id".as("r_doc"), $"rep".as("r_rep")),
-          $"rep" === $"r_doc")
-        .select($"doc_id", least($"rep", $"r_rep").as("rep"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val repSum = jumped.agg(sum($"rep")).as[Long].first()
-      labels.unpersist(blocking = false)
-      labels = jumped
+        .localCheckpoint(true)
+      // Pointer jumping (shortcut each rep to ITS rep — min-invariant:
+      // rep's rep ≤ rep, so it only lowers labels) doubles reach per
+      // round but costs an extra self-join. Near-dup graphs are almost
+      // always shallow, so the first rounds run plain 1-hop
+      // propagation; if round 5 arrives unconverged the graph has deep
+      // chains and jumping switches on — 15 doubling rounds then cover
+      // radius ~2^15, vs the radius-20 cap plain propagation would
+      // have.
+      val next =
+        if (round < 5) propagated
+        else propagated
+          .join(propagated.select($"doc_id".as("r_doc"), $"rep".as("r_rep")),
+            $"rep" === $"r_doc")
+          .select($"doc_id", least($"rep", $"r_rep").as("rep"))
+          .localCheckpoint(true)
+      val repSum = next.agg(sum($"rep")).as[Long].first()
+      labels = next
       converged = prevSum.contains(repSum)
       prevSum = Some(repSum)
       round += 1
     }
     edges.unpersist(blocking = false)
-    if (!converged) {
-      // error path: the final propagated frame never reaches OpCache, so
-      // release it here or its MEMORY_AND_DISK storage leaks for the
-      // rest of the session
-      labels.unpersist(blocking = false)
+    if (!converged)
       throw new IllegalStateException(
         s"dedup clustering did not converge in $round rounds")
-    }
-    labels // already persisted; OpCache tracks it for release
+    // checkpoint blocks of intermediate rounds are released by the
+    // ContextCleaner once their RDDs are unreachable; the final frame
+    // is what OpCache hands out (and re-persists for its registry)
+    labels
   }
 
   /** The dedup END PRODUCT: the corpus with near-dup clusters collapsed

@@ -480,6 +480,22 @@ class OperatorGoldenSpec extends SparkSpec {
       "split assignment must be a pure function of the key, not the layout")
   }
 
+  test("connected components resolves a 30-node chain (pointer-jump path)") {
+    // radius 29 chain: plain 1-hop propagation would exhaust the
+    // 20-round cap; the round-5 pointer-jump switch must kick in
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(chain)
+      .select($"doc_id", $"rep").as[(Long, Long)].collect().toMap
+    assert(labels.size === 30)
+    assert(labels.values.forall(_ == 0L),
+      "every node of one chain must resolve to the minimum label")
+    // two disjoint components stay separate
+    val two = (Seq((0L, 1L), (1L, 2L), (10L, 11L))).toDF("a_id", "b_id")
+    val reps = Dedup.connectedComponents(two)
+      .select($"doc_id", $"rep").as[(Long, Long)].collect().toMap
+    assert(reps(2L) === 0L && reps(11L) === 10L)
+  }
+
   test("IVF ANN recall ≥ 0.5 vs brute force top-10") {
     val truth = run("q_sim_topk_cosine")
       .select($"probe_id", $"nbr_id").as[(Long, Long)].collect().toSet
