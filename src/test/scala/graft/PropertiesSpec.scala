@@ -104,6 +104,36 @@ class PropertiesSpec extends SparkSpec {
       "expected at least one >2^53 unscaled value where the casts diverge")
   }
 
+  test("connected components ≡ driver-side union-find on random graphs") {
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
+      .map(_.filter { case (a, b) => a != b })
+    samples(edgeGen, 3).foreach { edges =>
+      if (edges.nonEmpty) {
+        // truth: classic union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // min-reachable id per component (find() returns A root, not
+        // necessarily the min — normalize via group min)
+        val byRoot = nodes.groupBy(find)
+        val truth = byRoot.flatMap { case (_, ns) =>
+          val m = ns.min; ns.map(_ -> m)
+        }
+        val got = graft.ops.Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === truth, s"edges=$edges")
+      }
+    }
+  }
+
   test("A except B is disjoint from A intersect B") {
     val keys = Gen.listOfN(20, Gen.chooseNum(0, 10))
     samples(Gen.zip(keys, keys), 3).foreach { case (a, b) =>
