@@ -532,7 +532,24 @@ object Aggregates extends OpModule {
       .orderBy($"c_nationkey")
   }
 
+  /** Pairwise correlation matrix of the lineitem numeric triple per
+    * returnflag — the feature-correlation profile a feature-selection
+    * pass starts from. Built-in `corr` (ROUND 4; magnitude ≤ 1 keeps
+    * cross-engine ulp noise below the rounding boundary — the same
+    * precedent as q_agg_stats). */
+  def aggCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        r4(corr($"l_quantity", $"l_extendedprice")).as("corr_qty_price"),
+        r4(corr($"l_quantity", $"l_discount")).as("corr_qty_disc"),
+        r4(corr($"l_extendedprice", $"l_discount")).as("corr_price_disc"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_corr_matrix" -> (aggCorrMatrix _),
     "q_agg_string_agg" -> (aggStringAgg _),
     "q_feat_funnel" -> (featFunnel _),
     "q_feat_retention" -> (featRetention _),
@@ -566,6 +583,12 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_agg_corr_matrix" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  ROUND(corr(l_quantity, l_discount), 4) AS corr_qty_disc,
+        |  ROUND(corr(l_extendedprice, l_discount), 4) AS corr_price_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_string_agg" ->
       """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
         |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)

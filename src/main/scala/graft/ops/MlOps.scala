@@ -142,7 +142,23 @@ object MlOps extends OpModule {
       .orderBy($"c_custkey")
   }
 
+  /** Min-max normalization of customer balance per nation (ROUND 4) —
+    * the other canonical scaler beside q_feat_scale_sql's z-score.
+    * min/max over 2-dp source decimals are exact; the single division
+    * follows the identical op order in both engines. */
+  def featMinmaxSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+    Tables.t(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey",
+        round(($"c_acctbal" - min($"c_acctbal").over(w)) /
+          nullif(max($"c_acctbal").over(w) - min($"c_acctbal").over(w),
+            lit(0.0)), 4).as("mm_bal"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_feat_minmax_sql" -> (featMinmaxSql _),
     "q_ml_feature_pipeline" -> (mlFeaturePipeline _),
     "q_ml_propensity" -> (mlPropensity _),
     "q_ml_segmentation" -> (mlSegmentation _),
@@ -151,6 +167,14 @@ object MlOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_feat_minmax_sql" ->
+      """SELECT c_custkey, c_nationkey,
+        |  ROUND((c_acctbal - min(c_acctbal) OVER w)
+        |    / NULLIF(max(c_acctbal) OVER w - min(c_acctbal) OVER w, 0.0), 4)
+        |    AS mm_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q_feat_scale_sql" ->
       """SELECT c_custkey, c_nationkey,
         |  ROUND((c_acctbal - avg(c_acctbal) OVER w)

@@ -155,7 +155,24 @@ object PipelineOps extends OpModule {
       .orderBy($"dirty_id", $"matched_id")
   }
 
+  /** Consistent fixed-SIZE sample: the 100 customers with the smallest
+    * md5 hash of their key — the "deterministic reservoir" every
+    * engineer wants from `LIMIT`-after-`ORDER BY rand()` but stable:
+    * the same rows come back on any cluster, any day, and the sample
+    * only changes incrementally as keys are added/removed (hash order
+    * is global, not data-order). Top-k by hash ⇒
+    * TakeOrderedAndProject — no global sort. */
+  def sampleConsistent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment",
+        md5int($"c_custkey".cast("string")).as("hv"))
+      .orderBy($"hv", $"c_custkey")
+      .limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sample_consistent" -> (sampleConsistent _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_split_hash" -> (splitHash _),
     "q_agg_incremental" -> (aggIncremental _),
@@ -165,6 +182,11 @@ object PipelineOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_consistent" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    AS hv
+        |FROM customer ORDER BY hv, c_custkey LIMIT 100""".stripMargin,
     "q_sample_stratified" ->
       """WITH r AS (
         |  SELECT c_custkey, c_mktsegment,
