@@ -33,4 +33,15 @@ object Tables {
       else raw
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** Per-JVM /tmp sink root for the source/sink round-trip ops. The pid
+    * segment isolates concurrently running JVMs (the driver's Verify and
+    * Bench overlap in practice): on a shared path two writers can
+    * interleave as A.overwrite, B.overwrite, A.append, B.append, leaving
+    * one sink with a doubled batch and the other missing one — silently
+    * wrong aggregates. Within one JVM the path is stable, so
+    * mode("overwrite") still cleans up earlier runs of the same query. */
+  def sinkPath(kind: String, sfDir: String, leaf: String): String =
+    s"/tmp/graft_${kind}_sink/p${ProcessHandle.current().pid()}/" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"/$leaf"
 }

@@ -99,22 +99,55 @@ object Dedup extends OpModule {
     }
   }
 
+  /** Maximum shingle DOCUMENT FREQUENCY admitted to the pair self-join.
+    * A shingle occurring in f docs contributes f² candidate pairs, so
+    * one boilerplate phrase (license blurb, navigation chrome — exactly
+    * what q_dedup_spans surfaces) turns the join quadratic at corpus
+    * scale while carrying ~zero Jaccard signal (a shingle shared by
+    * thousands of docs tells you nothing about any one pair). Capping
+    * df bounds per-key skew by construction. The fixture corpus's max
+    * df is 4 (measured at sf0.01 and sf0.1), so 100 changes nothing
+    * here — it exists for the 100-TB corpus. Mirrored verbatim in the
+    * DuckDB oracles so the hash gate pins the capped semantics. */
+  private[ops] val ShingleDfCap = 100L
+
+  /** Shingle rows restricted to df ≤ [[ShingleDfCap]] — the pair-join
+    * input. The df aggregation and the semi-join both key on `shingle`,
+    * the same key as the downstream pair join, so at scale this adds
+    * one reusable exchange, not a new shuffle shape. Denominator counts
+    * (n_sh) always come from the FULL shingle table. */
+  private def prunedShingleRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cached(s, dir, "sh_pruned") {
+      val sh = shingleRows(s, dir)
+      val lowDf = sh.groupBy($"shingle")
+        .agg(count(lit(1)).as("df"))
+        .filter($"df" <= ShingleDfCap)
+        .select($"shingle")
+      sh.join(lowDf, Seq("shingle"), "left_semi")
+    }
+  }
+
   /** Exact Jaccard ≥ 0.8 near-dup pairs via shingle-key equi-join on the
-    * cached shingle table. Per-doc counts are broadcast (tiny); the pair
-    * join shuffles by shingle — the shape that survives 100 TB (no
-    * cross join, skew bounded by shingle frequency). */
+    * cached (df-capped) shingle table. The pair join shuffles by shingle
+    * — the shape that survives 100 TB (no cross join, per-key skew
+    * bounded by [[ShingleDfCap]]). Per-doc counts join AFTER the pair
+    * aggregation as plain shuffle joins on the pair ids: the count table
+    * has one row per document (billions at corpus scale), so it must
+    * never be broadcast — and joining post-aggregation means it joins
+    * against surviving pairs, not raw shingle rows. */
   def dedupNearJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = shingleRows(s, dir)
+    val shp = prunedShingleRows(s, dir)
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select($"doc_id".as("a_id"), $"shingle")
-      .join(broadcast(cnt.select($"doc_id".as("a_id"), $"n_sh".as("na"))), Seq("a_id"))
-    val b = sh.select($"doc_id".as("b_id"), $"shingle")
-      .join(broadcast(cnt.select($"doc_id".as("b_id"), $"n_sh".as("nb"))), Seq("b_id"))
-    a.join(b, Seq("shingle"))
+    shp.select($"doc_id".as("a_id"), $"shingle")
+      .join(shp.select($"doc_id".as("b_id"), $"shingle"), Seq("shingle"))
       .filter($"a_id" < $"b_id")
-      .groupBy($"a_id", $"b_id", $"na", $"nb")
+      .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("common"))
+      .join(cnt.select($"doc_id".as("a_id"), $"n_sh".as("na")), Seq("a_id"))
+      .join(cnt.select($"doc_id".as("b_id"), $"n_sh".as("nb")), Seq("b_id"))
       .select($"a_id", $"b_id",
         round($"common".cast("double") / ($"na" + $"nb" - $"common"), 4)
           .as("jaccard"))
@@ -144,19 +177,21 @@ object Dedup extends OpModule {
     * the sub-document-duplicate detector (a contained in b scores high
     * even when b is much longer, where Jaccard would dilute). Same
     * scalable shape as Jaccard: equi-join on the shingle key over the
-    * shared persisted shingle table, per-doc counts broadcast; only the
-    * denominator differs. */
+    * shared persisted df-capped shingle table; per-doc counts (full,
+    * uncapped — the denominator is |Sa|) shuffle-join the aggregated
+    * pairs, never broadcast (O(corpus) rows). */
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingleRows(s, dir)
-    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select($"doc_id".as("a_id"), $"shingle")
-    val b = sh.select($"doc_id".as("b_id"), $"shingle")
+    val shp = prunedShingleRows(s, dir)
+    val cnt = shingleRows(s, dir)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = shp.select($"doc_id".as("a_id"), $"shingle")
+    val b = shp.select($"doc_id".as("b_id"), $"shingle")
     a.join(b, Seq("shingle"))
       .filter($"a_id" =!= $"b_id")
       .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("common"))
-      .join(broadcast(cnt.select($"doc_id".as("a_id"), $"n_sh".as("na"))), Seq("a_id"))
+      .join(cnt.select($"doc_id".as("a_id"), $"n_sh".as("na")), Seq("a_id"))
       .select($"a_id", $"b_id",
         round($"common".cast("double") / $"na", 4).as("containment"))
       .filter($"containment" >= 0.9)
@@ -242,7 +277,10 @@ object Dedup extends OpModule {
             $"rep" === $"r_doc")
           .select($"doc_id", least($"rep", $"r_rep").as("rep"))
           .localCheckpoint(true)
-      val repSum = next.agg(sum($"rep")).as[Long].first()
+      // coalesce: sum over an EMPTY labels frame is NULL, and .as[Long]
+      // on NULL throws — a zero-edge input (no near-dup pairs at all)
+      // must converge gracefully, not NPE.
+      val repSum = next.agg(coalesce(sum($"rep"), lit(0L))).as[Long].first()
       labels = next
       converged = prevSum.contains(repSum)
       prevSum = Some(repSum)
@@ -425,9 +463,12 @@ object Dedup extends OpModule {
       .join(sh.select($"doc_id".as("a_id"), $"shingle"), Seq("a_id"))
       .join(sh.select($"doc_id".as("b_id"), $"shingle"), Seq("b_id", "shingle"))
       .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("common"))
+    // count joins are plain shuffle joins: cnt is one row per document
+    // (O(corpus) — never broadcastable), and `common` is already the
+    // small verified-candidate table, so the shuffle is cheap.
     common
-      .join(broadcast(cnt.select($"doc_id".as("a_id"), $"n_sh".as("na"))), Seq("a_id"))
-      .join(broadcast(cnt.select($"doc_id".as("b_id"), $"n_sh".as("nb"))), Seq("b_id"))
+      .join(cnt.select($"doc_id".as("a_id"), $"n_sh".as("na")), Seq("a_id"))
+      .join(cnt.select($"doc_id".as("b_id"), $"n_sh".as("nb")), Seq("b_id"))
       .select($"a_id", $"b_id",
         round($"common".cast("double") / ($"na" + $"nb" - $"common"), 4)
           .as("jaccard"))
@@ -611,6 +652,13 @@ object Dedup extends OpModule {
       |    i -> array_to_string(words[i:i+4], ' ')))) AS shingle
       |  FROM w WHERE len(words) >= 5)""".stripMargin
 
+  /** Oracle mirror of [[prunedShingleRows]]: the df ≤ [[ShingleDfCap]]
+    * restriction on the pair-join input (denominators stay on `sh`). */
+  private val prunedShinglesCte =
+    s"""shdf AS (SELECT shingle FROM sh GROUP BY shingle
+       |  HAVING COUNT(*) <= $ShingleDfCap),
+       |shp AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shdf USING (shingle))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT sha256(text) AS digest, COUNT(*) AS n, min(doc_id) AS min_id
@@ -629,10 +677,11 @@ object Dedup extends OpModule {
          |ORDER BY n_docs DESC, shingle ASC LIMIT 30""".stripMargin,
     "q_dedup_near_jaccard" ->
       s"""WITH $shinglesCte,
+         |$prunedShinglesCte,
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT a_id, b_id,
          |  ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
@@ -643,10 +692,11 @@ object Dedup extends OpModule {
          |ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,
+         |$prunedShinglesCte,
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
          |p AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id),
          |jp AS (
          |  SELECT a_id, b_id FROM p
@@ -663,10 +713,11 @@ object Dedup extends OpModule {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_survivors_near" ->
       s"""WITH RECURSIVE $shinglesCte,
+         |$prunedShinglesCte,
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
          |p AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id),
          |jp AS (
          |  SELECT a_id, b_id FROM p
@@ -686,10 +737,11 @@ object Dedup extends OpModule {
          |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_containment" ->
       s"""WITH $shinglesCte,
+         |$prunedShinglesCte,
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         |  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT a_id, b_id,
          |  ROUND(CAST(common AS DOUBLE) / ca.n_sh, 4) AS containment

@@ -111,8 +111,7 @@ object PipelineOps extends OpModule {
     * JSON escape/unescape loop byte-exactly. */
   def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = "/tmp/graft_jsonl_sink/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/documents_jsonl"
+    val path = Tables.sinkPath("jsonl", dir, "documents_jsonl")
     val src = Tables.t(s, dir, "documents")
       .select($"doc_id", $"lang", $"source", $"n_chars", $"text")
     src.write.mode("overwrite").json(path)

@@ -81,8 +81,7 @@ object Scans extends OpModule {
     * dynamic overwrite. */
   def partitionedRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = "/tmp/graft_part_sink/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_by_date"
+    val path = Tables.sinkPath("part", dir, "events_by_date")
     Tables.t(s, dir, "events")
       .withColumn("event_date", $"ts".cast("date"))
       // repartition BY the partition column before partitionBy: without
@@ -106,8 +105,7 @@ object Scans extends OpModule {
     * source loop is lossless. */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = "/tmp/graft_csv_sink/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/part_csv"
+    val path = Tables.sinkPath("csv", dir, "part_csv")
     val src = Tables.t(s, dir, "part")
     src.write.mode("overwrite").option("header", "true").csv(path)
     s.read.schema(src.schema).option("header", "true").csv(path)
@@ -122,8 +120,7 @@ object Scans extends OpModule {
     * read-back, as always at scale. */
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = "/tmp/graft_orc_sink/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/part_orc"
+    val path = Tables.sinkPath("orc", dir, "part_orc")
     val src = Tables.t(s, dir, "part")
     src.write.mode("overwrite").orc(path)
     s.read.schema(src.schema).orc(path)
@@ -137,11 +134,13 @@ object Scans extends OpModule {
     * `mergeSchema` — the unified schema null-fills the legacy rows,
     * which the aggregation surfaces as an explicit `<legacy>` band.
     * This is how a 100-TB corpus absorbs a new feature column without
-    * rewriting history: merge on read, coalesce at the consumer. */
+    * rewriting history: merge on read, coalesce at the consumer.
+    * The sink path is per-JVM ([[Tables.sinkPath]]): the overwrite-then-
+    * append sequence on a shared path races a concurrent writer into a
+    * doubled/missing batch. */
   def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = "/tmp/graft_schemaevo_sink/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/orders_evolving"
+    val path = Tables.sinkPath("schemaevo", dir, "orders_evolving")
     val o = Tables.t(s, dir, "orders")
     val cut = "1997-01-01"
     o.filter($"o_orderdate" < cut)

@@ -194,8 +194,13 @@ object TextOps extends OpModule {
     * predict. pmi_scaled = n_ab·N·10⁴ div (n_{a·}·n_{·b}) — an exact
     * int64 monotone image of the PMI ratio (ln is not bit-portable
     * across engines; the scaled ratio is). Tokenizes once via
-    * posexplode + window lead (the no-CSE-in-HOF-lambdas lesson);
-    * unigram margins are small (vocab-sized) and broadcast. */
+    * posexplode + window lead (the no-CSE-in-HOF-lambdas lesson).
+    * Unigram margins are O(vocabulary) rows — 10⁸–10⁹ terms on a 100-TB
+    * corpus, so they must NEVER be broadcast: the n_ab ≥ 5 support
+    * filter runs first (it prunes the vast singleton tail of the bigram
+    * table), then the margins shuffle-join the survivors on the same
+    * w1/w2 keys the bigram aggregation already hashed by. Only the
+    * 1-row global total is broadcast (bounded by construction). */
   def textCollocations(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -210,10 +215,10 @@ object TextOps extends OpModule {
     val nab = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
     val n1 = big.groupBy($"w1").agg(count(lit(1)).as("n_w1"))
     val n2 = big.groupBy($"w2").agg(count(lit(1)).as("n_w2"))
-    nab.join(broadcast(n1), Seq("w1"))
-      .join(broadcast(n2), Seq("w2"))
+    nab.filter($"n_ab" >= 5)
+      .join(n1, Seq("w1"))
+      .join(n2, Seq("w2"))
       .crossJoin(broadcast(big.agg(count(lit(1)).as("n_tot"))))
-      .filter($"n_ab" >= 5)
       .select($"w1", $"w2", $"n_ab",
         expr("n_ab * n_tot * 10000 div (n_w1 * n_w2)").as("pmi_scaled"))
       .orderBy($"pmi_scaled".desc, $"w1".asc, $"w2".asc)
