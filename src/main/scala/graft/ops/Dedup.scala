@@ -128,6 +128,81 @@ object Dedup extends OpModule {
     }
   }
 
+  /** Docs BLIND to the df-capped pair join: fewer than half their
+    * shingles survive [[ShingleDfCap]]. These are exactly the members of
+    * duplicate clusters larger than the cap — a template duplicated 200×
+    * gives every one of its shingles df = 200, so the pruned join emits
+    * no pair for them at all. The most-duplicated content is the primary
+    * dedup target, so these docs get a MinHash-band fallback (below)
+    * instead of silently vanishing. Integer comparison (2·kept < total)
+    * keeps the predicate float-free on both engines. */
+  private def cappedDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cached(s, dir, "sh_capped_docs") {
+      val full = shingleRows(s, dir).groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_sh"))
+      val kept = prunedShingleRows(s, dir).groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_kept"))
+      full.join(kept, Seq("doc_id"), "left")
+        .filter(coalesce($"n_kept", lit(0L)) * 2 < $"n_sh")
+        .select($"doc_id")
+    }
+  }
+
+  /** MinHash band candidates among capped docs, BOTH directions
+    * (a_id ≠ b_id) so the directional containment fallback can reuse
+    * them. Signatures are built only over the capped subset (a semi-join
+    * before the min-agg), so on a corpus with no over-cap clusters this
+    * whole branch aggregates nothing; at 100 TB it sizes with the blind
+    * subset, not the corpus. Banding is the same 4×2 affine-MinHash
+    * scheme as q_dedup_minhash_lsh: a band match needs 2 signature rows
+    * equal, so unrelated high-df docs don't pair up — candidates size
+    * with the true duplicate structure (whose pair output is inherently
+    * quadratic in cluster size) rather than with shingle df. */
+  private def cappedCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cached(s, dir, "sh_capped_cand") {
+      val sig = shingleRows(s, dir)
+        .join(cappedDocs(s, dir), Seq("doc_id"), "left_semi")
+        .select($"doc_id", (md5int($"shingle") % 1073741824L).as("base"))
+        .groupBy($"doc_id")
+        .agg(
+          min(($"base" * mhA(0) + mhB(0)) % MhP).as("mh0"),
+          (1 until 8).map(k =>
+            min(($"base" * mhA(k) + mhB(k)) % MhP).as(s"mh$k")): _*)
+      val banded = sig.select($"doc_id", explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            (col(s"mh${2 * b}") * 1000000009L + col(s"mh${2 * b + 1}")).as("bucket"))
+        }: _*)).as("bb"))
+        .select($"doc_id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+      banded.select($"doc_id".as("a_id"), $"band", $"bucket")
+        .join(banded.select($"doc_id".as("b_id"), $"band", $"bucket"),
+          Seq("band", "bucket"))
+        .filter($"a_id" =!= $"b_id")
+        .select($"a_id", $"b_id").distinct()
+    }
+  }
+
+  /** Candidate pairs from [[cappedCandidates]] exact-verified with FULL
+    * shingle counts (the pruned common is ~0 for capped docs by
+    * construction — the whole point). Verification joins shingles INTO
+    * the candidate pairs, so it costs O(candidates × shingles/doc). */
+  private def cappedVerified(s: SparkSession, dir: String,
+      bothDirections: Boolean): DataFrame = {
+    import s.implicits._
+    val sh = shingleRows(s, dir)
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val cand =
+      if (bothDirections) cappedCandidates(s, dir)
+      else cappedCandidates(s, dir).filter($"a_id" < $"b_id")
+    cand
+      .join(sh.select($"doc_id".as("a_id"), $"shingle"), Seq("a_id"))
+      .join(sh.select($"doc_id".as("b_id"), $"shingle"), Seq("b_id", "shingle"))
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("common"))
+      .join(cnt.select($"doc_id".as("a_id"), $"n_sh".as("na")), Seq("a_id"))
+      .join(cnt.select($"doc_id".as("b_id"), $"n_sh".as("nb")), Seq("b_id"))
+  }
+
   /** Exact Jaccard ≥ 0.8 near-dup pairs via shingle-key equi-join on the
     * cached (df-capped) shingle table. The pair join shuffles by shingle
     * — the shape that survives 100 TB (no cross join, per-key skew
@@ -135,13 +210,16 @@ object Dedup extends OpModule {
     * aggregation as plain shuffle joins on the pair ids: the count table
     * has one row per document (billions at corpus scale), so it must
     * never be broadcast — and joining post-aggregation means it joins
-    * against surviving pairs, not raw shingle rows. */
+    * against surviving pairs, not raw shingle rows. Docs blinded by the
+    * df cap (members of over-cap duplicate clusters) re-enter through
+    * the [[cappedVerified]] MinHash-band fallback; MAX over the union
+    * prefers the full-count jaccard when a pair appears in both. */
   def dedupNearJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = shingleRows(s, dir)
     val shp = prunedShingleRows(s, dir)
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    shp.select($"doc_id".as("a_id"), $"shingle")
+    val main = shp.select($"doc_id".as("a_id"), $"shingle")
       .join(shp.select($"doc_id".as("b_id"), $"shingle"), Seq("shingle"))
       .filter($"a_id" < $"b_id")
       .groupBy($"a_id", $"b_id")
@@ -152,6 +230,13 @@ object Dedup extends OpModule {
         round($"common".cast("double") / ($"na" + $"nb" - $"common"), 4)
           .as("jaccard"))
       .filter($"jaccard" >= 0.8)
+    val fallback = cappedVerified(s, dir, bothDirections = false)
+      .select($"a_id", $"b_id",
+        round($"common".cast("double") / ($"na" + $"nb" - $"common"), 4)
+          .as("jaccard"))
+      .filter($"jaccard" >= 0.8)
+    main.unionByName(fallback)
+      .groupBy($"a_id", $"b_id").agg(max($"jaccard").as("jaccard"))
       .orderBy($"a_id", $"b_id")
   }
 
@@ -187,7 +272,7 @@ object Dedup extends OpModule {
       .groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val a = shp.select($"doc_id".as("a_id"), $"shingle")
     val b = shp.select($"doc_id".as("b_id"), $"shingle")
-    a.join(b, Seq("shingle"))
+    val main = a.join(b, Seq("shingle"))
       .filter($"a_id" =!= $"b_id")
       .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("common"))
@@ -195,6 +280,14 @@ object Dedup extends OpModule {
       .select($"a_id", $"b_id",
         round($"common".cast("double") / $"na", 4).as("containment"))
       .filter($"containment" >= 0.9)
+    // capped-doc fallback, directional (a≠b): same MinHash-band
+    // candidates as the jaccard fallback, containment denominator |Sa|
+    val fallback = cappedVerified(s, dir, bothDirections = true)
+      .select($"a_id", $"b_id",
+        round($"common".cast("double") / $"na", 4).as("containment"))
+      .filter($"containment" >= 0.9)
+    main.unionByName(fallback)
+      .groupBy($"a_id", $"b_id").agg(max($"containment").as("containment"))
       .orderBy($"a_id", $"b_id")
   }
 
@@ -658,6 +751,65 @@ object Dedup extends OpModule {
     s"""shdf AS (SELECT shingle FROM sh GROUP BY shingle
        |  HAVING COUNT(*) <= $ShingleDfCap),
        |shp AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shdf USING (shingle))""".stripMargin
+
+  /** Oracle mirror of the capped-doc fallback ([[cappedDocs]] →
+    * [[cappedCandidates]] → [[cappedVerified]]): MinHash band candidates
+    * among docs with <50% of shingles surviving the df cap, verified
+    * with FULL shingle counts. Defines `cnt` for the consuming oracles. */
+  private val cappedFallbackCte = {
+    val mins = (0 until 8).map(k =>
+      s"  min((base * ${mhA(k)} + ${mhB(k)}) % $MhP) AS mh$k").mkString(",\n")
+    val bands = (0 until 4).map(b =>
+      s"  SELECT doc_id, $b AS band, mh${2 * b} * 1000000009 + mh${2 * b + 1} AS bucket FROM csig")
+      .mkString("\n  UNION ALL\n")
+    s"""cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |kept AS (SELECT doc_id, COUNT(*) AS n_kept FROM shp GROUP BY doc_id),
+       |capped AS (SELECT c.doc_id FROM cnt c LEFT JOIN kept k USING (doc_id)
+       |  WHERE COALESCE(k.n_kept, 0) * 2 < c.n_sh),
+       |cbased AS (SELECT doc_id,
+       |  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741824 AS base
+       |  FROM sh WHERE doc_id IN (SELECT doc_id FROM capped)),
+       |csig AS (SELECT doc_id,
+       |$mins
+       |FROM cbased GROUP BY doc_id),
+       |cbanded AS (
+       |$bands),
+       |ccand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM cbanded a JOIN cbanded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id),
+       |cverif AS (SELECT c.a_id, c.b_id, COUNT(*) AS common
+       |  FROM ccand c
+       |  JOIN sh a ON a.doc_id = c.a_id
+       |  JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+       |  GROUP BY c.a_id, c.b_id)""".stripMargin
+  }
+
+  /** Oracle jaccard-pair block shared by near_jaccard / clusters /
+    * survivors_near: main df-capped pairs UNION the capped-doc fallback,
+    * MAX-merged per pair. Yields CTE `jacc(a_id, b_id, jaccard)`. */
+  private val jaccardPairsCte =
+    s"""mainj AS (
+       |  SELECT a_id, b_id,
+       |    ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
+       |  FROM (
+       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+       |    FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id) p
+       |  JOIN cnt ca ON ca.doc_id = a_id
+       |  JOIN cnt cb ON cb.doc_id = b_id
+       |  WHERE ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) >= 0.8),
+       |fbj AS (
+       |  SELECT v.a_id, v.b_id,
+       |    ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
+       |  FROM cverif v
+       |  JOIN cnt ca ON ca.doc_id = v.a_id
+       |  JOIN cnt cb ON cb.doc_id = v.b_id
+       |  WHERE v.a_id < v.b_id
+       |    AND ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) >= 0.8),
+       |jacc AS (
+       |  SELECT a_id, b_id, MAX(jaccard) AS jaccard
+       |  FROM (SELECT * FROM mainj UNION ALL SELECT * FROM fbj) u
+       |  GROUP BY a_id, b_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
