@@ -109,7 +109,7 @@ object Dedup extends OpModule {
     * df is 4 (measured at sf0.01 and sf0.1), so 100 changes nothing
     * here — it exists for the 100-TB corpus. Mirrored verbatim in the
     * DuckDB oracles so the hash gate pins the capped semantics. */
-  private[ops] val ShingleDfCap = 100L
+  private[graft] val ShingleDfCap = 100L
 
   /** Shingle rows restricted to df ≤ [[ShingleDfCap]] — the pair-join
     * input. The df aggregation and the semi-join both key on `shingle`,
@@ -830,33 +830,16 @@ object Dedup extends OpModule {
     "q_dedup_near_jaccard" ->
       s"""WITH $shinglesCte,
          |$prunedShinglesCte,
-         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
-         |  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT a_id, b_id,
-         |  ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
-         |FROM pairs
-         |JOIN cnt ca ON ca.doc_id = a_id
-         |JOIN cnt cb ON cb.doc_id = b_id
-         |WHERE ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) >= 0.8
-         |ORDER BY a_id, b_id""".stripMargin,
+         |$cappedFallbackCte,
+         |$jaccardPairsCte
+         |SELECT a_id, b_id, jaccard FROM jacc ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,
          |$prunedShinglesCte,
-         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |p AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
-         |  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |jp AS (
-         |  SELECT a_id, b_id FROM p
-         |  JOIN cnt ca ON ca.doc_id = a_id
-         |  JOIN cnt cb ON cb.doc_id = b_id
-         |  WHERE ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) >= 0.8),
-         |e AS (SELECT a_id AS src, b_id AS dst FROM jp
-         |  UNION ALL SELECT b_id, a_id FROM jp),
+         |$cappedFallbackCte,
+         |$jaccardPairsCte,
+         |e AS (SELECT a_id AS src, b_id AS dst FROM jacc
+         |  UNION ALL SELECT b_id, a_id FROM jacc),
          |walk(doc_id, rep) AS (
          |  SELECT DISTINCT src, src FROM e
          |  UNION
@@ -866,18 +849,10 @@ object Dedup extends OpModule {
     "q_dedup_survivors_near" ->
       s"""WITH RECURSIVE $shinglesCte,
          |$prunedShinglesCte,
-         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |p AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
-         |  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |jp AS (
-         |  SELECT a_id, b_id FROM p
-         |  JOIN cnt ca ON ca.doc_id = a_id
-         |  JOIN cnt cb ON cb.doc_id = b_id
-         |  WHERE ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) >= 0.8),
-         |e AS (SELECT a_id AS src, b_id AS dst FROM jp
-         |  UNION ALL SELECT b_id, a_id FROM jp),
+         |$cappedFallbackCte,
+         |$jaccardPairsCte,
+         |e AS (SELECT a_id AS src, b_id AS dst FROM jacc
+         |  UNION ALL SELECT b_id, a_id FROM jacc),
          |walk(doc_id, rep) AS (
          |  SELECT DISTINCT src, src FROM e
          |  UNION
@@ -890,17 +865,25 @@ object Dedup extends OpModule {
     "q_dedup_containment" ->
       s"""WITH $shinglesCte,
          |$prunedShinglesCte,
-         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
-         |  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT a_id, b_id,
-         |  ROUND(CAST(common AS DOUBLE) / ca.n_sh, 4) AS containment
-         |FROM pairs
-         |JOIN cnt ca ON ca.doc_id = a_id
-         |WHERE ROUND(CAST(common AS DOUBLE) / ca.n_sh, 4) >= 0.9
-         |ORDER BY a_id, b_id""".stripMargin,
+         |$cappedFallbackCte,
+         |mainc AS (
+         |  SELECT a_id, b_id,
+         |    ROUND(CAST(common AS DOUBLE) / ca.n_sh, 4) AS containment
+         |  FROM (
+         |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+         |    FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         |    GROUP BY a.doc_id, b.doc_id) p
+         |  JOIN cnt ca ON ca.doc_id = a_id
+         |  WHERE ROUND(CAST(common AS DOUBLE) / ca.n_sh, 4) >= 0.9),
+         |fbc AS (
+         |  SELECT v.a_id, v.b_id,
+         |    ROUND(CAST(common AS DOUBLE) / ca.n_sh, 4) AS containment
+         |  FROM cverif v
+         |  JOIN cnt ca ON ca.doc_id = v.a_id
+         |  WHERE ROUND(CAST(common AS DOUBLE) / ca.n_sh, 4) >= 0.9)
+         |SELECT a_id, b_id, MAX(containment) AS containment
+         |FROM (SELECT * FROM mainc UNION ALL SELECT * FROM fbc) u
+         |GROUP BY a_id, b_id ORDER BY a_id, b_id""".stripMargin,
     "q_dedup_minhash_sig" ->
       (s"WITH $shinglesCte,\n" +
         "based AS (SELECT doc_id,\n" +

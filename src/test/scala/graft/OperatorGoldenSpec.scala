@@ -496,6 +496,39 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(reps(2L) === 0L && reps(11L) === 10L)
   }
 
+  test("near-dup fallback: duplicate cluster LARGER than ShingleDfCap still pairs") {
+    // A template duplicated cap+20 times gives every one of its shingles
+    // df = cap+20 > ShingleDfCap, so the df-capped main join sees zero
+    // of its shingles — the round-4 blindness. The MinHash-band fallback
+    // must route these docs back in and emit every pair.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_capfix").toString
+    val template = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 words → 8 shingles
+    val n = Dedup.ShingleDfCap.toInt + 20                      // 120-doc cluster
+    val rows = (0 until n).map(i =>
+      (i.toLong, template, "en", "syn", template.length.toLong)) ++ Seq(
+      (1000L, (1 to 12).map(i => s"only$i").mkString(" "), "en", "syn", 12L),
+      (1001L, (1 to 12).map(i => s"solo$i").mkString(" "), "en", "syn", 12L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val pairs = Dedup.dedupNearJaccard(spark, tmp).collect()
+      assert(pairs.length === n * (n - 1) / 2,
+        s"expected all ${n * (n - 1) / 2} cluster pairs, got ${pairs.length}")
+      assert(pairs.forall(_.getAs[Double]("jaccard") === 1.0))
+      val cont = Dedup.dedupContainment(spark, tmp)
+      assert(cont.count() === n.toLong * (n - 1), // directional: both ways
+        "containment fallback must emit both directions for the cluster")
+      val reps = Dedup.dedupClusters(spark, tmp)
+        .select($"doc_id", $"rep").as[(Long, Long)].collect().toMap
+      assert(reps.size === n && reps.values.forall(_ == 0L),
+        "the whole over-cap cluster must collapse to rep 0")
+      val survivors = Dedup.dedupSurvivorsNear(spark, tmp)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(survivors === Set(0L, 1000L, 1001L),
+        "survivors = cluster rep + the two singletons")
+    } finally OpCache.clear(spark)
+  }
+
   test("IVF ANN recall ≥ 0.5 vs brute force top-10") {
     val truth = run("q_sim_topk_cosine")
       .select($"probe_id", $"nbr_id").as[(Long, Long)].collect().toSet
