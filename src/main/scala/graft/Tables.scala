@@ -41,7 +41,41 @@ object Tables {
     * one sink with a doubled batch and the other missing one — silently
     * wrong aggregates. Within one JVM the path is stable, so
     * mode("overwrite") still cleans up earlier runs of the same query. */
-  def sinkPath(kind: String, sfDir: String, leaf: String): String =
+  def sinkPath(kind: String, sfDir: String, leaf: String): String = {
+    sweepStaleSinks
     s"/tmp/graft_${kind}_sink/p${ProcessHandle.current().pid()}/" +
       sfDir.replaceAll("[^A-Za-z0-9.]", "_") + s"/$leaf"
+  }
+
+  /** One-time (per JVM) sweep of sink dirs left by DEAD processes:
+    * every new JVM writes a fresh `p<pid>` subtree and overwrite-mode
+    * only cleans the current pid's paths, so repeated Verify/Bench runs
+    * would otherwise accumulate unbounded copies of the round-trip
+    * tables in /tmp. Live pids are left alone — the concurrent-writer
+    * isolation the pid segment exists for is preserved. */
+  private lazy val sweepStaleSinks: Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val tmp = Paths.get("/tmp")
+    def deleteRec(p: Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq.foreach(deleteRec)
+      Files.deleteIfExists(p)
+    }
+    try {
+      Files.list(tmp).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("graft_") && n.endsWith("_sink")
+        }
+        .flatMap(root => Files.list(root).iterator().asScala)
+        .filter { pidDir =>
+          val n = pidDir.getFileName.toString
+          n.startsWith("p") && n.drop(1).forall(_.isDigit) &&
+            !ProcessHandle.of(n.drop(1).toLong)
+              .map[Boolean](_.isAlive).orElse(false)
+        }
+        .toSeq.foreach(d => try deleteRec(d) catch { case _: Throwable => () })
+    } catch { case _: Throwable => () } // sweep is best-effort hygiene
+  }
 }

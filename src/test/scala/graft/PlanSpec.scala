@@ -70,6 +70,26 @@ class PlanSpec extends SparkSpec {
       s"binning must turn the range predicate into an equi-join:\n$p")
   }
 
+  test("dedup count joins carry no broadcast hint (O(corpus) side must shuffle)") {
+    // Round 4 removed `broadcast()` from the per-document count tables —
+    // one row per doc, billions at corpus scale, never broadcastable.
+    // Catalyst may still auto-broadcast them at toy scale from STATS
+    // (correct, size-driven, vanishes at 100 TB); what must never return
+    // is the un-scaled explicit hint. Optimized-plan join hints are
+    // exactly where `broadcast()` survives optimization.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    Seq("q_dedup_near_jaccard", "q_dedup_containment", "q_dedup_minhash_lsh")
+      .foreach { q =>
+        val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+        val hinted = lp.collect {
+          case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+            j.hint.rightHint.exists(_.strategy.isDefined) => j
+        }
+        assert(hinted.isEmpty,
+          s"$q: a join-strategy hint was reintroduced on an O(corpus) side")
+      }
+  }
+
   test("partitioned round-trip read prunes to the filtered partitions") {
     val df = SparkEntry.queries("q_part_roundtrip")(spark, sf)
     // sparkPlan, not executedPlan: AQE wraps the tree in an adaptive
