@@ -103,6 +103,37 @@ object PipelineOps extends OpModule {
       .orderBy($"custkey")
   }
 
+  /** CDC snapshot APPLY — the second half of the incremental story
+    * [[snapshotDiff]] starts: the base per-customer snapshot (orders
+    * before 1997) plus the 1997 delta aggregate, full-outer merged with
+    * coalesce into the NEXT snapshot. The oracle is the DIRECT
+    * aggregate at the new cutoff, so the hash gate proves
+    * merge(base, delta) == rebuild — the algebraic contract that lets a
+    * 100-TB pipeline apply a day's delta instead of rescanning the
+    * corpus (counts merge by sum; decimal sums merge exactly,
+    * order-insensitive). Same shuffle shape as the diff: one aggregate
+    * per side keyed on the entity, one full-outer join on that key. */
+  def snapshotMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.t(s, dir, "orders")
+    def agg(df: DataFrame) =
+      df.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n"), sum(d12($"o_totalprice")).as("spend"))
+    val base = agg(orders.filter($"o_orderdate" < "1997-01-01"))
+      .select($"o_custkey".as("custkey"), $"n".as("b_n"), $"spend".as("b_spend"))
+    val delta = agg(orders.filter($"o_orderdate" >= "1997-01-01" &&
+        $"o_orderdate" < "1998-01-01"))
+      .select($"o_custkey".as("custkey"), $"n".as("d_n"), $"spend".as("d_spend"))
+    base.join(delta, Seq("custkey"), "full")
+      .select($"custkey",
+        (coalesce($"b_n", lit(0L)) + coalesce($"d_n", lit(0L)))
+          .cast("long").as("n_orders"),
+        (coalesce($"b_spend", lit(0).cast("decimal(22,4)")) +
+          coalesce($"d_spend", lit(0).cast("decimal(22,4)")))
+          .cast("double").as("spend"))
+      .orderBy($"custkey")
+  }
+
   /** JSONL source/sink round trip: write documents as JSON lines, read
     * back with an EXPLICIT schema (schema inference over a 100-TB
     * directory is a full extra pass), aggregate with an exact integer
@@ -176,6 +207,7 @@ object PipelineOps extends OpModule {
     "q_split_hash" -> (splitHash _),
     "q_agg_incremental" -> (aggIncremental _),
     "q_snapshot_diff" -> (snapshotDiff _),
+    "q_snapshot_merge" -> (snapshotMerge _),
     "q_source_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_er_blocking" -> (erBlocking _)
   )
@@ -226,6 +258,13 @@ object PipelineOps extends OpModule {
         |  CAST(b.spend AS DOUBLE) AS b_spend
         |FROM a FULL JOIN b ON a.custkey = b.custkey
         |ORDER BY custkey""".stripMargin,
+    // DIRECT rebuild at the new cutoff — NOT a mirror of the merge:
+    // equality proves the incremental apply equals the full recompute.
+    "q_snapshot_merge" ->
+      """SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS spend
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_custkey ORDER BY custkey""".stripMargin,
     "q_source_jsonl_roundtrip" ->
       """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars,

@@ -129,6 +129,53 @@ object Scans extends OpModule {
       .orderBy($"p_partkey")
   }
 
+  /** Avro source round trip — the standard row-oriented interchange
+    * format (Spark 4 bundles the avro source in spark-sql). Same
+    * lossless sink→source contract as the CSV/ORC loops: explicit
+    * schema on read-back, oracle reads the original table, equality
+    * proves the loop is exact (avro doubles are IEEE bits, no text
+    * round-trip ambiguity). */
+  /** This distribution bundles AvroFileFormat inside spark-sql but does
+    * not register the "avro" shortname in its DataSourceRegister service
+    * file, so the provider is addressed by class name. */
+  private val AvroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = Tables.sinkPath("avro", dir, "supplier_avro")
+    val src = Tables.t(s, dir, "supplier")
+    src.write.mode("overwrite").format(AvroFmt).save(path)
+    s.read.schema(src.schema).format(AvroFmt).load(path)
+      .filter($"s_acctbal" > 0)
+      .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+      .orderBy($"s_suppkey")
+  }
+
+  /** Dynamic partition pruning: a date-partitioned fact sink joined to
+    * a SELECTIVE dim of dates — the 100-TB scan-pruning pattern where
+    * the partitions to read are only known at runtime (from the dim
+    * filter), not at plan time. Catalyst inserts a
+    * DynamicPruningExpression on the fact scan (pinned in PlanSpec)
+    * that reuses the broadcast dim to list only the matching date
+    * directories — without DPP the fact side would scan all 30
+    * partitions to join-discard 23 of them. */
+  def dppPruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = Tables.sinkPath("dpp", dir, "events_by_date")
+    Tables.t(s, dir, "events")
+      .withColumn("event_date", $"ts".cast("date"))
+      .repartition($"event_date")
+      .write.mode("overwrite").partitionBy("event_date").parquet(path)
+    val fact = s.read.parquet(path)
+    val dim = Tables.t(s, dir, "events")
+      .select($"ts".cast("date").as("event_date")).distinct()
+      .filter(dayofmonth($"event_date").between(10, 16))
+    fact.join(dim, Seq("event_date"))
+      .groupBy($"event_date")
+      .agg(count(lit(1)).as("n"), sumMoney($"value").as("val_sum"))
+      .orderBy($"event_date")
+  }
+
   /** Schema evolution across parquet batches: an old batch written
     * WITHOUT `o_orderpriority`, a newer one with it, read back under
     * `mergeSchema` — the unified schema null-fills the legacy rows,
@@ -159,6 +206,8 @@ object Scans extends OpModule {
     "q_part_roundtrip" -> (partitionedRoundtrip _),
     "q_source_csv_roundtrip" -> (csvRoundtrip _),
     "q_source_orc_roundtrip" -> (orcRoundtrip _),
+    "q_source_avro_roundtrip" -> (avroRoundtrip _),
+    "q_scan_dpp" -> (dppPruning _),
     "q_source_schema_evolution" -> (schemaEvolution _),
     "q_scan_project" -> (scanProject _),
     "q_scan_prune_pushdown" -> (scanPrunePushdown _),
@@ -181,6 +230,20 @@ object Scans extends OpModule {
     "q_source_csv_roundtrip" ->
       """SELECT p_partkey, p_name, p_size, p_retailprice
         |FROM part WHERE p_size >= 20 ORDER BY p_partkey""".stripMargin,
+    "q_source_avro_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier WHERE s_acctbal > 0 ORDER BY s_suppkey""".stripMargin,
+    "q_scan_dpp" ->
+      """WITH fact AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date, value
+        |  FROM events),
+        |dim AS (
+        |  SELECT DISTINCT event_date FROM fact
+        |  WHERE date_part('day', event_date) BETWEEN 10 AND 16)
+        |SELECT f.event_date, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+        |FROM fact f JOIN dim USING (event_date)
+        |GROUP BY f.event_date ORDER BY event_date""".stripMargin,
     "q_part_roundtrip" ->
       """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date, event_type,
         |  COUNT(*) AS n,

@@ -90,6 +90,17 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("fact scan carries a dynamic partition pruning filter from the dim join") {
+    val df = SparkEntry.queries("q_scan_dpp")(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val pruned = scans.filter(
+      _.partitionFilters.mkString(";").toLowerCase.contains("dynamicpruning"))
+    assert(pruned.nonEmpty,
+      "no dynamicpruningexpression on the partitioned fact scan")
+  }
+
   test("partitioned round-trip read prunes to the filtered partitions") {
     val df = SparkEntry.queries("q_part_roundtrip")(spark, sf)
     // sparkPlan, not executedPlan: AQE wraps the tree in an adaptive
