@@ -19,17 +19,22 @@ object MlOps extends OpModule {
   private def toVec = udf((a: Seq[Float]) =>
     org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
 
-  /** StringIndexer → OneHotEncoder → VectorAssembler → StandardScaler
-    * over per-user event features — the canonical featurization chain. */
-  def mlFeaturePipeline(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.Pipeline
-    import org.apache.spark.ml.feature._
+  /** The featurization input + pipeline behind q_ml_feature_pipeline,
+    * exposed so ScalaTest can exercise PipelineModel save/load (a
+    * feature-store engine that cannot reload its scoring pipeline
+    * cannot serve). */
+  private[graft] def featureFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val feats = Tables.t(s, dir, "events")
+    Tables.t(s, dir, "events")
       .groupBy($"user_id", $"event_type")
       .agg(count(lit(1)).cast("double").as("n"),
         sumMoney($"value").as("v"))
-    val pipe = new Pipeline().setStages(Array(
+  }
+
+  private[graft] def featurePipeline(): org.apache.spark.ml.Pipeline = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature._
+    new Pipeline().setStages(Array(
       new StringIndexer().setInputCol("event_type").setOutputCol("et_idx")
         .setStringOrderType("alphabetAsc"),
       new OneHotEncoder().setInputCol("et_idx").setOutputCol("et_oh"),
@@ -37,12 +42,24 @@ object MlOps extends OpModule {
         .setOutputCol("raw"),
       new StandardScaler().setInputCol("raw").setOutputCol("scaled")
         .setWithMean(true).setWithStd(true)))
-    val out = pipe.fit(feats).transform(feats)
+  }
+
+  /** Scored frame → stable projection (shared by the registered op and
+    * the persistence round-trip test). */
+  private[graft] def featureProjection(out: DataFrame): DataFrame = {
+    import out.sparkSession.implicits._
     val firstScaled = udf((v: org.apache.spark.ml.linalg.Vector) =>
       math.round(v(0) * 10000).toDouble / 10000)
     out.select($"user_id", $"event_type", $"et_idx",
         firstScaled($"scaled").as("scaled0"))
       .orderBy($"user_id", $"event_type")
+  }
+
+  /** StringIndexer → OneHotEncoder → VectorAssembler → StandardScaler
+    * over per-user event features — the canonical featurization chain. */
+  def mlFeaturePipeline(s: SparkSession, dir: String): DataFrame = {
+    val feats = featureFrame(s, dir)
+    featureProjection(featurePipeline().fit(feats).transform(feats))
   }
 
   /** Multiclass logistic regression: embedding → label (10 classes),

@@ -19,10 +19,21 @@ class OperatorGoldenSpec extends SparkSpec {
     // empty there (non-empty at the graded sf0.01).
     val allowEmpty = Set("q_dedup_near_jaccard", "q_dedup_minhash_lsh",
       "q_join_anti")
-    SparkEntry.queries.keys.foreach { name =>
+    // 4-way concurrent: per-query wall time here is dominated by
+    // DRIVER-side planning + codegen compilation (the executors idle),
+    // which parallelizes cleanly across independent queries — measured
+    // 731 s sequential → minutes. Queries are independent by
+    // construction (per-kind sink paths, unique memory-sink names,
+    // atomic OpCache builds).
+    import scala.collection.parallel.CollectionConverters._
+    val par = SparkEntry.queries.keys.toSeq.sorted.par
+    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(4))
+    val failures = par.flatMap { name =>
       val n = run(name).count()
-      assert(allowEmpty(name) || n > 0, s"$name returned 0 rows")
-    }
+      if (!allowEmpty(name) && n == 0) Some(name) else None
+    }.seq
+    assert(failures.isEmpty, s"returned 0 rows: ${failures.mkString(", ")}")
   }
 
   test("every oracle key has a matching query") {
@@ -527,6 +538,21 @@ class OperatorGoldenSpec extends SparkSpec {
       assert(survivors === Set(0L, 1000L, 1001L),
         "survivors = cluster rep + the two singletons")
     } finally OpCache.clear(spark)
+  }
+
+  test("ML pipeline persistence: saved PipelineModel reloads and re-scores identically") {
+    import org.apache.spark.ml.PipelineModel
+    val feats = MlOps.featureFrame(spark, sf)
+    val model = MlOps.featurePipeline().fit(feats)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_mlsave").toString + "/feature_model"
+    model.write.overwrite().save(path)
+    val reloaded = PipelineModel.load(path)
+    val direct = MlOps.featureProjection(model.transform(feats)).collect()
+    val rescored = MlOps.featureProjection(reloaded.transform(feats)).collect()
+    assert(direct.nonEmpty)
+    assert(direct === rescored,
+      "reloaded pipeline must reproduce the original scores bit-exactly")
   }
 
   test("IVF ANN recall ≥ 0.5 vs brute force top-10") {

@@ -90,6 +90,35 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("AQE skew-join backstop does not engage at test scale; salted equals plain") {
+    // Documents the q_join_salted design note (BASELINE.md): Spark 4.1
+    // AQE CAN split a skewed post-shuffle partition (OptimizeSkewedJoin)
+    // but only above skewedPartitionThresholdInBytes (256 MB) and only
+    // for shuffled SMJ/SHJ — so at this corpus scale the backstop never
+    // fires (asserted on the finalized adaptive plan), and a single
+    // pathological key at 100 TB still lands in ONE split-resistant
+    // task when the join output feeds a same-key aggregate. Manual
+    // salting is the a-priori guard; AQE is the runtime backstop.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val e = Tables.t(spark, sf, "events").select($"user_id", $"value")
+    val c = Tables.t(spark, sf, "customer").select($"c_custkey", $"c_mktsegment")
+    val plain = e.join(c, $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"c_mktsegment")
+    val plainRows = plain.collect() // materialize → AQE finalizes the plan
+    val finalPlan = plain.queryExecution.executedPlan.toString
+    assert(!finalPlan.contains("skew=true"),
+      "AQE skew split engaged below its 256MB threshold — thresholds changed?")
+    val salted = SparkEntry.queries("q_join_salted")(spark, sf)
+      .select($"c_mktsegment", $"n_events").orderBy($"c_mktsegment").collect()
+    assert(plainRows.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      salted.map(r => (r.getString(0), r.getLong(1))).toSeq,
+      "salting must be pure key-space surgery: plain ≡ salted")
+  }
+
   test("fact scan carries a dynamic partition pruning filter from the dim join") {
     val df = SparkEntry.queries("q_scan_dpp")(spark, sf)
     val scans = df.queryExecution.sparkPlan.collect {

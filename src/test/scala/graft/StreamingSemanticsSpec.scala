@@ -130,6 +130,59 @@ class StreamingSemanticsSpec extends SparkSpec {
       s"append output != watermark-closed subset (append=${appendedRows.size}, closed=${closedComplete.size}, complete=${complete.size})")
   }
 
+  test("checkpoint restart: resumed run reads only new files yet totals restore prior state") {
+    // Exactly-once across restart, the core production claim: run 1
+    // aggregates half the corpus against a checkpoint dir and stops;
+    // half 2 then "arrives"; run 2 resumes FROM THE CHECKPOINT with a
+    // fresh query. If state were not restored, run 2 would show only
+    // half 2; if half 1 were re-read, counts would exceed the batch
+    // truth. Equality with the batch aggregate rules out both.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val root = Files.createTempDirectory("graft_restart").toString
+    val srcDir = Paths.get(root, "src"); Files.createDirectories(srcDir)
+    val ckpt = s"$root/ckpt"
+    val all = Tables.t(spark, sf, "events")
+    def stage(cond: org.apache.spark.sql.Column, tag: String): Unit = {
+      val tmp = s"$root/stage_$tag"
+      all.filter(cond).select($"event_type").coalesce(1).write.parquet(tmp)
+      val f = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(f, srcDir.resolve(s"$tag.parquet"))
+    }
+    val schema = StructType(Seq(StructField("event_type", StringType)))
+    def runOnce(qname: String): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      stage($"event_id" % 2 === 0, "half_a")
+      runOnce("restart_run1")
+      val run1 = spark.table("restart_run1")
+        .as[(String, Long)].collect().toMap
+      stage($"event_id" % 2 =!= 0, "half_b")
+      runOnce("restart_run2")
+      val run2 = spark.table("restart_run2")
+        .as[(String, Long)].collect().toMap
+      val batchAll = all.groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      val batchA = all.filter($"event_id" % 2 === 0)
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(run1 === batchA, "run 1 must aggregate exactly the first half")
+      assert(run2 === batchAll,
+        "resumed run must equal the full batch aggregate (restored state + only-new files)")
+    } finally {
+      spark.catalog.dropTempView("restart_run1")
+      spark.catalog.dropTempView("restart_run2")
+    }
+  }
+
   test("AvailableNow streaming aggregate equals batch aggregate") {
     val streamed = ops.Streaming.streamTumbling(spark, sf)
       .select($"hour_start".cast("string"), $"event_type", $"n")
