@@ -54,6 +54,39 @@ object TextOps extends OpModule {
       .limit(30)
   }
 
+  /** Per-doc repetition profile — the Gopher/C4-style quality signals a
+    * training-data pipeline filters on before anything model-based:
+    * duplicate-bigram fraction (1 − distinct/total bigrams), duplicate-
+    * word fraction, and the share of the single most frequent word.
+    * Highly repetitive machine-generated text scores high on all three.
+    * Same shapes as [[textNgrams]]: one posexplode, bigrams via window
+    * lead keyed (doc_id, pos) — shuffles by doc_id only, per-doc
+    * bounded, safe at 100 TB. Exact integer ratios, ROUND 4. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables.t(s, dir, "documents")
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+    val bi = toks.withColumn("nxt", lead($"word", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"word", $"nxt").as("bigram"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bi"), countDistinct($"bigram").as("n_bi_distinct"))
+    val uni = toks.groupBy($"doc_id", $"word").agg(count(lit(1)).as("wf"))
+      .groupBy($"doc_id")
+      .agg(sum($"wf").as("n_tok"), count(lit(1)).as("n_tok_distinct"),
+        max($"wf").as("max_wf"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select($"doc_id",
+        round(lit(1.0) - $"n_bi_distinct".cast("double") / $"n_bi", 4)
+          .as("dup_bigram_frac"),
+        round(lit(1.0) - $"n_tok_distinct".cast("double") / $"n_tok", 4)
+          .as("dup_word_frac"),
+        round($"max_wf".cast("double") / $"n_tok", 4).as("top_word_share"))
+      .orderBy($"doc_id")
+  }
+
   def textStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.t(s, dir, "documents")
@@ -249,6 +282,7 @@ object TextOps extends OpModule {
     "q_text_tokens_tf" -> (textTokensTf _),
     "q_text_ngrams" -> (textNgrams _),
     "q_text_stats" -> (textStats _),
+    "q_text_repetition" -> (textRepetition _),
     "q_text_tfidf" -> (textTfidf _),
     "q_text_quality" -> (textQuality _),
     "q_text_quality_filter" -> (textQualityFilter _),
@@ -311,6 +345,30 @@ object TextOps extends OpModule {
         |    i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS bigram
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2) t
         |GROUP BY bigram ORDER BY freq DESC, bigram ASC LIMIT 30""".stripMargin,
+    "q_text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+        |uni AS (
+        |  SELECT doc_id, CAST(SUM(wf) AS BIGINT) AS n_tok,
+        |    COUNT(*) AS n_tok_distinct, MAX(wf) AS max_wf
+        |  FROM (SELECT doc_id, word, COUNT(*) AS wf FROM toks
+        |        GROUP BY doc_id, word) g
+        |  GROUP BY doc_id),
+        |bi AS (
+        |  SELECT doc_id, COUNT(*) AS n_bi,
+        |    COUNT(DISTINCT bigram) AS n_bi_distinct
+        |  FROM (
+        |    SELECT doc_id, UNNEST(list_transform(
+        |      range(1, greatest(len(string_split(text, ' ')), 2)),
+        |      i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS bigram
+        |    FROM documents WHERE len(string_split(text, ' ')) >= 2) t
+        |  GROUP BY doc_id)
+        |SELECT u.doc_id,
+        |  ROUND(1.0 - CAST(n_bi_distinct AS DOUBLE) / n_bi, 4) AS dup_bigram_frac,
+        |  ROUND(1.0 - CAST(n_tok_distinct AS DOUBLE) / n_tok, 4) AS dup_word_frac,
+        |  ROUND(CAST(max_wf AS DOUBLE) / n_tok, 4) AS top_word_share
+        |FROM uni u LEFT JOIN bi ON u.doc_id = bi.doc_id
+        |ORDER BY u.doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars,
