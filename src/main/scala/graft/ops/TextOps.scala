@@ -87,6 +87,61 @@ object TextOps extends OpModule {
       .orderBy($"doc_id")
   }
 
+  /** Token-window chunking — the document→training-sample splitter:
+    * each doc becomes ⌈(n−50)/40⌉+1 overlapping windows of 50 tokens
+    * with stride 40 (10-token overlap). Executor-local sequence+explode
+    * over the per-doc window count (O(chunks), no shuffle at all until
+    * a consumer asks for one) — at 100 TB this is a map-only stage.
+    * Emits exact integer bounds + boundary words so the oracle pins the
+    * slicing arithmetic, not just counts. */
+  def textChunking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunkLen = 50
+    val stride = 40
+    val words = split($"text", " ")
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", words.as("w"), size(words).as("n"))
+      .select($"doc_id", $"w", $"n",
+        explode(sequence(lit(0),
+          greatest(ceil(($"n" - chunkLen).cast("double") / stride), lit(0))
+            .cast("int"))).as("chunk_id"))
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        ($"chunk_id" * stride + 1).cast("long").as("tok_start"),
+        least($"chunk_id" * stride + chunkLen, $"n").cast("long").as("tok_end"),
+        element_at($"w", $"chunk_id" * stride + 1).as("first_word"),
+        element_at($"w", least($"chunk_id" * stride + chunkLen, $"n"))
+          .as("last_word"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** Vocabulary coverage — the tokenizer-budget planner: per language,
+    * the number of distinct terms (by descending frequency) needed to
+    * cover 90% of all token occurrences, plus totals. One token
+    * explode → (lang, term) counts → per-lang cumulative window over
+    * the frequency ranking. The window shuffles by lang and scans each
+    * language's vocabulary once — vocabularies are bounded (≪ corpus),
+    * so the shape holds at 100 TB. Integer arithmetic ⇒ exact. */
+  def textVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.t(s, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("term"))
+      .groupBy($"lang", $"term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy($"lang").orderBy($"tf".desc, $"term".asc)
+    tf.withColumn("cum", sum($"tf").over(w))
+      .withColumn("total", sum($"tf").over(Window.partitionBy($"lang")))
+      .groupBy($"lang")
+      .agg(max($"total").as("total_tokens"),
+        count(lit(1)).as("distinct_terms"),
+        // smallest prefix of the ranking whose cumsum reaches 90%:
+        // count the ranks whose cumulative share is still BELOW the
+        // cutoff, +1 for the term that crosses it. Integer compare
+        // (10·cum < 9·total) keeps it float-free on both engines.
+        (sum(when($"cum" * 10 < $"total" * 9, 1L).otherwise(0L)) + 1L)
+          .as("vocab_90"))
+      .orderBy($"lang")
+  }
+
   def textStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.t(s, dir, "documents")
@@ -283,6 +338,8 @@ object TextOps extends OpModule {
     "q_text_ngrams" -> (textNgrams _),
     "q_text_stats" -> (textStats _),
     "q_text_repetition" -> (textRepetition _),
+    "q_text_chunking" -> (textChunking _),
+    "q_text_vocab_coverage" -> (textVocabCoverage _),
     "q_text_tfidf" -> (textTfidf _),
     "q_text_quality" -> (textQuality _),
     "q_text_quality_filter" -> (textQualityFilter _),
@@ -345,6 +402,37 @@ object TextOps extends OpModule {
         |    i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS bigram
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2) t
         |GROUP BY bigram ORDER BY freq DESC, bigram ASC LIMIT 30""".stripMargin,
+    "q_text_chunking" ->
+      """SELECT doc_id, chunk_id,
+        |  chunk_id * 40 + 1 AS tok_start,
+        |  LEAST(chunk_id * 40 + 50, n) AS tok_end,
+        |  w[CAST(chunk_id * 40 + 1 AS INTEGER)] AS first_word,
+        |  w[CAST(LEAST(chunk_id * 40 + 50, n) AS INTEGER)] AS last_word
+        |FROM (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n,
+        |    UNNEST(range(0, CAST(GREATEST(ceil(
+        |      CAST(len(string_split(text, ' ')) - 50 AS DOUBLE) / 40), 0)
+        |      AS BIGINT) + 1)) AS chunk_id
+        |  FROM documents) t
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_text_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT lang, term, COUNT(*) AS tf FROM (
+        |    SELECT lang, UNNEST(string_split(text, ' ')) AS term
+        |    FROM documents) t
+        |  GROUP BY lang, term),
+        |ranked AS (
+        |  SELECT lang, tf,
+        |    SUM(tf) OVER (PARTITION BY lang ORDER BY tf DESC, term ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(tf) OVER (PARTITION BY lang) AS total
+        |  FROM tf)
+        |SELECT lang, CAST(MAX(total) AS BIGINT) AS total_tokens,
+        |  COUNT(*) AS distinct_terms,
+        |  CAST(SUM(CASE WHEN cum * 10 < total * 9 THEN 1 ELSE 0 END) + 1
+        |    AS BIGINT) AS vocab_90
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
