@@ -555,6 +555,27 @@ class OperatorGoldenSpec extends SparkSpec {
       "reloaded pipeline must reproduce the original scores bit-exactly")
   }
 
+  test("chunking: windows start at 1, end at n, count matches the stride formula") {
+    val chunks = run("q_text_chunking")
+    val docs = Tables.t(spark, sf, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+    val agg = chunks.groupBy($"doc_id")
+      .agg(min($"tok_start").as("mn"), max($"tok_end").as("mx"),
+        count(lit(1)).as("k"))
+      .join(docs, Seq("doc_id"))
+    assert(agg.filter($"mn" =!= 1L || $"mx" =!= $"n").count() === 0,
+      "every doc must be covered from token 1 to n")
+    val badCount = agg.filter($"k" =!=
+      greatest(ceil(($"n" - 50).cast("double") / 40), lit(0.0)).cast("long") + 1L)
+    assert(badCount.count() === 0, "chunk count must equal ceil((n-50)/40)+1")
+  }
+
+  test("vocab coverage: 1 ≤ vocab_90 ≤ distinct_terms") {
+    val v = run("q_text_vocab_coverage")
+    assert(v.filter($"vocab_90" < 1L || $"vocab_90" > $"distinct_terms")
+      .count() === 0)
+  }
+
   test("IVF ANN recall ≥ 0.5 vs brute force top-10") {
     val truth = run("q_sim_topk_cosine")
       .select($"probe_id", $"nbr_id").as[(Long, Long)].collect().toSet
