@@ -37,7 +37,7 @@ object Bench {
     // 2× guard on with byte-identical code. The median absorbs one
     // GC/JIT/IO spike per query while keeping attribution honest —
     // every rep pays its own full cost (OpCache cleared between reps).
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -52,7 +52,11 @@ object Bench {
         graft.ops.OpCache.clear(spark)
         dt
       }.sorted
-      name -> times(times.length / 2)
+      // true median: middle value for odd N, mean of the two middle
+      // values for even N (a bare upper-middle reads biased-high)
+      val mid = times.length / 2
+      name -> (if (times.length % 2 == 1) times(mid)
+               else (times(mid - 1) + times(mid)) / 2.0)
     }
     val (mapLine, totalLine) = renderLines(results, sfDir)
     println(mapLine)

@@ -54,28 +54,42 @@ object Tables {
     * tables in /tmp. Live pids are left alone — the concurrent-writer
     * isolation the pid segment exists for is preserved. */
   private lazy val sweepStaleSinks: Unit = {
-    import java.nio.file.{Files, Path, Paths}
+    import java.nio.file.{Files, LinkOption, Path, Paths}
     import scala.jdk.CollectionConverters._
-    val tmp = Paths.get("/tmp")
+    // list-and-close: Files.list holds an open directory fd until the
+    // stream is closed — a sweep over hundreds of stale date-partition
+    // dirs at JVM startup must not hold them all while Spark opens its
+    // own files.
+    def children(p: Path): Seq[Path] = {
+      val st = Files.list(p)
+      try st.iterator().asScala.toVector finally st.close()
+    }
+    // NOFOLLOW on the directory test: /tmp is world-writable and the
+    // streaming source stages SYMLINKS under /tmp (Streaming.scala) — a
+    // recursive delete that follows a directory link would destroy the
+    // link's TARGET (e.g. the read-only testdata). Links are deleted as
+    // entries, never entered.
     def deleteRec(p: Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq.foreach(deleteRec)
+      if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS))
+        children(p).foreach(deleteRec)
       Files.deleteIfExists(p)
     }
     try {
-      Files.list(tmp).iterator().asScala
+      children(Paths.get("/tmp"))
         .filter { p =>
           val n = p.getFileName.toString
-          n.startsWith("graft_") && n.endsWith("_sink")
+          n.startsWith("graft_") && n.endsWith("_sink") &&
+            Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)
         }
-        .flatMap(root => Files.list(root).iterator().asScala)
+        .flatMap(children)
         .filter { pidDir =>
           val n = pidDir.getFileName.toString
-          n.startsWith("p") && n.drop(1).forall(_.isDigit) &&
+          n.startsWith("p") && n.drop(1).nonEmpty &&
+            n.drop(1).forall(_.isDigit) &&
             !ProcessHandle.of(n.drop(1).toLong)
               .map[Boolean](_.isAlive).orElse(false)
         }
-        .toSeq.foreach(d => try deleteRec(d) catch { case _: Throwable => () })
+        .foreach(d => try deleteRec(d) catch { case _: Throwable => () })
     } catch { case _: Throwable => () } // sweep is best-effort hygiene
   }
 }

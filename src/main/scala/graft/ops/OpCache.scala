@@ -9,31 +9,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * storage with one call instead of leaking it query over query (the
   * round-1 "bench interference" flag).
   *
-  * `TrieMap.getOrElseUpdate` is atomic in Scala 2.13; under a rare
-  * concurrent first-build two DataFrames may be constructed but only
-  * the winner is persisted and retained — the loser is never
-  * materialized (persist is lazy), so nothing leaks.
+  * Builds are SINGLE-FLIGHT: `TrieMap.getOrElseUpdate` atomically
+  * publishes a lazy holder, and the `lazy val` inside serializes the
+  * actual build — so a concurrent first access (the 4-way parallel
+  * all-query specs) cannot run an EAGER build (the clustering fixpoint)
+  * twice; the second caller blocks on the first's holder instead.
   *
   * MEMORY_AND_DISK everywhere: still correct when an intermediate
   * outgrows executor memory at scale.
   */
 object OpCache {
+  private final class Holder(build: () => DataFrame) {
+    @volatile var forced = false
+    lazy val df: DataFrame = {
+      val d = build()
+      // iterative builds (fixpoints) return already-persisted results
+      val out =
+        if (d.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else d
+      forced = true
+      out
+    }
+  }
+
   private val cache = scala.collection.concurrent
-    .TrieMap.empty[(SparkSession, String, String), DataFrame]
+    .TrieMap.empty[(SparkSession, String, String), Holder]
 
   def cached(s: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((s, dir, key), {
-      val df = build
-      // iterative builds (fixpoints) return already-persisted results
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
-    })
+    cache.getOrElseUpdate((s, dir, key), new Holder(() => build)).df
 
-  /** Unpersist and forget every cached intermediate of this session. */
+  /** Unpersist and forget every cached intermediate of this session.
+    * Never-forced holders are dropped without building them. */
   def clear(s: SparkSession): Unit =
     cache.keys.filter(_._1 eq s).foreach { k =>
-      cache.remove(k).foreach(_.unpersist(blocking = false))
+      cache.remove(k).foreach(h =>
+        if (h.forced) h.df.unpersist(blocking = false))
     }
 }

@@ -79,16 +79,25 @@ object Scans extends OpModule {
     * turns a 100-TB event log into per-day scans. The write itself is
     * part of the op (it IS the sink under test), re-done per run with
     * dynamic overwrite. */
-  def partitionedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+  /** Shared date-partitioned events sink (q_part_roundtrip + q_scan_dpp
+    * write the same layout under different kinds). The repartition BY
+    * the partition column before partitionBy matters: without it every
+    * task writes every date — tasks × dates small files (960 here,
+    * millions at 100 TB). With it: one file per date dir. */
+  private def writeDatePartitionedEvents(s: SparkSession, dir: String,
+      kind: String): String = {
     import s.implicits._
-    val path = Tables.sinkPath("part", dir, "events_by_date")
+    val path = Tables.sinkPath(kind, dir, "events_by_date")
     Tables.t(s, dir, "events")
       .withColumn("event_date", $"ts".cast("date"))
-      // repartition BY the partition column before partitionBy: without
-      // it every task writes every date — tasks × dates small files
-      // (960 here, millions at 100 TB). With it: one file per date dir.
       .repartition($"event_date")
       .write.mode("overwrite").partitionBy("event_date").parquet(path)
+    path
+  }
+
+  def partitionedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = writeDatePartitionedEvents(s, dir, "part")
     s.read.parquet(path)
       .filter($"event_date".between("2024-01-10", "2024-01-16"))
       .groupBy($"event_date", $"event_type")
@@ -161,12 +170,7 @@ object Scans extends OpModule {
     * partitions to join-discard 23 of them. */
   def dppPruning(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = Tables.sinkPath("dpp", dir, "events_by_date")
-    Tables.t(s, dir, "events")
-      .withColumn("event_date", $"ts".cast("date"))
-      .repartition($"event_date")
-      .write.mode("overwrite").partitionBy("event_date").parquet(path)
-    val fact = s.read.parquet(path)
+    val fact = s.read.parquet(writeDatePartitionedEvents(s, dir, "dpp"))
     val dim = Tables.t(s, dir, "events")
       .select($"ts".cast("date").as("event_date")).distinct()
       .filter(dayofmonth($"event_date").between(10, 16))

@@ -26,14 +26,16 @@ class OperatorGoldenSpec extends SparkSpec {
     // construction (per-kind sink paths, unique memory-sink names,
     // atomic OpCache builds).
     import scala.collection.parallel.CollectionConverters._
-    val par = SparkEntry.queries.keys.toSeq.sorted.par
-    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(4))
-    val failures = par.flatMap { name =>
-      val n = run(name).count()
-      if (!allowEmpty(name) && n == 0) Some(name) else None
-    }.seq
-    assert(failures.isEmpty, s"returned 0 rows: ${failures.mkString(", ")}")
+    val pool = new java.util.concurrent.ForkJoinPool(4)
+    try {
+      val par = SparkEntry.queries.keys.toSeq.sorted.par
+      par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+      val failures = par.flatMap { name =>
+        val n = run(name).count()
+        if (!allowEmpty(name) && n == 0) Some(name) else None
+      }.seq
+      assert(failures.isEmpty, s"returned 0 rows: ${failures.mkString(", ")}")
+    } finally pool.shutdown()
   }
 
   test("every oracle key has a matching query") {
