@@ -7,8 +7,37 @@ import org.apache.spark.sql.SparkSession
   * truncates the FRONT of long output, so the short total line must be
   * the final thing printed (round-1 BENCH had `parsed: null` because the
   * 91-entry map and the total shared one enormous line).
+  *
+  * Measurement protocol (round 7): per-query MIN of up to
+  * `SPARK_GRAFT_REPS` (default 3) reps. Min, not median: external
+  * contention on this box only ever ADDS time (BASELINE.md documents
+  * 10–137× inflation windows on byte-identical code), so the minimum is
+  * the honest cost estimator and converges with fewer reps. Reps stop
+  * early when (a) the first rep is already below [[FastCutoff]] — a
+  * small timing cannot have been inflated, and more reps could only
+  * shave an already-negligible number — or (b) two reps agree within
+  * 25%, meaning the min has stabilized. A quiet run therefore costs
+  * ~1–2 reps per query instead of round 6's fixed 3 (which tripled
+  * wall-clock and ENLARGED the contention-window exposure it was meant
+  * to shrink).
+  *
+  * Contention evidence travels WITH the artifact: a fixed-cost
+  * calibration [[sentinel]] (CPU-bound 20M-row modular sum, median of
+  * 3) is timed before and after the query sweep and emitted in the
+  * total line as `sentinel_pre`/`sentinel_post`. The probe's cost is
+  * machine-state, not engine code — if either value is far above the
+  * quiet-window reference recorded in BASELINE.md, the run sat in a
+  * noise window and the totals are upper bounds, provably so from the
+  * JSON alone.
   */
 object Bench {
+  /** A first rep at or below this is accepted as-is: contention only
+    * inflates timings, so a small observation is already a tight upper
+    * bound on the quiet cost, and the worst-case total error from
+    * skipping reps is FastCutoff × #queries ≈ 35 s — visible, bounded,
+    * and paid only when the machine was quiet anyway. */
+  val FastCutoff = 0.25
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,6 +46,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // events.ts is parquet TIMESTAMP(NANOS); session-wide legacy flag
+      // (inherited by newSession clones) instead of a conf.set in the
+      // read path — see Tables.t.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: touch every table and exercise one small
@@ -32,42 +65,73 @@ object Bench {
     // Optional comma-separated subset for local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // Median-of-N (default 3): single-shot timings on this box swing
-    // ±40% run-to-run (BASELINE.md), which round 5 nearly tripped the
-    // 2× guard on with byte-identical code. The median absorbs one
-    // GC/JIT/IO spike per query while keeping attribution honest —
-    // every rep pays its own full cost (OpCache cleared between reps).
-    val reps = math.max(1, sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3))
+    // Tolerant parse (a malformed value falls back rather than killing
+    // the whole bench), floor 1.
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(_.toIntOption).getOrElse(3))
+    // one untimed sentinel execution first: the probe's own codegen
+    // compile would otherwise inflate sentinel_pre relative to
+    // sentinel_post (measured 0.19 vs 0.09 s) and fake a "contention
+    // cleared mid-run" signature on a quiet machine
+    sentinel(spark)
+    val sentinelPre = sentinel(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Bench hygiene (round-1 judge flag): release every registry
-        // persist after each rep so cached storage never accumulates
-        // across unrelated timings (and rep 2 can't reuse rep 1's
-        // persisted intermediates).
-        graft.ops.OpCache.clear(spark)
-        dt
-      }.sorted
-      // true median: middle value for odd N, mean of the two middle
-      // values for even N (a bare upper-middle reads biased-high)
-      val mid = times.length / 2
-      name -> (if (times.length % 2 == 1) times(mid)
-               else (times(mid - 1) + times(mid)) / 2.0)
-    }
-    val (mapLine, totalLine) = renderLines(results, sfDir)
+        def rep(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // Bench hygiene (round-1 judge flag): release every registry
+          // persist after each rep so cached storage never accumulates
+          // across unrelated timings (and rep 2 can't reuse rep 1's
+          // persisted intermediates).
+          graft.ops.OpCache.clear(spark)
+          dt
+        }
+        var times = Vector(rep())
+        // Early exit: (a) tiny first rep is already un-inflated;
+        // (b) best two agree within 25% — the min has stabilized.
+        def settled: Boolean =
+          times.head <= FastCutoff && times.length == 1 || {
+            val s = times.sorted
+            s.length >= 2 && s(1) <= s(0) * 1.25
+          }
+        while (times.length < reps && !settled) times :+= rep()
+        name -> times.min
+      }
+    val sentinelPost = sentinel(spark)
+    val (mapLine, totalLine) =
+      renderLines(results, sfDir, sentinelPre, sentinelPost)
     println(mapLine)
     println(totalLine)
     spark.stop()
   }
 
+  /** Fixed-cost machine-state probe: CPU-bound modular sum over a 20M
+    * in-memory range (no IO, no shuffle — one stage, `cpus` tasks).
+    * MEDIAN of 3, deliberately not min: the sentinel's job is to
+    * MEASURE contention, so it must not hide it the way the per-query
+    * min statistic (correctly) does. Quiet-window reference value is
+    * recorded in BASELINE.md next to the bench totals. */
+  def sentinel(s: SparkSession): Double = {
+    val ts = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      s.range(0L, 20000000L, 1L,
+        s.sparkContext.defaultParallelism)
+        .selectExpr("sum(id % 1000003)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    ts.sorted.apply(1)
+  }
+
   /** The two output lines: per-query map first, compact total LAST
     * (tail-capture truncates the front of long output — InfraSpec pins
-    * that both lines are valid JSON with the driver's expected keys). */
-  def renderLines(results: Seq[(String, Double)], sfDir: String): (String, String) = {
+    * that both lines are valid JSON with the driver's expected keys).
+    * The sentinel pair rides on the total line so the contention
+    * evidence survives even the harshest tail truncation. */
+  def renderLines(results: Seq[(String, Double)], sfDir: String,
+      sentinelPre: Double = 0.0, sentinelPost: Double = 0.0): (String, String) = {
     // Locale.ROOT: the default-locale f"%.3f" renders a COMMA decimal
     // separator on e.g. de_DE JVMs — malformed JSON
     def d3(v: Double): String =
@@ -76,6 +140,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = d3(results.map(_._2).sum)
     (s"""{"queries":$qs,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+        s""""sentinel_pre":${d3(sentinelPre)},"sentinel_post":${d3(sentinelPost)}}""")
   }
 }

@@ -20,11 +20,14 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read it as a long (legacy flag) and convert to a
-      // µs timestamp — lossless: the generator's ns values are µs-aligned
-      // (verified: 0 rows with sub-µs precision), and DuckDB's
-      // TIMESTAMP_NS→TIMESTAMP cast truncates identically.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reader rejects. The session must carry
+      // spark.sql.legacy.parquet.nanosAsLong=true (set at BUILD time in
+      // Verify/Bench/SparkSpec — a conf.set here would be a session
+      // mutation inside a read path, racing any conf-isolation test);
+      // the long is converted to a µs timestamp — lossless: the
+      // generator's ns values are µs-aligned (verified: 0 rows with
+      // sub-µs precision), and DuckDB's TIMESTAMP_NS→TIMESTAMP cast
+      // truncates identically.
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       // integral `div`, NOT `/`: double division loses precision above
       // 2^53 and epoch-ns values are ~1.7e18.
@@ -54,42 +57,71 @@ object Tables {
     * tables in /tmp. Live pids are left alone — the concurrent-writer
     * isolation the pid segment exists for is preserved. */
   private lazy val sweepStaleSinks: Unit = {
-    import java.nio.file.{Files, LinkOption, Path, Paths}
-    import scala.jdk.CollectionConverters._
-    // list-and-close: Files.list holds an open directory fd until the
-    // stream is closed — a sweep over hundreds of stale date-partition
-    // dirs at JVM startup must not hold them all while Spark opens its
-    // own files.
-    def children(p: Path): Seq[Path] = {
-      val st = Files.list(p)
-      try st.iterator().asScala.toVector finally st.close()
+    import java.nio.file.{Files, LinkOption, Path, Paths, SecureDirectoryStream}
+    import java.nio.file.attribute.BasicFileAttributeView
+
+    // fd-relative traversal throughout (SecureDirectoryStream): /tmp is
+    // world-writable and the streaming source stages SYMLINKS under it
+    // (Streaming.scala) — a path-based recursive delete has a TOCTOU
+    // window where a directory is swapped for a symlink between the
+    // NOFOLLOW check and the descent, and the sweep would then list
+    // through the link and delete the TARGET's contents (e.g. the
+    // read-only testdata). Operations relative to an open directory fd
+    // with NOFOLLOW at every step close that window: a swapped entry is
+    // re-checked against the fd (not the path) and deleted as a link
+    // entry, never entered.
+    type SDS = SecureDirectoryStream[Path]
+    def isDirNoFollow(d: SDS, name: Path): Boolean =
+      d.getFileAttributeView(name, classOf[BasicFileAttributeView],
+        LinkOption.NOFOLLOW_LINKS).readAttributes().isDirectory
+    // open-relative with NOFOLLOW: throws if `name` became a symlink —
+    // caught by the per-entry best-effort catch below
+    def withChildDir[A](d: SDS, name: Path)(f: SDS => A): A = {
+      val c = d.newDirectoryStream(name, LinkOption.NOFOLLOW_LINKS)
+      try f(c.asInstanceOf[SDS]) finally c.close()
     }
-    // NOFOLLOW on the directory test: /tmp is world-writable and the
-    // streaming source stages SYMLINKS under /tmp (Streaming.scala) — a
-    // recursive delete that follows a directory link would destroy the
-    // link's TARGET (e.g. the read-only testdata). Links are deleted as
-    // entries, never entered.
-    def deleteRec(p: Path): Unit = {
-      if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS))
-        children(p).foreach(deleteRec)
-      Files.deleteIfExists(p)
-    }
+    def deleteTree(d: SDS, name: Path): Unit =
+      if (isDirNoFollow(d, name)) {
+        withChildDir(d, name) { c =>
+          val it = c.iterator()
+          while (it.hasNext) deleteTree(c, it.next().getFileName)
+        }
+        d.deleteDirectory(name)
+      } else d.deleteFile(name) // plain file or symlink ENTRY
+
     try {
-      children(Paths.get("/tmp"))
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("graft_") && n.endsWith("_sink") &&
-            Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)
-        }
-        .flatMap(children)
-        .filter { pidDir =>
-          val n = pidDir.getFileName.toString
-          n.startsWith("p") && n.drop(1).nonEmpty &&
-            n.drop(1).forall(_.isDigit) &&
-            !ProcessHandle.of(n.drop(1).toLong)
-              .map[Boolean](_.isAlive).orElse(false)
-        }
-        .foreach(d => try deleteRec(d) catch { case _: Throwable => () })
+      val tmp = Files.newDirectoryStream(Paths.get("/tmp"))
+      try tmp match {
+        case root: SecureDirectoryStream[Path @unchecked] =>
+          val it = root.iterator()
+          while (it.hasNext) {
+            val sinkName = it.next().getFileName
+            val n = sinkName.toString
+            if (n.startsWith("graft_") && n.endsWith("_sink") &&
+                (try isDirNoFollow(root, sinkName)
+                 catch { case _: Throwable => false }))
+              try withChildDir(root, sinkName) { sink =>
+                val pids = sink.iterator()
+                while (pids.hasNext) {
+                  val pidName = pids.next().getFileName
+                  // toLongOption, not toLong: a 20+-digit all-digit
+                  // segment overflows Long — the NumberFormatException
+                  // would abort the ENTIRE sweep via the outer catch.
+                  // One malformed entry must only skip itself.
+                  val pn = pidName.toString
+                  val dead = pn.startsWith("p") &&
+                    pn.drop(1).toLongOption.exists(pid =>
+                      pid > 0 && !ProcessHandle.of(pid)
+                        .map[Boolean](_.isAlive).orElse(false))
+                  if (dead)
+                    try deleteTree(sink, pidName)
+                    catch { case _: Throwable => () }
+                }
+              } catch { case _: Throwable => () }
+          }
+        case _ => () // no SecureDirectoryStream (non-POSIX): skip —
+                     // the sweep is hygiene, not correctness
+      } finally tmp.close()
     } catch { case _: Throwable => () } // sweep is best-effort hygiene
   }
 }

