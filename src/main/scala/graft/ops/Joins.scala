@@ -240,7 +240,73 @@ object Joins extends OpModule {
       .orderBy($"c_custkey")
   }
 
+  /** Point-in-time training-set assembly — the feature-store join that
+    * makes offline training match online serving: each label (purchase
+    * event) is joined to the LATEST feature snapshot at-or-before its
+    * timestamp, never a later one (leakage) and never a stale pick when
+    * a newer snapshot exists. Two feature families ride one snapshot
+    * table: lifetime counts/spend and a trailing-7-day activity window,
+    * built for all four weekly cutoffs in ONE conditional-aggregation
+    * pass over events (a per-cutoff filter loop would scan the 100-TB
+    * log four times), then unpivoted map-side via inline.
+    *
+    * The as-of itself is the union+window form ([[joinAsof]]'s shape,
+    * generalized to carry a PAYLOAD): snapshot rows (kind 0) and labels
+    * (kind 1) interleave per user ordered by (time, kind), and
+    * `last(snap, ignoreNulls)` over the preceding frame carries the
+    * newest snapshot STRUCT forward — the whole-struct carry is what
+    * keeps a legitimately-NULL feature (no purchases yet ⇒ null spend)
+    * from being backfilled by an older snapshot's non-null value. One
+    * shuffle by user_id, no range join, no per-label probe: the shape
+    * that assembles a billion-label training set. Labels before the
+    * first cutoff keep NULL features (they have no admissible
+    * snapshot). */
+  def featPitJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoffs = Seq("2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
+    val e = Tables.t(s, dir, "events")
+    val snapAggs = cutoffs.zipWithIndex.flatMap { case (d, i) =>
+      val cut = lit(s"$d 00:00:00").cast("timestamp")
+      val lo = cut - expr("INTERVAL 7 DAY")
+      Seq(
+        count(when($"ts" < cut, 1)).as(s"ne_$i"),
+        sum(when($"ts" < cut && $"event_type" === "purchase",
+          d12($"value"))).cast("double").as(s"sp_$i"),
+        count(when($"ts" >= lo && $"ts" < cut, 1)).as(s"n7_$i"))
+    }
+    val snaps = e.groupBy($"user_id")
+      .agg(snapAggs.head, snapAggs.tail: _*)
+      .select($"user_id", inline(array(cutoffs.zipWithIndex.map {
+        case (d, i) =>
+          struct(lit(d).cast("date").as("snap_date"),
+            col(s"ne_$i").as("f_events"),
+            col(s"sp_$i").as("f_spend"),
+            col(s"n7_$i").as("f_events_7d"))
+      }: _*)))
+    val snapRows = snaps.select($"user_id",
+      $"snap_date".cast("timestamp").as("t"), lit(0).as("kind"),
+      lit(null).cast("long").as("event_id"),
+      struct($"snap_date", $"f_events", $"f_spend", $"f_events_7d")
+        .as("snap"))
+    val labels = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("t"), lit(1).as("kind"), $"event_id",
+        lit(null).cast(snapRows.schema("snap").dataType).as("snap"))
+    // kind orders a snapshot BEFORE labels at the same instant ⇒ a
+    // label at exactly the cutoff sees that cutoff (>= semantics)
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"t", $"kind", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    snapRows.unionByName(labels)
+      .withColumn("g", last($"snap", ignoreNulls = true).over(w))
+      .filter($"kind" === 1)
+      .select($"event_id", $"user_id", $"g.snap_date".as("snap_date"),
+        $"g.f_events".as("f_events"), $"g.f_spend".as("f_spend"),
+        $"g.f_events_7d".as("f_events_7d"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_feat_pit_join" -> (featPitJoin _),
     "q_join_bucketed" -> (joinBucketed _),
     "q_join_salted" -> (joinSalted _),
     "q_join_broadcast" -> (joinBroadcast _),
@@ -257,6 +323,39 @@ object Joins extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    // the oracle exploits the FIXED weekly cutoffs (greatest cutoff ≤ ts
+    // is a CASE ladder) so the as-of reduces to an equi-join — portable,
+    // window-free, and independent of the engine's union+window machinery
+    "q_feat_pit_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |d AS (
+        |  SELECT UNNEST([DATE '2024-01-08', DATE '2024-01-15',
+        |                 DATE '2024-01-22', DATE '2024-01-29']) AS snap_date),
+        |snaps AS (
+        |  SELECT user_id, snap_date,
+        |    CAST(COUNT(*) FILTER (ts < CAST(snap_date AS TIMESTAMP))
+        |      AS BIGINT) AS f_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,4)))
+        |      FILTER (event_type = 'purchase'
+        |        AND ts < CAST(snap_date AS TIMESTAMP)) AS DOUBLE) AS f_spend,
+        |    CAST(COUNT(*) FILTER (
+        |      ts >= CAST(snap_date AS TIMESTAMP) - INTERVAL 7 DAY
+        |      AND ts < CAST(snap_date AS TIMESTAMP)) AS BIGINT) AS f_events_7d
+        |  FROM e CROSS JOIN d GROUP BY user_id, snap_date),
+        |spine AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-29 00:00:00' THEN DATE '2024-01-29'
+        |         WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN DATE '2024-01-22'
+        |         WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN DATE '2024-01-15'
+        |         WHEN ts >= TIMESTAMP '2024-01-08 00:00:00' THEN DATE '2024-01-08'
+        |    END AS snap_date
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT s.event_id, s.user_id, s.snap_date,
+        |  sn.f_events, sn.f_spend, sn.f_events_7d
+        |FROM spine s LEFT JOIN snaps sn USING (user_id, snap_date)
+        |ORDER BY s.event_id""".stripMargin,
     "q_join_bucketed" ->
       """SELECT c_custkey, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS spend

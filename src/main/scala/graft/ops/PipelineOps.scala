@@ -185,6 +185,70 @@ object PipelineOps extends OpModule {
       .orderBy($"dirty_id", $"matched_id")
   }
 
+  /** Data-quality profile — the feature-store admission gate (deequ
+    * shape): per declared column, row count, null count, exact distinct
+    * count, min/max (numeric and string surfaced in SEPARATE typed
+    * columns — a float→string cast would reintroduce cross-engine
+    * formatting drift), and a domain-violation count (nulls are counted
+    * once, under n_null — a violation is a NON-null value outside its
+    * declared domain).
+    *
+    * ONE aggregation pass per table for all its columns (the multiple
+    * count_distinct's become a single Expand — still one scan of the
+    * 100-TB table, the thing a per-column profiler loop gets wrong),
+    * then the single profile row is unpivoted driver-free via
+    * inline(array(struct…)). Exact distinct keeps the DuckDB oracle;
+    * at 100 TB approx_count_distinct is the drop-in relaxation. */
+  def dqProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    // (column, numeric?, domain-violation predicate on non-null values)
+    def profile(df: DataFrame, tbl: String,
+        cols: Seq[(String, Boolean, Column)]): DataFrame = {
+      val aggs = count(lit(1)).as("nrows") +: cols.flatMap {
+        case (name, isNum, viol) =>
+          val c = df.col(name)
+          Seq(
+            sum(when(c.isNull, 1L).otherwise(0L)).cast("long")
+              .as(s"${name}__nnull"),
+            count_distinct(c).as(s"${name}__ndist"),
+            (if (isNum) min(c).cast("double")
+             else lit(null).cast("double")).as(s"${name}__minn"),
+            (if (isNum) max(c).cast("double")
+             else lit(null).cast("double")).as(s"${name}__maxn"),
+            (if (isNum) lit(null).cast("string")
+             else min(c).cast("string")).as(s"${name}__mins"),
+            (if (isNum) lit(null).cast("string")
+             else max(c).cast("string")).as(s"${name}__maxs"),
+            sum(when(c.isNotNull && viol, 1L).otherwise(0L)).cast("long")
+              .as(s"${name}__nviol"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(inline(array(cols.map { case (name, _, _) =>
+          struct(lit(tbl).as("tbl"), lit(name).as("col"),
+            col("nrows").as("n_rows"),
+            col(s"${name}__nnull").as("n_null"),
+            col(s"${name}__ndist").as("n_distinct"),
+            col(s"${name}__minn").as("min_num"),
+            col(s"${name}__maxn").as("max_num"),
+            col(s"${name}__mins").as("min_str"),
+            col(s"${name}__maxs").as("max_str"),
+            col(s"${name}__nviol").as("n_violation"))
+        }: _*)))
+    }
+    val cust = profile(Tables.t(s, dir, "customer"), "customer", Seq(
+      ("c_custkey", true, $"c_custkey" <= 0L),
+      ("c_acctbal", true, !$"c_acctbal".between(-1000.0, 10000.0)),
+      ("c_mktsegment", false, !$"c_mktsegment".isin(segs: _*))))
+    val ev = profile(Tables.t(s, dir, "events"), "events", Seq(
+      ("event_type", false, !$"event_type".isin(types: _*)),
+      ("user_id", true, $"user_id" < 0L),
+      ("value", true, $"value" <= 0.0)))
+    cust.unionAll(ev).orderBy($"tbl", $"col")
+  }
+
   /** Consistent fixed-SIZE sample: the 100 customers with the smallest
     * md5 hash of their key — the "deterministic reservoir" every
     * engineer wants from `LIMIT`-after-`ORDER BY rand()` but stable:
@@ -209,7 +273,8 @@ object PipelineOps extends OpModule {
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_snapshot_merge" -> (snapshotMerge _),
     "q_source_jsonl_roundtrip" -> (jsonlRoundtrip _),
-    "q_er_blocking" -> (erBlocking _)
+    "q_er_blocking" -> (erBlocking _),
+    "q_dq_profile" -> (dqProfile _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -271,6 +336,36 @@ object PipelineOps extends OpModule {
         |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1000000)
         |    AS BIGINT) AS text_wit
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_dq_profile" -> {
+      def col1(tbl: String, c: String, num: Boolean, viol: String) = {
+        val (minN, maxN, minS, maxS) =
+          if (num) (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+        s"""SELECT '$tbl' AS tbl, '$c' AS col,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) FILTER ($c IS NULL) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $minN AS min_num, $maxN AS max_num,
+           |  $minS AS min_str, $maxS AS max_str,
+           |  CAST(COUNT(*) FILTER ($c IS NOT NULL AND ($viol)) AS BIGINT)
+           |    AS n_violation
+           |FROM $tbl""".stripMargin
+      }
+      Seq(
+        col1("customer", "c_custkey", num = true, "c_custkey <= 0"),
+        col1("customer", "c_acctbal", num = true,
+          "NOT (c_acctbal BETWEEN -1000 AND 10000)"),
+        col1("customer", "c_mktsegment", num = false,
+          "c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE'," +
+            "'HOUSEHOLD','MACHINERY')"),
+        col1("events", "event_type", num = false,
+          "event_type NOT IN ('click','error','purchase','signup','view')"),
+        col1("events", "user_id", num = true, "user_id < 0"),
+        col1("events", "value", num = true, "value <= 0")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col")
+    },
     "q_er_blocking" ->
       """WITH dirty AS (
         |  SELECT c_custkey AS dirty_id,

@@ -180,6 +180,42 @@ object Scans extends OpModule {
       .orderBy($"event_date")
   }
 
+  /** Small-file compaction — the sink-hygiene pass every long-lived
+    * 100-TB pipeline ends with. A deliberately fragmented sink (64
+    * round-robin output tasks over a table that needs 1 file — the
+    * "every micro-batch wrote its own files" shape) is compacted by
+    * sizing the output partition count from the ACTUAL on-disk bytes
+    * (FS listing, the same stat a table-format compactor reads) against
+    * a target file size, then rewritten. Reading the fragmented sink
+    * back costs one task per file; the compacted sink costs
+    * ceil(bytes/target). The aggregate runs over the COMPACTED copy and
+    * the oracle over the original table, so the hash gate proves the
+    * rewrite lost nothing; CompactionSpec pins the file counts. */
+  val CompactTargetBytes: Long = 64L * 1024 * 1024
+
+  def sinkCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fragPath = Tables.sinkPath("compactfrag", dir, "events_frag")
+    val outPath = Tables.sinkPath("compact", dir, "events_compact")
+    Tables.t(s, dir, "events")
+      .repartition(64)
+      .write.mode("overwrite").parquet(fragPath)
+    val frag = s.read.parquet(fragPath)
+    val onDisk = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(fragPath)).getLength
+    val nFiles = math.max(1L, (onDisk + CompactTargetBytes - 1) /
+      CompactTargetBytes).toInt
+    // round-robin repartition: equal-BYTE output files regardless of
+    // key skew (a keyed repartition here would rebuild the skew the
+    // compactor exists to smooth out)
+    frag.repartition(nFiles).write.mode("overwrite").parquet(outPath)
+    s.read.parquet(outPath)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sumMoney($"value").as("val_sum"))
+      .orderBy($"event_type")
+  }
+
   /** Schema evolution across parquet batches: an old batch written
     * WITHOUT `o_orderpriority`, a newer one with it, read back under
     * `mergeSchema` — the unified schema null-fills the legacy rows,
@@ -212,6 +248,7 @@ object Scans extends OpModule {
     "q_source_orc_roundtrip" -> (orcRoundtrip _),
     "q_source_avro_roundtrip" -> (avroRoundtrip _),
     "q_scan_dpp" -> (dppPruning _),
+    "q_sink_compact" -> (sinkCompact _),
     "q_source_schema_evolution" -> (schemaEvolution _),
     "q_scan_project" -> (scanProject _),
     "q_scan_prune_pushdown" -> (scanPrunePushdown _),
@@ -248,6 +285,10 @@ object Scans extends OpModule {
         |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
         |FROM fact f JOIN dim USING (event_date)
         |GROUP BY f.event_date ORDER BY event_date""".stripMargin,
+    "q_sink_compact" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_part_roundtrip" ->
       """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date, event_type,
         |  COUNT(*) AS n,

@@ -27,6 +27,22 @@ class InfraSpec extends SparkSpec {
     assert(t.get("sentinel_post").asDouble() === 1.988)
   }
 
+  test("q_sink_compact bin-packs the fragmented sink") {
+    graft.ops.Scans.sinkCompact(spark, sf).count()
+    def parquetFiles(p: String): Int = {
+      val fs = new java.io.File(p).listFiles()
+      assert(fs != null, s"missing sink dir $p")
+      fs.count(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    }
+    val frag = parquetFiles(Tables.sinkPath("compactfrag", sf, "events_frag"))
+    val out = parquetFiles(Tables.sinkPath("compact", sf, "events_compact"))
+    // 64 round-robin partitions over sf0.001 events are all non-empty;
+    // the whole table is far below the 64 MiB target → exactly 1 file
+    assert(frag === 64)
+    assert(out === 1)
+  }
+
   test("csv / json / orc / parquet round-trips preserve data") {
     val base = Files.createTempDirectory("graft_fmt").toString
     val df = Tables.t(spark, sf, "customer")
