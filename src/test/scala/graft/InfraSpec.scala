@@ -44,14 +44,15 @@ class InfraSpec extends SparkSpec {
   }
 
   test("csv / json / orc / parquet round-trips preserve data") {
-    val base = Files.createTempDirectory("graft_fmt").toString
-    val df = Tables.t(spark, sf, "customer")
-      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
-    val want = df.orderBy($"c_custkey").collect().toSeq
-    Seq("csv", "json", "orc", "parquet").foreach { fmt =>
-      val back = Formats.roundTrip(df, fmt, s"$base/$fmt")
-      assert(back.schema === df.schema, s"$fmt schema")
-      assert(back.orderBy($"c_custkey").collect().toSeq === want, s"$fmt data")
+    withTmpDir("graft_fmt") { base =>
+      val df = Tables.t(spark, sf, "customer")
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+      val want = df.orderBy($"c_custkey").collect().toSeq
+      Seq("csv", "json", "orc", "parquet").foreach { fmt =>
+        val back = Formats.roundTrip(df, fmt, s"$base/$fmt")
+        assert(back.schema === df.schema, s"$fmt schema")
+        assert(back.orderBy($"c_custkey").collect().toSeq === want, s"$fmt data")
+      }
     }
   }
 

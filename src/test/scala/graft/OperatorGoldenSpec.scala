@@ -514,7 +514,7 @@ class OperatorGoldenSpec extends SparkSpec {
     // df = cap+20 > ShingleDfCap, so the df-capped main join sees zero
     // of its shingles — the round-4 blindness. The MinHash-band fallback
     // must route these docs back in and emit every pair.
-    val tmp = java.nio.file.Files.createTempDirectory("graft_capfix").toString
+    withTmpDir("graft_capfix") { tmp =>
     val template = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 words → 8 shingles
     val n = Dedup.ShingleDfCap.toInt + 20                      // 120-doc cluster
     val rows = (0 until n).map(i =>
@@ -540,21 +540,23 @@ class OperatorGoldenSpec extends SparkSpec {
       assert(survivors === Set(0L, 1000L, 1001L),
         "survivors = cluster rep + the two singletons")
     } finally OpCache.clear(spark)
+    }
   }
 
   test("ML pipeline persistence: saved PipelineModel reloads and re-scores identically") {
     import org.apache.spark.ml.PipelineModel
     val feats = MlOps.featureFrame(spark, sf)
     val model = MlOps.featurePipeline().fit(feats)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_mlsave").toString + "/feature_model"
-    model.write.overwrite().save(path)
-    val reloaded = PipelineModel.load(path)
-    val direct = MlOps.featureProjection(model.transform(feats)).collect()
-    val rescored = MlOps.featureProjection(reloaded.transform(feats)).collect()
-    assert(direct.nonEmpty)
-    assert(direct === rescored,
-      "reloaded pipeline must reproduce the original scores bit-exactly")
+    withTmpDir("graft_mlsave") { tmp =>
+      val path = s"$tmp/feature_model"
+      model.write.overwrite().save(path)
+      val reloaded = PipelineModel.load(path)
+      val direct = MlOps.featureProjection(model.transform(feats)).collect()
+      val rescored = MlOps.featureProjection(reloaded.transform(feats)).collect()
+      assert(direct.nonEmpty)
+      assert(direct === rescored,
+        "reloaded pipeline must reproduce the original scores bit-exactly")
+    }
   }
 
   test("chunking: windows start at 1, end at n, count matches the stride formula") {

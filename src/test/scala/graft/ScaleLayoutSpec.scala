@@ -53,7 +53,7 @@ class ScaleLayoutSpec extends SparkSpec {
   }
 
   test("date-partitioned sink prunes partitions on read") {
-    val path = Files.createTempDirectory("graft_part").toString
+    withTmpDir("graft_part") { path =>
     Tables.t(spark, sf, "orders")
       .withColumn("order_year", year($"o_orderdate"))
       .write.mode("overwrite")
@@ -66,5 +66,6 @@ class ScaleLayoutSpec extends SparkSpec {
     val expected = Tables.t(spark, sf, "orders")
       .filter(year($"o_orderdate") === 1997).count()
     assert(pruned.count() === expected)
+    }
   }
 }

@@ -140,7 +140,7 @@ class StreamingSemanticsSpec extends SparkSpec {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    val root = Files.createTempDirectory("graft_restart").toString
+    withTmpDir("graft_restart") { root =>
     val srcDir = Paths.get(root, "src"); Files.createDirectories(srcDir)
     val ckpt = s"$root/ckpt"
     val all = Tables.t(spark, sf, "events")
@@ -180,6 +180,67 @@ class StreamingSemanticsSpec extends SparkSpec {
     } finally {
       spark.catalog.dropTempView("restart_run1")
       spark.catalog.dropTempView("restart_run2")
+    }
+    }
+  }
+
+  test("foreachBatch idempotent upsert: restart + replay still equals the batch rebuild") {
+    // Composes q_snapshot_merge's merge algebra with the checkpoint
+    // restart harness, end to end at an EXTERNAL serving table: run 1
+    // upserts half the corpus and stops (simulated crash); the same
+    // batch is then re-delivered (foreachBatch's at-least-once contract)
+    // and must be a no-op; run 2 resumes from the checkpoint over the
+    // second half. Exactly-once holds only if the final serving table
+    // equals the direct batch rebuild — double-apply or lost state both
+    // break the equality.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    withTmpDir("graft_upsert") { root =>
+      val srcDir = Paths.get(root, "src"); Files.createDirectories(srcDir)
+      val ckpt = s"$root/ckpt"
+      val target = s"$root/serving"
+      val all = Tables.t(spark, sf, "events")
+      def stage(cond: org.apache.spark.sql.Column, tag: String): Unit = {
+        val tmp = s"$root/stage_$tag"
+        all.filter(cond).select($"event_type").coalesce(1).write.parquet(tmp)
+        val f = Files.list(Paths.get(tmp)).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        Files.move(f, srcDir.resolve(s"$tag.parquet"))
+      }
+      val schema = StructType(Seq(StructField("event_type", StringType)))
+      var lastBatch = -1L
+      val sinkFn: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (df, id) => {
+          lastBatch = id
+          streaming.ForeachUpsert.applyBatch(spark, target, id, df, "event_type")
+        }
+      def runOnce(): Unit = {
+        val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+          .writeStream.foreachBatch(sinkFn)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def serving: Map[String, Long] =
+        streaming.ForeachUpsert.read(spark, target)
+          .as[(String, Long)].collect().toMap
+      def batchCounts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+        df.groupBy($"event_type").agg(count(lit(1)).as("n"))
+          .as[(String, Long)].collect().toMap
+      stage($"event_id" % 2 === 0, "half_a")
+      runOnce()
+      assert(serving === batchCounts(all.filter($"event_id" % 2 === 0)),
+        "after run 1 the serving table must equal the half-A aggregate")
+      // at-least-once replay: the SAME batch id with the same rows
+      streaming.ForeachUpsert.applyBatch(spark, target, lastBatch,
+        spark.read.schema(schema).parquet(srcDir.toString), "event_type")
+      assert(serving === batchCounts(all.filter($"event_id" % 2 === 0)),
+        "a re-delivered batch must be a no-op, not a double-apply")
+      stage($"event_id" % 2 =!= 0, "half_b")
+      runOnce()
+      assert(serving === batchCounts(all),
+        "resumed upserts must converge to the direct batch rebuild")
     }
   }
 
