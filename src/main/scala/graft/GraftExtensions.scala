@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimF, DotProductF}
+import graft.functions.{CosineSimF, DotProductF, ShingleGen}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available to SQL. Activate with
@@ -30,6 +30,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim_f"),
       new ExpressionInfo(classOf[CosineSimF].getName, "cosine_sim_f"),
       binary("cosine_sim_f", CosineSimF(_, _))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_gen"),
+      new ExpressionInfo(classOf[ShingleGen].getName, "shingle_gen"),
+      GraftExtensions.shingleGenBuilder))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+  }
+}
+
+object GraftExtensions {
+  /** Shared by the extensions path and GraftFunctions.register: the
+    * shingle size must be a foldable integer (it is part of the plan,
+    * not a per-row value). */
+  val shingleGenBuilder: Seq[Expression] => Expression = {
+    case Seq(a, kExpr) if kExpr.foldable && kExpr.eval() != null =>
+      ShingleGen(a, kExpr.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      "shingle_gen requires (array<string>, integer literal k)")
   }
 }

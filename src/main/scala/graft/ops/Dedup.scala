@@ -186,21 +186,28 @@ object Dedup extends OpModule {
   /** Candidate pairs from [[cappedCandidates]] exact-verified with FULL
     * shingle counts (the pruned common is ~0 for capped docs by
     * construction — the whole point). Verification joins shingles INTO
-    * the candidate pairs, so it costs O(candidates × shingles/doc). */
+    * the candidate pairs, so it costs O(candidates × shingles/doc).
+    *
+    * Cached ONCE, in both-directions form, under a single key: the
+    * jaccard consumers (symmetric, a<b) and the containment consumer
+    * (directional) previously each re-ran the verification join; now
+    * both derive from the same persisted (a_id, b_id, common, na, nb)
+    * table — `common` is pair-symmetric, so the a<b filter on the
+    * bidirectional table is exactly the one-directional verification. */
   private def cappedVerified(s: SparkSession, dir: String,
       bothDirections: Boolean): DataFrame = {
     import s.implicits._
-    val sh = shingleRows(s, dir)
-    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val cand =
-      if (bothDirections) cappedCandidates(s, dir)
-      else cappedCandidates(s, dir).filter($"a_id" < $"b_id")
-    cand
-      .join(sh.select($"doc_id".as("a_id"), $"shingle"), Seq("a_id"))
-      .join(sh.select($"doc_id".as("b_id"), $"shingle"), Seq("b_id", "shingle"))
-      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("common"))
-      .join(cnt.select($"doc_id".as("a_id"), $"n_sh".as("na")), Seq("a_id"))
-      .join(cnt.select($"doc_id".as("b_id"), $"n_sh".as("nb")), Seq("b_id"))
+    val both = cached(s, dir, "sh_capped_verified") {
+      val sh = shingleRows(s, dir)
+      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      cappedCandidates(s, dir)
+        .join(sh.select($"doc_id".as("a_id"), $"shingle"), Seq("a_id"))
+        .join(sh.select($"doc_id".as("b_id"), $"shingle"), Seq("b_id", "shingle"))
+        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("common"))
+        .join(cnt.select($"doc_id".as("a_id"), $"n_sh".as("na")), Seq("a_id"))
+        .join(cnt.select($"doc_id".as("b_id"), $"n_sh".as("nb")), Seq("b_id"))
+    }
+    if (bothDirections) both else both.filter($"a_id" < $"b_id")
   }
 
   /** Exact Jaccard ≥ 0.8 near-dup pairs via shingle-key equi-join on the

@@ -21,5 +21,7 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"cosine_sim_f requires exactly 2 arguments, got ${other.length}") },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_gen", graft.GraftExtensions.shingleGenBuilder, "scala_udf")
   }
 }

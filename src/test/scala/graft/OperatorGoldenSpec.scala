@@ -274,6 +274,42 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(rows.isNullAt(1), "empty-array cosine must be NULL, not NaN")
   }
 
+  test("ShingleGen generator ≡ posexplode of the transform-built shingle array") {
+    val docs = Tables.t(spark, sf, "documents")
+      .filter($"doc_id" < 100)
+      .select($"doc_id", split($"text", " ").as("words"))
+    val viaGen = graft.functions.ShingleGen
+      .shingles($"words", 5)
+    val gen = docs.select($"doc_id", viaGen)
+      .select($"doc_id", $"pos", $"shingle")
+      .orderBy($"doc_id", $"pos")
+      .as[(Long, Int, String)].collect().toSeq
+    val builtin = docs.filter(size($"words") >= 5)
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), size($"words") - 5),
+        i => concat_ws(" ",
+          element_at($"words", i + 1), element_at($"words", i + 2),
+          element_at($"words", i + 3), element_at($"words", i + 4),
+          element_at($"words", i + 5)))))
+      .select($"doc_id", $"pos".cast("int").as("pos"), $"col".as("shingle"))
+      .orderBy($"doc_id", $"pos")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(gen.nonEmpty)
+    assert(gen === builtin,
+      "custom Generator must emit exactly the built-in composition's rows")
+    // shorter-than-k and SQL-callable paths
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val sqlRows = spark.sql(
+      """SELECT s.pos, s.shingle
+        |FROM (SELECT array('a','b','c') AS w) t
+        |LATERAL VIEW shingle_gen(w, 2) s AS pos, shingle""".stripMargin)
+      .as[(Int, String)].collect().toSeq
+    assert(sqlRows === Seq((0, "a b"), (1, "b c")))
+    val short = spark.sql(
+      "SELECT * FROM (SELECT array('a') AS w) LATERAL VIEW shingle_gen(w, 2) s AS p, sh")
+    assert(short.count() === 0, "arrays shorter than k must emit nothing")
+  }
+
   test("stateful profile taxonomy covers exactly the corpus event types") {
     val corpus = Tables.t(spark, sf, "events")
       .select($"event_type").distinct().as[String].collect().toSet
