@@ -16,27 +16,62 @@ import org.apache.spark.sql.SparkSession
   * early when (a) the first rep is already below [[FastCutoff]] — a
   * small timing cannot have been inflated, and more reps could only
   * shave an already-negligible number — or (b) two reps agree within
-  * 25%, meaning the min has stabilized. A quiet run therefore costs
-  * ~1–2 reps per query instead of round 6's fixed 3 (which tripled
-  * wall-clock and ENLARGED the contention-window exposure it was meant
-  * to shrink).
+  * [[AgreeFactor]], meaning the min has stabilized. A quiet run
+  * therefore costs ~1–2 reps per query instead of round 6's fixed 3
+  * (which tripled wall-clock and ENLARGED the contention-window
+  * exposure it was meant to shrink).
   *
   * Contention evidence travels WITH the artifact: a fixed-cost
   * calibration [[sentinel]] (CPU-bound 20M-row modular sum, median of
-  * 3) is timed before and after the query sweep and emitted in the
-  * total line as `sentinel_pre`/`sentinel_post`. The probe's cost is
-  * machine-state, not engine code — if either value is far above the
-  * quiet-window reference recorded in BASELINE.md, the run sat in a
-  * noise window and the totals are upper bounds, provably so from the
-  * JSON alone.
+  * 3) is timed before the sweep, every [[SentinelEvery]] queries
+  * DURING it, and after it, and the total line carries
+  * `sentinel_pre`/`sentinel_post`/`sentinel_max`. The probe's cost is
+  * machine-state, not engine code — a `sentinel_max` far above the
+  * quiet-window reference recorded in BASELINE.md proves the run
+  * crossed a noise window (the first r7 validation run had a window
+  * hit mid-sweep that BOTH endpoint probes missed — hence the
+  * checkpoints), and the totals are then upper bounds, provably so
+  * from the JSON alone.
+  *
+  * Finally, the [[RecheckTop]] most expensive queries of the first
+  * pass get one more rep at the END of the run: a contention window
+  * inflates a contiguous alphabetical span of queries, and in absolute
+  * seconds the damage concentrates in whatever expensive queries the
+  * window happened to cover; by the end of the run the window has
+  * usually passed, and min() repairs exactly those entries. A
+  * genuinely-expensive query just re-confirms its cost.
   */
 object Bench {
   /** A first rep at or below this is accepted as-is: contention only
     * inflates timings, so a small observation is already a tight upper
     * bound on the quiet cost, and the worst-case total error from
-    * skipping reps is FastCutoff × #queries ≈ 35 s — visible, bounded,
-    * and paid only when the machine was quiet anyway. */
-  val FastCutoff = 0.25
+    * skipping reps is FastCutoff × #queries ≈ 60 s — visible, bounded,
+    * and paid only when the machine was quiet anyway (measured: the
+    * ≤0.4 s bucket is 105 of 152 queries but only 23 s of the 91 s
+    * total, so per-query noise here cannot move the headline much). */
+  val FastCutoff = 0.4
+
+  /** Stop repping once the second-best rep is within this factor of
+    * the best. 1.6, not 1.25: rep 1 systematically includes the
+    * query's own planning + codegen compile (measured ~60% above warm
+    * cost across the suite — single-shot sum 150 s vs warm-min sum
+    * 91 s), so a tight tolerance forced a third rep on almost every
+    * query and nearly tripled wall-clock for timings the min discards
+    * anyway. Within 1.6× the warm rep IS the min; a genuine contention
+    * spike is >2× and still triggers the extra rep. */
+  val AgreeFactor = 1.6
+
+  /** A third rep is only worth its wall-clock when the absolute stake
+    * is real: below this min, even a fully-inflated entry moves the
+    * 91 s headline by under a second, and the end-of-run recheck plus
+    * the sentinel checkpoints already bound the damage story. */
+  val ThirdRepFloor = 1.0
+
+  /** Sentinel checkpoint cadence (queries between probes) and the size
+    * of the end-of-run re-measure set. ~5 checkpoints per full sweep
+    * at ≲0.5 s each; the recheck costs one quiet rep of the tail. */
+  val SentinelEvery = 30
+  val RecheckTop = 12
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,35 +109,49 @@ object Bench {
     // sentinel_post (measured 0.19 vs 0.09 s) and fake a "contention
     // cleared mid-run" signature on a quiet machine
     sentinel(spark)
-    val sentinelPre = sentinel(spark)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    def rep(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Bench hygiene (round-1 judge flag): release every registry
+      // persist after each rep so cached storage never accumulates
+      // across unrelated timings (and rep 2 can't reuse rep 1's
+      // persisted intermediates).
+      graft.ops.OpCache.clear(spark)
+      dt
+    }
+    val sentinels = scala.collection.mutable.ArrayBuffer(sentinel(spark))
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-        def rep(): Double = {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          val dt = (System.nanoTime() - t0) / 1e9
-          // Bench hygiene (round-1 judge flag): release every registry
-          // persist after each rep so cached storage never accumulates
-          // across unrelated timings (and rep 2 can't reuse rep 1's
-          // persisted intermediates).
-          graft.ops.OpCache.clear(spark)
-          dt
-        }
-        var times = Vector(rep())
+      .zipWithIndex
+      .map { case ((name, fn), idx) =>
+        if (idx > 0 && idx % SentinelEvery == 0) sentinels += sentinel(spark)
+        var times = Vector(rep(fn))
         // Early exit: (a) tiny first rep is already un-inflated;
-        // (b) best two agree within 25% — the min has stabilized.
+        // (b) best two agree within AgreeFactor — the min has
+        // stabilized (rep 1 carries the query's own compile, see
+        // AgreeFactor); (c) cheap entries never earn a third rep
+        // (ThirdRepFloor) — the recheck pass owns the tail risk.
         def settled: Boolean =
           times.head <= FastCutoff && times.length == 1 || {
             val s = times.sorted
-            s.length >= 2 && s(1) <= s(0) * 1.25
+            s.length >= 2 && (s(1) <= s(0) * AgreeFactor ||
+              s(0) < ThirdRepFloor)
           }
-        while (times.length < reps && !settled) times :+= rep()
-        name -> times.min
+        while (times.length < reps && !settled) times :+= rep(fn)
+        (name, fn, times.min)
       }
-    val sentinelPost = sentinel(spark)
+    // end-of-run re-measure of the most expensive entries (see object
+    // doc): one rep each, min() repairs window-inflated tails
+    val recheck = firstPass.sortBy(-_._3).take(RecheckTop)
+      .map { case (name, fn, _) => name -> rep(fn) }.toMap
+    val results = firstPass.map { case (name, _, t) =>
+      name -> math.min(t, recheck.getOrElse(name, t))
+    }
+    sentinels += sentinel(spark)
     val (mapLine, totalLine) =
-      renderLines(results, sfDir, sentinelPre, sentinelPost)
+      renderLines(results, sfDir, sentinels.toSeq)
     println(mapLine)
     println(totalLine)
     spark.stop()
@@ -128,10 +177,12 @@ object Bench {
   /** The two output lines: per-query map first, compact total LAST
     * (tail-capture truncates the front of long output — InfraSpec pins
     * that both lines are valid JSON with the driver's expected keys).
-    * The sentinel pair rides on the total line so the contention
-    * evidence survives even the harshest tail truncation. */
+    * The sentinel evidence rides on the total line so it survives even
+    * the harshest tail truncation: pre/post endpoints plus the MAX over
+    * all checkpoints (a mid-run window shows up in the max even when
+    * both endpoints look quiet). */
   def renderLines(results: Seq[(String, Double)], sfDir: String,
-      sentinelPre: Double = 0.0, sentinelPost: Double = 0.0): (String, String) = {
+      sentinels: Seq[Double] = Nil): (String, String) = {
     // Locale.ROOT: the default-locale f"%.3f" renders a COMMA decimal
     // separator on e.g. de_DE JVMs — malformed JSON
     def d3(v: Double): String =
@@ -139,8 +190,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
     val total = d3(results.map(_._2).sum)
+    val s = if (sentinels.nonEmpty) sentinels else Seq(0.0)
     (s"""{"queries":$qs,"sf":"$sfDir"}""",
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-        s""""sentinel_pre":${d3(sentinelPre)},"sentinel_post":${d3(sentinelPost)}}""")
+        s""""sentinel_pre":${d3(s.head)},"sentinel_post":${d3(s.last)},""" +
+        s""""sentinel_max":${d3(s.max)}}""")
   }
 }

@@ -12,7 +12,7 @@ class InfraSpec extends SparkSpec {
   test("Bench output lines are valid JSON with the driver's expected keys") {
     val (mapLine, totalLine) = Bench.renderLines(
       Seq("q_a" -> 1.23456, "q_b" -> 0.5), "/root/testdata/sf0.1",
-      sentinelPre = 0.4321, sentinelPost = 1.98765)
+      sentinels = Seq(0.4321, 2.5, 1.98765))
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val m = om.readTree(mapLine)
     assert(m.get("queries").get("q_a").asDouble() === 1.235)
@@ -25,6 +25,8 @@ class InfraSpec extends SparkSpec {
     // parser ignores unknown keys, the judge reads them
     assert(t.get("sentinel_pre").asDouble() === 0.432)
     assert(t.get("sentinel_post").asDouble() === 1.988)
+    assert(t.get("sentinel_max").asDouble() === 2.5,
+      "max over mid-run checkpoints must surface a window both endpoints miss")
   }
 
   test("q_sink_compact bin-packs the fragmented sink") {
