@@ -130,6 +130,33 @@ class PlanSpec extends SparkSpec {
       "no dynamicpruningexpression on the partitioned fact scan")
   }
 
+  test("point-in-time join plan contains NO join operator (union+window as-of)") {
+    // The scalable property of q_feat_pit_join: the as-of is expressed
+    // as union + window over user_id — a billion-label spine never
+    // probes a range join or nested loop. If any physical join node
+    // appears, the shape regressed.
+    val p = plan("q_feat_pit_join")
+    assert(!p.contains("Join"), s"as-of must stay join-free:\n$p")
+    assert(p.contains("Window"), "the snapshot carry must be a window")
+    assert(p.contains("Expand") || "HashAggregate".r.findAllIn(p).size >= 2,
+      "snapshot features must come from one conditional-agg pass")
+  }
+
+  test("dq profile reads each table once, with pruned columns") {
+    val df = SparkEntry.queries("q_dq_profile")(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // ONE scan per profiled table — a per-column profiler loop would
+    // show 6 — and each scan pruned to exactly the profiled columns
+    assert(scans.length === 2, s"expected 2 scans, got ${scans.length}")
+    val schemas = scans.map(_.requiredSchema.fieldNames.toSet)
+    assert(schemas.contains(Set("c_custkey", "c_acctbal", "c_mktsegment")),
+      s"customer scan not pruned to the profiled columns: $schemas")
+    assert(schemas.contains(Set("event_type", "user_id", "value")),
+      s"events scan not pruned to the profiled columns: $schemas")
+  }
+
   test("partitioned round-trip read prunes to the filtered partitions") {
     val df = SparkEntry.queries("q_part_roundtrip")(spark, sf)
     // sparkPlan, not executedPlan: AQE wraps the tree in an adaptive
