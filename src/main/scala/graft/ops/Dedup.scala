@@ -576,6 +576,64 @@ object Dedup extends OpModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Incremental (delta) near-dup admission — match a NEW batch of
+    * documents against the EXISTING corpus without ever joining the
+    * corpus to itself. Batch membership is deterministic here
+    * (doc_id % 20 = 0, ~5% of the corpus plays "today's crawl") so the
+    * op stays oracle-able; in production the batch is the new ingest
+    * partition and the predicate is a partition filter.
+    *
+    * Scale design: the corpus is ONLY touched through its MinHash band
+    * index ([[sigTable]] — persisted once per session here; a real
+    * deployment materializes it as a bucketed table keyed by
+    * (band, bucket) and appends each admitted batch's signatures, so
+    * successive batches never recompute corpus state). Probing is an
+    * equi-join of O(batch) banded keys against that index — shuffled by
+    * bucket key, never corpus×corpus; per-batch cost is
+    * O(batch + candidates), independent of corpus size once the index
+    * exists. Exact Jaccard verification joins full shingles INTO the
+    * candidate pairs only (the q_dedup_minhash_lsh shape). Per-doc
+    * verdict: n_dup corpus matches at jaccard ≥ 0.5, rep_id = smallest
+    * matching corpus id, max_jacc; n_dup = 0 ⇒ the batch doc is novel
+    * and admitted. */
+  def dedupDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleRows(s, dir)
+    def banded(d: DataFrame, id: String) =
+      d.select($"doc_id", explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            (col(s"mh${2 * b}") * 1000000009L + col(s"mh${2 * b + 1}")).as("bucket"))
+        }: _*)).as("bb"))
+        .select($"doc_id".as(id), $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+    val sig = sigTable(s, dir)
+    val corpusIx = banded(sig.filter($"doc_id" % 20 =!= 0), "old_id")
+    val probes = banded(sig.filter($"doc_id" % 20 === 0), "new_id")
+    val cand = probes.join(corpusIx, Seq("band", "bucket"))
+      .select($"new_id", $"old_id").distinct()
+    // count side is O(corpus) — plain shuffle join, never broadcast
+    // (same contract as the other dedup consumers; pinned in PlanSpec).
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val verified = cand
+      .join(sh.select($"doc_id".as("new_id"), $"shingle"), Seq("new_id"))
+      .join(sh.select($"doc_id".as("old_id"), $"shingle"), Seq("old_id", "shingle"))
+      .groupBy($"new_id", $"old_id").agg(count(lit(1)).as("common"))
+      .join(cnt.select($"doc_id".as("new_id"), $"n_sh".as("na")), Seq("new_id"))
+      .join(cnt.select($"doc_id".as("old_id"), $"n_sh".as("nb")), Seq("old_id"))
+      .select($"new_id", $"old_id",
+        round($"common".cast("double") / ($"na" + $"nb" - $"common"), 4)
+          .as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+    val perDoc = verified.groupBy($"new_id")
+      .agg(count(lit(1)).as("n_dup"), min($"old_id").as("rep_id"),
+        max($"jaccard").as("max_jacc"))
+    Tables.t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+      .select($"doc_id")
+      .join(perDoc.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n_dup", lit(0L)).as("n_dup"),
+        $"rep_id", $"max_jacc")
+      .orderBy($"doc_id")
+  }
+
   /** Embedding-cosine near-dup: all pairs with 4-dp cosine ≥ 0.45
     * (the synthetic corpus has no clusters — max pair cosine ≈ 0.51 —
     * so the threshold sits inside the observed range).
@@ -740,6 +798,7 @@ object Dedup extends OpModule {
     "q_sim_topk_cosine" -> (simTopkCosine _),
     "q_emb_quantize" -> (embQuantize _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "q_dedup_delta" -> (dedupDelta _),
     "q_dedup_near_embedding" -> (dedupNearEmbedding _),
     "q_sim_ivf_topk" -> (simIvfTopk _),
     "q_sim_lsh_knn" -> (simLshKnn _)
@@ -931,6 +990,46 @@ object Dedup extends OpModule {
          |JOIN cnt cb ON cb.doc_id = c.b_id
          |WHERE ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) >= 0.5
          |ORDER BY c.a_id, c.b_id""".stripMargin
+    },
+    "q_dedup_delta" -> {
+      val mins = (0 until 8).map(k =>
+        s"  min((base * ${mhA(k)} + ${mhB(k)}) % $MhP) AS mh$k").mkString(",\n")
+      val bands = (0 until 4).map(b =>
+        s"  SELECT doc_id, $b AS band, mh${2 * b} * 1000000009 + mh${2 * b + 1} AS bucket FROM sig")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH $shinglesCte,
+         |based AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741824 AS base
+         |  FROM sh),
+         |sig AS (SELECT doc_id,
+         |$mins
+         |FROM based GROUP BY doc_id),
+         |banded AS (
+         |$bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |  WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |vcommon AS (SELECT c.new_id, c.old_id, COUNT(*) AS common
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.new_id
+         |  JOIN sh b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+         |  GROUP BY c.new_id, c.old_id),
+         |verified AS (SELECT v.new_id, v.old_id,
+         |    ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) AS jaccard
+         |  FROM vcommon v
+         |  JOIN cnt ca ON ca.doc_id = v.new_id
+         |  JOIN cnt cb ON cb.doc_id = v.old_id
+         |  WHERE ROUND(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 4) >= 0.5),
+         |perdoc AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_dup,
+         |    MIN(old_id) AS rep_id, MAX(jaccard) AS max_jacc
+         |  FROM verified GROUP BY new_id)
+         |SELECT d.doc_id, CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
+         |  p.rep_id, p.max_jacc
+         |FROM documents d LEFT JOIN perdoc p ON p.new_id = d.doc_id
+         |WHERE d.doc_id % 20 = 0
+         |ORDER BY d.doc_id""".stripMargin
     },
     "q_dedup_simhash" ->
       """WITH words AS (

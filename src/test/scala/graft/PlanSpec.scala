@@ -78,7 +78,8 @@ class PlanSpec extends SparkSpec {
     // is the un-scaled explicit hint. Optimized-plan join hints are
     // exactly where `broadcast()` survives optimization.
     import org.apache.spark.sql.catalyst.plans.logical.Join
-    Seq("q_dedup_near_jaccard", "q_dedup_containment", "q_dedup_minhash_lsh")
+    Seq("q_dedup_near_jaccard", "q_dedup_containment", "q_dedup_minhash_lsh",
+        "q_dedup_delta")
       .foreach { q =>
         val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
         val hinted = lp.collect {
