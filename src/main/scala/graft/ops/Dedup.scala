@@ -634,6 +634,36 @@ object Dedup extends OpModule {
       .orderBy($"doc_id")
   }
 
+  /** Training-data decontamination — flag training documents that share
+    * any 5-gram shingle with a benchmark/eval set (here: `source =
+    * 'src0'` plays the held-out benchmark; in production it's the
+    * curated eval corpus). This is NOT dedup: the contamination signal
+    * is cross-set containment of even ONE n-gram (the standard
+    * train/test leakage gate), not high pairwise similarity.
+    *
+    * Scale shape: the benchmark side is bounded by construction (a
+    * curated eval set — thousands of docs against a 100-TB corpus), so
+    * it gets an EXPLICIT broadcast: the training corpus' shingle rows
+    * stream map-side against the broadcast benchmark n-gram table and
+    * never shuffle. This is the inverse contract of the per-document
+    * count tables (O(corpus), pinned never-broadcast): broadcast is
+    * pinned PRESENT here (PlanSpec). Output per contaminated doc:
+    * distinct contaminated shingles + distinct benchmark docs hit. */
+  def textDecontam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.t(s, dir, "documents").select($"doc_id", $"source")
+    val sh = shingleRows(s, dir)
+    val bench = sh.join(docs.filter($"source" === "src0"), Seq("doc_id"))
+      .select($"doc_id".as("bench_id"), $"shingle")
+    val train = sh.join(docs.filter($"source" =!= "src0"), Seq("doc_id"))
+      .select($"doc_id", $"shingle")
+    train.join(broadcast(bench), Seq("shingle"))
+      .groupBy($"doc_id")
+      .agg(count_distinct($"shingle").as("n_hits"),
+        count_distinct($"bench_id").as("n_bench_docs"))
+      .orderBy($"doc_id")
+  }
+
   /** Embedding-cosine near-dup: all pairs with 4-dp cosine ≥ 0.45
     * (the synthetic corpus has no clusters — max pair cosine ≈ 0.51 —
     * so the threshold sits inside the observed range).
@@ -799,6 +829,7 @@ object Dedup extends OpModule {
     "q_emb_quantize" -> (embQuantize _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "q_dedup_delta" -> (dedupDelta _),
+    "q_text_decontam" -> (textDecontam _),
     "q_dedup_near_embedding" -> (dedupNearEmbedding _),
     "q_sim_ivf_topk" -> (simIvfTopk _),
     "q_sim_lsh_knn" -> (simLshKnn _)
@@ -1031,6 +1062,19 @@ object Dedup extends OpModule {
          |WHERE d.doc_id % 20 = 0
          |ORDER BY d.doc_id""".stripMargin
     },
+    "q_text_decontam" ->
+      s"""WITH $shinglesCte,
+         |bench AS (SELECT sh.doc_id AS bench_id, sh.shingle
+         |  FROM sh JOIN documents d ON d.doc_id = sh.doc_id
+         |  WHERE d.source = 'src0'),
+         |train AS (SELECT sh.doc_id, sh.shingle
+         |  FROM sh JOIN documents d ON d.doc_id = sh.doc_id
+         |  WHERE d.source <> 'src0')
+         |SELECT t.doc_id,
+         |  CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+         |FROM train t JOIN bench b ON b.shingle = t.shingle
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_dedup_simhash" ->
       """WITH words AS (
         |  SELECT doc_id,

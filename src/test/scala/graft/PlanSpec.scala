@@ -58,6 +58,14 @@ class PlanSpec extends SparkSpec {
       "the 640-row centroid table must broadcast")
   }
 
+  test("decontamination broadcasts the bounded benchmark n-gram side") {
+    // Inverse of the O(corpus)-count contract: the eval set is bounded
+    // by construction, so the training shingles must stream map-side
+    // against a broadcast benchmark table, never shuffle for it.
+    assert(plan("q_text_decontam").contains("BroadcastHashJoin"),
+      "the benchmark shingle table must broadcast")
+  }
+
   test("ER blocking is an equi-join on the block key, not a nested loop") {
     val p = plan("q_er_blocking")
     assert(!p.contains("NestedLoopJoin"),
