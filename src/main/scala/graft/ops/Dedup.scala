@@ -42,18 +42,24 @@ object Dedup extends OpModule {
   }
 
   /** 5-gram word shingles per doc (distinct). */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.t(s, dir, "documents")
-      .select($"doc_id", split($"text", " ").as("words"))
-      .filter(size($"words") >= 5)
-      .select($"doc_id", array_distinct(transform(
-        sequence(lit(0), size($"words") - 5),
+  /** 5-gram shingle arrays from any (doc_id, text) frame. A pure
+    * per-doc function — no corpus-global state — which is what makes
+    * every structure derived from it (MinHash signatures, the delta
+    * band index) APPENDABLE: new-batch rows can be computed alone and
+    * unioned with prior output (pinned by the index-append test). */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 5)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(0), size(col("words")) - 5),
         i => concat_ws(" ",
-          element_at($"words", i + 1), element_at($"words", i + 2),
-          element_at($"words", i + 3), element_at($"words", i + 4),
-          element_at($"words", i + 5)))).as("sh"))
-  }
+          element_at(col("words"), i + 1), element_at(col("words"), i + 2),
+          element_at(col("words"), i + 3), element_at(col("words"), i + 4),
+          element_at(col("words"), i + 5)))).as("sh"))
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.t(s, dir, "documents"))
 
   /** (doc_id, shingle) rows — explodes directly, WITHOUT carrying the
     * shingle array column through the Generate (a carried array is
@@ -86,18 +92,27 @@ object Dedup extends OpModule {
     * shared by q_dedup_minhash_sig and both sides of the LSH band join
     * (without the persist the broadcast self-join re-aggregates it per
     * side — measured ~1 s extra at sf0.1). */
-  private def sigTable(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    cached(s, dir, "mh_sig") {
-      shingleRows(s, dir)
-        .select($"doc_id", (md5int($"shingle") % 1073741824L).as("base"))
-        .groupBy($"doc_id")
-        .agg(
-          min(($"base" * mhA(0) + mhB(0)) % MhP).as("mh0"),
-          (1 until 8).map(k =>
-            min(($"base" * mhA(k) + mhB(k)) % MhP).as(s"mh$k")): _*)
-    }
-  }
+  private def sigTable(s: SparkSession, dir: String): DataFrame =
+    cached(s, dir, "mh_sig") { minhashOf(shingleRows(s, dir)) }
+
+  /** Affine MinHash signatures (mh0..mh7) from (doc_id, shingle) rows.
+    * Shared by the session sig table, the capped-doc fallback, and the
+    * appendability test — one definition, no drift. */
+  private def minhashOf(shRows: DataFrame): DataFrame =
+    shRows
+      .select(col("doc_id"), (md5int(col("shingle")) % 1073741824L).as("base"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min((col("base") * mhA(0) + mhB(0)) % MhP).as("mh0"),
+        (1 until 8).map(k =>
+          min((col("base") * mhA(k) + mhB(k)) % MhP).as(s"mh$k")): _*)
+
+  /** Signatures straight from a (doc_id, text) frame — the unit the
+    * index-append contract quantifies over (test-facing). */
+  private[graft] def sigOf(docs: DataFrame): DataFrame =
+    minhashOf(shinglesOf(docs)
+      .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull))
 
   /** Maximum shingle DOCUMENT FREQUENCY admitted to the pair self-join.
     * A shingle occurring in f docs contributes f² candidate pairs, so
@@ -162,14 +177,8 @@ object Dedup extends OpModule {
   private def cappedCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     cached(s, dir, "sh_capped_cand") {
-      val sig = shingleRows(s, dir)
-        .join(cappedDocs(s, dir), Seq("doc_id"), "left_semi")
-        .select($"doc_id", (md5int($"shingle") % 1073741824L).as("base"))
-        .groupBy($"doc_id")
-        .agg(
-          min(($"base" * mhA(0) + mhB(0)) % MhP).as("mh0"),
-          (1 until 8).map(k =>
-            min(($"base" * mhA(k) + mhB(k)) % MhP).as(s"mh$k")): _*)
+      val sig = minhashOf(shingleRows(s, dir)
+        .join(cappedDocs(s, dir), Seq("doc_id"), "left_semi"))
       val banded = sig.select($"doc_id", explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),
             (col(s"mh${2 * b}") * 1000000009L + col(s"mh${2 * b + 1}")).as("bucket"))

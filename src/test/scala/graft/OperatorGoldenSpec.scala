@@ -545,6 +545,23 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(reps(2L) === 0L && reps(11L) === 10L)
   }
 
+  test("delta dedup's band index is appendable: signatures are corpus-independent") {
+    // The incremental contract behind q_dedup_delta: a doc's MinHash
+    // signature must be a pure function of THAT doc (no corpus-global
+    // state), so index(corpus ∪ batch) == index(corpus) ∪ index(batch)
+    // and an admitted batch appends to the persisted band index without
+    // recomputing corpus signatures. A corpus-dependent signature (e.g.
+    // df-weighted minhash, corpus-fit vocabulary) would silently break
+    // appendability — this pins it.
+    val docs = Tables.t(spark, sf, "documents")
+    val full = Dedup.sigOf(docs).orderBy($"doc_id").collect().toSeq
+    val split = Dedup.sigOf(docs.filter($"doc_id" % 3 === 0))
+      .unionByName(Dedup.sigOf(docs.filter($"doc_id" % 3 =!= 0)))
+      .orderBy($"doc_id").collect().toSeq
+    assert(full === split,
+      "per-slice signatures must equal the full-corpus signatures row-for-row")
+  }
+
   test("near-dup fallback: duplicate cluster LARGER than ShingleDfCap still pairs") {
     // A template duplicated cap+20 times gives every one of its shingles
     // df = cap+20 > ShingleDfCap, so the df-capped main join sees zero
