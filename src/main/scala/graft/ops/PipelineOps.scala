@@ -256,6 +256,29 @@ object PipelineOps extends OpModule {
     * only changes incrementally as keys are added/removed (hash order
     * is global, not data-order). Top-k by hash ⇒
     * TakeOrderedAndProject — no global sort. */
+  /** Deterministic WEIGHTED sampling — the training-data mixing
+    * primitive: each document is admitted with probability
+    * p = min(n_chars, 400)/400 (longer docs up-weighted to the cap),
+    * decided by hash threshold so the sample is reproducible on any
+    * cluster and stable under re-partitioning. Acceptance is pure
+    * INTEGER arithmetic (hash‰ · 400 < weight · 10⁶) — no float at the
+    * accept/reject boundary, so both engines agree exactly. Survivors
+    * carry the Horvitz-Thompson inverse-probability weight (1/p) so
+    * downstream aggregates stay unbiased. Stateless map-side filter:
+    * zero shuffle, and like [[splitHash]] the decision is a pure
+    * function of the row — appendable and backfill-safe. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        (md5int($"doc_id".cast("string")) % 1000000L).as("hv"),
+        least($"n_chars", lit(400L)).as("wnum"))
+      .filter($"hv" * 400L < $"wnum" * 1000000L)
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        round(lit(400.0) / $"wnum".cast("double"), 4).as("ht_weight"))
+      .orderBy($"doc_id")
+  }
+
   def sampleConsistent(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.t(s, dir, "customer")
@@ -268,6 +291,7 @@ object PipelineOps extends OpModule {
   val queries: Map[String, Q] = Map(
     "q_sample_consistent" -> (sampleConsistent _),
     "q_sample_stratified" -> (sampleStratified _),
+    "q_sample_weighted" -> (sampleWeighted _),
     "q_split_hash" -> (splitHash _),
     "q_agg_incremental" -> (aggIncremental _),
     "q_snapshot_diff" -> (snapshotDiff _),
@@ -278,6 +302,14 @@ object PipelineOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |  ROUND(400.0 / LEAST(n_chars, 400), 4) AS ht_weight
+        |FROM documents
+        |WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |       % 1000000) * 400
+        |      < LEAST(n_chars, 400) * 1000000
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_consistent" ->
       """SELECT c_custkey, c_mktsegment,
         |  CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
