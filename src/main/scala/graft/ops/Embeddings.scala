@@ -71,12 +71,66 @@ object Embeddings extends OpModule {
       .orderBy($"probe_id")
   }
 
+  /** Product-quantization codes — the ANN memory-footprint op: the
+    * 64-dim float vector (256 B) becomes 8 packed sub-block codes
+    * (8 dims × 2-bit levels each, 16 b/block) — a 16× compression that
+    * is what lets a 100-TB embedding corpus's index fit in cluster RAM.
+    * Levels come from a fixed 4-bin grid over [−0.6, 0.6) computed in
+    * exact integer micro-units (⌊10⁶x+0.5⌋ then clamped integer
+    * division — no float at any decision boundary), block codes are the
+    * big-endian base-4 fold, and the per-vector L1 reconstruction error
+    * (vs bin midpoints) stays in integer µ-units. Pure map-side
+    * projection: zero shuffle, embarrassingly parallel; a learned
+    * (k-means) codebook is the drop-in refinement — the packing,
+    * distance-table layout, and plan shape are identical. */
+  def embPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "embeddings")
+      .select($"vec_id",
+        expr("transform(embedding, x -> " +
+          "cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))")
+          .as("xu"))
+      .select($"vec_id", $"xu",
+        expr("transform(xu, u -> greatest(least((u + 600000) div 300000, " +
+          "cast(3 as bigint)), cast(0 as bigint)))").as("lev"))
+      .select($"vec_id",
+        concat_ws(",", expr("transform(sequence(0, 7), b -> " +
+          "cast(aggregate(slice(lev, b * 8 + 1, 8), cast(0 as bigint), " +
+          "(a, l) -> a * 4 + l) as string))")).as("pq_codes"),
+        expr("aggregate(transform(sequence(1, 64), i -> " +
+          "abs(element_at(xu, i) - (element_at(lev, i) * 300000 - 450000)))," +
+          " cast(0 as bigint), (a, e) -> a + e)").as("l1_err_u"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_emb_centroids" -> (embCentroids _),
+    "q_emb_pq" -> (embPq _),
     "q_sim_centroid_assign" -> (simCentroidAssign _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_emb_pq" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS xu
+        |  FROM embeddings),
+        |l AS (
+        |  SELECT vec_id, xu,
+        |    list_transform(xu, u ->
+        |      GREATEST(LEAST((u + 600000) // 300000, 3), 0)) AS lev
+        |  FROM q)
+        |SELECT vec_id,
+        |  array_to_string(list_transform(range(0, 8), b ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), lev[b*8+1 : b*8+8]),
+        |      (a, x) -> a * 4 + x)), ',') AS pq_codes,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 65), i ->
+        |      abs(xu[CAST(i AS INTEGER)]
+        |        - (lev[CAST(i AS INTEGER)] * 300000 - 450000)))),
+        |    (a, e) -> a + e) AS BIGINT) AS l1_err_u
+        |FROM l ORDER BY vec_id""".stripMargin,
     "q_emb_centroids" ->
       """WITH codes AS (
         |  SELECT label,

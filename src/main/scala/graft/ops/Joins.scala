@@ -305,7 +305,36 @@ object Joins extends OpModule {
       .orderBy($"event_id")
   }
 
+  /** Star-schema rollup — the canonical warehouse plan: one fact table
+    * (lineitem) against a chain of ever-smaller dimensions
+    * (orders→customer→nation→region), revenue by region and order year.
+    * The two leaf dims are `broadcast()` (bounded by construction:
+    * 25 nations, 5 regions — no fact shuffle for them, ever); the
+    * fact⋈orders and ⋈customer hops are genuine key shuffles that AQE
+    * re-plans at runtime. At 100 TB the shape is: big side shuffles
+    * exactly twice (orderkey, custkey), dimension lookups ride the map
+    * side — the plan every BI query on this engine should collapse to.
+    * Revenue through DECIMAL (exact, order-insensitive), 4-dp double. */
+  def joinStar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val one = lit(1).cast(D6)
+    Tables.t(s, dir, "lineitem")
+      .join(Tables.t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.t(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.t(s, dir, "region")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", year($"o_orderdate").as("yr"))
+      .agg(
+        dbl4(sum(d12($"l_extendedprice") * (one - d6($"l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"yr")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_star" -> (joinStar _),
     "q_feat_pit_join" -> (featPitJoin _),
     "q_join_bucketed" -> (joinBucketed _),
     "q_join_salted" -> (joinSalted _),
@@ -323,6 +352,19 @@ object Joins extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_star" ->
+      """SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |    (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 4)
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, yr
+        |ORDER BY r_name, yr""".stripMargin,
     // the oracle exploits the FIXED weekly cutoffs (greatest cutoff ≤ ts
     // is a CASE ladder) so the as-of reduces to an equi-join — portable,
     // window-free, and independent of the engine's union+window machinery

@@ -249,6 +249,41 @@ object PipelineOps extends OpModule {
     cust.unionAll(ev).orderBy($"tbl", $"col")
   }
 
+  /** Data-drift anomaly flagging — the monitoring half of the
+    * [[dqProfile]] admission gate: daily event volume vs its trailing
+    * 7-day window, flagged when the day departs by more than 2 sample
+    * standard deviations. The z-test runs in EXACT integer arithmetic —
+    * |x−μ| > 2σ over a 7-day window is algebraically
+    * 3·(7x−S)² > 14·(7Q−S²) with S=Σx, Q=Σx² — so both engines agree
+    * bit-for-bit (a float σ rounds differently per sum order). Only
+    * full windows (7 prior days) are eligible to flag.
+    *
+    * Scale shape: the raw 100-TB log collapses to O(days) rows in one
+    * map-side-combinable aggregate; the unpartitioned trailing window
+    * then runs over that tiny rollup (hundreds of rows on years of
+    * data) — the single-partition window is on the ROLLUP, never the
+    * log. Per-metric partitioning (`PARTITION BY metric`) is the
+    * drop-in generalization when profiling many series at once. */
+  def dqAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.t(s, dir, "events")
+      .groupBy($"ts".cast("date").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy($"d").rowsBetween(-7, -1)
+    daily
+      .withColumn("win_n", count($"x").over(w))
+      .withColumn("win_sum", sum($"x").over(w))
+      .withColumn("win_sumsq", sum($"x" * $"x").over(w))
+      .select($"d", $"x".as("n_events"), $"win_n",
+        when($"win_n" === 7L, lit(7L) * $"x" - $"win_sum").as("dev7"),
+        ($"win_n" === 7L &&
+          lit(3L) * (lit(7L) * $"x" - $"win_sum") *
+            (lit(7L) * $"x" - $"win_sum") >
+          lit(14L) * (lit(7L) * $"win_sumsq" - $"win_sum" * $"win_sum"))
+          .as("is_anomaly"))
+      .orderBy($"d")
+  }
+
   /** Consistent fixed-SIZE sample: the 100 customers with the smallest
     * md5 hash of their key — the "deterministic reservoir" every
     * engineer wants from `LIMIT`-after-`ORDER BY rand()` but stable:
@@ -298,10 +333,28 @@ object PipelineOps extends OpModule {
     "q_snapshot_merge" -> (snapshotMerge _),
     "q_source_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_er_blocking" -> (erBlocking _),
-    "q_dq_profile" -> (dqProfile _)
+    "q_dq_profile" -> (dqProfile _),
+    "q_dq_anomaly" -> (dqAnomaly _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |win AS (
+        |  SELECT d, x,
+        |    COUNT(x) OVER w AS win_n,
+        |    SUM(x) OVER w AS win_sum,
+        |    SUM(x * x) OVER w AS win_sumsq
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT d, CAST(x AS BIGINT) AS n_events, CAST(win_n AS BIGINT) AS win_n,
+        |  CASE WHEN win_n = 7 THEN CAST(7 * x - win_sum AS BIGINT) END AS dev7,
+        |  (win_n = 7 AND
+        |   3 * (7 * x - win_sum) * (7 * x - win_sum) >
+        |   14 * (7 * win_sumsq - win_sum * win_sum)) AS is_anomaly
+        |FROM win ORDER BY d""".stripMargin,
     "q_sample_weighted" ->
       """SELECT doc_id, lang, source, n_chars,
         |  ROUND(400.0 / LEAST(n_chars, 400), 4) AS ht_weight

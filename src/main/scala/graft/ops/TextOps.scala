@@ -313,6 +313,55 @@ object TextOps extends OpModule {
       .limit(30)
   }
 
+  /** N-gram language-model quality scoring — the CCNet-style filter
+    * signal: train-side bigram statistics score held-out documents, and
+    * low-likelihood docs (gibberish, boilerplate soup) rank apart from
+    * fluent ones. The 80/20 train/eval split reuses [[PipelineOps
+    * .splitHash]]'s md5 bucket, so membership is reproducible anywhere.
+    * Per eval bigram the add-one-smoothed conditional likelihood
+    * (c(w1,w2)+1)/(c(w1)+V) is kept as an INTEGER-scaled ratio
+    * (×10⁶, floor division) — ln is not bit-portable across engines
+    * (the PMI lesson) but the scaled linear-space ratio is exact, and
+    * its per-doc sum/avg rank documents identically.
+    *
+    * Scale shape: the bigram count table is O(vocab²) and the unigram
+    * table O(vocab) — both can reach 10⁸⁺ rows on a 100-TB corpus, so
+    * they SHUFFLE-join the eval bigrams on the very keys the count
+    * aggregation already hashed by; only the 1-row vocabulary size is
+    * broadcast. Docs with <2 tokens have no bigrams and drop out. */
+  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables.t(s, dir, "documents")
+      .select($"doc_id",
+        (md5int($"doc_id".cast("string")) % 10).as("bucket"),
+        posexplode(split($"text", " ")).as(Seq("pos", "word")))
+    val b2 = OpCache.cached(s, dir, "lm_bigrams") {
+      toks.withColumn("nxt", lead($"word", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .select($"doc_id", $"bucket", $"word".as("w1"), $"nxt".as("w2"))
+    }
+    val trainToks = toks.filter($"bucket" < 8)
+    val nab = b2.filter($"bucket" < 8)
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
+    val nw = trainToks.groupBy($"word".as("w1"))
+      .agg(count(lit(1)).as("c_a"))
+    val v = trainToks.agg(countDistinct($"word").as("v"))
+    b2.filter($"bucket" >= 8)
+      .join(nab, Seq("w1", "w2"), "left")
+      .join(nw, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select($"doc_id",
+        expr("(coalesce(c_ab, 0) + 1) * 1000000 div (coalesce(c_a, 0) + v)")
+          .as("lp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_big"), sum($"lp").as("lp_sum"))
+      .select($"doc_id", $"n_big", $"lp_sum",
+        expr("lp_sum div n_big").as("lp_avg"))
+      .orderBy($"doc_id")
+  }
+
   /** Feature hashing (the hashing trick, MLlib HashingTF in portable
     * SQL form): every term maps to one of 1024 fixed buckets via the
     * md5 hash — no vocabulary build, so the feature space is known
@@ -334,6 +383,7 @@ object TextOps extends OpModule {
 
   val queries: Map[String, Q] = Map(
     "q_text_hashing_tf" -> (textHashingTf _),
+    "q_text_lm_score" -> (textLmScore _),
     "q_text_tokens_tf" -> (textTokensTf _),
     "q_text_ngrams" -> (textNgrams _),
     "q_text_stats" -> (textStats _),
@@ -352,6 +402,36 @@ object TextOps extends OpModule {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 10 AS bucket,
+        |    CAST(UNNEST(range(len(string_split(text, ' ')))) AS INTEGER) AS pos,
+        |    UNNEST(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, bucket, word AS w1,
+        |    lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks),
+        |b2 AS (SELECT doc_id, bucket, w1, w2 FROM big WHERE w2 IS NOT NULL),
+        |nab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM b2
+        |  WHERE bucket < 8 GROUP BY w1, w2),
+        |nw AS (SELECT word AS w1, COUNT(*) AS c_a FROM toks
+        |  WHERE bucket < 8 GROUP BY word),
+        |v AS (SELECT COUNT(DISTINCT word) AS v FROM toks WHERE bucket < 8),
+        |ev AS (
+        |  SELECT e.doc_id,
+        |    (COALESCE(c_ab, 0) + 1) * 1000000 // (COALESCE(c_a, 0) + v) AS lp
+        |  FROM b2 e
+        |  LEFT JOIN nab ON e.w1 = nab.w1 AND e.w2 = nab.w2
+        |  LEFT JOIN nw ON e.w1 = nw.w1
+        |  CROSS JOIN v
+        |  WHERE e.bucket >= 8)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_big,
+        |  CAST(SUM(lp) AS BIGINT) AS lp_sum,
+        |  CAST(SUM(lp) // COUNT(*) AS BIGINT) AS lp_avg
+        |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_hashing_tf" ->
       """WITH t AS (
         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term

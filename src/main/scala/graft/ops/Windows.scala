@@ -179,7 +179,39 @@ object Windows extends OpModule {
       .orderBy($"user_id")
   }
 
+  /** Batch sessionization — the gaps-and-islands twin of the streaming
+    * session window (`q_stream_session`): a new session starts when the
+    * gap to the previous event of the same user exceeds 30 minutes.
+    * The boundary test is exact integer µs arithmetic (`unix_micros`),
+    * and the session index is a running sum of boundary flags — both in
+    * ONE window keyed by user_id, so the whole op is a single shuffle
+    * on the user key followed by a map-side-combinable aggregate. Per-
+    * user event counts bound the window; at 100 TB the historical log
+    * sessionizes with the same plan the stream uses live, which is what
+    * makes backfilled session features consistent with served ones. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value",
+        unix_micros($"ts").as("us"))
+      .withColumn("prev_us", lag($"us", 1).over(w))
+      .withColumn("new_s",
+        when($"prev_us".isNull || $"us" - $"prev_us" > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum($"new_s").over(run))
+      .groupBy($"user_id", $"session_idx")
+      .agg(
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sumMoney($"value").as("val_sum"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sessionize" -> (sessionize _),
     "q_win_streak" -> (winStreak _),
     "q_win_time_range" -> (winTimeRange _),
     "q_win_dist" -> (winDist _),
@@ -196,6 +228,28 @@ object Windows extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM m)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+        |FROM g GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "q_win_streak" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d

@@ -66,6 +66,25 @@ class PlanSpec extends SparkSpec {
       "the benchmark shingle table must broadcast")
   }
 
+  test("star join: exactly the two leaf dims carry broadcast hints") {
+    // The q_join_star contract: nation+region are broadcast by EXPLICIT
+    // hint (bounded by construction — the hint is scale-safe), while
+    // fact⋈orders⋈customer carry NO hint — at toy scale Catalyst may
+    // auto-broadcast them from stats (size-driven, vanishes at 100 TB),
+    // but an explicit hint there would pin an OOM at scale. Physical
+    // BroadcastHashJoin presence is asserted for the hinted dims.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val qe = SparkEntry.queries("q_join_star")(spark, sf).queryExecution
+    val hinted = qe.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+        j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(hinted.size === 2,
+      s"exactly nation+region must be hint-broadcast, got ${hinted.size}")
+    assert("BroadcastHashJoin".r.findAllIn(qe.executedPlan.toString).size >= 2,
+      "the hinted dims must physically broadcast")
+  }
+
   test("ER blocking is an equi-join on the block key, not a nested loop") {
     val p = plan("q_er_blocking")
     assert(!p.contains("NestedLoopJoin"),
