@@ -216,6 +216,39 @@ object Aggregates extends OpModule {
       .orderBy($"bucket", $"event_type")
   }
 
+  /** OHLC downsampling — the telemetry/time-series compaction op: per
+    * (user, hour) bar with open/high/low/close of `value` plus count
+    * and decimal volume. Open/close are SELECTED (never computed), so
+    * the doubles pass through bit-exact; selection is deterministic via
+    * row_number over the (ts, event_id) total order in BOTH directions
+    * inside the same hour window. ONE shuffle on (user_id, hour) — the
+    * window partition keys equal the group-by keys, so the aggregation
+    * reuses the window's exchange. At 100 TB this is the raw-log →
+    * feature-mart compaction that cuts a billion points per user-day
+    * to 24 bars. */
+  def timeDownsample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hour = date_trunc("hour", $"ts").as("hour_start")
+    val wAsc = Window.partitionBy($"user_id", $"hour_start")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val wDesc = Window.partitionBy($"user_id", $"hour_start")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables.t(s, dir, "events")
+      .select($"user_id", hour, $"ts", $"event_id", $"value")
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy($"user_id", $"hour_start")
+      .agg(
+        max(when($"rn_a" === 1, $"value")).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max(when($"rn_d" === 1, $"value")).as("close"),
+        count(lit(1)).as("n_events"),
+        sumMoney($"value").as("volume"))
+      .orderBy($"user_id", $"hour_start")
+  }
+
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
   /** Reference signature op: per-user event-type counts & value sums as a
@@ -564,6 +597,7 @@ object Aggregates extends OpModule {
     "q_agg_stats" -> (aggStats _),
     "q_agg_collect" -> (aggCollect _),
     "q_events_gapfill" -> (eventsGapfill _),
+    "q_time_downsample" -> (timeDownsample _),
     "q_agg_bool" -> (aggBool _),
     "q_feat_unpivot" -> (featUnpivot _),
     "q_agg_argmax" -> (aggArgmax _),
@@ -772,6 +806,26 @@ object Aggregates extends OpModule {
         |  arg_max(c_custkey, k) AS richest_custkey,
         |  arg_min(c_custkey, k) AS poorest_custkey
         |FROM k GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_time_downsample" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour_start, ts,
+        |    event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts ASC, event_id ASC) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT user_id, hour_start,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS volume
+        |FROM r GROUP BY user_id, hour_start
+        |ORDER BY user_id, hour_start""".stripMargin,
     "q_events_gapfill" ->
       """WITH c AS (
         |  SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS bucket,

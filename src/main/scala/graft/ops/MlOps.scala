@@ -174,7 +174,37 @@ object MlOps extends OpModule {
       .orderBy($"c_custkey")
   }
 
+  /** Leave-one-out target encoding — the high-cardinality categorical
+    * featurizer: each customer's market segment becomes the mean total
+    * spend of the OTHER customers in that segment ((S_seg − x_i)/
+    * (n_seg − 1)) — excluding self is what stops the encoding leaking
+    * the row's own label into training. The per-customer spend is an
+    * exact decimal aggregate (one shuffle on custkey), the per-segment
+    * sums ride a window over the segment key (second shuffle, on a
+    * 5-row key space — at 100 TB the segment stats could equally come
+    * from a broadcast 5-row aggregate; the window form generalizes to
+    * million-category keys where that broadcast dies). Division is the
+    * single double op, ROUND 4 (the avg4 recipe). */
+  def featTargetEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val zero = lit(0).cast(Det.D12)
+    val spend = Tables.t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(Det.d12($"o_totalprice")).as("spend_dec"))
+    val w = Window.partitionBy($"c_mktsegment")
+    Tables.t(s, dir, "customer")
+      .join(spend, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"c_mktsegment",
+        coalesce($"spend_dec", zero).as("x"))
+      .select($"c_custkey", $"c_mktsegment",
+        $"x".cast("double").as("spend"),
+        round((sum($"x").over(w) - $"x").cast("double") /
+          (count(lit(1)).over(w) - 1), 4).as("loo_enc"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_feat_target_encode" -> (featTargetEncode _),
     "q_feat_minmax_sql" -> (featMinmaxSql _),
     "q_ml_feature_pipeline" -> (mlFeaturePipeline _),
     "q_ml_propensity" -> (mlPropensity _),
@@ -184,6 +214,20 @@ object MlOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_feat_target_encode" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS spend_dec
+        |  FROM orders GROUP BY o_custkey),
+        |x AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    COALESCE(spend_dec, CAST(0 AS DECIMAL(12,4))) AS x
+        |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey)
+        |SELECT c_custkey, c_mktsegment, CAST(x AS DOUBLE) AS spend,
+        |  ROUND(CAST(SUM(x) OVER w - x AS DOUBLE)
+        |    / (COUNT(*) OVER w - 1), 4) AS loo_enc
+        |FROM x
+        |WINDOW w AS (PARTITION BY c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin,
     "q_feat_minmax_sql" ->
       """SELECT c_custkey, c_nationkey,
         |  ROUND((c_acctbal - min(c_acctbal) OVER w)
