@@ -249,6 +249,33 @@ object Aggregates extends OpModule {
       .orderBy($"user_id", $"hour_start")
   }
 
+  /** Behavioral transition matrix — the journey-analytics op: for every
+    * ordered pair of consecutive event types within a user's timeline,
+    * the transition count and the integer-scaled conditional
+    * probability p(next|prev) = n·10⁶ div n_prev (float-free, both
+    * engines agree exactly). Consecutiveness comes from one window lag
+    * over the (ts, event_id) total order per user — a single shuffle on
+    * user_id bounded per-user, then a map-side-combinable pair count;
+    * the per-prev margins join back on the pair aggregation's own key.
+    * The 100-TB shape of "how do users move through the product". */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .select($"event_type".as("prev_type"), $"next_type")
+    val n = pairs.groupBy($"prev_type", $"next_type")
+      .agg(count(lit(1)).as("n"))
+    val margin = n.groupBy($"prev_type").agg(sum($"n").as("n_prev"))
+    n.join(margin, Seq("prev_type"))
+      .select($"prev_type", $"next_type", $"n",
+        expr("n * 1000000 div n_prev").as("p_scaled"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
   /** Reference signature op: per-user event-type counts & value sums as a
@@ -598,6 +625,7 @@ object Aggregates extends OpModule {
     "q_agg_collect" -> (aggCollect _),
     "q_events_gapfill" -> (eventsGapfill _),
     "q_time_downsample" -> (timeDownsample _),
+    "q_event_transitions" -> (eventTransitions _),
     "q_agg_bool" -> (aggBool _),
     "q_feat_unpivot" -> (featUnpivot _),
     "q_agg_argmax" -> (aggArgmax _),
@@ -806,6 +834,23 @@ object Aggregates extends OpModule {
         |  arg_max(c_custkey, k) AS richest_custkey,
         |  arg_min(c_custkey, k) AS poorest_custkey
         |FROM k GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS prev_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM e),
+        |n AS (
+        |  SELECT prev_type, next_type, COUNT(*) AS n FROM p
+        |  WHERE next_type IS NOT NULL GROUP BY prev_type, next_type),
+        |m AS (SELECT prev_type, SUM(n) AS n_prev FROM n GROUP BY prev_type)
+        |SELECT n.prev_type, n.next_type, CAST(n.n AS BIGINT) AS n,
+        |  CAST((n.n * 1000000) // m.n_prev AS BIGINT) AS p_scaled
+        |FROM n JOIN m USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
     "q_time_downsample" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value

@@ -249,6 +249,45 @@ object PipelineOps extends OpModule {
     cust.unionAll(ev).orderBy($"tbl", $"col")
   }
 
+  /** End-to-end training-data admission pipeline — the composed op a
+    * corpus build actually runs, proving the stages COMPOSE into one
+    * linear plan rather than N passes: C4-style quality filter (map,
+    * stays in codegen) → exact dedup keeping the smallest doc_id per
+    * text (one shuffle; `min_by` carries the survivor's metadata —
+    * duplicates may disagree on lang, so the carry is deterministic by
+    * doc_id) → reproducible hash split ([[splitHash]]'s md5 bucket,
+    * stateless map) → per (split, lang) admission stats (second
+    * shuffle, map-side combinable). Two shuffles total for the whole
+    * pipeline; at 100 TB each stage's survivors shrink the next
+    * stage's input, and nothing rescans the corpus. */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split($"text", " ")
+    val filtered = Tables.t(s, dir, "documents")
+      .withColumn("n_tokens", size(words))
+      .withColumn("n_stop",
+        size(filter(words, w => w.isin(TextOps.stopwords: _*))))
+      .filter($"n_tokens".between(40, 200) &&
+        $"n_stop".cast("double") / $"n_tokens" <= 0.18)
+    val survivors = filtered.groupBy($"text")
+      .agg(
+        min($"doc_id").as("doc_id"),
+        expr("min_by(lang, doc_id)").as("lang"),
+        min($"n_chars").as("n_chars"),
+        min($"n_tokens").as("n_tokens"))
+    survivors
+      .withColumn("bucket", md5int($"doc_id".cast("string")) % 10)
+      .withColumn("split",
+        when($"bucket" < 8, "train")
+          .when($"bucket" === 8, "val")
+          .otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("chars"),
+        sum($"n_tokens").cast("long").as("tokens"))
+      .orderBy($"split", $"lang")
+  }
+
   /** Data-drift anomaly flagging — the monitoring half of the
     * [[dqProfile]] admission gate: daily event volume vs its trailing
     * 7-day window, flagged when the day departs by more than 2 sample
@@ -334,10 +373,37 @@ object PipelineOps extends OpModule {
     "q_source_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_er_blocking" -> (erBlocking _),
     "q_dq_profile" -> (dqProfile _),
-    "q_dq_anomaly" -> (dqAnomaly _)
+    "q_dq_anomaly" -> (dqAnomaly _),
+    "q_pipeline_e2e" -> (pipelineE2e _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pipeline_e2e" -> {
+      val stopList = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, n_chars, text,
+         |    len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) BETWEEN 40 AND 200
+         |    AND CAST(len(list_filter(string_split(text, ' '),
+         |      w -> w IN ($stopList))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) <= 0.18),
+         |s AS (
+         |  SELECT MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+         |    MIN(n_chars) AS n_chars, MIN(n_tokens) AS n_tokens
+         |  FROM f GROUP BY text),
+         |sp AS (
+         |  SELECT *,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 10 AS bucket
+         |  FROM s)
+         |SELECT CASE WHEN bucket < 8 THEN 'train'
+         |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+         |  lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens
+         |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin
+    },
     "q_dq_anomaly" ->
       """WITH daily AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, COUNT(*) AS x

@@ -13,7 +13,9 @@ import graft.Tables
   */
 object TextOps extends OpModule {
 
-  private val stopwords = Seq("the", "a", "data", "value")
+  /** Shared with the composed pipeline op (PipelineOps.pipelineE2e) so
+    * the quality-filter stage can't drift from q_text_quality_filter. */
+  private[ops] val stopwords = Seq("the", "a", "data", "value")
 
   /** Portable 60-bit hash — single definition in [[graft.Det.md5int60]]. */
   private def md5int(c: Column): Column = graft.Det.md5int60(c)
