@@ -608,7 +608,50 @@ object Aggregates extends OpModule {
       .orderBy($"l_returnflag")
   }
 
+  /** Time-series linear interpolation — fill the gaps [[eventsGapfill]]
+    * only zero-fills: per-part daily shipped quantity is a SPARSE
+    * series (~30 observations over ~2400 days), the per-part date grid
+    * is rebuilt from the series' own span, and every missing day gets
+    * the linear blend of its bracketing observations,
+    * prev + (next − prev) · Δdays/gap (ROUND 4; observed days pass
+    * their exact decimal-summed double through untouched). The four
+    * bracketing values come from last/first IGNORE-NULLS window frames
+    * — no self-join against the observation table.
+    *
+    * Scale shape: the corpus collapses to O(observations) in one
+    * map-side-combinable aggregate; grid + windows then run over
+    * O(series × days) rows partitioned BY SERIES — each series'
+    * interpolation is independent, so a million sensors parallelize
+    * across the cluster while this fixture keeps 4 parts. */
+  def timeInterp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.t(s, dir, "lineitem")
+      .filter($"l_partkey".isin(0L, 1L, 2L, 3L))
+      .groupBy($"l_partkey".as("pk"), $"l_shipdate".cast("date").as("d"))
+      .agg(sumMoney($"l_quantity").as("v"))
+    val grid = daily.groupBy($"pk").agg(min($"d").as("d0"), max($"d").as("d1"))
+      .select($"pk", explode(sequence($"d0", $"d1")).as("d"))
+    val w = Window.partitionBy($"pk").orderBy($"d")
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(daily, Seq("pk", "d"), "left")
+      .withColumn("pv", last($"v", ignoreNulls = true).over(back))
+      .withColumn("pd",
+        last(when($"v".isNotNull, $"d"), ignoreNulls = true).over(back))
+      .withColumn("nv", first($"v", ignoreNulls = true).over(fwd))
+      .withColumn("nd",
+        first(when($"v".isNotNull, $"d"), ignoreNulls = true).over(fwd))
+      .select($"pk", $"d",
+        when($"v".isNotNull, $"v").otherwise(
+          round($"pv" + ($"nv" - $"pv") * datediff($"d", $"pd") /
+            datediff($"nd", $"pd"), 4)).as("qty"),
+        $"v".isNotNull.as("observed"))
+      .orderBy($"pk", $"d")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_time_interp" -> (timeInterp _),
     "q_agg_corr_matrix" -> (aggCorrMatrix _),
     "q_agg_string_agg" -> (aggStringAgg _),
     "q_feat_funnel" -> (featFunnel _),
@@ -645,6 +688,38 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_time_interp" ->
+      """WITH daily AS (
+        |  SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS d,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_partkey IN (0, 1, 2, 3) GROUP BY 1, 2),
+        |span AS (SELECT pk, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY pk),
+        |grid AS (
+        |  SELECT pk,
+        |    CAST(UNNEST(generate_series(d0, d1, INTERVAL '1 day')) AS DATE) AS d
+        |  FROM span),
+        |j AS (
+        |  SELECT g.pk, g.d, daily.v
+        |  FROM grid g LEFT JOIN daily ON daily.pk = g.pk AND daily.d = g.d),
+        |f AS (
+        |  SELECT pk, d, v,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER wb AS pd,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER wf AS nd
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY pk ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY pk ORDER BY d
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT pk, d,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |    ELSE ROUND(pv + (nv - pv) * date_diff('day', pd, d)
+        |      / date_diff('day', pd, nd), 4) END AS qty,
+        |  (v IS NOT NULL) AS observed
+        |FROM f ORDER BY pk, d""".stripMargin,
     "q_agg_corr_matrix" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,

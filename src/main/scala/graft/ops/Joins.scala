@@ -333,7 +333,57 @@ object Joins extends OpModule {
       .orderBy($"r_name", $"yr")
   }
 
+  /** Market-basket affinity — brand co-occurrence within an order, the
+    * classic association-mining self-join done scalably: dedup to
+    * (order, brand) FIRST (the blowup guard — pairs per order are then
+    * bounded by C(brands-in-order, 2), not C(items, 2)), self-equi-join
+    * on the order key with `brand_a < brand_b` so each unordered pair
+    * counts once, then a Jaccard affinity from the pair count and the
+    * two per-brand margins. Affinity is integer-scaled ppm
+    * (n·10⁶ div (n_a + n_b − n)) — no float at the compare boundary.
+    * The support gate is RELATIVE (n_both ≥ 2% of baskets, as integer
+    * cross-multiply n_both·50 ≥ n_orders), so the op is scale-invariant:
+    * the same query discriminates identically at any SF instead of a
+    * constant silently passing everything as data grows.
+    *
+    * Scale shape: the self-join is an equi-join on l_orderkey — linear
+    * in orders, never all-pairs across the corpus; the margin table is
+    * bounded by the BRAND DOMAIN (O(25) rows), so both margin lookups
+    * broadcast (contrast the O(corpus) count sides in
+    * [[graft.ops.Dedup]], which are pinned never-broadcast). At 100 TB
+    * the only big-data moves are the two hash exchanges of the deduped
+    * (order, brand) table. */
+  def basketAffinity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ob = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+      .join(broadcast(Tables.t(s, dir, "part")
+        .select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand")
+      .distinct()
+    val margin = ob.groupBy($"p_brand").agg(count(lit(1)).as("n_m"))
+    val tot = ob.agg(count_distinct($"l_orderkey").as("n_orders"))
+    ob.select($"l_orderkey", $"p_brand".as("brand_a"))
+      .join(ob.select($"l_orderkey", $"p_brand".as("brand_b")),
+        Seq("l_orderkey"))
+      .filter($"brand_a" < $"brand_b")
+      .groupBy($"brand_a", $"brand_b")
+      .agg(count(lit(1)).as("n_both"))
+      .crossJoin(broadcast(tot))
+      .filter($"n_both" * 50L >= $"n_orders")
+      .join(broadcast(margin.select($"p_brand".as("brand_a"),
+        $"n_m".as("n_a"))), Seq("brand_a"))
+      .join(broadcast(margin.select($"p_brand".as("brand_b"),
+        $"n_m".as("n_b"))), Seq("brand_b"))
+      .select($"brand_a", $"brand_b", $"n_both", $"n_a", $"n_b",
+        expr("n_both * 1000000 div (n_a + n_b - n_both)")
+          .as("jaccard_ppm"))
+      .orderBy($"brand_a", $"brand_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_basket_affinity" -> (basketAffinity _),
     "q_join_star" -> (joinStar _),
     "q_feat_pit_join" -> (featPitJoin _),
     "q_join_bucketed" -> (joinBucketed _),
@@ -352,6 +402,27 @@ object Joins extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_basket_affinity" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT p_brand, COUNT(*) AS n_m FROM ob GROUP BY p_brand),
+        |t AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+        |p AS (
+        |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.p_brand < b.p_brand
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) * 50 >= (SELECT n_orders FROM t))
+        |SELECT brand_a, brand_b, n_both,
+        |  CAST(ma.n_m AS BIGINT) AS n_a, CAST(mb.n_m AS BIGINT) AS n_b,
+        |  CAST(n_both * 1000000 // (ma.n_m + mb.n_m - n_both) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM p
+        |JOIN m ma ON ma.p_brand = p.brand_a
+        |JOIN m mb ON mb.p_brand = p.brand_b
+        |ORDER BY brand_a, brand_b""".stripMargin,
     "q_join_star" ->
       """SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *

@@ -203,7 +203,39 @@ object MlOps extends OpModule {
       .orderBy($"c_custkey")
   }
 
+  /** Equal-width feature binning — the discretization primitive every
+    * feature pipeline needs (histogram features, monotone-binned
+    * categorical inputs, WOE prep). Bin assignment is pure INTEGER
+    * arithmetic on exact cents — 20 bins of width 550.00 over the
+    * declared [-1000, 10000) domain, clamped at the top edge — so the
+    * boundary decision can never differ between engines (a float
+    * `floor((x-lo)/w)` straddles bin edges). Per-bin stats: count and
+    * the order-insensitive 4-dp decimal average. Bin BOUNDS are derived
+    * from the bin id by integer math, cast once to double.
+    *
+    * Scale shape: the bin id is a stateless map (stays in codegen);
+    * one map-side-combinable shuffle on O(bins) groups. The fixed
+    * declared domain (not data min/max) is the point at 100 TB: no
+    * pre-pass over the corpus, and bins stay stable as data arrives —
+    * the same appendable-pipeline property as splitHash. */
+  def featBin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "customer")
+      .select($"c_custkey", $"c_acctbal",
+        expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("cents"))
+      .withColumn("bin",
+        least(expr("(cents + 100000) div 55000"), lit(19L)))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_cust"), Det.avg4($"c_acctbal").as("avg_bal"))
+      .select($"bin",
+        (($"bin" * 55000L - 100000L).cast("double") / 100.0).as("lo"),
+        ((($"bin" + 1L) * 55000L - 100000L).cast("double") / 100.0).as("hi"),
+        $"n_cust", $"avg_bal")
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_feat_bin" -> (featBin _),
     "q_feat_target_encode" -> (featTargetEncode _),
     "q_feat_minmax_sql" -> (featMinmaxSql _),
     "q_ml_feature_pipeline" -> (mlFeaturePipeline _),
@@ -214,6 +246,19 @@ object MlOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_feat_bin" ->
+      """WITH b AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    LEAST((CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000)
+        |      // 55000, 19) AS bin
+        |  FROM customer)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(bin * 55000 - 100000 AS DOUBLE) / 100.0 AS lo,
+        |  CAST((bin + 1) * 55000 - 100000 AS DOUBLE) / 100.0 AS hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE)
+        |    / COUNT(*), 4) AS avg_bal
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q_feat_target_encode" ->
       """WITH spend AS (
         |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS spend_dec

@@ -362,6 +362,68 @@ object PipelineOps extends OpModule {
       .limit(100)
   }
 
+  /** CDC changelog APPLY — last-writer-wins materialization of a keyed
+    * changelog with tombstones, the row-level complement of
+    * [[snapshotMerge]]'s aggregate merge: the event stream is the
+    * changelog (key = user_id, version order = (ts, event_id)), the
+    * latest version wins, and an `error` event acts as a DELETE
+    * tombstone that removes the key from the materialized state.
+    * `value` is SELECTED from the winning row (never computed), so the
+    * double passes through bit-exact.
+    *
+    * Scale shape: one shuffle on the key; the rank-1 filter compiles to
+    * WindowGroupLimit, so each partition keeps one candidate row per key
+    * before the window sort — the shuffle carries O(keys) rows, not the
+    * changelog. This is exactly how a 100-TB table materializes a day of
+    * CDC: partition by key, keep max-version, drop tombstones. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"event_type" =!= "error")
+      .select($"user_id", $"ts".as("last_ts"), $"event_type".as("state"),
+        $"value".as("last_value"))
+      .orderBy($"user_id")
+  }
+
+  /** SCD type-2 dimension-history build — turn a change stream into
+    * validity intervals: consecutive runs of the same per-user
+    * event_type collapse to one version row with
+    * [valid_from, valid_to) and an is_current flag (valid_to = next
+    * version's valid_from, null on the open interval). Change detection
+    * is lag-vs-current; version numbering is the running sum of change
+    * flags (gaps-and-islands by CHANGE, where [[graft.ops.Windows]]'
+    * sessionize islands by time gap).
+    *
+    * Scale shape: ONE shuffle total — both windows and the groupBy are
+    * keyed on user_id (HashPartitioning(user_id) satisfies the
+    * (user_id, ver) clustering), so Spark reuses the exchange across
+    * lag → running-sum → group → lead. This is the feature-store
+    * dimension-history build: at 100 TB the state stream collapses to
+    * O(versions) rows in that single pass. */
+  def scd2Build(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wv = Window.partitionBy($"user_id").orderBy($"ver")
+    Tables.t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("chg",
+        when(lag($"event_type", 1).over(w).isNull ||
+          lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("ver", sum($"chg").over(run))
+      .groupBy($"user_id", $"ver")
+      .agg(min($"event_type").as("state"),
+        min($"ts").as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead($"valid_from", 1).over(wv))
+      .select($"user_id", $"ver", $"state", $"valid_from", $"valid_to",
+        $"valid_to".isNull.as("is_current"), $"n_events")
+      .orderBy($"user_id", $"ver")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sample_consistent" -> (sampleConsistent _),
     "q_sample_stratified" -> (sampleStratified _),
@@ -374,10 +436,52 @@ object PipelineOps extends OpModule {
     "q_er_blocking" -> (erBlocking _),
     "q_dq_profile" -> (dqProfile _),
     "q_dq_anomaly" -> (dqAnomaly _),
-    "q_pipeline_e2e" -> (pipelineE2e _)
+    "q_pipeline_e2e" -> (pipelineE2e _),
+    "q_cdc_apply" -> (cdcApply _),
+    "q_scd2_build" -> (scd2Build _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cdc_apply" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, ts AS last_ts, event_type AS state,
+        |  value AS last_value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+    "q_scd2_build" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |m AS (
+        |  SELECT *,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |        OR lag(event_type) OVER w <> event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS ver
+        |  FROM m),
+        |v AS (
+        |  SELECT user_id, CAST(ver AS BIGINT) AS ver,
+        |    MIN(event_type) AS state, MIN(ts) AS valid_from,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM g GROUP BY user_id, ver)
+        |SELECT user_id, ver, state, valid_from,
+        |  lead(valid_from) OVER wv AS valid_to,
+        |  (lead(valid_from) OVER wv IS NULL) AS is_current,
+        |  n_events
+        |FROM v
+        |WINDOW wv AS (PARTITION BY user_id ORDER BY ver)
+        |ORDER BY user_id, ver""".stripMargin,
     "q_pipeline_e2e" -> {
       val stopList = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH f AS (
