@@ -276,6 +276,51 @@ object Aggregates extends OpModule {
       .orderBy($"prev_type", $"next_type")
   }
 
+  /** PageRank over the behavioral transition graph — the weighted
+    * companion of [[graft.ops.Dedup]]'s connected components: which
+    * event types are the "sinks" of user journeys. Fixed 3 power
+    * iterations, damping 0.85, entirely INTEGER arithmetic so both
+    * engines agree bit-for-bit: ranks are ppm (start 10⁶/N), each
+    * edge contributes `pr·n div n_out`, and the damped update is
+    * `0.15·10⁶/N + (17·Σ div 20)` — no float ever enters. The oracle
+    * is the same three iterations unrolled as CTEs.
+    *
+    * Scale shape: the corpus collapses ONCE to the O(domain²) weighted
+    * edge list ([[OpCache]] — iterations must not rescan the log);
+    * each iteration is edge ⋈ broadcast(rank vector) + one
+    * map-combinable aggregate. The rank vector is O(nodes) — broadcast
+    * is correct for any domain-valued graph (event types, categories,
+    * countries); for a billion-node identity graph the same loop runs
+    * with a shuffle join, same plan shape, and a fixed iteration count
+    * keeps the lineage bounded. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = OpCache.cached(s, dir, "pagerank_edges") {
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val edges = Tables.t(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("dst", lead($"event_type", 1).over(w))
+        .filter($"dst".isNotNull)
+        .groupBy($"event_type".as("src"), $"dst")
+        .agg(count(lit(1)).as("n"))
+      val out = edges.groupBy($"src").agg(sum($"n").as("n_out"))
+      edges.join(out, Seq("src"))
+    }
+    val nodes = e.select($"src".as("node")).distinct()
+    var pr = nodes.select($"node", lit(200000L).as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = e.join(broadcast(pr), $"src" === $"node")
+        .select($"dst", expr("pr * n div n_out").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("s"))
+      pr = nodes.join(contrib, $"node" === $"dst", "left")
+        .select($"node",
+          expr("CAST(30000 + 17 * coalesce(s, 0) div 20 AS BIGINT)").as("pr"))
+    }
+    pr.select($"node".as("event_type"), $"pr".as("pr_ppm"))
+      .orderBy($"event_type")
+  }
+
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
   /** Reference signature op: per-user event-type counts & value sums as a
@@ -669,6 +714,7 @@ object Aggregates extends OpModule {
     "q_events_gapfill" -> (eventsGapfill _),
     "q_time_downsample" -> (timeDownsample _),
     "q_event_transitions" -> (eventTransitions _),
+    "q_graph_pagerank" -> (graphPagerank _),
     "q_agg_bool" -> (aggBool _),
     "q_feat_unpivot" -> (featUnpivot _),
     "q_agg_argmax" -> (aggArgmax _),
@@ -688,6 +734,38 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |nxt AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM e0),
+        |edges AS (
+        |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM nxt WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |outd AS (SELECT src, SUM(n) AS n_out FROM edges GROUP BY src),
+        |e AS (
+        |  SELECT edges.src, edges.dst, edges.n, outd.n_out
+        |  FROM edges JOIN outd USING (src)),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |p0 AS (SELECT node, CAST(200000 AS BIGINT) AS pr FROM nodes),
+        |c1 AS (SELECT e.dst, SUM(p0.pr * e.n // e.n_out) AS s
+        |  FROM e JOIN p0 ON e.src = p0.node GROUP BY e.dst),
+        |p1 AS (SELECT node, 30000 + 17 * COALESCE(s, 0) // 20 AS pr
+        |  FROM nodes LEFT JOIN c1 ON node = dst),
+        |c2 AS (SELECT e.dst, SUM(p1.pr * e.n // e.n_out) AS s
+        |  FROM e JOIN p1 ON e.src = p1.node GROUP BY e.dst),
+        |p2 AS (SELECT node, 30000 + 17 * COALESCE(s, 0) // 20 AS pr
+        |  FROM nodes LEFT JOIN c2 ON node = dst),
+        |c3 AS (SELECT e.dst, SUM(p2.pr * e.n // e.n_out) AS s
+        |  FROM e JOIN p2 ON e.src = p2.node GROUP BY e.dst),
+        |p3 AS (SELECT node, 30000 + 17 * COALESCE(s, 0) // 20 AS pr
+        |  FROM nodes LEFT JOIN c3 ON node = dst)
+        |SELECT node AS event_type, CAST(pr AS BIGINT) AS pr_ppm
+        |FROM p3 ORDER BY event_type""".stripMargin,
     "q_time_interp" ->
       """WITH daily AS (
         |  SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS d,

@@ -66,6 +66,42 @@ class PlanSpec extends SparkSpec {
       "the benchmark shingle table must broadcast")
   }
 
+  test("CDC apply prunes to one candidate per key via WindowGroupLimit") {
+    // The rank-1 filter must compile to a group-limit pushdown so the
+    // shuffle carries O(keys) candidate rows, not the whole changelog.
+    assert(plan("q_cdc_apply").contains("WindowGroupLimit"),
+      "rank-1 filter lost its WindowGroupLimit pushdown")
+  }
+
+  test("SCD2 build runs lag → running-sum → group → lead on ONE exchange") {
+    // All four stages are keyed on user_id; HashPartitioning(user_id)
+    // satisfies the (user_id, ver) clustering, so a refactor that
+    // introduces a second hash exchange would double the op's only
+    // shuffle at 100 TB.
+    val p = plan("q_scd2_build")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"expected a single reused hash exchange:\n$p")
+  }
+
+  test("basket affinity broadcasts the domain-bounded margin tables") {
+    // The per-brand margins are bounded by the 25-value brand DOMAIN —
+    // they must ride the map side; the only big-data exchanges are the
+    // deduped (order, brand) table's.
+    assert(plan("q_basket_affinity").contains("BroadcastHashJoin"),
+      "brand margin lookups must broadcast")
+  }
+
+  test("pagerank iterations read the cached edge list, not the event log") {
+    // The corpus collapses once into the OpCache'd weighted edge list;
+    // all three power iterations must scan that cache (and broadcast
+    // the O(nodes) rank vector), never re-derive edges from events.
+    val p = plan("q_graph_pagerank")
+    assert(p.contains("InMemoryTableScan"),
+      "iterations must reuse the cached edge list")
+    assert(p.contains("BroadcastHashJoin"),
+      "the rank vector must broadcast into the edge join")
+  }
+
   test("star join: exactly the two leaf dims carry broadcast hints") {
     // The q_join_star contract: nation+region are broadcast by EXPLICIT
     // hint (bounded by construction — the hint is scale-safe), while
