@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 import graft.{Det, Tables}
@@ -216,6 +216,44 @@ object Scans extends OpModule {
       .orderBy($"event_type")
   }
 
+  /** Z-order clustering layout — the multi-dimensional data-skipping
+    * primitive that completes the layout toolbox (partitioning prunes
+    * one dim, bucketing co-locates one key; z-order bounds TWO dims per
+    * file). Rows map to a Morton code interleaving the bits of
+    * (user_id mod 1024, hour-of-ts mod 1024) via the standard
+    * shift-and-mask spread — pure integer/bit ops, identical in both
+    * engines — and files are fixed 2¹⁴-code z-ranges, so every file's
+    * min/max envelope confines BOTH dimensions to a 128-wide band
+    * (top 3 bits of each dim are pinned by the file's z-range). The
+    * query emits exactly the per-file min/max stats a scan planner
+    * skips with; ScaleLayoutSpec proves the bound and that a 1-D sort
+    * cannot achieve it.
+    *
+    * Scale shape: the z-code is a stateless map (stays in codegen);
+    * stats are one map-combinable aggregate on O(files) groups. In a
+    * real table rewrite the same code is the `repartitionByRange`/
+    * sort key — no shuffle beyond the one the rewrite itself is. */
+  def layoutZorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // 16-bit Morton spread: x → bits of x at even positions.
+    def spread(c: Column): Column = {
+      val x1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(16711935L))
+      val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(252645135L))
+      val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(858993459L))
+      x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(1431655765L))
+    }
+    Tables.t(s, dir, "events")
+      .select(($"user_id" % 1024L).as("a"),
+        expr("(unix_micros(ts) div 3600000000) % 1024").as("b"))
+      .withColumn("z", spread($"a").bitwiseOR(shiftleft(spread($"b"), 1)))
+      .groupBy(expr("z div 16384").as("file_id"))
+      .agg(count(lit(1)).as("n"),
+        min($"a").as("min_a"), max($"a").as("max_a"),
+        min($"b").as("min_b"), max($"b").as("max_b"),
+        min($"z").as("min_z"), max($"z").as("max_z"))
+      .orderBy($"file_id")
+  }
+
   /** Schema evolution across parquet batches: an old batch written
     * WITHOUT `o_orderpriority`, a newer one with it, read back under
     * `mergeSchema` — the unified schema null-fills the legacy rows,
@@ -249,6 +287,7 @@ object Scans extends OpModule {
     "q_source_avro_roundtrip" -> (avroRoundtrip _),
     "q_scan_dpp" -> (dppPruning _),
     "q_sink_compact" -> (sinkCompact _),
+    "q_layout_zorder" -> (layoutZorder _),
     "q_source_schema_evolution" -> (schemaEvolution _),
     "q_scan_project" -> (scanProject _),
     "q_scan_prune_pushdown" -> (scanPrunePushdown _),
@@ -289,6 +328,30 @@ object Scans extends OpModule {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_layout_zorder" ->
+      """WITH base AS (
+        |  SELECT user_id % 1024 AS a,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 1024 AS b
+        |  FROM events),
+        |s1 AS (SELECT a, b,
+        |  (a | (a << 8)) & 16711935 AS ax,
+        |  (b | (b << 8)) & 16711935 AS bx FROM base),
+        |s2 AS (SELECT a, b,
+        |  (ax | (ax << 4)) & 252645135 AS ax,
+        |  (bx | (bx << 4)) & 252645135 AS bx FROM s1),
+        |s3 AS (SELECT a, b,
+        |  (ax | (ax << 2)) & 858993459 AS ax,
+        |  (bx | (bx << 2)) & 858993459 AS bx FROM s2),
+        |s4 AS (SELECT a, b,
+        |  (ax | (ax << 1)) & 1431655765 AS ax,
+        |  (bx | (bx << 1)) & 1431655765 AS bx FROM s3),
+        |zt AS (SELECT a, b, ax | (bx << 1) AS z FROM s4)
+        |SELECT CAST(z // 16384 AS BIGINT) AS file_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(a) AS BIGINT) AS min_a, CAST(MAX(a) AS BIGINT) AS max_a,
+        |  CAST(MIN(b) AS BIGINT) AS min_b, CAST(MAX(b) AS BIGINT) AS max_b,
+        |  CAST(MIN(z) AS BIGINT) AS min_z, CAST(MAX(z) AS BIGINT) AS max_z
+        |FROM zt GROUP BY file_id ORDER BY file_id""".stripMargin,
     "q_part_roundtrip" ->
       """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date, event_type,
         |  COUNT(*) AS n,

@@ -52,6 +52,27 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(viaBuckets === plain)
   }
 
+  test("z-order files bound BOTH dimensions; a 1-D sort provably cannot") {
+    // Each q_layout_zorder file is a contiguous 2^14-code z-range, which
+    // pins the top 3 bits of BOTH dims: per-file range ≤ 127 on each
+    // axis — that's what lets a scan skip files on either predicate.
+    val z = SparkEntry.queries("q_layout_zorder")(spark, sf)
+      .agg(max($"max_a" - $"min_a").as("ra"), max($"max_b" - $"min_b").as("rb"))
+      .as[(Long, Long)].head()
+    assert(z._1 <= 127L && z._2 <= 127L,
+      s"z-file envelopes must confine both dims to 128-wide bands: $z")
+    // Contrast: files sorted by `a` alone bound `a` but leave `b` at
+    // nearly the full 1024 domain — skipping on b reads everything.
+    val lin = Tables.t(spark, sf, "events")
+      .select(($"user_id" % 1024L).as("a"),
+        expr("(unix_micros(ts) div 3600000000) % 1024").as("b"))
+      .groupBy(expr("a div 16").as("file_id"))
+      .agg(max($"b" - lit(0L)).as("mx"), min($"b").as("mn"))
+      .agg(avg($"mx" - $"mn")).as[Double].head()
+    assert(lin > 512.0,
+      s"1-D layout should leave the second dim unclustered, got avg range $lin")
+  }
+
   test("date-partitioned sink prunes partitions on read") {
     withTmpDir("graft_part") { path =>
     Tables.t(spark, sf, "orders")
