@@ -695,7 +695,34 @@ object Aggregates extends OpModule {
       .orderBy($"pk", $"d")
   }
 
+  /** Trailing-window DISTINCT count — per (user, active day), distinct
+    * event types over the trailing 30 days. Distinct-over-sliding-window
+    * is not expressible as a window aggregate in either engine, so the
+    * scalable formulation is: dedup to (user, day, type) FIRST (the
+    * blowup guard — per user-day the row count is bounded by the TYPE
+    * DOMAIN, not the event count), then an equi-join on user with the
+    * 30-day range predicate, then count_distinct per anchor day. The
+    * raw 100-TB log never enters the join; per-user join work is
+    * bounded by active-days × window × |domain|. For high-cardinality
+    * distinct (URLs, SKUs) the mergeable HLL register table
+    * ([[graft.ops.Sketches]]) is the drop-in relaxation of the same
+    * shape. */
+  def featTrailingDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables.t(s, dir, "events")
+      .select($"user_id", $"ts".cast("date").as("d"), $"event_type")
+      .distinct()
+    val days = ud.select($"user_id", $"d").distinct()
+    days.as("l").join(ud.as("r"),
+        $"l.user_id" === $"r.user_id" &&
+        $"r.d" > date_sub($"l.d", 30) && $"r.d" <= $"l.d")
+      .groupBy($"l.user_id".as("user_id"), $"l.d".as("d"))
+      .agg(count_distinct($"r.event_type").as("n_types_30d"))
+      .orderBy($"user_id", $"d")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_feat_trailing_distinct" -> (featTrailingDistinct _),
     "q_time_interp" -> (timeInterp _),
     "q_agg_corr_matrix" -> (aggCorrMatrix _),
     "q_agg_string_agg" -> (aggStringAgg _),
@@ -734,6 +761,17 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_feat_trailing_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type
+        |  FROM events),
+        |days AS (SELECT DISTINCT user_id, d FROM ud)
+        |SELECT days.user_id, days.d,
+        |  CAST(COUNT(DISTINCT ud.event_type) AS BIGINT) AS n_types_30d
+        |FROM days JOIN ud ON ud.user_id = days.user_id
+        |  AND ud.d > days.d - INTERVAL 30 DAY AND ud.d <= days.d
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_graph_pagerank" ->
       """WITH e0 AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type

@@ -234,7 +234,36 @@ object MlOps extends OpModule {
       .orderBy($"bin")
   }
 
+  /** Quantile (rank) normalization — the robust scaler when the raw
+    * distribution is arbitrary: each value maps to its empirical
+    * quantile in [0, 1] within its segment. Scaled to INTEGER ppm,
+    * (rank−1)·10⁶ div (n−1), with rank made total by the (value, key)
+    * tiebreak — deterministic under ties on any engine, no float at
+    * the boundary. Complements [[featScaleSql]] (z-score assumes
+    * roughly-normal) and [[featMinmaxSql]] (outlier-fragile): rank
+    * normalization is outlier-immune and distribution-free.
+    *
+    * Scale shape: one shuffle on the segment key; the rank is a
+    * per-partition sort within the window — the same exchange serves
+    * the count. Million-category segments keep partitions small;
+    * a single giant segment is the global-sort case where the
+    * sketch-based [[graft.ops.Sketches]] quantile op takes over. */
+  def featQuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal", $"c_custkey")
+    val n = Window.partitionBy($"c_mktsegment")
+    Tables.t(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(n))
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        expr("(rk - 1) * 1000000 div (n - 1)").as("qnorm_ppm"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_feat_quantile_norm" -> (featQuantileNorm _),
     "q_feat_bin" -> (featBin _),
     "q_feat_target_encode" -> (featTargetEncode _),
     "q_feat_minmax_sql" -> (featMinmaxSql _),
@@ -246,6 +275,16 @@ object MlOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_feat_quantile_norm" ->
+      """WITH r AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST((rk - 1) * 1000000 // (n - 1) AS BIGINT) AS qnorm_ppm
+        |FROM r ORDER BY c_custkey""".stripMargin,
     "q_feat_bin" ->
       """WITH b AS (
         |  SELECT c_custkey, c_acctbal,
