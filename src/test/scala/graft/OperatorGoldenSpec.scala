@@ -804,4 +804,67 @@ class OperatorGoldenSpec extends SparkSpec {
       .select($"o_custkey").distinct().count()
     assert(seg.map(_.getAs[Long]("n")).sum === custs)
   }
+
+  // ---- cross-operator and algebraic laws for the late-round-7 ops ----
+
+  test("CDC apply ≡ SCD2 current versions (two routes, one truth)") {
+    // The changelog materialization and the dimension history are two
+    // views of the same stream: the CDC winner per key must equal the
+    // OPEN SCD2 interval's state, with tombstoned keys absent from both.
+    val cdc = run("q_cdc_apply").select($"user_id", $"state")
+    val scd = run("q_scd2_build")
+      .filter($"is_current" && $"state" =!= "error")
+      .select($"user_id", $"state")
+    assert(cdc.exceptAll(scd).isEmpty && scd.exceptAll(cdc).isEmpty)
+  }
+
+  test("SCD2 versions partition each user's timeline exactly") {
+    val byVersion = run("q_scd2_build")
+      .groupBy($"user_id").agg(sum($"n_events").as("n"))
+    val byLog = Tables.t(spark, sf, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("n2"))
+    assert(byVersion.join(byLog, "user_id")
+      .filter($"n" =!= $"n2").count() === 0L)
+  }
+
+  test("pagerank conserves probability mass and the teleport floor") {
+    val pr = run("q_graph_pagerank")
+    val mass = pr.agg(sum($"pr_ppm")).as[Long].head()
+    // floors only ever LOSE mass, bounded by (edges + nodes) ppm per
+    // iteration — far under 10k over 3 iterations
+    assert(mass <= 1000000L && mass > 990000L, s"mass $mass")
+    assert(pr.filter($"pr_ppm" < 30000L).count() === 0L)
+  }
+
+  test("interpolated points stay inside their series' observed envelope") {
+    val ti = run("q_time_interp")
+    val envelope = ti.filter($"observed")
+      .groupBy($"pk").agg(min($"qty").as("lo"), max($"qty").as("hi"))
+    assert(ti.filter(!$"observed").join(envelope, "pk")
+      .filter($"qty" < $"lo" || $"qty" > $"hi").count() === 0L)
+  }
+
+  test("basket affinity obeys its margin algebra") {
+    assert(run("q_basket_affinity")
+      .filter($"n_both" > least($"n_a", $"n_b") ||
+        $"jaccard_ppm" > 1000000L || $"n_both" < 1L)
+      .count() === 0L)
+  }
+
+  test("z-order file stats cover the corpus exactly once") {
+    val n = run("q_layout_zorder").agg(sum($"n")).as[Long].head()
+    assert(n === Tables.t(spark, sf, "events").count())
+  }
+
+  test("quantile normalization spans [0, 1e6] exactly per segment") {
+    assert(run("q_feat_quantile_norm")
+      .groupBy($"c_mktsegment")
+      .agg(min($"qnorm_ppm").as("mn"), max($"qnorm_ppm").as("mx"))
+      .filter($"mn" =!= 0L || $"mx" =!= 1000000L).count() === 0L)
+  }
+
+  test("trailing distinct is positive and bounded by the type domain") {
+    assert(run("q_feat_trailing_distinct")
+      .filter($"n_types_30d" < 1L || $"n_types_30d" > 5L).count() === 0L)
+  }
 }
