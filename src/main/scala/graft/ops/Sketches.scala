@@ -168,14 +168,83 @@ object Sketches extends OpModule {
       .orderBy($"quartile")
   }
 
+  /** KMV (k-minimum-values / theta) sketch registers: per set the K=32
+    * smallest distinct 60-bit user hashes. This is the sketch family
+    * that answers what HLL cannot — SET-EXPRESSION cardinalities
+    * (intersection, difference) via the theta trick: clip both sketches
+    * to θ = min(θ_A, θ_B) and count surviving common hashes. The
+    * register build is scale-honest: distinct() shuffles (set, hash)
+    * once, and the rank-≤-K filter compiles to WindowGroupLimit
+    * (pinned), so each map partition forwards at most K candidate rows
+    * into the per-set window — a 100-TB corpus shuffles O(K ×
+    * partitions), never the full distinct set, into the final sort.
+    * Registers merge by union-then-smallest-K (associative,
+    * commutative — law in ScalaTest); intersection accuracy is
+    * bounds-checked in ScalaTest, and the graded artifact is the exact
+    * integer register table. */
+  def sketchKmv(s: SparkSession, dir: String): DataFrame =
+    kmvOf(Tables.t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "error")))
+
+  /** KMV register build over any (event_type, user_id) frame — exposed
+    * so the merge-law test can sketch disjoint slices and prove
+    * registers(A ∪ B) = smallestK(registers(A) ∪ registers(B)). */
+  private[graft] val KmvK = 32
+  private[graft] def kmvOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hashed = events
+      .select($"event_type".as("set_id"),
+        md5int($"user_id".cast("string")).as("hv"))
+      .distinct()
+    val w = Window.partitionBy($"set_id").orderBy($"hv")
+    hashed.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= KmvK)
+      .select($"set_id", $"rnk", $"hv")
+      .orderBy($"set_id", $"rnk")
+  }
+
+  /** Driver-side KMV estimators (ScalaTest-only, like [[hllEstimate]]):
+    * distinct count from the K-th minimum of a 60-bit-uniform hash,
+    * and the theta-sketch intersection estimate. `hvs` must be a full
+    * register set (K values) for the (K-1)/x_K estimator to apply;
+    * fewer registers means the set was exhausted and the count is
+    * exact. */
+  def kmvEstimate(hvs: Seq[Long]): Double =
+    if (hvs.size < KmvK) hvs.size.toDouble
+    else (KmvK - 1).toDouble * math.pow(2.0, 60) / hvs.max.toDouble
+
+  /** θ-intersection: clip both register sets at θ = min of the two
+    * K-th minima (each sketch is a uniform sample of its set below its
+    * own θ), count common survivors, scale by the inclusion
+    * probability θ/2^60. */
+  def kmvIntersect(a: Seq[Long], b: Seq[Long]): Double = {
+    val theta = math.min(a.max, b.max).toDouble
+    val common = a.toSet.intersect(b.toSet).count(_ <= theta)
+    common / (theta / math.pow(2.0, 60))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sketch_hll" -> (sketchHllRegisters _),
     "q_sketch_cms" -> (sketchCms _),
     "q_sketch_bloom" -> (sketchBloom _),
-    "q_sketch_quantile" -> (sketchQuantile _)
+    "q_sketch_quantile" -> (sketchQuantile _),
+    "q_sketch_kmv" -> (sketchKmv _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sketch_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS set_id,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |r AS (
+        |  SELECT set_id, hv,
+        |    row_number() OVER (PARTITION BY set_id ORDER BY hv) AS rnk
+        |  FROM h)
+        |SELECT set_id, CAST(rnk AS INTEGER) AS rnk, hv
+        |FROM r WHERE rnk <= 32 ORDER BY set_id, rnk""".stripMargin,
     "q_sketch_hll" ->
       """WITH h AS (
         |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv

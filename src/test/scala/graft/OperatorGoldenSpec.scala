@@ -466,6 +466,44 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  test("KMV sketch: merge law, cardinality estimate, theta intersection") {
+    val ev = Tables.t(spark, sf, "events")
+      .filter($"event_type".isin("purchase", "error"))
+    // merge law: registers(A ∪ B) = smallestK(registers(A) ∪ registers(B))
+    def kmvMap(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] =
+      Sketches.kmvOf(df).select($"set_id", $"hv").as[(String, Long)]
+        .collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val full = kmvMap(ev)
+    val aS = kmvMap(ev.filter($"event_id" % 2 === 0))
+    val bS = kmvMap(ev.filter($"event_id" % 2 =!= 0))
+    full.foreach { case (set, regs) =>
+      val merged = (aS.getOrElse(set, Nil) ++ bS.getOrElse(set, Nil))
+        .distinct.sorted.take(Sketches.KmvK)
+      assert(regs.sorted === merged,
+        s"KMV($set) is not the smallest-K union of slice registers")
+    }
+    // cardinality estimate within 35% of the exact distinct count
+    full.foreach { case (set, regs) =>
+      val truth = ev.filter($"event_type" === set)
+        .select($"user_id").distinct().count().toDouble
+      val est = Sketches.kmvEstimate(regs)
+      assert(math.abs(est - truth) / truth <= 0.35,
+        s"KMV estimate for $set: $est vs true $truth")
+    }
+    // theta intersection on partially-overlapping synthetic sets
+    val base = Tables.t(spark, sf, "events").select($"user_id").distinct()
+    def tagged(name: String, pred: org.apache.spark.sql.Column) = base
+      .filter(pred).select(lit(name).as("event_type"), $"user_id")
+    val setA = tagged("A", $"user_id" % 3 =!= 0)
+    val setB = tagged("B", $"user_id" % 2 =!= 0)
+    val regs = kmvMap(setA.union(setB))
+    val estI = Sketches.kmvIntersect(regs("A"), regs("B"))
+    val truthI = base
+      .filter($"user_id" % 3 =!= 0 && $"user_id" % 2 =!= 0).count().toDouble
+    assert(math.abs(estI - truthI) / truthI <= 0.5,
+      s"theta-intersection estimate $estI vs true $truthI")
+  }
+
   test("ALS recommender: 3 ranked brand recs per purchasing customer") {
     val recs = run("q_ml_recommend").collect()
     val users = recs.map(_.getAs[Int]("custkey")).distinct.length

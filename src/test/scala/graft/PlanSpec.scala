@@ -48,6 +48,11 @@ class PlanSpec extends SparkSpec {
       s"co-bucketed join+agg should not shuffle:\n$p")
   }
 
+  test("KMV register build prunes to top-K map-side via WindowGroupLimit") {
+    assert(plan("q_sketch_kmv").contains("WindowGroupLimit"),
+      "rank-≤-K must push a partial top-K below the per-set window shuffle")
+  }
+
   test("bloom probe joins against a broadcast bit table (probes never shuffle)") {
     assert(plan("q_sketch_bloom").contains("BroadcastHashJoin"),
       "the ≤8192-row bit table must broadcast")
