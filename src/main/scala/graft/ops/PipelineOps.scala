@@ -424,7 +424,51 @@ object PipelineOps extends OpModule {
       .orderBy($"user_id", $"ver")
   }
 
+  /** Distribution-drift monitor between two table snapshots — the
+    * admission-gate companion to [[dqProfile]] (is the schema sane) and
+    * [[dqAnomaly]] (is today's volume sane): has the VALUE DISTRIBUTION
+    * of a feature moved between the baseline window and the current
+    * one. Orders are split at a fixed cutoff date, o_totalprice is
+    * binned on the integer-cents grid (ROUND then `div`, the
+    * [[graft.Det]] rule — never a float floor whose quotient can land
+    * on a representation boundary), and each side's per-bin share is
+    * scaled to INTEGER ppm with `1e6·n div total`, so the per-bin L1
+    * drift — the discretized total-variation distance, the PSI
+    * alternative that needs no logarithm — is exact on any engine.
+    *
+    * Scale shape: one map-side-combinable shuffle on O(bins) groups
+    * for the whole corpus (the snapshot tag is computed in the scan
+    * projection); the totals join is a broadcast of 2 rows, and the
+    * base⋈current alignment joins O(bins) rows. Nothing downstream of
+    * the first aggregate ever sees a data-sized row count, so the
+    * monitor costs one scan at 100 TB. */
+  def dqDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val binned = Tables.t(s, dir, "orders")
+      .select(
+        when($"o_orderdate" < lit("1997-01-01").cast("timestamp"), "base")
+          .otherwise("current").as("snap"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 3000000")
+          .as("bin"))
+      .groupBy($"snap", $"bin").agg(count(lit(1)).as("c"))
+    val tot = binned.groupBy($"snap").agg(sum($"c").as("n"))
+    val ppm = binned.join(broadcast(tot), Seq("snap"))
+      .select($"snap", $"bin", expr("1000000 * c div n").as("share_ppm"))
+    val base = ppm.filter($"snap" === "base")
+      .select($"bin", $"share_ppm".as("base_ppm"))
+    val cur = ppm.filter($"snap" === "current")
+      .select($"bin", $"share_ppm".as("cur_ppm"))
+    base.join(cur, Seq("bin"), "full_outer")
+      .select($"bin",
+        coalesce($"base_ppm", lit(0L)).as("base_ppm"),
+        coalesce($"cur_ppm", lit(0L)).as("cur_ppm"),
+        abs(coalesce($"base_ppm", lit(0L)) - coalesce($"cur_ppm", lit(0L)))
+          .as("drift_ppm"))
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dq_drift" -> (dqDrift _),
     "q_sample_consistent" -> (sampleConsistent _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_sample_weighted" -> (sampleWeighted _),
@@ -442,6 +486,26 @@ object PipelineOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_drift" ->
+      """WITH tagged AS (
+        |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |      THEN 'base' ELSE 'current' END AS snap,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) // 3000000 AS bin
+        |  FROM orders),
+        |per AS (SELECT snap, bin, COUNT(*) AS c FROM tagged GROUP BY 1, 2),
+        |tot AS (SELECT snap, SUM(c) AS n FROM per GROUP BY snap),
+        |ppm AS (
+        |  SELECT per.snap, per.bin,
+        |    CAST((1000000 * per.c) // tot.n AS BIGINT) AS share_ppm
+        |  FROM per JOIN tot ON per.snap = tot.snap),
+        |b AS (SELECT bin, share_ppm FROM ppm WHERE snap = 'base'),
+        |c AS (SELECT bin, share_ppm FROM ppm WHERE snap = 'current')
+        |SELECT COALESCE(b.bin, c.bin) AS bin,
+        |  COALESCE(b.share_ppm, 0) AS base_ppm,
+        |  COALESCE(c.share_ppm, 0) AS cur_ppm,
+        |  abs(COALESCE(b.share_ppm, 0) - COALESCE(c.share_ppm, 0)) AS drift_ppm
+        |FROM b FULL OUTER JOIN c ON b.bin = c.bin
+        |ORDER BY bin""".stripMargin,
     "q_cdc_apply" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -504,6 +504,38 @@ class OperatorGoldenSpec extends SparkSpec {
       s"theta-intersection estimate $estI vs true $truthI")
   }
 
+  test("triangle participation sums to 3× triangles; bounded by wedge count") {
+    val part = run("q_graph_triangles")
+      .select($"partkey", $"tri_cnt").as[(Long, Long)].collect()
+    val total = part.map(_._2).sum
+    assert(total > 0 && total % 3 === 0,
+      s"each triangle credits exactly 3 vertices (got $total)")
+    // a vertex can't be in more triangles than pairs of its neighbors
+    val li = Tables.t(spark, sf, "lineitem").select($"l_orderkey", $"l_partkey")
+    val deg = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb")).distinct()
+      .select(explode(array($"pa", $"pb")).as("v"))
+      .groupBy($"v").count().as[(Long, Long)].collect().toMap
+    part.foreach { case (p, t) =>
+      val d = deg(p)
+      assert(t <= d * (d - 1) / 2, s"part $p: $t triangles exceeds C($d,2)")
+    }
+  }
+
+  test("drift shares are a ppm distribution; drift is the pairwise gap") {
+    val r = run("q_dq_drift")
+      .select($"base_ppm", $"cur_ppm", $"drift_ppm")
+      .as[(Long, Long, Long)].collect()
+    for (side <- Seq(r.map(_._1), r.map(_._2))) {
+      val s = side.sum
+      // integer-floor shares: within #bins ppm below exactly 10^6
+      assert(s <= 1000000L && s > 1000000L - r.length,
+        s"ppm shares sum to $s over ${r.length} bins")
+    }
+    r.foreach { case (b, c, d) => assert(d === math.abs(b - c)) }
+  }
+
   test("ALS recommender: 3 ranked brand recs per purchasing customer") {
     val recs = run("q_ml_recommend").collect()
     val users = recs.map(_.getAs[Int]("custkey")).distinct.length

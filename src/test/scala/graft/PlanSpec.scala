@@ -48,6 +48,18 @@ class PlanSpec extends SparkSpec {
       s"co-bucketed join+agg should not shuffle:\n$p")
   }
 
+  test("triangle wedge join is an equi-join, never a nested loop") {
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"degree-oriented wedge enumeration must stay hash/merge-joinable:\n$p")
+  }
+
+  test("drift totals join broadcasts the 2-row snapshot totals") {
+    assert(plan("q_dq_drift").contains("BroadcastHashJoin"),
+      "per-snapshot totals must broadcast to the ppm projection")
+  }
+
   test("KMV register build prunes to top-K map-side via WindowGroupLimit") {
     assert(plan("q_sketch_kmv").contains("WindowGroupLimit"),
       "rank-≤-K must push a partial top-K below the per-set window shuffle")
