@@ -336,39 +336,56 @@ object Aggregates extends OpModule {
     * survives a power-law 100-TB graph and one that dies on its
     * hottest node. Edge building is bounded too: pairs explode within
     * an order (k² for k line items, k small and data-bounded), never
-    * across orders. The oriented edge list is built once ([[OpCache]])
-    * and reused by all three sides of the wedge join; output is the
-    * per-part triangle participation count (each triangle credits its
-    * 3 vertices via explode — no second pass over the graph). */
+    * across orders.
+    *
+    * Enumeration is the ARRAY edge-iterator, not a wedge self-join:
+    * oriented out-adjacency collapses to O(nodes) (part, sorted
+    * neighbor array) rows — part is a CATALOG dimension, so the table
+    * broadcasts — and each edge (u→v) closes its triangles with one
+    * codegen `array_intersect(N⁺(u), N⁺(v))`. The Θ(Σ out-deg²) wedge
+    * set (41 M rows at sf0.1 for 1.2 M edges) is never materialized,
+    * let alone shuffled: the whole enumeration is map-side over the
+    * edge list, and the only remaining shuffle is the O(nodes) credit
+    * aggregate (u and v take |W|, each w ∈ W takes 1 — all three
+    * vertices credited in the same pass). For an identity-scale graph
+    * where adjacency outgrows a broadcast, the same plan runs with the
+    * hint dropped: two equi-joins on O(E) rows, still never Θ(wedges).
+    */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val oriented = OpCache.cached(s, dir, "triangle_edges") {
-      val li = Tables.t(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_partkey")
-      val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .filter($"a.l_partkey" < $"b.l_partkey")
-        .select($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
-        .distinct()
-      val deg = pairs.select($"pa".as("v"))
-        .union(pairs.select($"pb".as("v")))
-        .groupBy($"v").agg(count(lit(1)).as("d"))
-      val fwd = $"da" < $"db" || ($"da" === $"db" && $"pa" < $"pb")
-      pairs
-        .join(deg.select($"v".as("pa"), $"d".as("da")), Seq("pa"))
-        .join(deg.select($"v".as("pb"), $"d".as("db")), Seq("pb"))
-        .select(when(fwd, $"pa").otherwise($"pb").as("src"),
-          when(fwd, $"pb").otherwise($"pa").as("dst"))
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+      .distinct()
+    val deg = pairs.select($"pa".as("v"))
+      .union(pairs.select($"pb".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    val fwd = $"da" < $"db" || ($"da" === $"db" && $"pa" < $"pb")
+    val oriented = pairs
+      .join(deg.select($"v".as("pa"), $"d".as("da")), Seq("pa"))
+      .join(deg.select($"v".as("pb"), $"d".as("db")), Seq("pb"))
+      .select(when(fwd, $"pa").otherwise($"pb").as("src"),
+        when(fwd, $"pb").otherwise($"pa").as("dst"))
+    val adj = OpCache.cached(s, dir, "triangle_adj") {
+      oriented.groupBy($"src")
+        .agg(sort_array(collect_list($"dst")).as("nbrs"))
     }
-    val tri = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-      .select(col("e1.src").as("u"), col("e1.dst").as("v"),
-        col("e2.dst").as("w"))
-      .join(oriented.as("e3"),
-        $"v" === col("e3.src") && $"w" === col("e3.dst"))
-      .select($"u", $"v", $"w")
-    tri.select(explode(array($"u", $"v", $"w")).as("partkey"))
-      .groupBy($"partkey").agg(count(lit(1)).as("tri_cnt"))
+    val closed = oriented
+      .join(broadcast(adj.select($"src".as("u0"), $"nbrs".as("nu"))),
+        $"src" === $"u0")
+      .join(broadcast(adj.select($"src".as("v0"), $"nbrs".as("nv"))),
+        $"dst" === $"v0")
+      .select($"src", $"dst", array_intersect($"nu", $"nv").as("ws"))
+      .filter(size($"ws") > 0)
+    closed
+      .select(explode(concat(
+        array(struct($"src".as("p"), size($"ws").cast("long").as("c")),
+          struct($"dst".as("p"), size($"ws").cast("long").as("c"))),
+        transform($"ws", w => struct(w.as("p"), lit(1L).as("c"))))).as("pc"))
+      .groupBy($"pc.p".as("partkey"))
+      .agg(sum($"pc.c").as("tri_cnt"))
       .orderBy($"partkey")
   }
 
@@ -828,10 +845,14 @@ object Aggregates extends OpModule {
         |         CASE WHEN (da.d, pa) < (db.d, pb) THEN pb ELSE pa END AS dst
         |  FROM pairs JOIN deg da ON da.v = pa JOIN deg db ON db.v = pb),
         |tri AS (
+        |  -- closing edge joined via the CANONICAL undirected pair
+        |  -- (pa < pb): the oriented closing edge may point either way
+        |  -- between the two out-neighbors, and an OR-direction join
+        |  -- would break the hash join
         |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
         |  FROM oriented e1
         |  JOIN oriented e2 ON e1.src = e2.src AND e1.dst < e2.dst
-        |  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        |  JOIN pairs p ON p.pa = e1.dst AND p.pb = e2.dst),
         |verts AS (
         |  SELECT u AS partkey FROM tri
         |  UNION ALL SELECT v FROM tri
