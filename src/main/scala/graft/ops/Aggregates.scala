@@ -389,6 +389,69 @@ object Aggregates extends OpModule {
       .orderBy($"partkey")
   }
 
+  /** Local graph sparsification by tie strength: score every
+    * co-purchase edge with the neighborhood-Jaccard of its endpoints
+    * (embeddedness — shared neighbors over the union, endpoints
+    * excluded) and keep each vertex's top-4 strongest ties. The
+    * standard pre-pass that cuts a 100-TB similarity/co-occurrence
+    * graph from O(E) to O(k·V) edges before clustering, components or
+    * PageRank ever run — strong ties (high embeddedness) carry the
+    * community structure; weak one-off co-occurrences are noise.
+    *
+    * Scale shape mirrors [[graphTriangles]]: FULL (undirected)
+    * adjacency collapses to O(nodes) sorted arrays over a catalog
+    * dimension and broadcasts, so the common-neighbor count is one
+    * map-side codegen `array_intersect` per edge — the Θ(Σ deg²)
+    * wedge set is never materialized or shuffled. Scoring is pure
+    * int64 (ppm floor-division, no float crosses the engine
+    * boundary); top-k-per-endpoint is a rank filter that compiles to
+    * WindowGroupLimit, so each map partition forwards ≤k candidate
+    * rows per vertex into the rank shuffle. An edge survives if
+    * EITHER endpoint ranks it (union semantics — guarantees every
+    * non-isolated vertex keeps ≥1 tie, so sparsification never
+    * disconnects a vertex from the graph it was in). */
+  def graphSparsify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val pairs = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+      .distinct()
+    val adj = OpCache.cached(s, dir, "sparsify_adj") {
+      pairs.select($"pa".as("v"), $"pb".as("w"))
+        .union(pairs.select($"pb".as("v"), $"pa".as("w")))
+        .groupBy($"v").agg(sort_array(collect_list($"w")).as("nbrs"))
+    }
+    val scored = pairs
+      .join(broadcast(adj.select($"v".as("va"), $"nbrs".as("na"))),
+        $"pa" === $"va")
+      .join(broadcast(adj.select($"v".as("vb"), $"nbrs".as("nb"))),
+        $"pb" === $"vb")
+      .select($"pa", $"pb",
+        size(array_intersect($"na", $"nb")).cast("long").as("common_cnt"),
+        (size($"na") + size($"nb")).cast("long").as("dsum"))
+      // |N(a)∪N(b)| minus the endpoints themselves; 0 only when the
+      // edge is an isolated pair (both degree 1) — score it 0, don't
+      // divide by it
+      .withColumn("jac_ppm",
+        when($"dsum" - $"common_cnt" - 2 === 0, lit(0L))
+          .otherwise(expr("1000000 * common_cnt div (dsum - common_cnt - 2)")))
+      .drop("dsum")
+    val sides = scored
+      .select($"pa".as("sv"), $"pa", $"pb", $"common_cnt", $"jac_ppm")
+      .union(scored
+        .select($"pb".as("sv"), $"pa", $"pb", $"common_cnt", $"jac_ppm"))
+    val w = Window.partitionBy($"sv")
+      .orderBy($"jac_ppm".desc, $"common_cnt".desc, $"pa", $"pb")
+    sides.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 4)
+      .select($"pa", $"pb", $"common_cnt", $"jac_ppm")
+      .distinct()
+      .orderBy($"pa", $"pb")
+  }
+
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
   /** Reference signature op: per-user event-type counts & value sums as a
@@ -811,6 +874,7 @@ object Aggregates extends OpModule {
     "q_event_transitions" -> (eventTransitions _),
     "q_graph_pagerank" -> (graphPagerank _),
     "q_graph_triangles" -> (graphTriangles _),
+    "q_graph_sparsify" -> (graphSparsify _),
     "q_agg_bool" -> (aggBool _),
     "q_feat_unpivot" -> (featUnpivot _),
     "q_agg_argmax" -> (aggArgmax _),
@@ -830,6 +894,43 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_graph_sparsify" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |adj AS (SELECT pa AS v, pb AS w FROM pairs
+        |        UNION ALL SELECT pb, pa FROM pairs),
+        |deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v),
+        |com AS (
+        |  SELECT p.pa, p.pb, COUNT(*) AS c
+        |  FROM pairs p
+        |  JOIN adj a1 ON a1.v = p.pa
+        |  JOIN adj a2 ON a2.v = p.pb AND a2.w = a1.w
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT p.pa, p.pb, COALESCE(c.c, 0) AS common_cnt,
+        |    CASE WHEN da.d + db.d - COALESCE(c.c, 0) - 2 = 0 THEN 0
+        |         ELSE 1000000 * COALESCE(c.c, 0)
+        |              // (da.d + db.d - COALESCE(c.c, 0) - 2)
+        |    END AS jac_ppm
+        |  FROM pairs p
+        |  LEFT JOIN com c ON c.pa = p.pa AND c.pb = p.pb
+        |  JOIN deg da ON da.v = p.pa
+        |  JOIN deg db ON db.v = p.pb),
+        |sides AS (
+        |  SELECT pa AS sv, pa, pb, common_cnt, jac_ppm FROM scored
+        |  UNION ALL SELECT pb, pa, pb, common_cnt, jac_ppm FROM scored),
+        |ranked AS (
+        |  SELECT pa, pb, common_cnt, jac_ppm,
+        |    row_number() OVER (PARTITION BY sv
+        |      ORDER BY jac_ppm DESC, common_cnt DESC, pa, pb) AS rk
+        |  FROM sides)
+        |SELECT DISTINCT pa, pb, CAST(common_cnt AS BIGINT) AS common_cnt,
+        |  CAST(jac_ppm AS BIGINT) AS jac_ppm
+        |FROM ranked WHERE rk <= 4 ORDER BY pa, pb""".stripMargin,
     "q_graph_triangles" ->
       """WITH pairs AS (
         |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb

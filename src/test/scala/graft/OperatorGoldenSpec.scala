@@ -523,6 +523,33 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  test("sparsify keeps a tie for every non-isolated vertex, ≤4 per endorsing side") {
+    val kept = run("q_graph_sparsify")
+      .select($"pa", $"pb", $"common_cnt", $"jac_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    val li = Tables.t(spark, sf, "lineitem").select($"l_orderkey", $"l_partkey")
+    val edges = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val keptSet = kept.map(r => (r._1, r._2)).toSet
+    assert(keptSet.subsetOf(edges), "sparsifier invented an edge")
+    // union top-k semantics: every vertex that had an edge keeps one
+    val verts = edges.flatMap(e => Seq(e._1, e._2))
+    val keptVerts = keptSet.flatMap(e => Seq(e._1, e._2))
+    assert(verts === keptVerts,
+      s"${(verts -- keptVerts).size} vertices lost all their ties")
+    // each edge is kept only via some endpoint's top-4 list
+    val perVertEndorsable = verts.size * 4L
+    assert(kept.length <= perVertEndorsable,
+      s"${kept.length} kept edges exceeds 4 per vertex")
+    kept.foreach { case (pa, pb, c, j) =>
+      assert(j >= 0L && j <= 1000000L, s"($pa,$pb): jac_ppm $j out of range")
+      assert((c == 0) == (j == 0) || c > 0,
+        s"($pa,$pb): common $c vs jac $j inconsistent")
+    }
+  }
+
   test("drift shares are a ppm distribution; drift is the pairwise gap") {
     val r = run("q_dq_drift")
       .select($"base_ppm", $"cur_ppm", $"drift_ppm")

@@ -48,6 +48,17 @@ class PlanSpec extends SparkSpec {
       s"co-bucketed join+agg should not shuffle:\n$p")
   }
 
+  test("sparsify: broadcast adjacency, group-limited rank, no nested loop") {
+    val p = plan("q_graph_sparsify")
+    assert(p.contains("BroadcastHashJoin"),
+      s"adjacency arrays should broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-4 rank filter should push a group limit below the shuffle:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"common-neighbor counting must stay map-side:\n$p")
+  }
+
   test("triangle wedge join is an equi-join, never a nested loop") {
     val p = plan("q_graph_triangles")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
