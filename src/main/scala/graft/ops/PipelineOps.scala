@@ -362,6 +362,58 @@ object PipelineOps extends OpModule {
       .limit(100)
   }
 
+  /** Dataset-MIXTURE sampling — the "data recipe" step of an LLM
+    * training build: tiers of sources get declared mixture weights
+    * (web 50% / curated 30% / reference 20% ppm) of a global char
+    * budget (half the corpus), and each tier is filled by a
+    * deterministic hash-ordered greedy prefix, so the same recipe over
+    * the same corpus yields the same dataset on any cluster, any
+    * partitioning, any day.
+    *
+    * The scale story is the HIERARCHICAL prefix: a naive
+    * cumsum-per-tier would total-order each tier's slice of a 100-TB
+    * corpus through ~3 window partitions (single-reducer death). Here
+    * the only per-row window is the within-SOURCE cumsum (parallel
+    * across sources — and a source outgrowing one reducer subdivides
+    * by hash prefix the same way), and tier ordering happens on the
+    * O(sources) summary table: source totals get hash-ordered
+    * exclusive prefix offsets within their tier, broadcast back, and
+    * a doc is kept iff source_offset + within-source-cumsum fits the
+    * tier budget. No corpus-wide sort ever happens; the budget row
+    * and offsets are broadcast; selection is one filter. */
+  def sampleMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcn = expr("cast(substr(source, 4) as int)")
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars",
+        when(srcn < 10, "web").when(srcn < 15, "curated")
+          .otherwise("reference").as("tier"),
+        md5int($"doc_id".cast("string")).as("dh"))
+    val budget = docs.agg(
+      expr("cast(sum(n_chars) as bigint) div 2").as("b"))
+    val tiers = Seq(("web", 500000L), ("curated", 300000L),
+      ("reference", 200000L)).toDF("tier", "w_ppm")
+    val tb = tiers.crossJoin(broadcast(budget))
+      .select($"tier", expr("b * w_ppm div 1000000").as("tier_budget"))
+    val inWin = Window.partitionBy($"source").orderBy($"dh", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val incum = docs.withColumn("cum_in", sum($"n_chars").over(inWin))
+    val stot = docs.groupBy($"source", $"tier")
+      .agg(sum($"n_chars").as("s_chars"))
+      .withColumn("sh", md5int($"source"))
+    val offWin = Window.partitionBy($"tier").orderBy($"sh", $"source")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val soff = stot
+      .select($"source",
+        coalesce(sum($"s_chars").over(offWin), lit(0L)).as("s_off"))
+    incum
+      .join(broadcast(soff), Seq("source"))
+      .join(broadcast(tb), Seq("tier"))
+      .filter($"s_off" + $"cum_in" <= $"tier_budget")
+      .select($"doc_id", $"tier", $"n_chars".cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
   /** CDC changelog APPLY — last-writer-wins materialization of a keyed
     * changelog with tombstones, the row-level complement of
     * [[snapshotMerge]]'s aggregate merge: the event stream is the
@@ -472,6 +524,7 @@ object PipelineOps extends OpModule {
     "q_sample_consistent" -> (sampleConsistent _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_sample_weighted" -> (sampleWeighted _),
+    "q_sample_mix" -> (sampleMix _),
     "q_split_hash" -> (splitHash _),
     "q_agg_incremental" -> (aggIncremental _),
     "q_snapshot_diff" -> (snapshotDiff _),
@@ -486,6 +539,40 @@ object PipelineOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_mix" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'web'
+        |         WHEN CAST(substr(source, 4) AS INT) < 15 THEN 'curated'
+        |         ELSE 'reference' END AS tier,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS dh
+        |  FROM documents),
+        |budget AS (SELECT SUM(n_chars) // 2 AS b FROM docs),
+        |tb AS (
+        |  SELECT 'web' AS tier,
+        |    (SELECT b FROM budget) * 500000 // 1000000 AS tier_budget
+        |  UNION ALL SELECT 'curated', (SELECT b FROM budget) * 300000 // 1000000
+        |  UNION ALL SELECT 'reference', (SELECT b FROM budget) * 200000 // 1000000),
+        |incum AS (
+        |  SELECT doc_id, source, tier, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY dh, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_in
+        |  FROM docs),
+        |stot AS (
+        |  SELECT source, tier, SUM(n_chars) AS s_chars,
+        |    CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) AS sh
+        |  FROM docs GROUP BY 1, 2, 4),
+        |soff AS (
+        |  SELECT source,
+        |    COALESCE(SUM(s_chars) OVER (PARTITION BY tier ORDER BY sh, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_off
+        |  FROM stot)
+        |SELECT i.doc_id, i.tier, CAST(i.n_chars AS BIGINT) AS n_chars
+        |FROM incum i JOIN soff o ON o.source = i.source
+        |JOIN tb ON tb.tier = i.tier
+        |WHERE o.s_off + i.cum_in <= tb.tier_budget
+        |ORDER BY i.doc_id""".stripMargin,
     "q_dq_drift" ->
       """WITH tagged AS (
         |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'

@@ -550,6 +550,25 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  test("mixture sampling fills each tier to its weighted budget, never over") {
+    val kept = run("q_sample_mix")
+      .groupBy($"tier").agg(sum($"n_chars").as("chars"))
+      .as[(String, Long)].collect().toMap
+    val total = Tables.t(spark, sf, "documents")
+      .agg(sum($"n_chars")).as[Long].head()
+    val budget = total / 2
+    val weights = Map("web" -> 500000L, "curated" -> 300000L,
+      "reference" -> 200000L)
+    weights.foreach { case (tier, wPpm) =>
+      val tierBudget = budget * wPpm / 1000000L
+      val filled = kept.getOrElse(tier, 0L)
+      assert(filled <= tierBudget,
+        s"$tier overfilled: $filled > $tierBudget")
+      assert(filled >= (tierBudget * 8) / 10,
+        s"$tier underfilled: $filled < 80% of $tierBudget")
+    }
+  }
+
   test("drift shares are a ppm distribution; drift is the pairwise gap") {
     val r = run("q_dq_drift")
       .select($"base_ppm", $"cur_ppm", $"drift_ppm")

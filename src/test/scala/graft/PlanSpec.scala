@@ -59,6 +59,24 @@ class PlanSpec extends SparkSpec {
       s"common-neighbor counting must stay map-side:\n$p")
   }
 
+  test("mixture sampling broadcasts offsets+budgets; no corpus-wide window") {
+    val p = plan("q_sample_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"source offsets and tier budgets should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the only per-row window must be source-partitioned (parallel
+    // across sources), never tier- or corpus-partitioned: every
+    // running-sum window in the plan hangs below an exchange keyed by
+    // source, and none is keyed by the 3-value tier column alone
+    val rowWin = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") &&
+        l.contains("sum(n_chars"))
+      .toSeq
+    assert(rowWin.nonEmpty, s"expected a running-sum window:\n$p")
+    rowWin.foreach(l => assert(l.contains("windowspecdefinition(source"),
+      s"per-row cumsum must partition by source, got:\n$l"))
+  }
+
   test("triangle wedge join is an equi-join, never a nested loop") {
     val p = plan("q_graph_triangles")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
