@@ -89,6 +89,52 @@ object TextOps extends OpModule {
       .orderBy($"doc_id")
   }
 
+  /** Concat-and-chunk sequence PACKING — the step that turns a shuffled
+    * corpus into fixed-length training sequences (L = 256 tokens): docs
+    * are laid out in a deterministic global order, token intervals are
+    * assigned by exclusive prefix sum, and each doc lands in pack
+    * `cum div L` at offset `cum mod L`, flagged when it crosses a pack
+    * boundary (the attention-masking case downstream trainers care
+    * about). Same recipe ⇒ same packs on any cluster.
+    *
+    * The global order is HIERARCHICAL exactly like [[PipelineOps
+    * .sampleMix]]: within-source hash-ordered cumsum windows run in
+    * parallel across sources, and only the O(sources) total table is
+    * totally ordered (hash-ordered exclusive offsets, broadcast back).
+    * A 100-TB corpus is packed with no corpus-wide sort: the per-row
+    * stage is a source-partitioned window plus map-side div/mod. */
+  def textPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val packLen = 256L
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("toks"),
+        graft.Det.md5int60($"doc_id".cast("string")).as("dh"))
+    val inWin = Window.partitionBy($"source").orderBy($"dh", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val incum = docs
+      .withColumn("cum_in", sum($"toks").over(inWin) - $"toks")
+    val stot = docs.groupBy($"source")
+      .agg(sum($"toks").as("s_toks"))
+      .withColumn("sh", graft.Det.md5int60($"source"))
+    val offWin = Window.orderBy($"sh", $"source")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val soff = stot
+      .select($"source",
+        coalesce(sum($"s_toks").over(offWin), lit(0L)).as("s_off"))
+    val cum = $"s_off" + $"cum_in"
+    incum
+      .join(broadcast(soff), Seq("source"))
+      .select($"doc_id", $"toks".as("n_tokens"),
+        expr(s"(s_off + cum_in) div $packLen").as("pack_id"),
+        (cum % packLen).as("pack_offset"),
+        when(expr(s"(s_off + cum_in) div $packLen") =!=
+          expr(s"(s_off + cum_in + toks - 1) div $packLen"), 1L)
+          .otherwise(0L).as("crosses"))
+      .orderBy($"doc_id")
+  }
+
   /** Token-window chunking — the document→training-sample splitter:
     * each doc becomes ⌈(n−50)/40⌉+1 overlapping windows of 50 tokens
     * with stride 40 (10-token overlap). Executor-local sequence+explode
@@ -391,6 +437,7 @@ object TextOps extends OpModule {
     "q_text_stats" -> (textStats _),
     "q_text_repetition" -> (textRepetition _),
     "q_text_chunking" -> (textChunking _),
+    "q_text_pack" -> (textPack _),
     "q_text_vocab_coverage" -> (textVocabCoverage _),
     "q_text_tfidf" -> (textTfidf _),
     "q_text_quality" -> (textQuality _),
@@ -404,6 +451,34 @@ object TextOps extends OpModule {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_pack" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS toks,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS dh
+        |  FROM documents),
+        |incum AS (
+        |  SELECT doc_id, source, toks,
+        |    SUM(toks) OVER (PARTITION BY source ORDER BY dh, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - toks AS cum_in
+        |  FROM docs),
+        |stot AS (
+        |  SELECT source, SUM(toks) AS s_toks,
+        |    CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) AS sh
+        |  FROM docs GROUP BY 1, 3),
+        |soff AS (
+        |  SELECT source,
+        |    COALESCE(SUM(s_toks) OVER (ORDER BY sh, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_off
+        |  FROM stot)
+        |SELECT i.doc_id, CAST(i.toks AS BIGINT) AS n_tokens,
+        |  CAST((o.s_off + i.cum_in) // 256 AS BIGINT) AS pack_id,
+        |  CAST((o.s_off + i.cum_in) % 256 AS BIGINT) AS pack_offset,
+        |  CAST(CASE WHEN (o.s_off + i.cum_in) // 256
+        |    != (o.s_off + i.cum_in + i.toks - 1) // 256 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS crosses
+        |FROM incum i JOIN soff o ON o.source = i.source
+        |ORDER BY doc_id""".stripMargin,
     "q_text_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -569,6 +569,29 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing tiles the token stream with no gap or overlap") {
+    val r = run("q_text_pack")
+      .select($"doc_id", $"n_tokens", $"pack_id", $"pack_offset", $"crosses")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val total = Tables.t(spark, sf, "documents")
+      .agg(sum(size(split($"text", " ")))).as[Long].head()
+    assert(r.map(_._2).sum === total, "packing lost or invented tokens")
+    // crosses ⇔ the doc's interval spills past the 256-token boundary
+    r.foreach { case (id, toks, _, off, crosses) =>
+      assert((off + toks > 256) === (crosses == 1L),
+        s"doc $id: offset $off + $toks tokens vs crosses=$crosses")
+      assert(off >= 0 && off < 256, s"doc $id: offset $off out of range")
+    }
+    // global layout is contiguous: sorted by start position, each doc
+    // begins exactly where the previous one ended
+    val starts = r.map(d => (d._3 * 256 + d._4, d._2)).sortBy(_._1)
+    starts.sliding(2).foreach {
+      case Array((s0, t0), (s1, _)) =>
+        assert(s1 === s0 + t0, s"gap/overlap at global position $s0")
+      case _ =>
+    }
+  }
+
   test("drift shares are a ppm distribution; drift is the pairwise gap") {
     val r = run("q_dq_drift")
       .select($"base_ppm", $"cur_ppm", $"drift_ppm")

@@ -77,6 +77,19 @@ class PlanSpec extends SparkSpec {
       s"per-row cumsum must partition by source, got:\n$l"))
   }
 
+  test("sequence packing: per-row cumsum stays source-partitioned") {
+    val p = plan("q_text_pack")
+    val rowWin = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") &&
+        l.contains("sum(toks"))
+      .toSeq
+    assert(rowWin.nonEmpty, s"expected a running-sum window:\n$p")
+    rowWin.foreach(l => assert(l.contains("windowspecdefinition(source"),
+      s"per-row cumsum must partition by source, got:\n$l"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"source offsets should broadcast:\n$p")
+  }
+
   test("triangle wedge join is an equi-join, never a nested loop") {
     val p = plan("q_graph_triangles")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
