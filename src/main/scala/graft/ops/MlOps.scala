@@ -262,7 +262,46 @@ object MlOps extends OpModule {
       .orderBy($"c_custkey")
   }
 
+  /** Deterministic NEGATIVE sampling — the contrastive-training
+    * complement of [[mlRecommend]]'s positives: for every purchasing
+    * customer, the 3 hash-selected brands they never bought, as
+    * (custkey, neg_rank, brand_id) training rows. Hash-ranked (not
+    * random()) so the same corpus yields the same negatives on any
+    * cluster — resumable, diffable, and joinable against a previous
+    * run's model scores.
+    *
+    * Scale shape: candidate generation is users × BROADCAST catalog
+    * (the brand dimension is bounded; a web-scale item catalog would
+    * first hash-sample itself down to a per-user candidate budget),
+    * positives are removed by a left-anti hash join on the composite
+    * key, and the per-user top-3 rank compiles to WindowGroupLimit so
+    * the rank shuffle carries ≤3+|pos| rows per user, not the
+    * catalog. */
+  def mlNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brandOf = regexp_extract($"p_brand", "([0-9]+)", 1)
+      .cast("int").as("brand_id")
+    val brands = Tables.t(s, dir, "part").select(brandOf).distinct()
+    val pos = Tables.t(s, dir, "lineitem")
+      .join(Tables.t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.t(s, dir, "part").select($"p_partkey", brandOf)),
+        $"l_partkey" === $"p_partkey")
+      .select($"o_custkey".as("custkey"), $"brand_id")
+      .distinct()
+    val users = pos.select($"custkey").distinct()
+    val w = Window.partitionBy($"custkey").orderBy($"hv", $"brand_id")
+    users.crossJoin(broadcast(brands))
+      .join(pos, Seq("custkey", "brand_id"), "left_anti")
+      .withColumn("hv", Det.md5int60(concat($"custkey".cast("string"),
+        lit(":"), $"brand_id".cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"custkey", $"rk".cast("long").as("neg_rank"), $"brand_id")
+      .orderBy($"custkey", $"neg_rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ml_negatives" -> (mlNegatives _),
     "q_feat_quantile_norm" -> (featQuantileNorm _),
     "q_feat_bin" -> (featBin _),
     "q_feat_target_encode" -> (featTargetEncode _),
@@ -275,6 +314,32 @@ object MlOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ml_negatives" ->
+      """WITH brands AS (
+        |  SELECT DISTINCT CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT)
+        |    AS brand_id
+        |  FROM part),
+        |pos AS (
+        |  SELECT DISTINCT o.o_custkey AS custkey,
+        |    CAST(regexp_extract(p.p_brand, '([0-9]+)', 1) AS INT) AS brand_id
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey),
+        |users AS (SELECT DISTINCT custkey FROM pos),
+        |cand AS (
+        |  SELECT u.custkey, b.brand_id,
+        |    CAST(('0x' || substr(md5(CAST(u.custkey AS VARCHAR) || ':' ||
+        |      CAST(b.brand_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM users u CROSS JOIN brands b
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |    WHERE p.custkey = u.custkey AND p.brand_id = b.brand_id)),
+        |ranked AS (
+        |  SELECT custkey, brand_id, hv,
+        |    row_number() OVER (PARTITION BY custkey
+        |      ORDER BY hv, brand_id) AS rk
+        |  FROM cand)
+        |SELECT custkey, CAST(rk AS BIGINT) AS neg_rank, brand_id
+        |FROM ranked WHERE rk <= 3 ORDER BY custkey, neg_rank""".stripMargin,
     "q_feat_quantile_norm" ->
       """WITH r AS (
         |  SELECT c_custkey, c_mktsegment, c_acctbal,

@@ -592,6 +592,28 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  test("negative samples avoid positives; each user gets its full quota") {
+    val neg = run("q_ml_negatives")
+      .select($"custkey", $"brand_id").as[(Long, Int)].collect()
+    val pos = Tables.t(spark, sf, "lineitem")
+      .join(Tables.t(spark, sf, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.t(spark, sf, "part"), $"l_partkey" === $"p_partkey")
+      .select($"o_custkey".as("ck"),
+        regexp_extract($"p_brand", "([0-9]+)", 1).cast("int").as("b"))
+      .distinct().as[(Long, Int)].collect()
+    val posSet = pos.toSet
+    neg.foreach { case (u, b) =>
+      assert(!posSet.contains((u, b)), s"user $u: negative $b is a positive")
+    }
+    val posPerUser = pos.groupBy(_._1).view.mapValues(_.length).toMap
+    val negPerUser = neg.groupBy(_._1).view.mapValues(_.length).toMap
+    posPerUser.foreach { case (u, np) =>
+      val quota = math.min(3, 25 - np)
+      assert(negPerUser.getOrElse(u, 0) === quota,
+        s"user $u with $np positives: expected $quota negatives")
+    }
+  }
+
   test("drift shares are a ppm distribution; drift is the pairwise gap") {
     val r = run("q_dq_drift")
       .select($"base_ppm", $"cur_ppm", $"drift_ppm")

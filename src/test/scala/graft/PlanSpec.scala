@@ -90,6 +90,16 @@ class PlanSpec extends SparkSpec {
       s"source offsets should broadcast:\n$p")
   }
 
+  test("negative sampling: group-limited rank, hash anti-join on positives") {
+    val p = plan("q_ml_negatives")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-user top-3 should push a group limit:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"positives must be removed by an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"catalog candidate gen must broadcast:\n$p")
+  }
+
   test("triangle wedge join is an equi-join, never a nested loop") {
     val p = plan("q_graph_triangles")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
