@@ -59,6 +59,44 @@ object Windows extends OpModule {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** INTEGER-EXACT EWMA trend feature — the exponential smoothing the
+    * moving average can't give (recent points dominate): per-nation
+    * daily quantity smoothed with DYADIC weights 2⁷…2⁰ over the last 8
+    * observations. Powers of two make the whole kernel int64 — the
+    * weighted sum and the observed-weight total divide exactly the
+    * same on every engine (no α^i float pow drift, the reason naive
+    * EWMA can't cross an engine boundary bit-stably). Missing lags
+    * (series head) drop out of BOTH numerator and denominator, which
+    * is exactly the standard bias-corrected EWMA warm-up.
+    *
+    * One shuffle on the partition key; the 8 lags are a single window
+    * sort shared by all terms (Catalyst collapses same-spec window
+    * functions into one Window node). */
+  def winEwma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.t(s, dir, "lineitem")
+      .join(Tables.t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("nation"),
+        to_date($"o_orderdate").as("d"))
+      .agg(sum(d12($"l_quantity")).cast("long").as("qty"))
+    val w = Window.partitionBy($"nation").orderBy($"d")
+    val lags = (1 to 7).map(i => lag($"qty", i).over(w).as(s"q$i"))
+    val lagged = daily.select($"nation" +: $"d" +: $"qty" +: lags: _*)
+    val num = (1 to 7).foldLeft($"qty" * 128L) { (acc, i) =>
+      acc + coalesce(col(s"q$i"), lit(0L)) * (1L << (7 - i))
+    }
+    val den = (1 to 7).foldLeft(lit(128L)) { (acc, i) =>
+      acc + when(col(s"q$i").isNull, 0L).otherwise(1L << (7 - i))
+    }
+    lagged
+      .select($"nation", $"d", $"qty",
+        (lit(1000L) * num).as("num"), den.as("den"))
+      .select($"nation", $"d", $"qty",
+        expr("num div den").as("ewma_x1000"))
+      .orderBy($"nation", $"d")
+  }
+
   /** Time-based RANGE frame: per-user trailing-hour event value sum over
     * epoch seconds. Peers at equal seconds are all in-frame (RANGE
     * semantics) so ties are deterministic by construction. */
@@ -219,6 +257,7 @@ object Windows extends OpModule {
     "q_win_ntile_pct" -> (winNtilePct _),
     "q_win_running" -> (winRunning _),
     "q_win_moving_avg" -> (winMovingAvg _),
+    "q_win_ewma" -> (winEwma _),
     "q_win_range_frame" -> (winRangeFrame _),
     "q_win_lead_lag" -> (winLeadLag _),
     "q_win_first_last" -> (winFirstLast _),
@@ -228,6 +267,36 @@ object Windows extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_ewma" ->
+      """WITH daily AS (
+        |  SELECT c.c_nationkey AS nation, CAST(o.o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,4))) AS BIGINT) AS qty
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT nation, d, qty,
+        |    lag(qty, 1) OVER w AS q1, lag(qty, 2) OVER w AS q2,
+        |    lag(qty, 3) OVER w AS q3, lag(qty, 4) OVER w AS q4,
+        |    lag(qty, 5) OVER w AS q5, lag(qty, 6) OVER w AS q6,
+        |    lag(qty, 7) OVER w AS q7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY nation ORDER BY d))
+        |SELECT nation, d, qty,
+        |  CAST(1000 * (qty * 128 + COALESCE(q1, 0) * 64 +
+        |    COALESCE(q2, 0) * 32 + COALESCE(q3, 0) * 16 +
+        |    COALESCE(q4, 0) * 8 + COALESCE(q5, 0) * 4 +
+        |    COALESCE(q6, 0) * 2 + COALESCE(q7, 0))
+        |  // (128 + CASE WHEN q1 IS NULL THEN 0 ELSE 64 END
+        |       + CASE WHEN q2 IS NULL THEN 0 ELSE 32 END
+        |       + CASE WHEN q3 IS NULL THEN 0 ELSE 16 END
+        |       + CASE WHEN q4 IS NULL THEN 0 ELSE 8 END
+        |       + CASE WHEN q5 IS NULL THEN 0 ELSE 4 END
+        |       + CASE WHEN q6 IS NULL THEN 0 ELSE 2 END
+        |       + CASE WHEN q7 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS ewma_x1000
+        |FROM lagged ORDER BY nation, d""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value

@@ -614,6 +614,26 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  test("ewma is a convex combination of its trailing window") {
+    val rows = run("q_win_ewma")
+      .select($"nation", $"qty", $"ewma_x1000").as[(Int, Long, Long)]
+      .collect()
+    // per nation, in output order: smoothed value stays inside the
+    // envelope of the last ≤8 observations, and the series head (no
+    // history) equals the raw value exactly
+    rows.groupBy(_._1).values.foreach { series =>
+      val qs = series.map(_._2)
+      series.zipWithIndex.foreach { case ((_, _, e), i) =>
+        val win = qs.slice(math.max(0, i - 7), i + 1)
+        // integer floor-division loses < 1 unit of the x1000 scale
+        assert(e >= win.min * 1000 - 1 && e <= win.max * 1000,
+          s"ewma $e escapes window [${win.min}, ${win.max}]")
+      }
+      assert(series.head._3 === series.head._2 * 1000,
+        "series head must equal the raw value")
+    }
+  }
+
   test("drift shares are a ppm distribution; drift is the pairwise gap") {
     val r = run("q_dq_drift")
       .select($"base_ppm", $"cur_ppm", $"drift_ppm")

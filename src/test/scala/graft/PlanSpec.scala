@@ -100,6 +100,13 @@ class PlanSpec extends SparkSpec {
       s"catalog candidate gen must broadcast:\n$p")
   }
 
+  test("ewma: all 7 lags collapse into one Window node") {
+    val p = plan("q_win_ewma")
+    val winNodes = p.linesIterator.count(_.contains(" Window ["))
+    assert(winNodes == 1,
+      s"expected the 7 same-spec lags to share one Window node, got $winNodes:\n$p")
+  }
+
   test("triangle wedge join is an equi-join, never a nested loop") {
     val p = plan("q_graph_triangles")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
