@@ -81,9 +81,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      // events.ts is parquet TIMESTAMP(NANOS); session-wide legacy flag
-      // (inherited by newSession clones) instead of a conf.set in the
-      // read path — see Tables.t.
+      // UTC pin: Tables.t's NTZ→TIMESTAMP normalization must be a pure
+      // reinterpretation (same µs count) regardless of host TZ.
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS) in some corpus builds;
+      // session-wide legacy flag (inherited by newSession clones)
+      // instead of a conf.set in the read path — see Tables.t.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver-generated test corpus
   * (`TESTDATA.md`): one parquet file per table under `$sfDir/`.
@@ -19,21 +19,32 @@ object Tables {
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. The session must carry
-      // spark.sql.legacy.parquet.nanosAsLong=true (set at BUILD time in
-      // Verify/Bench/SparkSpec — a conf.set here would be a session
-      // mutation inside a read path, racing any conf-isolation test);
-      // the long is converted to a µs timestamp — lossless: the
-      // generator's ns values are µs-aligned (verified: 0 rows with
-      // sub-µs precision), and DuckDB's TIMESTAMP_NS→TIMESTAMP cast
-      // truncates identically.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) (rounds 1–6)
+      // and as naive TIMESTAMP(MICROS) (round-7 regeneration). Both are
+      // normalized HERE to the session-TZ TIMESTAMP every consumer
+      // (watermarks, unix_micros, window ranges) expects:
+      //  * NANOS — Spark's vectorized reader rejects it unless the
+      //    session carries spark.sql.legacy.parquet.nanosAsLong=true
+      //    (set at BUILD time in Verify/Bench/SparkSpec — a conf.set
+      //    here would be a session mutation inside a read path, racing
+      //    any conf-isolation test); the long is converted to a µs
+      //    timestamp — lossless: the generator's ns values are
+      //    µs-aligned, and DuckDB's TIMESTAMP_NS→TIMESTAMP cast
+      //    truncates identically.
+      //  * naive MICROS — Spark reads it as TIMESTAMP_NTZ; the cast to
+      //    TIMESTAMP reinterprets the same µs count in the session TZ,
+      //    which is pinned to UTC in every entrypoint, so the integer
+      //    value is unchanged and matches DuckDB's naive read exactly.
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       // integral `div`, NOT `/`: double division loses precision above
       // 2^53 and epoch-ns values are ~1.7e18.
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -22,8 +22,9 @@ object Streaming extends OpModule {
 
   private val runId = new AtomicInteger(0)
 
-  /** events as a streaming DataFrame (ns timestamps handled as in
-    * Tables: read as long, convert to µs). */
+  /** events as a streaming DataFrame (ts physical-type drift handled as
+    * in Tables.t: ns-as-long → µs conversion, naive-µs NTZ → session-TZ
+    * cast). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     // nanosAsLong is a session-build conf (see Tables.t) — newSession
     // clones inherit it from the shared SparkConf, no mutation here.
@@ -41,9 +42,14 @@ object Streaming extends OpModule {
       link, java.nio.file.Paths.get(dir, "events.parquet"))
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
     val stream = s.readStream.schema(raw.schema).parquet(stageDir.toString)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else stream
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream
+    }
   }
 
   /** Run a streaming aggregation to exhaustion, return the final table.
