@@ -84,9 +84,90 @@ object C360 extends OpModule {
       .orderBy($"c_custkey")
   }
 
+  /** Linear multi-touch attribution — the marketing-analytics core of a
+    * customer-360: each purchase's value is split equally across the
+    * user's non-purchase touches in the 7 days before it (up to the
+    * purchase, exclusive), and credit is rolled up per touch type.
+    *
+    * Portability: (ts, event_id) packs into one BIGINT sort key (same
+    * encoding as `q_join_asof` — event_id < 1e5 at every sf), so "the
+    * purchase this touch leads to" is a single conditional-min forward
+    * window; credit is integer micro-dollar floor division
+    * (`ROUND(value×10⁴)` then `div n`), exact in both engines — the
+    * remainder (< n µ$) is deliberately unassigned. The final credit is
+    * one exact integer sum cast to double and divided once.
+    *
+    * Scale shape: one window over the events shuffle (user_id), one
+    * equi-join back to purchases on the packed key (same user_id
+    * partitioning — AQE sees co-partitioned children), one bounded
+    * aggregation. No self-cartesian: each touch joins exactly one
+    * purchase. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = lit(1704067200000000L) // unix_micros 2024-01-01T00:00Z
+    val e = Tables.t(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        unix_micros($"ts").as("us"))
+      .withColumn("k", ($"us" - base) * 100000L + $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"k")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tagged = e.withColumn("next_pk",
+      min(when($"event_type" === "purchase", $"k")).over(w))
+    val purchases = tagged.filter($"event_type" === "purchase")
+      .select($"k".as("pk"), $"user_id".as("p_user"),
+        $"us".as("p_us"), $"value".as("p_value"))
+    val credited = tagged
+      .filter($"event_type" =!= "purchase" && $"next_pk".isNotNull)
+      .join(purchases, $"next_pk" === $"pk" && $"user_id" === $"p_user")
+      .filter($"p_us" - $"us" <= 604800000000L) // 7-day lookback, µs
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"pk")))
+      .withColumn("v4", expr("CAST(ROUND(p_value * 10000, 0) AS BIGINT)"))
+    credited.groupBy($"event_type")
+      .agg(count(lit(1)).as("touches"),
+        countDistinct($"pk").as("purchases"),
+        (sum(expr("v4 div n")).cast("double") / 10000).as("credit"))
+      .orderBy($"event_type")
+  }
+
+  /** Audience overlap matrix — for every pair of event types, how many
+    * distinct users did both, plus the Jaccard overlap of the two
+    * audiences. The set-intersection analytics primitive behind
+    * campaign/segment overlap reports.
+    *
+    * Scale shape: one distinct shuffle to the (user, type) audience
+    * table (|users|×|types| rows — far smaller than events), a
+    * user-keyed self-join with fanout bounded by |types|² per user, and
+    * broadcast per-type totals. At 100 TB the audience table is the
+    * only big intermediate and it is linear in users. */
+  def audienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ut = OpCache.cached(s, dir, "audience_ut")(
+      Tables.t(s, dir, "events")
+        .select($"user_id", $"event_type").distinct())
+    val tot = ut.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val pairs = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("both_users"))
+    pairs
+      .join(broadcast(tot.select($"event_type".as("ta_t"), $"n".as("na"))),
+        $"type_a" === $"ta_t")
+      .join(broadcast(tot.select($"event_type".as("tb_t"), $"n".as("nb"))),
+        $"type_b" === $"tb_t")
+      .select($"type_a", $"type_b", $"both_users",
+        r4($"both_users".cast("double") /
+          ($"na" + $"nb" - $"both_users")).as("jaccard"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_c360_profile" -> (profile _),
-    "q_c360_scored" -> (scoredProfile _)
+    "q_c360_scored" -> (scoredProfile _),
+    "q_feat_attribution" -> (attribution _),
+    "q_audience_overlap" -> (audienceOverlap _)
   )
 
   private val pivotCols = eventTypes.map(t =>
@@ -96,6 +177,46 @@ object C360 extends OpModule {
     .mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_feat_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) * 100000
+        |      + event_id AS k
+        |  FROM events),
+        |t AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN k END)
+        |    OVER (PARTITION BY user_id ORDER BY k
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pk
+        |  FROM e),
+        |j AS (
+        |  SELECT a.event_type, a.next_pk AS pk,
+        |    CAST(ROUND(p.value * 10000, 0) AS BIGINT) AS v4
+        |  FROM t a JOIN t p ON a.next_pk = p.k AND a.user_id = p.user_id
+        |  WHERE a.event_type <> 'purchase' AND p.us - a.us <= 604800000000),
+        |sized AS (
+        |  SELECT event_type, pk, v4,
+        |    COUNT(*) OVER (PARTITION BY pk) AS n
+        |  FROM j)
+        |SELECT event_type, COUNT(*) AS touches,
+        |  COUNT(DISTINCT pk) AS purchases,
+        |  CAST(SUM(v4 // n) AS DOUBLE) / 10000 AS credit
+        |FROM sized GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |tot AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*) AS both_users
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, both_users,
+        |  ROUND(CAST(both_users AS DOUBLE) / (ta.n + tb.n - both_users), 4)
+        |    AS jaccard
+        |FROM p JOIN tot ta ON type_a = ta.event_type
+        |       JOIN tot tb ON type_b = tb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "q_c360_profile" ->
       s"""WITH md AS (SELECT CAST(max(o_orderdate) AS DATE) AS maxd FROM orders),
          |of AS (

