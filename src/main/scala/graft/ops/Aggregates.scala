@@ -78,6 +78,31 @@ object Aggregates extends OpModule {
       .orderBy($"g_r", $"g_n", $"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
   }
 
+  /** Distinct-count rollup — unique users per (type, day), per type,
+    * and grand total in one statement: the standard "daily/total active
+    * users" reporting shape where the measure does NOT re-aggregate
+    * across levels (a distinct count is not summable), so every level
+    * must be computed from the raw rows. Spark plans this as Expand
+    * (one replica per rollup level) followed by a two-phase distinct
+    * aggregate — the replication is the inherent cost of multi-level
+    * distinctness, and the partial de-dup on (level, keys, user) runs
+    * map-side, so the shuffle carries one row per distinct combination,
+    * not per event. */
+  def aggDistinctRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .select($"event_type", $"ts".cast("date").as("day"), $"user_id")
+      .rollup($"event_type", $"day")
+      .agg(
+        grouping($"event_type").cast(IntegerType).as("g_t"),
+        grouping($"day").cast(IntegerType).as("g_d"),
+        countDistinct($"user_id").as("users"),
+        count(lit(1)).as("n"))
+      .select($"g_t", $"g_d", $"event_type", $"day", $"users", $"n")
+      .orderBy($"g_t", $"g_d", $"event_type".asc_nulls_first,
+        $"day".asc_nulls_first)
+  }
+
   def aggCube(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.t(s, dir, "orders")
@@ -865,6 +890,7 @@ object Aggregates extends OpModule {
     "q_agg_pricing_summary" -> (pricingSummary _),
     "q_agg_distinct" -> (aggDistinct _),
     "q_agg_rollup" -> (aggRollup _),
+    "q_agg_distinct_rollup" -> (aggDistinctRollup _),
     "q_agg_cube" -> (aggCube _),
     "q_agg_grouping_sets" -> (aggGroupingSets _),
     "q_agg_stats" -> (aggStats _),
@@ -1172,6 +1198,15 @@ object Aggregates extends OpModule {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_agg_distinct_rollup" ->
+      """SELECT CAST(GROUPING(event_type) AS INTEGER) AS g_t,
+        |  CAST(GROUPING(day) AS INTEGER) AS g_d,
+        |  event_type, day,
+        |  COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+        |FROM (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |        user_id FROM events)
+        |GROUP BY ROLLUP (event_type, day)
+        |ORDER BY g_t, g_d, event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
     "q_agg_cube" ->
       """SELECT CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_s,
         |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_p,

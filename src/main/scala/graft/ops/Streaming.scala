@@ -200,7 +200,31 @@ object Streaming extends OpModule {
       .orderBy($"user_id")
   }
 
+  /** Stream-static dimension enrichment — the canonical "enrich the
+    * event stream with a slowly-changing dim" pattern: the purchase
+    * stream inner-joins the STATIC customer table (broadcast — no
+    * stream-stream state, no watermark bookkeeping: the static side is
+    * planned as an ordinary batch relation re-read per micro-batch and
+    * the join is stateless), then aggregates spend per market segment.
+    * At 100 TB the static side is the bounded dim; Spark's planner
+    * broadcasts it into every micro-batch exactly like a batch BHJ. */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runToTable(s, "complete") { ss =>
+      val dim = broadcast(graft.Tables.t(ss, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment"))
+      eventsStream(ss, dir)
+        .filter($"event_type" === "purchase")
+        .join(dim, $"user_id" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("val_sum"))
+    }
+      .select($"c_mktsegment", $"n", $"val_sum")
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_enrich" -> (streamEnrich _),
     "q_stream_stateful" -> (streamStateful _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_tumbling" -> (streamTumbling _),
@@ -210,6 +234,12 @@ object Streaming extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_stream_stateful" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types

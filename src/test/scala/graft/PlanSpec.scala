@@ -320,6 +320,16 @@ class PlanSpec extends SparkSpec {
       s"per-touch purchase lookup must stay an equi-join:\n$p")
   }
 
+  test("distinct rollup: expand feeds a partial (map-side) distinct") {
+    val p = plan("q_agg_distinct_rollup")
+    assert(p.contains("Expand"),
+      s"rollup must plan one replica per level via Expand:\n$p")
+    assert(p.contains("partial_count(distinct") ||
+      p.contains("HashAggregate(keys=[event_type"),
+      s"distinct must pre-aggregate on (level, keys, user) before the shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("audience overlap: totals broadcast, pair join is an equi-join") {
     val p = plan("q_audience_overlap")
     assert(p.contains("BroadcastHashJoin"),
