@@ -564,6 +564,37 @@ object Aggregates extends OpModule {
       .orderBy($"l_returnflag")
   }
 
+  /** Robust center/spread per segment: median, MAD (median absolute
+    * deviation) and a 3-MAD outlier count over customer balances — the
+    * outlier detector that, unlike the z-score (`q_dq_anomaly`), is not
+    * itself dragged by the outliers it hunts. Exact MAD is inherently
+    * two-pass (the deviations need the median first); each pass is one
+    * group-key shuffle and the per-group medians broadcast back, so at
+    * 100 TB the cost is two linear scans, never a per-row sort. Both
+    * engines interpolate percentiles identically (proven by
+    * `q_agg_percentile`), and every derived double (deviation,
+    * 3×MAD threshold) is a single IEEE op on identical inputs, so the
+    * outlier comparisons agree bit-for-bit. */
+  def aggMad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer")
+      .select($"c_mktsegment", $"c_acctbal")
+    val med = c.groupBy($"c_mktsegment")
+      .agg(percentile($"c_acctbal", lit(0.5)).as("med"))
+    val dev = c.join(broadcast(med), Seq("c_mktsegment"))
+      .withColumn("adev", abs($"c_acctbal" - $"med"))
+    val mad = dev.groupBy($"c_mktsegment")
+      .agg(percentile($"adev", lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq("c_mktsegment"))
+      .groupBy($"c_mktsegment")
+      .agg(
+        max($"med").as("median_bal"),
+        max($"mad").as("mad_bal"),
+        count(when($"adev" > $"mad" * 3.0, lit(1))).as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Fixed-width histogram of order totals: exact integer bucketing. */
   def aggHistogram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -891,6 +922,7 @@ object Aggregates extends OpModule {
     "q_agg_distinct" -> (aggDistinct _),
     "q_agg_rollup" -> (aggRollup _),
     "q_agg_distinct_rollup" -> (aggDistinctRollup _),
+    "q_agg_mad" -> (aggMad _),
     "q_agg_cube" -> (aggCube _),
     "q_agg_grouping_sets" -> (aggGroupingSets _),
     "q_agg_stats" -> (aggStats _),
@@ -1198,6 +1230,23 @@ object Aggregates extends OpModule {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_agg_mad" ->
+      """WITH med AS (
+        |  SELECT c_mktsegment,
+        |    quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5) AS med
+        |  FROM customer GROUP BY c_mktsegment),
+        |dev AS (
+        |  SELECT c.c_mktsegment, abs(c_acctbal - med) AS adev, med
+        |  FROM customer c JOIN med USING (c_mktsegment)),
+        |mad AS (
+        |  SELECT c_mktsegment, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY c_mktsegment)
+        |SELECT d.c_mktsegment, max(d.med) AS median_bal,
+        |  max(m.mad) AS mad_bal,
+        |  COUNT(CASE WHEN d.adev > m.mad * 3.0 THEN 1 END) AS n_outliers,
+        |  COUNT(*) AS n
+        |FROM dev d JOIN mad m USING (c_mktsegment)
+        |GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""".stripMargin,
     "q_agg_distinct_rollup" ->
       """SELECT CAST(GROUPING(event_type) AS INTEGER) AS g_t,
         |  CAST(GROUPING(day) AS INTEGER) AS g_d,

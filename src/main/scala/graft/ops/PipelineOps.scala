@@ -519,7 +519,40 @@ object PipelineOps extends OpModule {
       .orderBy($"bin")
   }
 
+  /** Deterministic Poisson(1) bootstrap — resampling-by-WEIGHT, the
+    * scalable form of the bootstrap: instead of materializing resampled
+    * copies, each (row, replicate) draws k ~ Poisson(1) from the
+    * portable md5 hash through an exact inverse-CDF ppm ladder, and the
+    * replicate estimate is the k-weighted aggregate. 3 replicates of
+    * per-status order totals; uncertainty = spread across replicates.
+    * Scale shape: a 3× map-side expand (no shuffle growth — the
+    * aggregate collapses it), one group-by; weights are BIGINT and the
+    * weighted sum runs through exact decimal, so replicates are
+    * bit-reproducible on any cluster topology. */
+  def sampleBootstrap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .withColumn("rep", explode(array(lit(0), lit(1), lit(2))))
+    val u = md5int(concat($"o_orderkey".cast("string"), lit(":"),
+      $"rep".cast("string"))) % 1000000L
+    // Poisson(1) CDF in exact ppm: P(≤0)=.367879, ≤1=.735759,
+    // ≤2=.919699, ≤3=.981012, ≤4=.996340; tail mass lumped into k=5
+    val k = when(u < 367879L, 0L).when(u < 735759L, 1L)
+      .when(u < 919699L, 2L).when(u < 981012L, 3L)
+      .when(u < 996340L, 4L).otherwise(5L)
+    o.withColumn("k", k)
+      .groupBy($"rep", $"o_orderstatus")
+      .agg(
+        sum($"k").as("n_drawn"),
+        sum($"k".cast("decimal(2,0)") * d12($"o_totalprice"))
+          .cast("double").as("total"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"rep", $"o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sample_bootstrap" -> (sampleBootstrap _),
     "q_dq_drift" -> (dqDrift _),
     "q_sample_consistent" -> (sampleConsistent _),
     "q_sample_stratified" -> (sampleStratified _),
@@ -539,6 +572,29 @@ object PipelineOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_bootstrap" ->
+      """WITH ex AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    UNNEST([0, 1, 2]) AS rep
+        |  FROM orders),
+        |ku AS (
+        |  SELECT o_orderstatus, rep, o_totalprice,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+        |      || CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS u
+        |  FROM ex),
+        |kk AS (
+        |  SELECT o_orderstatus, rep, o_totalprice,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |         WHEN u < 996340 THEN 4 ELSE 5 END AS k
+        |  FROM ku)
+        |SELECT rep, o_orderstatus,
+        |  CAST(SUM(k) AS BIGINT) AS n_drawn,
+        |  CAST(SUM(CAST(k AS DECIMAL(2,0))
+        |    * CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total,
+        |  COUNT(*) AS n_orders
+        |FROM kk GROUP BY rep, o_orderstatus
+        |ORDER BY rep, o_orderstatus""".stripMargin,
     "q_sample_mix" ->
       """WITH docs AS (
         |  SELECT doc_id, source, n_chars,

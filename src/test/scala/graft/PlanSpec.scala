@@ -330,6 +330,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("mad: per-group medians broadcast back, no cartesian") {
+    val p = plan("q_agg_mad")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-group median/MAD tables should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"deviation pass must stay an equi-join:\n$p")
+  }
+
   test("audience overlap: totals broadcast, pair join is an equi-join") {
     val p = plan("q_audience_overlap")
     assert(p.contains("BroadcastHashJoin"),
