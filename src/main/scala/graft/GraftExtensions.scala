@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleGen].getName, "shingle_gen"),
       GraftExtensions.shingleGenBuilder))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

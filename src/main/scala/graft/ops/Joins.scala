@@ -186,6 +186,30 @@ object Joins extends OpModule {
       .orderBy($"event_id")
   }
 
+  /** The same as-of query as [[joinAsof]], answered by the NATIVE
+    * operator ([[graft.plans.AsOfJoinExec]] via the imperative builder)
+    * instead of the union+window composition: purchases as-of join the
+    * non-purchase stream on (user, packed ts|id key). Same rows, same
+    * oracle — the point is the PLAN: two co-partitioned sorts and one
+    * O(n+m) constant-state merge per partition, no window over the
+    * union (plan shape pinned in PlanSpec, equality with the window
+    * form pinned in ScalaTest). */
+  def joinAsofNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+    val base = lit(1704067200000000L)
+    val packed = (unix_micros($"ts") - base) * 100000L + $"event_id"
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", packed.as("k"))
+    val touches = e.filter($"event_type" =!= "purchase")
+      .select($"user_id".as("r_user"), packed.as("r_k"))
+    org.apache.spark.sql.graft.GraftFunctions.asofJoin(
+        purchases, touches, "user_id", "k", "r_user", "r_k")
+      .select($"event_id", $"user_id",
+        ($"r_k" % 100000L).as("prior_event_id"))
+      .orderBy($"event_id")
+  }
+
   /** Salted skew join, end-to-end: events (the big, potentially skewed
     * side) joined to customer through `SkewJoin.salted` — each hot
     * user_id is spread over 8 salt partitions, the dimension side is
@@ -398,7 +422,8 @@ object Joins extends OpModule {
     "q_join_theta_range" -> (joinThetaRange _),
     "q_join_range_binned" -> (joinRangeBinned _),
     "q_join_interval" -> (joinInterval _),
-    "q_join_asof" -> (joinAsof _)
+    "q_join_asof" -> (joinAsof _),
+    "q_join_asof_native" -> (joinAsofNative _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -554,6 +579,21 @@ object Joins extends OpModule {
         |  AND o_totalprice BETWEEN value * 500 AND value * 5000
         |ORDER BY event_id, o_orderkey""".stripMargin,
     "q_join_asof" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |k AS (
+        |  SELECT event_id, user_id, event_type,
+        |    max(CASE WHEN event_type <> 'purchase'
+        |      THEN (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) * 100000 + event_id END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_key
+        |  FROM e)
+        |SELECT event_id, user_id, prior_key % 100000 AS prior_event_id
+        |FROM k WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    // same query, native-operator path — identical oracle by design
+    "q_join_asof_native" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |  FROM events),

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions
+
+/** The native as-of operator (`graft.plans.AsOfJoinExec`): semantics on
+  * adversarial synthetic data, equality with the union+window
+  * composition on the real corpus, and the plan shape. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def asof(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame) =
+    GraftFunctions.asofJoin(l, r, "key", "ts", "rkey", "rts")
+
+  test("asof picks the latest strictly-earlier row per key, else null") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"),
+      (3L, 7L, "d")).toDF("key", "ts", "tag")
+    val right = Seq((1L, 9L, "r1"), (1L, 10L, "r2"), (1L, 19L, "r3"),
+      (2L, 5L, "r4"), (9L, 1L, "r9")).toDF("rkey", "rts", "rtag")
+    val got = asof(left, right)
+      .select($"tag", $"rtag").as[(String, String)].collect().toMap
+    // ts=10: r1 (rts 9 < 10; r2's rts 10 is NOT strictly earlier)
+    assert(got("a") === "r1")
+    // ts=20: r3 is the latest of {9, 10, 19}
+    assert(got("b") === "r3")
+    // key 2 at ts=5: r4 has rts 5, not strictly earlier → null
+    assert(got("c") === null)
+    // key 3 has no right rows at all → null
+    assert(got("d") === null)
+  }
+
+  test("asof survives multi-partition shuffles and key collisions") {
+    // 100 keys × 20 left rows, right rows interleaved; forces real
+    // hash exchanges (shuffle.partitions=4 in this session) and keys
+    // that land in every partition
+    val left = spark.range(2000).select(
+      (col("id") % 100).as("key"), (col("id") * 7 % 1000).as("ts"),
+      col("id").as("lid"))
+    val right = spark.range(3000).select(
+      (col("id") % 100).as("rkey"), (col("id") * 11 % 1000).as("rts"),
+      col("id").as("rid"))
+    val got = asof(left, right)
+    // reference: window-free SQL semantics via a correlated max
+    left.createOrReplaceTempView("aol")
+    right.createOrReplaceTempView("aor")
+    val ref = spark.sql(
+      """SELECT l.lid,
+        |  (SELECT max(struct(r.rts, r.rid)).rid FROM aor r
+        |   WHERE r.rkey = l.key AND r.rts < l.ts) AS rid
+        |FROM aol l""".stripMargin)
+    val g = got.select($"lid", $"rid").as[(Long, Option[Long])]
+      .collect().toMap
+    val e = ref.as[(Long, Option[Long])].collect().toMap
+    assert(g.size === e.size)
+    // the operator ties on (rts) by LAST in (key, ts, input) sort order;
+    // the reference picks max (rts, rid) — align by comparing rts only
+    val rtsOf = right.select($"rid", $"rts").as[(Long, Long)]
+      .collect().toMap
+    e.foreach { case (lid, erid) =>
+      val grid = g(lid)
+      assert(grid.isDefined === erid.isDefined, s"lid $lid presence")
+      (grid, erid) match {
+        case (Some(a), Some(b)) =>
+          assert(rtsOf(a) === rtsOf(b), s"lid $lid: picked rts differs")
+        case _ =>
+      }
+    }
+  }
+
+  test("native as-of equals the union+window composition on the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("q_join_asof")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q_join_asof_native")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("plan: native exec node, co-partitioned sorts, no Window") {
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q_join_asof_native")(spark, dir)
+    df.count() // materialize AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"native exec missing:\n$p")
+    assert(!p.contains(" Window "), s"window crept back in:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 2,
+      s"both sides should hash-cluster on the key:\n$p")
+  }
+}
