@@ -210,6 +210,51 @@ object Joins extends OpModule {
       .orderBy($"event_id")
   }
 
+  /** Nearest-event join — for each purchase, the temporally NEAREST
+    * non-purchase event of the same user within ±1 hour (|Δus|; tie →
+    * the earlier side; within a side, same-µs ties break by event_id
+    * toward the packed-key order). Composed from TWO passes of the
+    * native as-of operator: backward as-of for the latest prior touch,
+    * then a forward as-of obtained by running backward as-of over the
+    * NEGATED packed keys. The second pass's left side is the first
+    * pass's output, whose exec preserves the hash(user) clustering —
+    * so the purchases shuffle once and only re-sort for pass two
+    * (pinned in PlanSpec: exactly 3 hash exchanges, one per scan). */
+  def joinNearest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+    val base = lit(1704067200000000L)
+    val us = unix_micros($"ts")
+    val packed = (us - base) * 100000L + $"event_id"
+    val purch = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", us.as("pus"), packed.as("k"))
+    val touchB = e.filter($"event_type" =!= "purchase")
+      .select($"user_id".as("bu"), us.as("bus"), $"event_id".as("b_id"),
+        packed.as("b_k"))
+    val touchF = e.filter($"event_type" =!= "purchase")
+      .select($"user_id".as("fu"), us.as("fus"), $"event_id".as("f_id"),
+        (-packed).as("f_nk"))
+    val back = org.apache.spark.sql.graft.GraftFunctions.asofJoin(
+      purch, touchB, "user_id", "k", "bu", "b_k")
+    val both = org.apache.spark.sql.graft.GraftFunctions.asofJoin(
+      back.withColumn("nk", -$"k"), touchF, "user_id", "nk", "fu", "f_nk")
+    val hour = 3600000000L
+    val db = $"pus" - $"bus"
+    val df_ = $"fus" - $"pus"
+    val backOk = $"b_id".isNotNull && db <= hour
+    val fwdOk = $"f_id".isNotNull && df_ <= hour
+    both
+      .filter(backOk || fwdOk)
+      .select($"event_id", $"user_id",
+        when(backOk && (!fwdOk || db <= df_), $"b_id").otherwise($"f_id")
+          .as("nearest_event_id"),
+        when(backOk && (!fwdOk || db <= df_), db).otherwise(df_)
+          .as("delta_us"),
+        when(backOk && (!fwdOk || db <= df_), lit("back"))
+          .otherwise(lit("fwd")).as("dir"))
+      .orderBy($"event_id")
+  }
+
   /** Salted skew join, end-to-end: events (the big, potentially skewed
     * side) joined to customer through `SkewJoin.salted` — each hot
     * user_id is spread over 8 salt partitions, the dimension side is
@@ -423,7 +468,8 @@ object Joins extends OpModule {
     "q_join_range_binned" -> (joinRangeBinned _),
     "q_join_interval" -> (joinInterval _),
     "q_join_asof" -> (joinAsof _),
-    "q_join_asof_native" -> (joinAsofNative _)
+    "q_join_asof_native" -> (joinAsofNative _),
+    "q_join_nearest" -> (joinNearest _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -592,6 +638,31 @@ object Joins extends OpModule {
         |SELECT event_id, user_id, prior_key % 100000 AS prior_event_id
         |FROM k WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    "q_join_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) * 100000
+        |      + event_id AS k
+        |  FROM events),
+        |p AS (SELECT event_id, user_id, us AS pus, k AS pk FROM e
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS t_id, user_id, us AS tus, k AS tk FROM e
+        |      WHERE event_type <> 'purchase'),
+        |cand AS (
+        |  SELECT p.event_id, p.user_id, t.t_id,
+        |    CASE WHEN t.tk < p.pk THEN p.pus - t.tus ELSE t.tus - p.pus END AS d,
+        |    CASE WHEN t.tk < p.pk THEN 0 ELSE 1 END AS side,
+        |    CASE WHEN t.tk < p.pk THEN -t.tk ELSE t.tk END AS kord
+        |  FROM p JOIN t ON p.user_id = t.user_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY d, side, kord) AS rn
+        |  FROM cand WHERE d <= 3600000000)
+        |SELECT event_id, user_id, t_id AS nearest_event_id,
+        |  CAST(d AS BIGINT) AS delta_us,
+        |  CASE WHEN side = 0 THEN 'back' ELSE 'fwd' END AS dir
+        |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // same query, native-operator path — identical oracle by design
     "q_join_asof_native" ->
       """WITH e AS (

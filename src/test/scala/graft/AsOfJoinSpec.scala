@@ -77,6 +77,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("nearest composition: purchases shuffle once across both passes") {
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q_join_nearest")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("AsOfJoin")) === 2,
+      s"expected both native passes in one plan:\n$p")
+    // 3 hash exchanges: purchases once (pass 2 reuses the preserved
+    // clustering), each touch scan once; the final orderBy adds a
+    // range exchange, not a hash one
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 3,
+      s"purchases must not re-shuffle between the two as-of passes:\n$p")
+  }
+
   test("plan: native exec node, co-partitioned sorts, no Window") {
     val dir = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("q_join_asof_native")(spark, dir)
