@@ -595,6 +595,44 @@ object Aggregates extends OpModule {
       .orderBy($"c_mktsegment")
   }
 
+  /** A/B experiment readout — deterministic 50/50 assignment by the
+    * portable user hash, then a Welch t-statistic on event value per
+    * event type: the experimentation-analytics staple. Cross-engine
+    * determinism: per-arm count / sum / sum-of-squares run through
+    * exact decimal (the sum-of-squares is ROUND(…,4)'d before the
+    * double cast so the unscaled value stays under 2^53), and the
+    * t-stat is then a fixed chain of IEEE double ops on identical
+    * operands — both engines evaluate the same expression tree, so the
+    * result is bit-identical before the final ROUND 4 (the
+    * `q_agg_ols` precedent). Scale shape: one map-side-combinable
+    * aggregation over (type, arm); everything after is on ≤10 rows. */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.t(s, dir, "events")
+      .withColumn("arm",
+        (md5int60($"user_id".cast("string")) % 2L).cast("int"))
+      .groupBy($"event_type", $"arm")
+      .agg(count(lit(1)).as("n"),
+        sumMoney($"value").as("sv"),
+        dbl4(sum(d12($"value") * d12($"value"))).as("ssv"))
+    val a = g.filter($"arm" === 0)
+      .select($"event_type", $"n".as("n_a"), $"sv".as("sv_a"),
+        $"ssv".as("ssv_a"))
+    val b = g.filter($"arm" === 1)
+      .select($"event_type".as("et_b"), $"n".as("n_b"), $"sv".as("sv_b"),
+        $"ssv".as("ssv_b"))
+    a.join(b, $"event_type" === $"et_b")
+      .select($"event_type", $"n_a", $"n_b",
+        r4($"sv_a" / $"n_a").as("mean_a"),
+        r4($"sv_b" / $"n_b").as("mean_b"),
+        r4((($"sv_a" / $"n_a") - ($"sv_b" / $"n_b")) /
+          sqrt(
+            (($"ssv_a" - ($"sv_a" * $"sv_a") / $"n_a") / ($"n_a" - 1) / $"n_a") +
+            (($"ssv_b" - ($"sv_b" * $"sv_b") / $"n_b") / ($"n_b" - 1) / $"n_b")
+          )).as("t_stat"))
+      .orderBy($"event_type")
+  }
+
   /** Fixed-width histogram of order totals: exact integer bucketing. */
   def aggHistogram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -923,6 +961,7 @@ object Aggregates extends OpModule {
     "q_agg_rollup" -> (aggRollup _),
     "q_agg_distinct_rollup" -> (aggDistinctRollup _),
     "q_agg_mad" -> (aggMad _),
+    "q_ab_test" -> (abTest _),
     "q_agg_cube" -> (aggCube _),
     "q_agg_grouping_sets" -> (aggGroupingSets _),
     "q_agg_stats" -> (aggStats _),
@@ -1230,6 +1269,29 @@ object Aggregates extends OpModule {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_ab_test" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 2 AS INTEGER) AS arm,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sv,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))
+        |      * CAST(value AS DECIMAL(12,4))), 4) AS DOUBLE) AS ssv
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, n AS n_a, sv AS sv_a, ssv AS ssv_a
+        |      FROM g WHERE arm = 0),
+        |b AS (SELECT event_type, n AS n_b, sv AS sv_b, ssv AS ssv_b
+        |      FROM g WHERE arm = 1)
+        |SELECT a.event_type, n_a, n_b,
+        |  ROUND(sv_a / n_a, 4) AS mean_a,
+        |  ROUND(sv_b / n_b, 4) AS mean_b,
+        |  ROUND(((sv_a / n_a) - (sv_b / n_b)) /
+        |    sqrt(((ssv_a - (sv_a * sv_a) / n_a) / (n_a - 1) / n_a)
+        |       + ((ssv_b - (sv_b * sv_b) / n_b) / (n_b - 1) / n_b)), 4)
+        |    AS t_stat
+        |FROM a JOIN b ON a.event_type = b.event_type
+        |ORDER BY a.event_type""".stripMargin,
     "q_agg_mad" ->
       """WITH med AS (
         |  SELECT c_mktsegment,

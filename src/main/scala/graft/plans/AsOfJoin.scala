@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
   SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator custom plan: backward as-of join — the §2.C stretch
   * rung of the custom-operator ladder (logical node + SparkStrategy +
@@ -77,6 +78,12 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext,
+      "left rows with an as-of match"))
+
   /** Both children clustered on their key: EnsureRequirements inserts
     * the two hash exchanges AND aligns their partition counts, so
     * `zipPartitions` below pairs co-keyed partitions. */
@@ -113,6 +120,8 @@ case class AsOfJoinExec(
     val rtIdx = ordinal(right.output, rightTs, "right ts")
     val rightWidth = right.output.size
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // per-output unsafe projection: downstream operators may hold a
       // reference across next() calls on non-buffering paths; the
@@ -139,8 +148,10 @@ case class AsOfJoinExec(
           if (rRow.getLong(rkIdx) == lk) { m = rRow.copy(); mKey = lk }
           rRow = if (rIter.hasNext) rIter.next() else null
         }
-        val matched = if (m != null && mKey == lk) m else nullRow
-        proj(joined(l, matched))
+        val hit = m != null && mKey == lk
+        if (hit) numMatched += 1
+        numOutputRows += 1
+        proj(joined(l, if (hit) m else nullRow))
       }
     }
   }
