@@ -103,13 +103,70 @@ object Embeddings extends OpModule {
       .orderBy($"vec_id")
   }
 
+  /** Matryoshka/truncation quality profile — how much of each vector's
+    * energy (squared L2 norm) the first k dimensions capture, averaged
+    * per label for k ∈ {8, 16, 32}: the measurement behind
+    * "can we serve the 16-dim prefix?" embedding-truncation decisions.
+    * Determinism: each prefix energy is a SEQUENTIAL left fold over the
+    * array (`aggregate` here, `list_reduce` in DuckDB — the same
+    * float-addition order, the `q_sim_topk_cosine` precedent), the
+    * per-row ratio is rounded to integer ppm, and the per-label average
+    * is an exact integer sum with one final division. Scale shape: one
+    * stateless map per row (stays in codegen), one combinable
+    * aggregation on ≤|labels| groups. */
+  def embMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def energy(k: Int): org.apache.spark.sql.Column =
+      aggregate(slice($"embedding", 1, k), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+    def ppm(k: Int): org.apache.spark.sql.Column =
+      round(energy(k) / energy(64) * 1000000d, 0).cast("long")
+    Tables.t(s, dir, "embeddings")
+      .select($"label", ppm(8).as("p8"), ppm(16).as("p16"),
+        ppm(32).as("p32"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"p8").cast("double") / count(lit(1)), 4).as("avg8_ppm"),
+        round(sum($"p16").cast("double") / count(lit(1)), 4).as("avg16_ppm"),
+        round(sum($"p32").cast("double") / count(lit(1)), 4).as("avg32_ppm"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_emb_matryoshka" -> (embMatryoshka _),
     "q_emb_centroids" -> (embCentroids _),
     "q_emb_pq" -> (embPq _),
     "q_sim_centroid_assign" -> (simCentroidAssign _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_emb_matryoshka" ->
+      """WITH r AS (
+        |  SELECT label,
+        |    CAST(ROUND(
+        |      list_reduce(list_transform(embedding[1:8],
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)
+        |      / list_reduce(list_transform(embedding[1:64],
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)
+        |      * 1000000, 0) AS BIGINT) AS p8,
+        |    CAST(ROUND(
+        |      list_reduce(list_transform(embedding[1:16],
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)
+        |      / list_reduce(list_transform(embedding[1:64],
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)
+        |      * 1000000, 0) AS BIGINT) AS p16,
+        |    CAST(ROUND(
+        |      list_reduce(list_transform(embedding[1:32],
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)
+        |      / list_reduce(list_transform(embedding[1:64],
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)
+        |      * 1000000, 0) AS BIGINT) AS p32
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(p8) AS DOUBLE) / COUNT(*), 4) AS avg8_ppm,
+        |  ROUND(CAST(SUM(p16) AS DOUBLE) / COUNT(*), 4) AS avg16_ppm,
+        |  ROUND(CAST(SUM(p32) AS DOUBLE) / COUNT(*), 4) AS avg32_ppm
+        |FROM r GROUP BY label ORDER BY label""".stripMargin,
     "q_emb_pq" ->
       """WITH q AS (
         |  SELECT vec_id,
