@@ -476,6 +476,45 @@ object PipelineOps extends OpModule {
       .orderBy($"user_id", $"ver")
   }
 
+  /** SCD2 READ side — the lookup [[scd2Build]] exists to serve: for
+    * each (user, weekly cutoff) probe, the version active at that
+    * instant (latest `valid_from` ≤ probe). Runs on the NATIVE as-of
+    * operator ([[graft.plans.AsOfJoinExec]]) with the version table as
+    * the wide right side — the case the operator is designed for: the
+    * union+window alternative would drag every version column through
+    * window state, the merge carries one buffered row. Probes pack the
+    * cutoff as `(µs+1)·10⁵` so the strict `<` on packed keys is exactly
+    * `valid_from ≤ cutoff` (event ids < 10⁵). Probes before a user's
+    * first version drop (no admissible row — same leakage-safe rule as
+    * `q_feat_pit_join`). */
+  def scd2Asof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = 1704067200000000L
+    val e = Tables.t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val versions = e
+      .withColumn("chg",
+        when(lag($"event_type", 1).over(w).isNull ||
+          lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("ver", sum($"chg").over(run))
+      .select($"user_id".as("r_user"),
+        ((unix_micros($"ts") - base) * 100000L + $"event_id").as("r_k"),
+        $"event_type".as("state"), $"ver")
+    val probes = e.select($"user_id").distinct()
+      .crossJoin(broadcast(
+        Seq("2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
+          .toDF("d").select($"d".cast("date").as("snap_date"))))
+      .withColumn("pk",
+        (unix_micros($"snap_date".cast("timestamp")) - base + 1L) * 100000L)
+    org.apache.spark.sql.graft.GraftFunctions.asofJoin(
+        probes, versions, "user_id", "pk", "r_user", "r_k")
+      .filter($"state".isNotNull)
+      .select($"user_id", $"snap_date", $"state", $"ver")
+      .orderBy($"user_id", $"snap_date")
+  }
+
   /** Distribution-drift monitor between two table snapshots — the
     * admission-gate companion to [[dqProfile]] (is the schema sane) and
     * [[dqAnomaly]] (is today's volume sane): has the VALUE DISTRIBUTION
@@ -553,6 +592,7 @@ object PipelineOps extends OpModule {
 
   val queries: Map[String, Q] = Map(
     "q_sample_bootstrap" -> (sampleBootstrap _),
+    "q_scd2_asof" -> (scd2Asof _),
     "q_dq_drift" -> (dqDrift _),
     "q_sample_consistent" -> (sampleConsistent _),
     "q_sample_stratified" -> (sampleStratified _),
@@ -572,6 +612,33 @@ object PipelineOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scd2_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+        |      AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |v AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS ver
+        |  FROM chg),
+        |d AS (
+        |  SELECT UNNEST([DATE '2024-01-08', DATE '2024-01-15',
+        |                 DATE '2024-01-22', DATE '2024-01-29']) AS snap_date),
+        |cand AS (
+        |  SELECT user_id, snap_date, event_type, ver,
+        |    row_number() OVER (PARTITION BY user_id, snap_date
+        |      ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM v CROSS JOIN d
+        |  WHERE us < epoch_us(CAST(snap_date AS TIMESTAMP)) + 1)
+        |SELECT user_id, snap_date, event_type AS state,
+        |  CAST(ver AS BIGINT) AS ver
+        |FROM cand WHERE rn = 1 ORDER BY user_id, snap_date""".stripMargin,
     "q_sample_bootstrap" ->
       """WITH ex AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice,
