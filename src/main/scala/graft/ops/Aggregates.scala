@@ -633,6 +633,42 @@ object Aggregates extends OpModule {
       .orderBy($"event_type")
   }
 
+  /** Pareto / ABC revenue classification per market segment — "which
+    * customers are the 80%": per-customer revenue on the integer-cents
+    * grid, ranked descending within segment, classified by cumulative
+    * share (A ≤ 80%, B ≤ 95%, C rest). The share thresholds are exact
+    * RATIONAL comparisons (`cum·5 ≤ tot·4`, `cum·20 ≤ tot·19`) — no
+    * ppm scaling whose ×10⁶ could overflow int64 on a 100-TB segment,
+    * and no float share whose rounding could flip the boundary
+    * customer. Scale shape: one shuffle to the per-customer table
+    * (O(customers) ≪ O(orders)); the running window partitions by
+    * SEGMENT, so the sort is per-segment-parallel and bounded by
+    * customers-per-segment, never a corpus-global single partition. */
+  def aggPareto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"c_custkey")
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+        .cast("long").as("rev_c"))
+    val seg = Window.partitionBy($"c_mktsegment")
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"rev_c".desc, $"c_custkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum", sum($"rev_c").over(w))
+      .withColumn("tot", sum($"rev_c").over(seg))
+      .withColumn("clazz",
+        when($"cum" * 5L <= $"tot" * 4L, "A")
+          .when($"cum" * 20L <= $"tot" * 19L, "B")
+          .otherwise("C"))
+      .groupBy($"c_mktsegment", $"clazz")
+      .agg(count(lit(1)).as("n_cust"),
+        (sum($"rev_c").cast("double") / 100d).as("revenue"))
+      .orderBy($"c_mktsegment", $"clazz")
+  }
+
   /** Fixed-width histogram of order totals: exact integer bucketing. */
   def aggHistogram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -962,6 +998,7 @@ object Aggregates extends OpModule {
     "q_agg_distinct_rollup" -> (aggDistinctRollup _),
     "q_agg_mad" -> (aggMad _),
     "q_ab_test" -> (abTest _),
+    "q_agg_pareto" -> (aggPareto _),
     "q_agg_cube" -> (aggCube _),
     "q_agg_grouping_sets" -> (aggGroupingSets _),
     "q_agg_stats" -> (aggStats _),
@@ -1269,6 +1306,25 @@ object Aggregates extends OpModule {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_agg_pareto" ->
+      """WITH rev AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT c_mktsegment, rev_c,
+        |    SUM(rev_c) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY rev_c DESC, c_custkey ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(rev_c) OVER (PARTITION BY c_mktsegment) AS tot
+        |  FROM rev)
+        |SELECT c_mktsegment,
+        |  CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+        |       WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS clazz,
+        |  COUNT(*) AS n_cust,
+        |  CAST(SUM(rev_c) AS DOUBLE) / 100 AS revenue
+        |FROM cum GROUP BY 1, 2 ORDER BY c_mktsegment, clazz""".stripMargin,
     "q_ab_test" ->
       """WITH g AS (
         |  SELECT event_type,
