@@ -68,6 +68,38 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("property: matched ts is the max eligible ts, null iff none (seeded random)") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 8) {
+      // small key space forces duplicates and hot keys; ts collisions
+      // on both sides exercise the strict-< boundary and right-side
+      // ties (contract: SOME max-ts row — assert on ts, not identity)
+      val nl = 50 + rnd.nextInt(250)
+      val nr = rnd.nextInt(400) // round sizes include a tiny right side
+      val left = (0 until nl).map(i =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(40).toLong, i.toLong))
+        .toDF("key", "ts", "lid")
+      val right = (0 until nr).map(i =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(40).toLong, i.toLong))
+        .toDF("rkey", "rts", "rid")
+      val got = asof(left, right)
+        .select($"lid", $"key", $"ts", $"rts")
+        .as[(Long, Long, Long, Option[Long])].collect()
+      assert(got.length === nl, s"round $round: row count")
+      val rightRows = right.as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      got.foreach { case (lid, k, ts, rts) =>
+        val eligible = rightRows.getOrElse(k, Array.empty[Long])
+          .filter(_ < ts)
+        if (eligible.isEmpty)
+          assert(rts.isEmpty, s"round $round lid $lid: expected null")
+        else
+          assert(rts.contains(eligible.max),
+            s"round $round lid $lid: got $rts want ${eligible.max}")
+      }
+    }
+  }
+
   test("native as-of equals the union+window composition on the corpus") {
     val dir = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("q_join_asof")(spark, dir)
