@@ -184,6 +184,46 @@ object Streaming extends OpModule {
       .orderBy($"p_id", $"c_id")
   }
 
+  /** Stream-stream LEFT OUTER join — the state-EXPIRY semantics the
+    * inner join never exercises: purchases with no same-user click in
+    * the preceding hour must still emit (null-matched) once the
+    * watermark proves no match can arrive. The left side is cut at a
+    * FIXED date safely inside the corpus (Jan 29; events run through
+    * Jan 31) so the final watermark (max event time − 1 h, advanced by
+    * the closing no-data micro-batch) passes every retained left row —
+    * end-of-stream output is then deterministically total and equals
+    * the batch left join the oracle runs. At 100 TB the same watermark
+    * bound is what keeps the outer-join state store finite. */
+  def streamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runToTable(s, "append") { ss =>
+      // watermark policy MAX (set on the CLONED session): with the
+      // default min policy the global watermark is capped by the
+      // purchase stream's own max (cutoff − 1 h), so purchases in the
+      // final hour before the cutoff would never receive their outer
+      // emission. The click stream runs a day past the cutoff; its
+      // watermark releases every retained left row. Single staged file
+      // ⇒ one data micro-batch, so the laxer policy cannot drop late
+      // rows here.
+      ss.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+      val purchases = eventsStream(ss, dir)
+        .filter($"event_type" === "purchase" &&
+          $"ts" < lit("2024-01-29").cast("timestamp"))
+        .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = eventsStream(ss, dir).filter($"event_type" === "click")
+        .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+          $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      purchases.join(clicks,
+        $"user_id" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts",
+        "left_outer")
+    }
+      .select($"p_id", $"c_id", $"user_id")
+      .orderBy($"p_id", $"c_id")
+  }
+
   /** Custom streaming state in the graded path: the per-user
     * count+type-bitmask profile from [[graft.streaming.StatefulOps]],
     * run to exhaustion in update mode. Every emitted field is
@@ -225,6 +265,7 @@ object Streaming extends OpModule {
 
   val queries: Map[String, Q] = Map(
     "q_stream_enrich" -> (streamEnrich _),
+    "q_stream_join_outer" -> (streamJoinOuter _),
     "q_stream_stateful" -> (streamStateful _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_tumbling" -> (streamTumbling _),
@@ -240,6 +281,16 @@ object Streaming extends OpModule {
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE event_type = 'purchase'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_stream_join_outer" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase'
+        |        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-29') p
+        |LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+        |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
     "q_stream_stateful" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types
