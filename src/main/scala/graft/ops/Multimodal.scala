@@ -146,7 +146,45 @@ object Multimodal extends OpModule {
       .orderBy($"label")
   }
 
+  /** Resize PLANNING over decoded media — the last stage of the
+    * decode / feature-extract / resize / frame-sample quartet. The
+    * pixel decode is the declared [[FakeDecoder]] stub; the resize
+    * math is REAL and exact: aspect-fit into a 224×224 box via pure
+    * integer arithmetic (`dim·224 div max(w,h)`, floor — no float
+    * scale factor whose rounding could disagree across executors),
+    * identity for media already inside the box, scale in integer ppm.
+    * Same mapPartitions shape as decode: bytes stay executor-local,
+    * no shuffle; the output is the (out_w, out_h) plan a real
+    * resampler kernel would execute. Stub decoder ⇒ no SQL oracle;
+    * aspect/bound/idempotence laws in ScalaTest. */
+  case class ResizePlan(doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int, scale_ppm: Long)
+
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val box = 224L
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = FakeDecoder.decode(id, bytes)
+        val w = m.width.toLong
+        val h = m.height.toLong
+        val mx = math.max(w, h)
+        if (mx <= box)
+          ResizePlan(id, m.width, m.height, m.width, m.height, 1000000L)
+        else
+          ResizePlan(id, m.width, m.height,
+            math.max(1L, w * box / mx).toInt,
+            math.max(1L, h * box / mx).toInt,
+            box * 1000000L / mx)
+      })
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_multimodal_resize" -> (multimodalResize _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_chunks" -> (multimodalChunks _),

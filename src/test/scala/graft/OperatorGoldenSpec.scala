@@ -1049,6 +1049,28 @@ class OperatorGoldenSpec extends SparkSpec {
       .filter($"n_types_30d" < 1L || $"n_types_30d" > 5L).count() === 0L)
   }
 
+  test("resize plan: bounded, aspect-preserving, idempotent on small media") {
+    val r = run("q_multimodal_resize")
+      .select($"doc_id", $"width", $"height", $"out_w", $"out_h",
+        $"scale_ppm")
+      .as[(Long, Int, Int, Int, Int, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (id, w, h, ow, oh, ppm) =>
+      val mx = math.max(w, h).toLong
+      if (mx <= 224L)
+        assert((ow, oh, ppm) === ((w, h, 1000000L)),
+          s"doc $id: in-box media must pass through unchanged")
+      else {
+        assert(math.max(ow, oh) <= 224 && ow >= 1 && oh >= 1,
+          s"doc $id: ($ow, $oh) escapes the 224 box")
+        // integer-floor aspect drift is bounded by one long-side unit
+        assert(math.abs(ow.toLong * h - oh.toLong * w) <= mx,
+          s"doc $id: aspect drift |$ow×$h − $oh×$w| > $mx")
+        assert(ppm === 224L * 1000000L / mx, s"doc $id: scale_ppm")
+      }
+    }
+  }
+
   test("attribution credits only touch types, conserves value up to floor loss") {
     val r = run("q_feat_attribution")
       .select($"event_type", $"touches", $"purchases", $"credit")
