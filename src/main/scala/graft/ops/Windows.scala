@@ -248,7 +248,27 @@ object Windows extends OpModule {
       .orderBy($"user_id", $"session_idx")
   }
 
+  /** Per-user session feature rollup — the reporting layer OVER
+    * [[sessionize]]: session count, totals, and 4-dp average
+    * events/duration per session. Second aggregation on the already
+    * user-clustered session table — the session shuffle is reused, the
+    * rollup is map-side combinable on O(sessions) rows. */
+  def featSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dur = unix_micros($"session_end") - unix_micros($"session_start")
+    sessionize(s, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"n_events").cast("long").as("total_events"),
+        sum(dur).cast("long").as("total_dur_us"),
+        r4(sum($"n_events").cast("double") / count(lit(1)))
+          .as("avg_events"),
+        r4(sum(dur).cast("double") / count(lit(1))).as("avg_dur_us"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_feat_sessions" -> (featSessions _),
     "q_sessionize" -> (sessionize _),
     "q_win_streak" -> (winStreak _),
     "q_win_time_range" -> (winTimeRange _),
@@ -297,6 +317,32 @@ object Windows extends OpModule {
         |       + CASE WHEN q7 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
         |    AS ewma_x1000
         |FROM lagged ORDER BY nation, d""".stripMargin,
+    "q_feat_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+        |  FROM g GROUP BY user_id, session_idx)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_events) AS BIGINT) AS total_events,
+        |  CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+        |  ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 4) AS avg_events,
+        |  ROUND(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*), 4) AS avg_dur_us
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
