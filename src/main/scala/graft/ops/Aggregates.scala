@@ -982,7 +982,35 @@ object Aggregates extends OpModule {
       .orderBy($"user_id", $"d")
   }
 
+  /** Per-source language-distribution concentration — the corpus-mix
+    * diagnostic a multilingual data build reports per ingest source:
+    * Shannon entropy (in 1e-4 nats) and the Herfindahl concentration
+    * index (in ppm²-scale integer form). Both statistics are emitted
+    * as INTEGERS: each per-language entropy term is rounded to 1e-4
+    * nats BEFORE the sum, and HHI shares are exact integer ppm, so
+    * the cross-partition aggregation is an order-insensitive integer
+    * sum — no float-summation nondeterminism at any scale.
+    *
+    * Scale shape: two map-side-combinable groupBys (source×lang, then
+    * source) plus a BROADCAST of the 20-row per-source totals. */
+  def aggEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cl = Tables.t(s, dir, "documents")
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("cnt"))
+    val tot = cl.groupBy($"source").agg(sum($"cnt").as("total"))
+    cl.join(broadcast(tot), Seq("source"))
+      .withColumn("p", $"cnt".cast("double") / $"total".cast("double"))
+      .withColumn("term_e4",
+        round(-$"p" * log($"p") * lit(10000), 0).cast("long"))
+      .withColumn("share_ppm", expr("cnt * 1000000 div total"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_langs"), sum($"term_e4").as("entropy_e4"),
+        sum($"share_ppm" * $"share_ppm").as("hhi"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_entropy" -> (aggEntropy _),
     "q_feat_trailing_distinct" -> (featTrailingDistinct _),
     "q_time_interp" -> (timeInterp _),
     "q_agg_corr_matrix" -> (aggCorrMatrix _),
@@ -1028,6 +1056,26 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_agg_entropy" ->
+      """WITH cl AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total
+        |  FROM cl GROUP BY 1),
+        |j AS (
+        |  SELECT cl.source, cl.cnt, tot.total,
+        |    CAST(cl.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE) AS p,
+        |    cl.cnt * 1000000 // tot.total AS share_ppm
+        |  FROM cl JOIN tot ON cl.source = tot.source),
+        |t AS (
+        |  SELECT source,
+        |    CAST(ROUND(-p * ln(p) * 10000, 0) AS BIGINT) AS term_e4,
+        |    share_ppm
+        |  FROM j)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+        |  CAST(SUM(term_e4) AS BIGINT) AS entropy_e4,
+        |  CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "q_graph_sparsify" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (

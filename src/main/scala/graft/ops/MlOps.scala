@@ -300,7 +300,72 @@ object MlOps extends OpModule {
       .orderBy($"custkey", $"neg_rank")
   }
 
+  /** Weight-of-evidence (WoE) encoding — the credit-scoring-standard
+    * supervised bin encoding: fixed-width balance bins vs the binary
+    * target "customer is in the BUILDING segment", each bin scored
+    * ln(P(bin|good)/P(bin|bad)) with +0.5 Laplace smoothing on the
+    * cell counts so an empty cell stays finite. Integer-cents binning
+    * (same trick as [[featBin]]) keeps the bin boundary exact on both
+    * engines; the ln runs over ratios of exact integers, so the double
+    * is reproducible.
+    *
+    * Scale shape: one map-side-combinable groupBy on the bin (≤10
+    * groups), totals as a BROADCAST 1-row aggregate — no shuffle
+    * carries raw rows. Fixed-width bins, not ntile: a global ntile is
+    * a single-partition sort at 100 TB, while width binning is
+    * stateless per row (quantile-width bins would come from
+    * approx_percentile cutoffs computed once and broadcast). */
+  def featWoe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer")
+      .select($"c_mktsegment",
+        expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("cents"))
+      .withColumn("bin", least(expr("(cents + 100000) div 110000"), lit(9L)))
+      .withColumn("is_good",
+        when($"c_mktsegment" === "BUILDING", 1L).otherwise(0L))
+    val tot = c.agg(sum($"is_good").as("gt"),
+      (count(lit(1)) - sum($"is_good")).as("bt"))
+    c.groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"is_good").as("goods"))
+      .withColumn("bads", $"n" - $"goods")
+      .crossJoin(broadcast(tot))
+      .select($"bin", $"n", $"goods", $"bads",
+        round(log(
+          (($"goods".cast("double") + 0.5) / $"gt".cast("double")) /
+          (($"bads".cast("double") + 0.5) / $"bt".cast("double"))), 4)
+          .as("woe"))
+      .orderBy($"bin")
+  }
+
+  /** Hashed feature cross — the wide-model staple: the cartesian
+    * category cross (mktsegment × nation, 125 distinct values) mapped
+    * into 64 hash buckets by the portable md5 integer, with per-bucket
+    * load and collision stats (n_crosses > 1 = colliding bucket). At
+    * web scale the cross space is billions (user × item); hashing
+    * bounds the feature dimension without a vocabulary pass, and this
+    * op IS the collision audit a feature platform runs before picking
+    * the bucket count.
+    *
+    * Scale shape: dimension join is BROADCAST (nation is bounded), the
+    * hash is stateless per row, and the bucket groupBy is map-side
+    * combinable into ≤64 groups. */
+  def featHashedCross(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = Tables.t(s, dir, "nation").select($"n_nationkey", $"n_name")
+    Tables.t(s, dir, "customer")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .withColumn("cross_key", concat($"c_mktsegment", lit("|"), $"n_name"))
+      .withColumn("bucket", Det.md5int60($"cross_key") % 64)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"cross_key").as("n_crosses"),
+        min($"cross_key").as("min_cross"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_feat_woe" -> (featWoe _),
+    "q_feat_hashed_cross" -> (featHashedCross _),
     "q_ml_negatives" -> (mlNegatives _),
     "q_feat_quantile_norm" -> (featQuantileNorm _),
     "q_feat_bin" -> (featBin _),
@@ -314,6 +379,36 @@ object MlOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_feat_woe" ->
+      """WITH c AS (
+        |  SELECT
+        |    LEAST((CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000)
+        |      // 110000, 9) AS bin,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_good
+        |  FROM customer),
+        |tot AS (
+        |  SELECT CAST(SUM(is_good) AS BIGINT) AS gt,
+        |    CAST(COUNT(*) - SUM(is_good) AS BIGINT) AS bt
+        |  FROM c),
+        |b AS (
+        |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(is_good) AS BIGINT) AS goods
+        |  FROM c GROUP BY bin)
+        |SELECT b.bin, b.n, b.goods, b.n - b.goods AS bads,
+        |  ROUND(LN(((CAST(b.goods AS DOUBLE) + 0.5) / CAST(tot.gt AS DOUBLE))
+        |    / ((CAST(b.n - b.goods AS DOUBLE) + 0.5)
+        |       / CAST(tot.bt AS DOUBLE))), 4) AS woe
+        |FROM b CROSS JOIN tot ORDER BY b.bin""".stripMargin,
+    "q_feat_hashed_cross" ->
+      """WITH x AS (
+        |  SELECT c.c_mktsegment || '|' || n.n_name AS cross_key,
+        |    CAST(('0x' || substr(md5(c.c_mktsegment || '|' || n.n_name),
+        |      1, 15)) AS BIGINT) % 64 AS bucket
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT cross_key) AS BIGINT) AS n_crosses,
+        |  MIN(cross_key) AS min_cross
+        |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_ml_negatives" ->
       """WITH brands AS (
         |  SELECT DISTINCT CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT)

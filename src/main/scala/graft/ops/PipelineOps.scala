@@ -590,7 +590,74 @@ object PipelineOps extends OpModule {
       .orderBy($"rep", $"o_orderstatus")
   }
 
+  /** WebDataset-style shard-packing manifest — the training-loader
+    * handoff every corpus build ends with: documents in a canonical
+    * deterministic order (source, doc_id) are greedily packed into
+    * ~10 KB shards by cumulative size, and the manifest reports each
+    * shard's doc count, byte total, and id range. A doc lands in the
+    * shard where its first byte falls, so the assignment is a pure
+    * function of the corpus — rebuildable and diffable.
+    *
+    * Scale shape: the global running sum is two-level, exactly like
+    * [[sampleMix]] — a per-source window (shuffle bounded by the
+    * source partition) plus a BROADCAST prefix-offset table built from
+    * the 20-row per-source totals. No single-partition window ever
+    * sees the corpus; at 100 TB the "source" level is whatever
+    * ingest partition the corpus already has. */
+  def shardManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+    val inWin = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = docs.withColumn("cum_in", sum($"n_chars").over(inWin))
+    val stot = docs.groupBy($"source").agg(sum($"n_chars").as("s_chars"))
+    val offWin = Window.orderBy($"source")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val soff = stot.select($"source",
+      coalesce(sum($"s_chars").over(offWin), lit(0L)).as("s_off"))
+    cum.join(broadcast(soff), Seq("source"))
+      .withColumn("shard_id", expr("(s_off + cum_in - n_chars) div 10000"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .orderBy($"shard_id")
+  }
+
+  /** k-anonymity audit — the privacy admission gate for releasing a
+    * training extract: group customers by the quasi-identifier tuple
+    * (nation, segment, coarse balance bin) and report, for k ∈
+    * {2, 5, 10}, how many QI groups fall below k and how many rows
+    * (ppm of the table) sit in those re-identifiable groups. Balance
+    * binning is integer-cents (exact on both engines).
+    *
+    * Scale shape: one map-side-combinable groupBy on the QI tuple;
+    * the threshold sweep joins the per-group sizes against a 3-row
+    * BROADCAST k table, and the row total is a BROADCAST 1-row
+    * aggregate. The O(groups) size table never broadcasts. */
+  def privacyKanon(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qi = Tables.t(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey", $"c_mktsegment",
+        expr("(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) div 200000")
+          .as("bal_bin"))
+    val gs = qi.groupBy($"c_nationkey", $"c_mktsegment", $"bal_bin")
+      .agg(count(lit(1)).as("gsz"))
+    val tot = qi.agg(count(lit(1)).as("n_total"))
+    val ks = Seq(2L, 5L, 10L).toDF("k")
+    gs.join(broadcast(ks), $"gsz" < $"k", "right")
+      .groupBy($"k")
+      .agg(count($"gsz").as("n_groups_at_risk"),
+        coalesce(sum($"gsz"), lit(0L)).as("n_rows_at_risk"))
+      .crossJoin(broadcast(tot))
+      .select($"k", $"n_groups_at_risk", $"n_rows_at_risk",
+        expr("n_rows_at_risk * 1000000 div n_total").as("rows_ppm"))
+      .orderBy($"k")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_shard_manifest" -> (shardManifest _),
+    "q_privacy_kanon" -> (privacyKanon _),
     "q_sample_bootstrap" -> (sampleBootstrap _),
     "q_scd2_asof" -> (scd2Asof _),
     "q_dq_drift" -> (dqDrift _),
@@ -612,6 +679,47 @@ object PipelineOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_shard_manifest" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_in
+        |  FROM docs),
+        |stot AS (SELECT source, SUM(n_chars) AS s_chars
+        |  FROM docs GROUP BY source),
+        |soff AS (
+        |  SELECT source, COALESCE(SUM(s_chars) OVER (ORDER BY source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_off
+        |  FROM stot),
+        |g AS (
+        |  SELECT c.doc_id, c.n_chars,
+        |    CAST((so.s_off + c.cum_in - c.n_chars) // 10000 AS BIGINT)
+        |      AS shard_id
+        |  FROM cum c JOIN soff so ON c.source = so.source)
+        |SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM g GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "q_privacy_kanon" ->
+      """WITH qi AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    (CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 200000
+        |      AS bal_bin
+        |  FROM customer),
+        |gs AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_bin,
+        |    CAST(COUNT(*) AS BIGINT) AS gsz
+        |  FROM qi GROUP BY 1, 2, 3),
+        |ks AS (SELECT CAST(UNNEST([2, 5, 10]) AS BIGINT) AS k),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM qi)
+        |SELECT ks.k,
+        |  CAST(COUNT(gs.gsz) AS BIGINT) AS n_groups_at_risk,
+        |  CAST(COALESCE(SUM(gs.gsz), 0) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(COALESCE(SUM(gs.gsz), 0) * 1000000
+        |    // (SELECT n_total FROM tot) AS BIGINT) AS rows_ppm
+        |FROM ks LEFT JOIN gs ON gs.gsz < ks.k
+        |GROUP BY ks.k ORDER BY ks.k""".stripMargin,
     "q_scd2_asof" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,
