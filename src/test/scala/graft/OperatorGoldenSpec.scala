@@ -1114,4 +1114,85 @@ class OperatorGoldenSpec extends SparkSpec {
         s"($a,$b): jaccard $jac != recomputed $expect")
     }
   }
+
+  test("shard manifest covers the corpus exactly, shards size-bounded") {
+    val m = run("q_shard_manifest")
+      .select($"shard_id", $"n_docs", $"total_chars")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val docs = Tables.t(spark, sf, "documents")
+    assert(m.map(_._2).sum === docs.count())
+    assert(m.map(_._3).sum ===
+      docs.agg(sum($"n_chars")).as[Long].head())
+    // shard ids are the dense integers 0..max (greedy packing leaves
+    // no hole), and every shard but the last holds ≥ 1 byte past its
+    // start boundary — a shard overfull beyond budget+maxdoc is a bug
+    assert(m.map(_._1) === m.indices.map(_.toLong))
+    val maxDoc = docs.agg(max($"n_chars")).as[Long].head()
+    m.dropRight(1).foreach { case (id, _, chars) =>
+      assert(chars <= 10000L + maxDoc, s"shard $id overfull: $chars")
+    }
+  }
+
+  test("k-anonymity risk is monotone in k and bounded by the table") {
+    val r = run("q_privacy_kanon")
+      .select($"k", $"n_groups_at_risk", $"n_rows_at_risk", $"rows_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.map(_._1) === Seq(2L, 5L, 10L))
+    val total = Tables.t(spark, sf, "customer").count()
+    r.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 <= hi._2 && lo._3 <= hi._3,
+        s"risk must grow with k: $lo vs $hi")
+    }
+    r.foreach { case (k, grps, rows, ppm) =>
+      assert(rows <= total && ppm <= 1000000L)
+      assert(rows < k * math.max(grps, 1L),
+        s"k=$k: $rows rows in $grps groups each of size < $k")
+    }
+  }
+
+  test("entropy is within [0, ln(langs)·1e4] and HHI complements it") {
+    val langs = Tables.t(spark, sf, "documents")
+      .select($"lang").distinct().count()
+    val cap = math.ceil(math.log(langs.toDouble) * 10000).toLong
+    run("q_agg_entropy")
+      .select($"n_langs", $"entropy_e4", $"hhi")
+      .as[(Long, Long, Long)].collect().foreach { case (nl, e, h) =>
+        assert(nl >= 1L && nl <= langs)
+        assert(e >= 0L && e <= cap, s"entropy $e outside [0, $cap]")
+        // HHI of n equal shares is 1e12/n; concentration can only
+        // raise it, and it never exceeds the monopoly 1e12
+        assert(h <= 1000000000000L && h * nl >= 990000000000L,
+          s"hhi $h with $nl langs")
+      }
+  }
+
+  test("WoE bins partition the table; counts and signs reconcile") {
+    val r = run("q_feat_woe")
+      .select($"n", $"goods", $"bads", $"woe")
+      .as[(Long, Long, Long, Double)].collect()
+    val c = Tables.t(spark, sf, "customer")
+    assert(r.map(_._1).sum === c.count())
+    assert(r.map(_._2).sum ===
+      c.filter($"c_mktsegment" === "BUILDING").count())
+    r.foreach { case (n, g, b, woe) =>
+      assert(g + b === n)
+      // smoothed WoE stays finite even for empty cells
+      assert(!woe.isNaN && !woe.isInfinite)
+    }
+  }
+
+  test("hashed cross buckets cover every customer; collisions audited") {
+    val r = run("q_feat_hashed_cross")
+      .select($"bucket", $"n_rows", $"n_crosses")
+      .as[(Long, Long, Long)].collect()
+    val c = Tables.t(spark, sf, "customer")
+    assert(r.map(_._2).sum === c.count())
+    assert(r.forall { case (bkt, _, nc) =>
+      bkt >= 0L && bkt < 64L && nc >= 1L })
+    // distinct crosses across buckets = distinct crosses in the data
+    val crosses = c.join(Tables.t(spark, sf, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_mktsegment", $"n_name").distinct().count()
+    assert(r.map(_._3).sum === crosses)
+  }
 }
