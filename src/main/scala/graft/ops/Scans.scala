@@ -280,7 +280,29 @@ object Scans extends OpModule {
       .orderBy($"priority")
   }
 
+  /** The DSv2 activity GENERATOR source (the reference's data-generator
+    * component as a native Spark table — [[graft.sources.ActivityGenerator]]):
+    * 20k deterministic events from seed 42, the tail 15k selected by an
+    * `event_id` range that pushes into the source (the generated window
+    * narrows — generator-side partition pruning), then a per-type
+    * rollup. Every column derives from the portable md5 integer, so
+    * DuckDB REGENERATES the identical rows from `range()` — a source
+    * with a full hash-grade oracle, not a smoke test. */
+  def sourceGenerated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.format("graft-events")
+      .option("rows", 20000L).option("seed", 42L).option("users", 500L)
+      .load()
+      .filter($"event_id" >= 5000L)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(Det.d12($"value")).cast("double").as("total_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_source_generated" -> (sourceGenerated _),
     "q_part_roundtrip" -> (partitionedRoundtrip _),
     "q_source_csv_roundtrip" -> (csvRoundtrip _),
     "q_source_orc_roundtrip" -> (orcRoundtrip _),
@@ -298,6 +320,22 @@ object Scans extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_source_generated" ->
+      """WITH ids AS (SELECT UNNEST(range(5000, 20000)) AS id),
+        |h AS (
+        |  SELECT id, CAST(('0x' || substr(md5('42:' || CAST(id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) AS h
+        |  FROM ids),
+        |e AS (
+        |  SELECT id, h % 500 AS user_id,
+        |    (['click','error','purchase','signup','view'])
+        |      [CAST((h // 500) % 5 AS INT) + 1] AS event_type,
+        |    CAST(h % 1000000 AS DOUBLE) / 100.0 AS value
+        |  FROM h)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_source_schema_evolution" ->
       """SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |  THEN '<legacy>' ELSE o_orderpriority END AS priority,

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** Contract of the DSv2 activity generator source
+  * (`graft.sources.ActivityGenerator`): cluster-shape invariance,
+  * pruning/pushdown reaching the generator, and agreement with the
+  * portable md5 integer that makes the source DuckDB-oracle-able. */
+class GeneratorSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gen(rows: Long, parts: Long): DataFrame =
+    spark.read.format("graft-events")
+      .option("rows", rows).option("seed", 42L)
+      .option("users", 100L).option("parts", parts).load()
+
+  private def scanOf(df: DataFrame): BatchScanExec = {
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec leaf in the plan"))
+  }
+
+  test("same seed is bit-identical under any partition count") {
+    val one = gen(2000, 1).orderBy($"event_id").collect()
+    val many = gen(2000, 17).orderBy($"event_id").collect()
+    assert(one === many)
+    assert(gen(2000, 17).rdd.getNumPartitions === 17)
+  }
+
+  test("hash columns agree with Det.md5int60 (the DuckDB contract)") {
+    val viaSql = spark.range(0, 500)
+      .select($"id", Det.md5int60(concat(lit("42:"), $"id".cast("string")))
+        .as("h"))
+      .select($"id".as("event_id"), ($"h" % 100L).as("user_id_expect"))
+    val mism = gen(500, 4).join(viaSql, "event_id")
+      .filter($"user_id" =!= $"user_id_expect").count()
+    assert(mism === 0L)
+  }
+
+  test("column pruning reaches the generator scan") {
+    val df = gen(100, 2).select($"event_id", $"event_type")
+    assert(scanOf(df).scan.readSchema().fieldNames.toSet ===
+      Set("event_id", "event_type"))
+  }
+
+  test("event_id range predicates narrow the generated window") {
+    val df = gen(100000, 8).filter($"event_id" >= 99900L && $"event_id" < 99950L)
+    // collect() (not count()) so the metric below belongs to THIS
+    // queryExecution — count() plans its own separate execution
+    assert(df.collect().length === 50)
+    // the scan itself emitted only the narrowed window — the range
+    // pushed into the generator; without pushdown this is 100000
+    val scanRows = scanOf(df).metrics("numOutputRows").value
+    assert(scanRows === 50L, s"scan emitted $scanRows rows, pushdown lost")
+  }
+
+  test("generated values stay in their declared domains") {
+    val bad = gen(3000, 4).filter(
+      $"user_id" < 0L || $"user_id" >= 100L ||
+      $"value" < 0.0 || $"value" >= 10000.0 ||
+      !$"event_type".isin("click", "error", "purchase", "signup", "view") ||
+      $"ts" < lit("2024-01-01").cast("timestamp")).count()
+    assert(bad === 0L)
+  }
+}
