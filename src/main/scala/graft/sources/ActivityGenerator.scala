@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -86,7 +87,8 @@ private class GenTable(props: util.Map[String, String])
   override def name(): String = "graft_events_generator"
   override def schema(): StructType = ActivityGenerator.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new GenScanBuilder(opt("rows", 10000L), opt("seed", 42L),
       opt("users", 500L), opt("parts", 8L).toInt)
@@ -132,17 +134,51 @@ private class GenScanBuilder(rows: Long, seed: Long, users: Long, parts: Int)
     override def toBatch: Batch = this
     override def description(): String =
       s"graft-events rows=[$lo,$hi) seed=$seed pushed=${pushed.length}"
-    override def planInputPartitions(): Array[InputPartition] = {
-      val n = math.max(1L, math.min(parts.toLong, math.max(1L, hi - lo)))
-      (0L until n).map { p =>
-        val span = hi - lo
-        GenPartition(lo + span * p / n, lo + span * (p + 1) / n,
-          seed, users): InputPartition
-      }.toArray
-    }
+    override def planInputPartitions(): Array[InputPartition] =
+      GenScanBuilder.split(lo, hi, parts, seed, users)
     override def createReaderFactory(): PartitionReaderFactory =
       new GenReaderFactory(required)
+    /** Streaming face: the id space doubles as a REPLAYABLE offset log
+      * (the Event Hubs / Kafka shape the reference ingested from) — an
+      * offset is just the next unread event_id, so a restarted query
+      * resumes from the checkpoint and re-emits nothing, and any
+      * offset range replays bit-identically (generation is a pure
+      * function of (seed, id)). */
+    override def toMicroBatchStream(chk: String): MicroBatchStream =
+      new GenMicroBatchStream(lo, hi, parts, seed, users, required)
   }
+}
+
+private object GenScanBuilder {
+  def split(lo: Long, hi: Long, parts: Int, seed: Long,
+      users: Long): Array[InputPartition] = {
+    val span = math.max(0L, hi - lo)
+    val n = math.max(1L, math.min(parts.toLong, math.max(1L, span)))
+    (0L until n).map { p =>
+      GenPartition(lo + span * p / n, lo + span * (p + 1) / n,
+        seed, users): InputPartition
+    }.toArray
+  }
+}
+
+private case class GenOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+private class GenMicroBatchStream(lo: Long, hi: Long, parts: Int,
+    seed: Long, users: Long, required: StructType)
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = GenOffset(lo)
+  override def latestOffset(): Offset = GenOffset(hi)
+  override def deserializeOffset(json: String): Offset =
+    GenOffset(json.trim.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GenScanBuilder.split(start.asInstanceOf[GenOffset].pos,
+      end.asInstanceOf[GenOffset].pos, parts, seed, users)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private case class GenPartition(lo: Long, hi: Long, seed: Long, users: Long)

@@ -56,6 +56,34 @@ class GeneratorSourceSpec extends SparkSpec {
     assert(scanRows === 50L, s"scan emitted $scanRows rows, pushdown lost")
   }
 
+  test("streaming face: offsets resume from checkpoint, no re-emission") {
+    withTmpDir("graft_tmp_genstream") { dir =>
+      val (ckpt, out) = (s"$dir/ckpt", s"$dir/out")
+      def runOnce(rows: Long): Unit = {
+        val q = spark.readStream.format("graft-events")
+          .option("rows", rows).option("seed", 42L).option("users", 100L)
+          .load()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce(1000)
+      assert(spark.read.parquet(out).count() === 1000L)
+      // restart with a grown id log: only the 500-id delta is read —
+      // the checkpointed offset, not the source options, decides
+      runOnce(1500)
+      val got = spark.read.parquet(out)
+      assert(got.count() === 1500L)
+      assert(got.select($"event_id").distinct().count() === 1500L)
+      // and the streamed table IS the batch table, bit-for-bit
+      val batch = gen(1500, 4)
+      assert(got.orderBy($"event_id").collect() ===
+        batch.orderBy($"event_id").collect())
+    }
+  }
+
   test("generated values stay in their declared domains") {
     val bad = gen(3000, 4).filter(
       $"user_id" < 0L || $"user_id" >= 100L ||
