@@ -263,7 +263,32 @@ object Streaming extends OpModule {
       .orderBy($"c_mktsegment")
   }
 
+  /** Streaming read of the DSv2 GENERATOR source — ingest (the
+    * reference's Event Hubs analog) and windowed aggregation in one
+    * graded op: the generator's replayable id-offset log streams
+    * through a watermarked hourly window, and because every generated
+    * column is md5-derived the DuckDB oracle REGENERATES the stream
+    * and hash-grades the end-of-stream state. Same scale notes as
+    * [[streamTumbling]] (complete mode for the gate; watermark bounds
+    * the store in production). */
+  def streamGenerated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runToTable(s, "complete") { ss =>
+      ss.readStream.format("graft-events")
+        .option("rows", 20000L).option("seed", 42L).option("users", 500L)
+        .load()
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(d12($"value")).cast("double").as("total_value"))
+    }
+      .select($"window.start".as("hour_start"), $"event_type", $"n",
+        $"total_value")
+      .orderBy($"hour_start", $"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_generated" -> (streamGenerated _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_stream_join_outer" -> (streamJoinOuter _),
     "q_stream_stateful" -> (streamStateful _),
@@ -304,6 +329,22 @@ object Streaming extends OpModule {
         |  ON p.user_id = c.user_id
         |  AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
         |ORDER BY p_id, c_id""".stripMargin,
+    "q_stream_generated" ->
+      """WITH ids AS (SELECT UNNEST(range(0, 20000)) AS id),
+        |h AS (
+        |  SELECT id, CAST(('0x' || substr(md5('42:' || CAST(id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) AS h
+        |  FROM ids),
+        |e AS (
+        |  SELECT make_timestamp(1704067200000000 + id * 1000000) AS ts,
+        |    (['click','error','purchase','signup','view'])
+        |      [CAST((h // 500) % 5 AS INT) + 1] AS event_type,
+        |    CAST(h % 1000000 AS DOUBLE) / 100.0 AS value
+        |  FROM h)
+        |SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+        |FROM e GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
         |  event_type, COUNT(*) AS n,

@@ -346,4 +346,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"pair enumeration must stay user-keyed:\n$p")
   }
+
+  test("shard manifest: per-row cumsum is source-partitioned, offsets broadcast") {
+    val p = plan("q_shard_manifest")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the O(sources) prefix-offset table should broadcast:\n$p")
+    // the only window touching corpus rows must hang below a
+    // source-keyed exchange — a corpus-wide running sum would be the
+    // single-partition sort that kills this op at 100 TB
+    val rowWin = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") &&
+        l.contains("sum(n_chars"))
+      .toSeq
+    assert(rowWin.nonEmpty, s"expected the running-sum window:\n$p")
+    rowWin.foreach(l => assert(l.contains("windowspecdefinition(source"),
+      s"per-row cumsum must partition by source, got:\n$l"))
+  }
+
+  test("generator source: pushed event_id range shows in the scan") {
+    import spark.implicits._
+    val p = spark.read.format("graft-events")
+      .option("rows", 1000L).option("seed", 42L).load()
+      .filter($"event_id" >= 900L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft-events rows=[900,1000)"),
+      s"range should narrow the generated window:\n$p")
+  }
 }
