@@ -1009,7 +1009,41 @@ object Aggregates extends OpModule {
       .orderBy($"source")
   }
 
+  /** χ² independence audit of two categorical features (segment ×
+    * nation) — the canonical "is this feature informative / has the
+    * joint distribution drifted" test next to [[q_dq_drift]]'s
+    * univariate L1. Per-cell contribution ((o−e)²/e, e = rs·cs/n) is
+    * rounded to an e-4 INTEGER before summation (the `q_agg_entropy`
+    * trick), so the per-segment χ² is an order-insensitive integer sum
+    * — no float-summation nondeterminism; the fixed IEEE chain on
+    * identical operands matches DuckDB bit-for-bit (`q_agg_ols`
+    * precedent).
+    *
+    * Scale shape: one map-combinable groupBy on the cell key; margins
+    * are O(categories) aggregates joined back BROADCAST. */
+  def aggChisq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.t(s, dir, "customer")
+      .groupBy($"c_mktsegment", $"c_nationkey").agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy($"c_mktsegment").agg(sum($"o").as("rs"))
+    val colTot = cells.groupBy($"c_nationkey").agg(sum($"o").as("cs"))
+    val tot = cells.agg(sum($"o").as("n"))
+    cells
+      .join(broadcast(rowTot), Seq("c_mktsegment"))
+      .join(broadcast(colTot), Seq("c_nationkey"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", $"rs".cast("double") * $"cs".cast("double") /
+        $"n".cast("double"))
+      .withColumn("d", $"o".cast("double") - $"e")
+      .withColumn("contrib_e4",
+        round($"d" * $"d" / $"e" * lit(10000), 0).cast("long"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_cells"), sum($"contrib_e4").as("chi2_e4"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_chisq" -> (aggChisq _),
     "q_agg_entropy" -> (aggEntropy _),
     "q_feat_trailing_distinct" -> (featTrailingDistinct _),
     "q_time_interp" -> (timeInterp _),
@@ -1056,6 +1090,32 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_agg_chisq" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM customer GROUP BY 1, 2),
+        |rt AS (SELECT c_mktsegment, CAST(SUM(o) AS BIGINT) AS rs
+        |  FROM cells GROUP BY 1),
+        |ct AS (SELECT c_nationkey, CAST(SUM(o) AS BIGINT) AS cs
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |x AS (
+        |  SELECT cells.c_mktsegment,
+        |    CAST(rt.rs AS DOUBLE) * CAST(ct.cs AS DOUBLE)
+        |      / CAST(tot.n AS DOUBLE) AS e,
+        |    CAST(cells.o AS DOUBLE) AS od
+        |  FROM cells
+        |  JOIN rt ON cells.c_mktsegment = rt.c_mktsegment
+        |  JOIN ct ON cells.c_nationkey = ct.c_nationkey
+        |  CROSS JOIN tot),
+        |t AS (
+        |  SELECT c_mktsegment,
+        |    CAST(ROUND((od - e) * (od - e) / e * 10000, 0) AS BIGINT)
+        |      AS contrib_e4
+        |  FROM x)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(contrib_e4) AS BIGINT) AS chi2_e4
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_entropy" ->
       """WITH cl AS (
         |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -267,7 +267,32 @@ object Windows extends OpModule {
       .orderBy($"user_id")
   }
 
+  /** Maximum drawdown per user — the engagement-decay / sequence
+    * feature "largest drop from peak" over each user's cumulative
+    * event value: running decimal cumsum, running peak, max(peak −
+    * cum). Every intermediate stays EXACT DECIMAL (sum, max, and
+    * subtraction are all exact); only the final per-user maxima cast
+    * to double — zero float drift at any partitioning.
+    *
+    * Scale shape: one shuffle on user_id; both windows and the final
+    * agg share that partitioning (single exchange, windows fused). */
+  def winDrawdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", d12($"value").as("v"))
+      .withColumn("cum", sum($"v").over(w))
+      .withColumn("dd", max($"cum").over(w) - $"cum")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"v").cast("double").as("final_value"),
+        max($"dd").cast("double").as("max_drawdown"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_win_drawdown" -> (winDrawdown _),
     "q_feat_sessions" -> (featSessions _),
     "q_sessionize" -> (sessionize _),
     "q_win_streak" -> (winStreak _),
@@ -409,6 +434,25 @@ object Windows extends OpModule {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "q_win_drawdown" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CAST(value AS DECIMAL(12,4)) AS v
+        |  FROM events),
+        |c1 AS (
+        |  SELECT user_id, ts, event_id, v,
+        |    SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM e),
+        |c2 AS (
+        |  SELECT user_id, v, cum,
+        |    MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM c1)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(v) AS DOUBLE) AS final_value,
+        |  CAST(MAX(peak - cum) AS DOUBLE) AS max_drawdown
+        |FROM c2 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_win_running" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER
