@@ -163,7 +163,71 @@ object C360 extends OpModule {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** TPC-H Q3 shape — the classic 3-table "shipping priority" planner
+    * showcase: filtered customer segment ⋈ pre-cutoff orders ⋈
+    * post-cutoff lineitems, revenue top-10. Every filter is declarative
+    * so it pushes to the parquet scans; the bounded customer side
+    * broadcasts; the top-10 fuses to TakeOrderedAndProject (no global
+    * sort). Revenue runs the [[Det]] decimal chain (price × (1−disc)
+    * exact, ROUND 4 before the double cast); ties break on
+    * (o_orderdate, l_orderkey) so row order is total. */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("1997-06-01").cast("timestamp")
+    val c = Tables.t(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val o = Tables.t(s, dir, "orders").filter($"o_orderdate" < cut)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val l = Tables.t(s, dir, "lineitem").filter($"l_shipdate" > cut)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val one = lit(1).cast(D6)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(dbl4(sum(d12($"l_extendedprice") * (one - d6($"l_discount"))))
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape — "local supplier volume": the 6-table star/snowflake
+    * join (region → nation → customer/supplier ⋈ orders ⋈ lineitem) with
+    * the customer-nation = supplier-nation locality predicate, revenue
+    * per nation over one order year. The dimension chain (region,
+    * nation, supplier) broadcasts end-to-end; the only shuffles are the
+    * two fact joins and the final ≤|nations| aggregate — the plan a
+    * 1000-executor cluster wants. */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val r = Tables.t(s, dir, "region").filter($"r_name" === "ASIA")
+    val n = Tables.t(s, dir, "nation")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val c = Tables.t(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val o = Tables.t(s, dir, "orders")
+      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+      .select($"o_orderkey", $"o_custkey")
+    val sup = Tables.t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+    val l = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    val one = lit(1).cast(D6)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" === $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(dbl4(sum(d12($"l_extendedprice") * (one - d6($"l_discount"))))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_c360_shipping_priority" -> (shippingPriority _),
+    "q_c360_local_volume" -> (localSupplierVolume _),
     "q_c360_profile" -> (profile _),
     "q_c360_scored" -> (scoredProfile _),
     "q_feat_attribution" -> (attribution _),
@@ -177,6 +241,38 @@ object C360 extends OpModule {
     .mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_c360_shipping_priority" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+        |    * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))),
+        |    4) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_c360_local_volume" ->
+      """SELECT n.n_name,
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+        |    * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))),
+        |    4) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND c.c_nationkey = s.s_nationkey
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n.n_name""".stripMargin,
     "q_feat_attribution" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,
