@@ -363,6 +363,25 @@ class PlanSpec extends SparkSpec {
       s"per-row cumsum must partition by source, got:\n$l"))
   }
 
+  test("shipping priority: filters pushed, customer broadcast, top-10 fused") {
+    val p = plan("q_c360_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must fuse, not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the filtered customer side should broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate") ||
+      p.contains("LessThan(o_orderdate"),
+      s"order-date cutoff should reach the parquet scan:\n$p")
+  }
+
+  test("local volume: dimension chain broadcasts, no cartesian") {
+    val p = plan("q_c360_local_volume")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"6-table snowflake must stay equi-joined:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"supplier and nation/region chain should broadcast:\n$p")
+  }
+
   test("generator source: pushed event_id range shows in the scan") {
     import spark.implicits._
     val p = spark.read.format("graft-events")
