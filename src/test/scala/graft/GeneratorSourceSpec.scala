@@ -84,6 +84,26 @@ class GeneratorSourceSpec extends SparkSpec {
     }
   }
 
+  test("stats sink: commit-aggregated rows/bytes match the written frame") {
+    import graft.sources.StatsSink
+    StatsSink.clear("spec")
+    val df = gen(2500, 8).select($"event_id", $"event_type")
+    df.write.format("graft-stats").option("name", "spec")
+      .mode("append").save()
+    val (rows, bytes) = StatsSink.get("spec")
+      .getOrElse(fail("sink published nothing"))
+    assert(rows === 2500L)
+    // bytes = 8 (long default size) + utf8 length of each event_type
+    val expectBytes = 2500L * 8L +
+      df.agg(sum(length($"event_type"))).collect()(0).getLong(0)
+    assert(bytes === expectBytes, s"got $bytes, expected $expectBytes")
+    // a second append accumulates — the registry is per-commit additive
+    df.limit(100).write.format("graft-stats").option("name", "spec")
+      .mode("append").save()
+    assert(StatsSink.get("spec").map(_._1) === Some(2600L))
+    StatsSink.clear("spec")
+  }
+
   test("generated values stay in their declared domains") {
     val bad = gen(3000, 4).filter(
       $"user_id" < 0L || $"user_id" >= 100L ||
