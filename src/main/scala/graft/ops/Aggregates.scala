@@ -1056,7 +1056,51 @@ object Aggregates extends OpModule {
       .orderBy($"c_mktsegment")
   }
 
+  /** Exact higher-moment statistics — skewness and excess kurtosis of
+    * the balance distribution per segment, the distribution-shape
+    * audit `q_agg_stats`'s mean/stddev can't see. The four raw moment
+    * sums run in EXACT integer-cents arithmetic (Spark DECIMAL(38,0),
+    * DuckDB HUGEINT — both lossless for Σc⁴ ≤ 10²⁸), and scale-0
+    * decimal→double is a SINGLE correctly-rounded conversion on both
+    * engines (no 2^53 guard needed — see Det: the guard exists for
+    * two-step scaled conversions). The standardized-moment chain then
+    * runs the identical IEEE expression on identical operands
+    * (`q_agg_ols` precedent), with m2^1.5 spelled m2·√m2 (sqrt is
+    * IEEE-exact; pow is not portable).
+    *
+    * Scale shape: ONE map-side-combinable aggregation pass — four
+    * decimal partial sums per segment, no second pass, no window. */
+  def aggMoments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = expr("CAST(ROUND(c_acctbal * 100) AS DECIMAL(12,0))")
+    Tables.t(s, dir, "customer")
+      .select($"c_mktsegment", c.as("c"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum($"c").cast("double").as("s1"),
+        sum($"c" * $"c").cast("double").as("s2"),
+        sum($"c" * $"c" * $"c").cast("double").as("s3"),
+        sum($"c" * $"c" * $"c" * $"c").cast("double").as("s4"))
+      .select($"c_mktsegment", $"n",
+        ($"s1" / $"n".cast("double")).as("m1"),
+        ($"s2" / $"n".cast("double")).as("r2"),
+        ($"s3" / $"n".cast("double")).as("r3"),
+        ($"s4" / $"n".cast("double")).as("r4"))
+      .select($"c_mktsegment", $"n", $"m1", $"r2", $"r3", $"r4",
+        ($"r2" - $"m1" * $"m1").as("m2"),
+        ($"r3" - lit(3.0) * $"m1" * $"r2"
+          + lit(2.0) * $"m1" * $"m1" * $"m1").as("m3"),
+        ($"r4" - lit(4.0) * $"m1" * $"r3"
+          + lit(6.0) * $"m1" * $"m1" * $"r2"
+          - lit(3.0) * $"m1" * $"m1" * $"m1" * $"m1").as("m4"))
+      .select($"c_mktsegment", $"n",
+        round($"m3" / ($"m2" * sqrt($"m2")), 4).as("skewness"),
+        round($"m4" / ($"m2" * $"m2") - lit(3.0), 4).as("kurtosis"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_moments" -> (aggMoments _),
     "q_agg_chisq" -> (aggChisq _),
     "q_agg_entropy" -> (aggEntropy _),
     "q_feat_trailing_distinct" -> (featTrailingDistinct _),
@@ -1104,6 +1148,33 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_agg_moments" ->
+      """WITH b AS (
+        |  SELECT c_mktsegment, CAST(ROUND(c_acctbal * 100) AS HUGEINT) AS c
+        |  FROM customer),
+        |m AS (
+        |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS DOUBLE) AS s1,
+        |    CAST(SUM(c * c) AS DOUBLE) AS s2,
+        |    CAST(SUM(c * c * c) AS DOUBLE) AS s3,
+        |    CAST(SUM(c * c * c * c) AS DOUBLE) AS s4
+        |  FROM b GROUP BY 1),
+        |r AS (
+        |  SELECT c_mktsegment, n,
+        |    s1 / CAST(n AS DOUBLE) AS m1, s2 / CAST(n AS DOUBLE) AS r2,
+        |    s3 / CAST(n AS DOUBLE) AS r3, s4 / CAST(n AS DOUBLE) AS r4
+        |  FROM m),
+        |x AS (
+        |  SELECT c_mktsegment, n, m1, r2, r3, r4,
+        |    r2 - m1 * m1 AS m2,
+        |    r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+        |    r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+        |      - 3.0 * m1 * m1 * m1 * m1 AS m4
+        |  FROM r)
+        |SELECT c_mktsegment, n,
+        |  ROUND(m3 / (m2 * sqrt(m2)), 4) AS skewness,
+        |  ROUND(m4 / (m2 * m2) - 3.0, 4) AS kurtosis
+        |FROM x ORDER BY c_mktsegment""".stripMargin,
     "q_agg_chisq" ->
       """WITH cells AS (
         |  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS o

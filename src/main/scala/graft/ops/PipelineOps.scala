@@ -655,7 +655,36 @@ object PipelineOps extends OpModule {
       .orderBy($"k")
   }
 
+  /** Deterministic class-balanced downsampling — the label-skew fix
+    * for training extracts: every event class is cut to the SMALLEST
+    * class's size, members chosen by md5-hash order (hash, event_id
+    * tiebreak) so the same corpus yields the same balanced set on any
+    * cluster, and an appended corpus only changes the sample
+    * incrementally. Completes the sampling family: stratified =
+    * fixed-rate, weighted = probability, mix = byte budgets, balance =
+    * equal-count classes.
+    *
+    * Scale shape: one shuffle on the class key; the per-class rank
+    * compiles to a window over that partitioning and the min-class
+    * size is an O(classes) BROADCAST aggregate — no global sort,
+    * no second scan. */
+  def sampleBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+      .select($"event_id", $"event_type",
+        md5int($"event_id".cast("string")).as("hv"))
+    val minN = e.groupBy($"event_type").agg(count(lit(1)).as("cn"))
+      .agg(min($"cn").as("min_n"))
+    val w = Window.partitionBy($"event_type").orderBy($"hv", $"event_id")
+    e.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(minN))
+      .filter($"rk" <= $"min_n")
+      .select($"event_id", $"event_type")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sample_balance" -> (sampleBalance _),
     "q_shard_manifest" -> (shardManifest _),
     "q_privacy_kanon" -> (privacyKanon _),
     "q_sample_bootstrap" -> (sampleBootstrap _),
@@ -679,6 +708,23 @@ object PipelineOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_balance" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |mn AS (
+        |  SELECT MIN(cn) AS min_n FROM (
+        |    SELECT COUNT(*) AS cn FROM e GROUP BY event_type)),
+        |r AS (
+        |  SELECT event_id, event_type,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY hv, event_id) AS rk
+        |  FROM e)
+        |SELECT event_id, event_type
+        |FROM r CROSS JOIN mn WHERE rk <= min_n
+        |ORDER BY event_id""".stripMargin,
     "q_shard_manifest" ->
       """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
         |cum AS (

@@ -1181,6 +1181,31 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  test("balanced sample: every class equal at the min-class size") {
+    val r = run("q_sample_balance")
+    val sizes = r.groupBy($"event_type").count()
+      .select($"count").distinct().as[Long].collect()
+    assert(sizes.length === 1, s"classes unequal: ${sizes.toSeq}")
+    val minClass = Tables.t(spark, sf, "events")
+      .groupBy($"event_type").count()
+      .agg(min($"count")).as[Long].head()
+    assert(sizes.head === minClass)
+    // idempotence of the recipe: kept set ⊆ corpus, no duplicates
+    assert(r.count() === r.select($"event_id").distinct().count())
+  }
+
+  test("moments: symmetric-ish uniform balances, kurtosis below gaussian") {
+    // c_acctbal is ~uniform on its domain: skewness near 0, excess
+    // kurtosis near -1.2 (uniform), far from heavy-tailed; bounds are
+    // loose sanity rails, exactness is the oracle's job
+    run("q_agg_moments")
+      .select($"skewness", $"kurtosis")
+      .as[(Double, Double)].collect().foreach { case (sk, ku) =>
+        assert(math.abs(sk) < 0.5, s"skewness $sk")
+        assert(ku > -1.6 && ku < 0.5, s"kurtosis $ku")
+      }
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
