@@ -683,7 +683,74 @@ object PipelineOps extends OpModule {
       .orderBy($"event_id")
   }
 
+  /** Referential-integrity audit — the fourth data-quality gate next
+    * to [[dqProfile]] (schema/domains), [[dqAnomaly]] (volume) and
+    * [[dqDrift]] (distribution): for every declared foreign-key edge
+    * of the star schema, the child row count, rows whose FK is NULL,
+    * and ORPHAN rows (non-null FK with no parent) — the join-safety
+    * precondition every downstream feature join silently assumes.
+    *
+    * Scale shape: each edge is ONE left-anti-style aggregate — child
+    * groupBy on the FK key joined against the parent key set; bounded
+    * parents (nation) broadcast, large parents (orders, part) stay
+    * shuffle equi-joins on the key — never a full-row join, the probe
+    * carries (key, count) pairs only. */
+  def dqReferential(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def edge(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+      val keyed = child.groupBy(col(fk).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      val par = parent.select(col(pk).as("k")).distinct()
+        .withColumn("hit", lit(1))
+      val j = keyed.join(if (bcast) broadcast(par) else par, Seq("k"), "left")
+      j.agg(
+        lit(name).as("fk_edge"),
+        sum($"cnt").as("n_child"),
+        coalesce(sum(when($"k".isNull, $"cnt")), lit(0L)).as("n_null_fk"),
+        coalesce(sum(when($"k".isNotNull && $"hit".isNull, $"cnt")),
+          lit(0L)).as("n_orphan"))
+    }
+    val li = Tables.t(s, dir, "lineitem")
+    val o = Tables.t(s, dir, "orders")
+    val c = Tables.t(s, dir, "customer")
+    val p = Tables.t(s, dir, "part")
+    val n = Tables.t(s, dir, "nation")
+    edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey",
+        bcast = false)
+      .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey", p,
+        "p_partkey", bcast = false))
+      .unionAll(edge("orders.o_custkey->customer", o, "o_custkey", c,
+        "c_custkey", bcast = false))
+      .unionAll(edge("customer.c_nationkey->nation", c, "c_nationkey", n,
+        "n_nationkey", bcast = true))
+      .orderBy($"fk_edge")
+  }
+
+  /** Deterministic k-fold assignment with a per-fold stratification
+    * audit — reproducible cross-validation over a 100-TB corpus: fold
+    * = md5(custkey) mod 5 (stateless, cluster-invariant, append-
+    * stable), and the emitted per-(fold, segment) counts with integer-
+    * ppm fold shares ARE the balance report that tells you whether
+    * hash folding preserved the label mix. One map-combinable groupBy.
+    */
+  def mlKfold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val folds = Tables.t(s, dir, "customer")
+      .select($"c_mktsegment",
+        (md5int($"c_custkey".cast("string")) % 5).as("fold"))
+    val segTot = folds.groupBy($"c_mktsegment").agg(count(lit(1)).as("seg_n"))
+    folds.groupBy($"fold", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(segTot), Seq("c_mktsegment"))
+      .select($"fold", $"c_mktsegment", $"n",
+        expr("n * 1000000 div seg_n").as("share_ppm"))
+      .orderBy($"fold", $"c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dq_referential" -> (dqReferential _),
+    "q_ml_kfold" -> (mlKfold _),
     "q_sample_balance" -> (sampleBalance _),
     "q_shard_manifest" -> (shardManifest _),
     "q_privacy_kanon" -> (privacyKanon _),
@@ -708,6 +775,53 @@ object PipelineOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_referential" ->
+      """WITH e1 AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |    CAST(COUNT(*) AS BIGINT) AS n_child,
+        |    CAST(COUNT(*) FILTER (WHERE l.l_orderkey IS NULL)
+        |      AS BIGINT) AS n_null_fk,
+        |    CAST(COUNT(*) FILTER (WHERE l.l_orderkey IS NOT NULL
+        |      AND o.o_orderkey IS NULL) AS BIGINT) AS n_orphan
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e2 AS (
+        |  SELECT 'lineitem.l_partkey->part',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) FILTER (WHERE l.l_partkey IS NULL) AS BIGINT),
+        |    CAST(COUNT(*) FILTER (WHERE l.l_partkey IS NOT NULL
+        |      AND p.p_partkey IS NULL) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey),
+        |e3 AS (
+        |  SELECT 'orders.o_custkey->customer',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) FILTER (WHERE o.o_custkey IS NULL) AS BIGINT),
+        |    CAST(COUNT(*) FILTER (WHERE o.o_custkey IS NOT NULL
+        |      AND c.c_custkey IS NULL) AS BIGINT)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |e4 AS (
+        |  SELECT 'customer.c_nationkey->nation',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(COUNT(*) FILTER (WHERE c.c_nationkey IS NULL) AS BIGINT),
+        |    CAST(COUNT(*) FILTER (WHERE c.c_nationkey IS NOT NULL
+        |      AND n.n_nationkey IS NULL) AS BIGINT)
+        |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        |SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+        |ORDER BY fk_edge""".stripMargin,
+    "q_ml_kfold" ->
+      """WITH f AS (
+        |  SELECT c_mktsegment,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 5 AS fold
+        |  FROM customer),
+        |st AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS seg_n
+        |  FROM f GROUP BY 1),
+        |fc AS (SELECT fold, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM f GROUP BY 1, 2)
+        |SELECT fc.fold, fc.c_mktsegment, fc.n,
+        |  CAST(fc.n * 1000000 // st.seg_n AS BIGINT) AS share_ppm
+        |FROM fc JOIN st ON fc.c_mktsegment = st.c_mktsegment
+        |ORDER BY fc.fold, fc.c_mktsegment""".stripMargin,
     "q_sample_balance" ->
       """WITH e AS (
         |  SELECT event_id, event_type,
