@@ -1099,7 +1099,50 @@ object Aggregates extends OpModule {
       .orderBy($"c_mktsegment")
   }
 
+  /** Winsorized mean per segment — the robust location estimate that
+    * completes [[aggMad]]'s robust-scale story: the bottom/top 5% of
+    * balances are CLAMPED to the 5th/95th rank values (not dropped —
+    * winsorizing keeps n constant) and the mean recomputed. Thresholds
+    * are EXACT integer-cents values at integer ranks (k = n·5 div 100;
+    * no interpolation, no float at any decision boundary), the clamped
+    * sum runs in exact decimal, and raw vs winsorized means ship
+    * side by side — the gap IS the outlier-influence diagnostic.
+    *
+    * Scale shape: one shuffle on the segment key; rank and thresholds
+    * ride the same exchange (window + conditional agg), the O(segments)
+    * threshold table broadcasts back. */
+  def aggWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"cents", $"c_custkey")
+    val ranked = Tables.t(s, dir, "customer")
+      .select($"c_mktsegment", $"c_custkey",
+        expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(w))
+    val th = ranked.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .select($"c_mktsegment", $"n",
+        expr("n * 5 div 100").as("k"))
+    val thv = ranked.join(broadcast(th), Seq("c_mktsegment"))
+      .groupBy($"c_mktsegment")
+      .agg(min(when($"rn" === $"k" + 1, $"cents")).as("lo_cents"),
+        min(when($"rn" === $"n" - $"k", $"cents")).as("hi_cents"))
+    ranked.join(broadcast(thv), Seq("c_mktsegment"))
+      .withColumn("wc", greatest(least($"cents", $"hi_cents"), $"lo_cents"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum(expr("CAST(cents AS DECIMAL(18,0))")).cast("double")
+          / count(lit(1)) / lit(100.0), 4).as("raw_mean"),
+        round(sum(expr("CAST(wc AS DECIMAL(18,0))")).cast("double")
+          / count(lit(1)) / lit(100.0), 4).as("winsorized_mean"),
+        (min($"lo_cents").cast("double") / 100.0).as("lo"),
+        (min($"hi_cents").cast("double") / 100.0).as("hi"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_winsorize" -> (aggWinsorize _),
     "q_agg_moments" -> (aggMoments _),
     "q_agg_chisq" -> (aggChisq _),
     "q_agg_entropy" -> (aggEntropy _),
@@ -1148,6 +1191,38 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_agg_winsorize" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |ranked AS (
+        |  SELECT c_mktsegment, cents,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents, c_custkey) AS rn
+        |  FROM base),
+        |th AS (
+        |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) * 5 // 100 AS BIGINT) AS k
+        |  FROM ranked GROUP BY 1),
+        |thv AS (
+        |  SELECT r.c_mktsegment,
+        |    MIN(CASE WHEN r.rn = th.k + 1 THEN r.cents END) AS lo_cents,
+        |    MIN(CASE WHEN r.rn = th.n - th.k THEN r.cents END) AS hi_cents
+        |  FROM ranked r JOIN th ON r.c_mktsegment = th.c_mktsegment
+        |  GROUP BY 1),
+        |cl AS (
+        |  SELECT r.c_mktsegment, r.cents, t.lo_cents, t.hi_cents,
+        |    GREATEST(LEAST(r.cents, t.hi_cents), t.lo_cents) AS wc
+        |  FROM ranked r JOIN thv t ON r.c_mktsegment = t.c_mktsegment)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(CAST(cents AS DECIMAL(18,0))) AS DOUBLE)
+        |    / COUNT(*) / 100.0, 4) AS raw_mean,
+        |  ROUND(CAST(SUM(CAST(wc AS DECIMAL(18,0))) AS DOUBLE)
+        |    / COUNT(*) / 100.0, 4) AS winsorized_mean,
+        |  CAST(MIN(lo_cents) AS DOUBLE) / 100.0 AS lo,
+        |  CAST(MIN(hi_cents) AS DOUBLE) / 100.0 AS hi
+        |FROM cl GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_agg_moments" ->
       """WITH b AS (
         |  SELECT c_mktsegment, CAST(ROUND(c_acctbal * 100) AS HUGEINT) AS c

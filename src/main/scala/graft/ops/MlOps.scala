@@ -363,7 +363,50 @@ object MlOps extends OpModule {
       .orderBy($"bucket")
   }
 
+  /** Mutual-information feature ranking — the model-free feature-
+    * selection standard (what χ² tests, MI RANKS): I(feature; segment)
+    * for two candidate categorical features (binned balance, nation)
+    * against the segment label, emitted as one comparable row per
+    * feature. Each cell's (p·ln-ratio) term is rounded to an e-6
+    * INTEGER before the sum (the `q_agg_entropy` discipline), so the
+    * statistic is an order-insensitive integer sum; margins are
+    * O(categories) broadcast joins.
+    *
+    * Scale shape: one long (feature, cat, seg) groupBy — two features
+    * share a single shuffle via the pre-union — then broadcast margins
+    * and an O(features) rollup. */
+  def mlMutualInfo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.t(s, dir, "customer")
+      .select($"c_mktsegment".as("seg"),
+        least(expr("(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) " +
+          "div 110000"), lit(9L)).cast("string").as("bal_bin"),
+        $"c_nationkey".cast("string").as("nation"))
+    val long = base.select(lit("bal_bin").as("feature"),
+        $"bal_bin".as("cat"), $"seg")
+      .unionAll(base.select(lit("nation").as("feature"),
+        $"nation".as("cat"), $"seg"))
+    val cells = long.groupBy($"feature", $"cat", $"seg")
+      .agg(count(lit(1)).as("nxy"))
+    val catM = cells.groupBy($"feature", $"cat").agg(sum($"nxy").as("nx"))
+    val segM = cells.groupBy($"feature", $"seg").agg(sum($"nxy").as("ny"))
+    val tot = cells.groupBy($"feature").agg(sum($"nxy").as("n"))
+    cells
+      .join(broadcast(catM), Seq("feature", "cat"))
+      .join(broadcast(segM), Seq("feature", "seg"))
+      .join(broadcast(tot), Seq("feature"))
+      .withColumn("term_e6", round(
+        ($"nxy".cast("double") / $"n".cast("double")) *
+        log(($"nxy".cast("double") * $"n".cast("double")) /
+            ($"nx".cast("double") * $"ny".cast("double"))) * lit(1000000),
+        0).cast("long"))
+      .groupBy($"feature")
+      .agg(count(lit(1)).as("n_cells"), sum($"term_e6").as("mi_e6"))
+      .orderBy($"feature")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ml_mutual_info" -> (mlMutualInfo _),
     "q_feat_woe" -> (featWoe _),
     "q_feat_hashed_cross" -> (featHashedCross _),
     "q_ml_negatives" -> (mlNegatives _),
@@ -379,6 +422,40 @@ object MlOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ml_mutual_info" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(LEAST((CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000)
+        |      // 110000, 9) AS VARCHAR) AS bal_bin,
+        |    CAST(c_nationkey AS VARCHAR) AS nation
+        |  FROM customer),
+        |lng AS (
+        |  SELECT 'bal_bin' AS feature, bal_bin AS cat, seg FROM base
+        |  UNION ALL
+        |  SELECT 'nation', nation, seg FROM base),
+        |cells AS (
+        |  SELECT feature, cat, seg, CAST(COUNT(*) AS BIGINT) AS nxy
+        |  FROM lng GROUP BY 1, 2, 3),
+        |cm AS (SELECT feature, cat, CAST(SUM(nxy) AS BIGINT) AS nx
+        |  FROM cells GROUP BY 1, 2),
+        |sm AS (SELECT feature, seg, CAST(SUM(nxy) AS BIGINT) AS ny
+        |  FROM cells GROUP BY 1, 2),
+        |tt AS (SELECT feature, CAST(SUM(nxy) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1),
+        |t AS (
+        |  SELECT cells.feature,
+        |    CAST(ROUND(
+        |      (CAST(cells.nxy AS DOUBLE) / CAST(tt.n AS DOUBLE))
+        |      * ln((CAST(cells.nxy AS DOUBLE) * CAST(tt.n AS DOUBLE))
+        |           / (CAST(cm.nx AS DOUBLE) * CAST(sm.ny AS DOUBLE)))
+        |      * 1000000, 0) AS BIGINT) AS term_e6
+        |  FROM cells
+        |  JOIN cm ON cells.feature = cm.feature AND cells.cat = cm.cat
+        |  JOIN sm ON cells.feature = sm.feature AND cells.seg = sm.seg
+        |  JOIN tt ON cells.feature = tt.feature)
+        |SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(term_e6) AS BIGINT) AS mi_e6
+        |FROM t GROUP BY feature ORDER BY feature""".stripMargin,
     "q_feat_woe" ->
       """WITH c AS (
         |  SELECT
