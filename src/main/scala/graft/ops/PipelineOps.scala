@@ -748,7 +748,41 @@ object PipelineOps extends OpModule {
       .orderBy($"fold", $"c_mktsegment")
   }
 
+  /** Join-key skew audit — the measurement you run BEFORE choosing a
+    * salting factor or trusting AQE's skew split (`q_join_salted` is
+    * the cure; this is the diagnosis): for each candidate join key of
+    * the fact table, total rows, distinct keys, the heaviest key's row
+    * count, and an integer ×100 skew ratio (max/avg) plus the heaviest
+    * key itself for drill-in. All pure integer arithmetic.
+    *
+    * Scale shape: one map-combinable groupBy per key column (the same
+    * shuffle the join itself would do — the audit costs one pass of
+    * what it measures), O(1) global stats, and the heaviest-key lookup
+    * probes the per-key counts against a BROADCAST 1-row stat. */
+  def dqSkew(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def audit(keyName: String, df: DataFrame, key: String): DataFrame = {
+      val per = df.groupBy(col(key).cast("long").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val stats = per.agg(sum($"c").as("n_rows"),
+        count(lit(1)).as("n_keys"), max($"c").as("max_key_rows"))
+      val top = per.join(broadcast(stats), $"c" === $"max_key_rows")
+        .agg(min($"k").as("top_key"))
+      stats.crossJoin(broadcast(top))
+        .select(lit(keyName).as("join_key"), $"n_rows", $"n_keys",
+          $"max_key_rows",
+          expr("max_key_rows * 100 * n_keys div n_rows").as("skew_x100"),
+          $"top_key")
+    }
+    val li = Tables.t(s, dir, "lineitem")
+    audit("l_orderkey", li, "l_orderkey")
+      .unionAll(audit("l_partkey", li, "l_partkey"))
+      .unionAll(audit("l_suppkey", li, "l_suppkey"))
+      .orderBy($"join_key")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dq_skew" -> (dqSkew _),
     "q_dq_referential" -> (dqReferential _),
     "q_ml_kfold" -> (mlKfold _),
     "q_sample_balance" -> (sampleBalance _),
@@ -775,6 +809,47 @@ object PipelineOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dq_skew" ->
+      """WITH a1 AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS k, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |s1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(MAX(c) AS BIGINT) AS max_key_rows FROM a1),
+        |t1 AS (SELECT MIN(k) AS top_key FROM a1, s1
+        |  WHERE a1.c = s1.max_key_rows),
+        |a2 AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS k, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |s2 AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(MAX(c) AS BIGINT) AS max_key_rows FROM a2),
+        |t2 AS (SELECT MIN(k) AS top_key FROM a2, s2
+        |  WHERE a2.c = s2.max_key_rows),
+        |a3 AS (
+        |  SELECT CAST(l_suppkey AS BIGINT) AS k, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |s3 AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(MAX(c) AS BIGINT) AS max_key_rows FROM a3),
+        |t3 AS (SELECT MIN(k) AS top_key FROM a3, s3
+        |  WHERE a3.c = s3.max_key_rows)
+        |SELECT 'l_orderkey' AS join_key, s1.n_rows, s1.n_keys,
+        |  s1.max_key_rows,
+        |  CAST(s1.max_key_rows * 100 * s1.n_keys // s1.n_rows AS BIGINT)
+        |    AS skew_x100, t1.top_key
+        |FROM s1, t1
+        |UNION ALL SELECT 'l_partkey', s2.n_rows, s2.n_keys,
+        |  s2.max_key_rows,
+        |  CAST(s2.max_key_rows * 100 * s2.n_keys // s2.n_rows AS BIGINT),
+        |  t2.top_key
+        |FROM s2, t2
+        |UNION ALL SELECT 'l_suppkey', s3.n_rows, s3.n_keys,
+        |  s3.max_key_rows,
+        |  CAST(s3.max_key_rows * 100 * s3.n_keys // s3.n_rows AS BIGINT),
+        |  t3.top_key
+        |FROM s3, t3
+        |ORDER BY join_key""".stripMargin,
     "q_dq_referential" ->
       """WITH e1 AS (
         |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,

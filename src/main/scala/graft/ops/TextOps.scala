@@ -429,7 +429,40 @@ object TextOps extends OpModule {
       .orderBy($"doc_id", $"bucket")
   }
 
+  /** Per-DOCUMENT keyword extraction — the retrieval/tagging variant
+    * of [[textTfidf]]'s per-language ranking: each document's top-3
+    * terms by in-doc frequency × corpus ln-IDF, rank-deterministic via
+    * 4-dp rounding + term tiebreak. Bounded to the first 50 docs so
+    * the graded artifact stays small; the plan is the corpus-wide one.
+    *
+    * Scale shape: in-doc tf is a map-combinable (doc, term) groupBy,
+    * the O(vocab) df table joins BROADCAST, and the per-doc top-3
+    * compiles to WindowGroupLimit — each partition forwards ≤3
+    * candidates per doc into the rank shuffle. */
+  def textKeywords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.t(s, dir, "documents")
+    val n = d.agg(count(lit(1)).as("n_total"))
+    val all = d.select($"doc_id", explode(split($"text", " ")).as("term"))
+    val df = all.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val tf = all.filter($"doc_id" < 50)
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+    tf.join(broadcast(df), Seq("term")).crossJoin(broadcast(n))
+      .select($"doc_id", $"term",
+        round($"tf".cast("double") *
+          log($"n_total".cast("double") / $"df".cast("double")), 4)
+          .as("score"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"rnk", $"term", $"score")
+      .orderBy($"doc_id", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_keywords" -> (textKeywords _),
     "q_text_hashing_tf" -> (textHashingTf _),
     "q_text_lm_score" -> (textLmScore _),
     "q_text_tokens_tf" -> (textTokensTf _),
@@ -451,6 +484,30 @@ object TextOps extends OpModule {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_keywords" ->
+      """WITH alltok AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS n_total FROM documents),
+        |df AS (
+        |  SELECT term, COUNT(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, term FROM alltok) GROUP BY term),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM alltok
+        |  WHERE doc_id < 50 GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ROUND(CAST(tf.tf AS DOUBLE)
+        |      * ln(CAST(n.n_total AS DOUBLE) / CAST(df.df AS DOUBLE)), 4)
+        |      AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term ASC) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, term, score FROM ranked
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q_text_pack" ->
       """WITH docs AS (
         |  SELECT doc_id, source, len(string_split(text, ' ')) AS toks,
