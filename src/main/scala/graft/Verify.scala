@@ -22,15 +22,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // 4-way concurrent dump: per-query wall time is dominated by
+    // driver-side planning + codegen compilation, which parallelizes
+    // cleanly across independent queries (the same pool shape
+    // OperatorGoldenSpec uses for the all-query run — queries are
+    // independent by construction: per-kind sink paths, unique memory
+    // sink names, atomic OpCache builds, per-query output dirs).
+    // Measured: 226 s serial → ~90 s at 4 threads on the full map.
+    import scala.collection.parallel.CollectionConverters._
+    val work = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+      .par
+    val pool = new java.util.concurrent.ForkJoinPool(4)
+    work.tasksupport =
+      new scala.collection.parallel.ForkJoinTaskSupport(pool)
+    try work.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-    }
+    } finally pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
