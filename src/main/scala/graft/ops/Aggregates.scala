@@ -1141,7 +1141,32 @@ object Aggregates extends OpModule {
       .orderBy($"c_mktsegment")
   }
 
+  /** Hourly load curve per event type — the capacity-planning readout
+    * (what peak must the ingest tier survive; what p95 sizes the
+    * steady-state cluster): bucket the stream into hours, then the
+    * p50/p95/max of the per-hour counts. Percentiles interpolate over
+    * exact integer counts cast to double (the `q_agg_percentile`
+    * cross-engine mapping: Spark `percentile` ↔ DuckDB
+    * `quantile_cont`).
+    *
+    * Scale shape: two map-side-combinable groupBys — (type, hour)
+    * then type; the percentile's per-group buffer is O(hours), the
+    * bounded bucket count, never O(events). */
+  def eventsLoadCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        percentile($"c".cast("double"), lit(0.5)).as("p50_per_hour"),
+        percentile($"c".cast("double"), lit(0.95)).as("p95_per_hour"),
+        max($"c").as("max_per_hour"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_load_curve" -> (eventsLoadCurve _),
     "q_agg_winsorize" -> (aggWinsorize _),
     "q_agg_moments" -> (aggMoments _),
     "q_agg_chisq" -> (aggChisq _),
@@ -1191,6 +1216,16 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_events_load_curve" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |  quantile_cont(CAST(c AS DOUBLE), 0.5) AS p50_per_hour,
+        |  quantile_cont(CAST(c AS DOUBLE), 0.95) AS p95_per_hour,
+        |  MAX(c) AS max_per_hour
+        |FROM hourly GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_winsorize" ->
       """WITH base AS (
         |  SELECT c_mktsegment, c_custkey,
