@@ -1165,7 +1165,40 @@ object Aggregates extends OpModule {
       .orderBy($"event_type")
   }
 
+  /** Conversion-latency profile — the time dimension [[featFunnel]]'s
+    * counts lack: per user, the gap from FIRST signup to the first
+    * purchase AFTER it, rolled up to conversion counts and latency
+    * percentiles in integer minutes. The "how long does activation
+    * take" product metric that decides nudge timing. Latencies are
+    * exact integer minutes (µs difference div 60e6 — no float time
+    * math); percentiles interpolate over those integers (the
+    * `q_agg_percentile` mapping).
+    *
+    * Scale shape: two conditional aggregates over ONE user-keyed
+    * shuffle (first-signup and first-purchase-after ride the same
+    * groupBy), then an O(1) global rollup. */
+  def funnelLatency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+      .select($"user_id", $"event_type",
+        expr("unix_micros(ts)").as("us"))
+    val su = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"us").as("s_us"))
+    val lat = e.filter($"event_type" === "purchase")
+      .join(su, Seq("user_id"))
+      .filter($"us" >= $"s_us")
+      .groupBy($"user_id").agg(min($"us").as("p_us"), min($"s_us").as("s0"))
+      .select($"user_id", expr("(p_us - s0) div 60000000").as("lat_min"))
+    su.join(lat, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_signup_users"),
+        count($"lat_min").as("n_converted"),
+        percentile($"lat_min".cast("double"), lit(0.5)).as("p50_min"),
+        percentile($"lat_min".cast("double"), lit(0.9)).as("p90_min"),
+        max($"lat_min").as("max_min"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_feat_funnel_latency" -> (funnelLatency _),
     "q_events_load_curve" -> (eventsLoadCurve _),
     "q_agg_winsorize" -> (aggWinsorize _),
     "q_agg_moments" -> (aggMoments _),
@@ -1216,6 +1249,26 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_feat_funnel_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |su AS (SELECT user_id, MIN(us) AS s_us FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |lat AS (
+        |  SELECT e.user_id,
+        |    CAST((MIN(e.us) - MIN(su.s_us)) // 60000000 AS BIGINT)
+        |      AS lat_min
+        |  FROM e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= su.s_us
+        |  GROUP BY e.user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_signup_users,
+        |  CAST(COUNT(lat.lat_min) AS BIGINT) AS n_converted,
+        |  quantile_cont(CAST(lat_min AS DOUBLE), 0.5) AS p50_min,
+        |  quantile_cont(CAST(lat_min AS DOUBLE), 0.9) AS p90_min,
+        |  MAX(lat_min) AS max_min
+        |FROM su LEFT JOIN lat ON su.user_id = lat.user_id""".stripMargin,
     "q_events_load_curve" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
