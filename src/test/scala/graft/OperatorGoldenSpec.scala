@@ -1206,6 +1206,93 @@ class OperatorGoldenSpec extends SparkSpec {
       }
   }
 
+  test("k-fold shares sum to ~1e6 per segment; all folds populated") {
+    val r = run("q_ml_kfold")
+      .select($"fold", $"c_mktsegment", $"share_ppm")
+      .as[(Long, String, Long)].collect()
+    assert(r.map(_._1).distinct.sorted === Seq(0L, 1L, 2L, 3L, 4L))
+    // integer floor-division loses at most 1 ppm per fold
+    r.groupBy(_._2).foreach { case (seg, rows) =>
+      val tot = rows.map(_._3).sum
+      assert(tot > 1000000L - 5 && tot <= 1000000L, s"$seg ppm sum $tot")
+    }
+  }
+
+  test("referential audit: clean corpus, child counts reconcile") {
+    val r = run("q_dq_referential")
+      .select($"fk_edge", $"n_child", $"n_null_fk", $"n_orphan")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r.size === 4)
+    r.foreach { case (e, _, nn, no) =>
+      assert(nn === 0L && no === 0L, s"$e: nulls=$nn orphans=$no")
+    }
+    val li = Tables.t(spark, sf, "lineitem").count()
+    assert(r.filter(_._1.startsWith("lineitem.")).forall(_._2 === li))
+  }
+
+  test("skew audit: ratio ≥ 100 (max ≥ avg), keys bounded by rows") {
+    run("q_dq_skew")
+      .select($"n_rows", $"n_keys", $"max_key_rows", $"skew_x100")
+      .as[(Long, Long, Long, Long)].collect().foreach {
+        case (nr, nk, mx, sk) =>
+          assert(sk >= 100L - 1, s"skew ratio $sk below avg floor")
+          assert(nk <= nr && mx <= nr && mx >= nr / nk)
+      }
+  }
+
+  test("winsorized mean sits inside [lo, hi]; bounds ordered") {
+    run("q_agg_winsorize")
+      .select($"winsorized_mean", $"lo", $"hi")
+      .as[(Double, Double, Double)].collect().foreach {
+        case (wm, lo, hi) =>
+          assert(lo <= hi && wm >= lo && wm <= hi,
+            s"winsorized $wm outside [$lo, $hi]")
+      }
+  }
+
+  test("mutual information is non-negative up to rounding loss") {
+    run("q_ml_mutual_info")
+      .select($"n_cells", $"mi_e6").as[(Long, Long)].collect().foreach {
+        case (cells, mi) =>
+          // each cell term rounds within 0.5e-6; MI itself is ≥ 0
+          assert(mi >= -cells, s"mi_e6 $mi below rounding floor")
+      }
+  }
+
+  test("keywords: exactly ≤3 per doc, scores non-increasing in rank") {
+    val r = run("q_text_keywords")
+      .select($"doc_id", $"rnk", $"score")
+      .as[(Long, Int, Double)].collect()
+    r.groupBy(_._1).foreach { case (doc, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.length <= 3)
+      assert(byRank.map(_._2).toSeq === (1 to byRank.length))
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3, s"doc $doc ranks inverted")
+        case _ =>
+      }
+    }
+  }
+
+  test("load curve percentiles are ordered and hour counts bounded") {
+    run("q_events_load_curve")
+      .select($"n_hours", $"p50_per_hour", $"p95_per_hour", $"max_per_hour")
+      .as[(Long, Double, Double, Long)].collect().foreach {
+        case (nh, p50, p95, mx) =>
+          assert(p50 <= p95 && p95 <= mx.toDouble)
+          assert(nh >= 1L && nh <= 31L * 24L)
+      }
+  }
+
+  test("funnel latency: conversions bounded, percentiles ordered") {
+    val Array((ns, nc, p50, p90, mx)) = run("q_feat_funnel_latency")
+      .select($"n_signup_users", $"n_converted", $"p50_min", $"p90_min",
+        $"max_min")
+      .as[(Long, Long, Double, Double, Long)].collect()
+    assert(nc <= ns && ns >= 1L)
+    assert(p50 <= p90 && p90 <= mx.toDouble)
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
