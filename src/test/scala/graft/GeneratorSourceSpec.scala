@@ -104,6 +104,29 @@ class GeneratorSourceSpec extends SparkSpec {
     StatsSink.clear("spec")
   }
 
+  test("randomized ranges: pushed window ≡ unfiltered scan + filter") {
+    // seeded property sweep over the pushdown's boundary arithmetic
+    // (the off-by-one surface: >, >=, <, <=, = against lo/hi clamps)
+    val rnd = new scala.util.Random(42)
+    val full = gen(5000, 4).orderBy($"event_id").collect()
+    (1 to 12).foreach { _ =>
+      val a = rnd.nextInt(5000).toLong
+      val b = rnd.nextInt(5000).toLong
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val pushed = gen(5000, 4)
+        .filter($"event_id" >= lo && $"event_id" < hi)
+        .orderBy($"event_id").collect()
+      val expect = full.filter { r =>
+        val id = r.getLong(r.fieldIndex("event_id")); id >= lo && id < hi
+      }
+      assert(pushed === expect, s"range [$lo,$hi) mismatch")
+    }
+    // degenerate and exact-point ranges
+    assert(gen(5000, 4).filter($"event_id" === 4999L).count() === 1L)
+    assert(gen(5000, 4).filter($"event_id" > 4999L).count() === 0L)
+    assert(gen(5000, 4).filter($"event_id" < 0L).count() === 0L)
+  }
+
   test("generated values stay in their declared domains") {
     val bad = gen(3000, 4).filter(
       $"user_id" < 0L || $"user_id" >= 100L ||
