@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -96,7 +96,7 @@ private class GenTable(props: util.Map[String, String])
 
 private class GenScanBuilder(rows: Long, seed: Long, users: Long, parts: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = ActivityGenerator.Schema
   private var lo = 0L
   private var hi = rows
@@ -111,6 +111,7 @@ private class GenScanBuilder(rows: Long, seed: Long, users: Long, parts: Int)
       case LessThan("event_id", _: Long) => true
       case LessThanOrEqual("event_id", _: Long) => true
       case EqualTo("event_id", _: Long) => true
+      case IsNotNull("event_id") => true
       case _ => false
     }
     ranges.foreach {
@@ -120,14 +121,27 @@ private class GenScanBuilder(rows: Long, seed: Long, users: Long, parts: Int)
       case LessThanOrEqual("event_id", v: Long) => hi = math.min(hi, v + 1)
       case EqualTo("event_id", v: Long) =>
         lo = math.max(lo, v); hi = math.min(hi, v + 1)
-      case _ =>
+      case _ => // IsNotNull: event_id is generated non-null by contract
     }
     pushed = ranges
-    // every filter stays a residual: the narrowed window is an
-    // optimization, never the proof of the predicate
-    filters
+    // range predicates are FULLY handled: every id in the narrowed
+    // [lo, hi) window satisfies them by construction (boundary math
+    // property-swept in GeneratorSourceSpec), so Spark plans no
+    // residual Filter for them — which in turn unlocks limit pushdown.
+    // Anything else stays a residual.
+    rest
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** LIMIT pushes into the generator as a window truncation: the first
+    * `limit` ids of the (already filter-narrowed) window are exactly
+    * the rows a limit over this scan may keep. Returns true — the
+    * source emits at most `limit` rows (Spark still applies its own
+    * limit above, which is then a no-op). */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit.toLong)
+    true
+  }
 
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,6 +57,7 @@ private class StatsTable(schema: StructType, name: String)
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -63,8 +65,33 @@ private class StatsTable(schema: StructType, name: String)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new StatsBatchWrite(name, info.schema())
+        override def toStreaming: StreamingWrite =
+          new StatsStreamingWrite(name, info.schema())
       }
     }
+}
+
+/** Streaming face: each epoch's partition totals fold in the driver's
+  * per-epoch commit — same exactly-once shape as the batch path, per
+  * micro-batch. A replayed epoch (restart before commit) re-publishes
+  * only once because the sink's registry is fed from commit, never
+  * from the writers. */
+private class StatsStreamingWrite(name: String, schema: StructType)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    // a named top-level factory: an anonymous one would capture this
+    // (non-serializable) StreamingWrite and fail task serialization
+    StatsStreamingFactory(schema)
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    var rows = 0L
+    var bytes = 0L
+    messages.foreach { case StatsCommit(r, b) => rows += r; bytes += b }
+    StatsSink.add(name, rows, bytes)
+  }
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 private case class StatsCommit(rows: Long, bytes: Long)
@@ -82,6 +109,13 @@ private class StatsBatchWrite(name: String, schema: StructType)
     StatsSink.add(name, rows, bytes)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private case class StatsStreamingFactory(schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new StatsWriterFactory(schema).createWriter(partitionId, taskId)
 }
 
 private class StatsWriterFactory(schema: StructType)

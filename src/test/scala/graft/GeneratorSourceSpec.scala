@@ -84,6 +84,13 @@ class GeneratorSourceSpec extends SparkSpec {
     }
   }
 
+  test("limit pushes into the generator: scan emits only the limit") {
+    val df = gen(1000000, 8).limit(25)
+    assert(df.collect().length === 25)
+    val scanRows = scanOf(df).metrics("numOutputRows").value
+    assert(scanRows === 25L, s"scan emitted $scanRows rows, limit not pushed")
+  }
+
   test("stats sink: commit-aggregated rows/bytes match the written frame") {
     import graft.sources.StatsSink
     StatsSink.clear("spec")
@@ -125,6 +132,23 @@ class GeneratorSourceSpec extends SparkSpec {
     assert(gen(5000, 4).filter($"event_id" === 4999L).count() === 1L)
     assert(gen(5000, 4).filter($"event_id" > 4999L).count() === 0L)
     assert(gen(5000, 4).filter($"event_id" < 0L).count() === 0L)
+  }
+
+  test("stats sink streaming face: epoch commits accumulate exactly once") {
+    import graft.sources.StatsSink
+    StatsSink.clear("specstream")
+    withTmpDir("graft_tmp_statstream") { dir =>
+      val q = spark.readStream.format("graft-events")
+        .option("rows", 1200L).option("seed", 42L).option("users", 100L)
+        .load()
+        .writeStream.format("graft-stats").option("name", "specstream")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(StatsSink.get("specstream").map(_._1) === Some(1200L))
+    StatsSink.clear("specstream")
   }
 
   test("generated values stay in their declared domains") {
