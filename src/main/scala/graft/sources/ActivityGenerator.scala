@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
@@ -96,11 +97,31 @@ private class GenTable(props: util.Map[String, String])
 
 private class GenScanBuilder(rows: Long, seed: Long, users: Long, parts: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType = ActivityGenerator.Schema
   private var lo = 0L
   private var hi = rows
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
+
+  /** COUNT(*) with no grouping is pure window arithmetic — `hi − lo` —
+    * so it pushes COMPLETELY into the source and never generates a
+    * row: the generator's analogue of a parquet footer count. Only
+    * legal because the range filters above are fully handled (an
+    * un-pushed predicate would make the arithmetic overcount). */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    countPushed = true
+    required = StructType(agg.aggregateExpressions.zipWithIndex.map {
+      case (_, i) => StructField(s"count_$i", LongType, nullable = false)
+    })
+    true
+  }
 
   override def pruneColumns(s: StructType): Unit = required = s
 
@@ -147,9 +168,12 @@ private class GenScanBuilder(rows: Long, seed: Long, users: Long, parts: Int)
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft-events rows=[$lo,$hi) seed=$seed pushed=${pushed.length}"
+      s"graft-events rows=[$lo,$hi) seed=$seed pushed=${pushed.length}" +
+        (if (countPushed) " count-only" else "")
     override def planInputPartitions(): Array[InputPartition] =
-      GenScanBuilder.split(lo, hi, parts, seed, users)
+      if (countPushed) Array(CountPartition(math.max(0L, hi - lo),
+        required.length))
+      else GenScanBuilder.split(lo, hi, parts, seed, users)
     override def createReaderFactory(): PartitionReaderFactory =
       new GenReaderFactory(required)
     /** Streaming face: the id space doubles as a REPLAYABLE offset log
@@ -198,10 +222,25 @@ private class GenMicroBatchStream(lo: Long, hi: Long, parts: Int,
 private case class GenPartition(lo: Long, hi: Long, seed: Long, users: Long)
     extends InputPartition
 
+/** Single-partition payload of a completely-pushed COUNT(*). */
+private case class CountPartition(count: Long, nCols: Int)
+    extends InputPartition
+
 private class GenReaderFactory(required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val gp = p.asInstanceOf[GenPartition]
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case CountPartition(n, cols) =>
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val r = !emitted; emitted = true; r }
+        override def get(): InternalRow =
+          new GenericInternalRow(Array.fill[Any](cols)(n))
+        override def close(): Unit = ()
+      }
+    case gp: GenPartition => rowReader(gp)
+  }
+
+  private def rowReader(gp: GenPartition): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private var id = gp.lo - 1
       // pruned columns are never computed: resolve each required field

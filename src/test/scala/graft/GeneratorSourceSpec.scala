@@ -91,6 +91,21 @@ class GeneratorSourceSpec extends SparkSpec {
     assert(scanRows === 25L, s"scan emitted $scanRows rows, limit not pushed")
   }
 
+  test("count(*) pushes completely: a billion-row count never generates") {
+    val t0 = System.nanoTime()
+    val n = spark.read.format("graft-events")
+      .option("rows", 1000000000L).option("seed", 42L).load().count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n === 1000000000L)
+    // window arithmetic, not generation: a generated count of 1e9 rows
+    // would need minutes; the pushed count is a constant-time answer
+    assert(secs < 30.0, f"count took $secs%.1f s — aggregate not pushed")
+    // and it composes with the pushed range filter
+    assert(spark.read.format("graft-events")
+      .option("rows", 1000000000L).option("seed", 42L).load()
+      .filter($"event_id" >= 999999000L).count() === 1000L)
+  }
+
   test("stats sink: commit-aggregated rows/bytes match the written frame") {
     import graft.sources.StatsSink
     StatsSink.clear("spec")
