@@ -1197,7 +1197,48 @@ object Aggregates extends OpModule {
         max($"lat_min").as("max_min"))
   }
 
+  /** Cohort LTV curves — the growth-analytics staple behind every
+    * retention dashboard: users grouped by signup WEEK (their cohort),
+    * purchase value accumulated by whole weeks-since-signup (age), and
+    * the running cumulative value per cohort — the curve whose shape
+    * says whether later cohorts monetize faster. Values ride the exact
+    * decimal chain; week arithmetic is pure integer µs division.
+    *
+    * Scale shape: one user-keyed shuffle to pin each user's first
+    * signup, one (cohort, age) combinable aggregate, and the cumsum
+    * window partitions by cohort (parallel across cohorts — never a
+    * global running sum). */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.t(s, dir, "events")
+      .select($"user_id", $"event_type", $"value",
+        expr("unix_micros(ts)").as("us"))
+    val wk = 604800000000L // one week of microseconds
+    val su = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"us").as("s_us"))
+    val curve = e.filter($"event_type" === "purchase")
+      .join(su, Seq("user_id"))
+      .filter($"us" >= $"s_us")
+      .select(expr(s"s_us div $wk").as("cohort_wk"),
+        expr(s"(us - s_us) div $wk").as("age_wk"),
+        d12($"value").as("v"), $"user_id")
+      .groupBy($"cohort_wk", $"age_wk")
+      .agg(count(lit(1)).as("n_purchases"),
+        count_distinct($"user_id").as("n_buyers"),
+        sum($"v").as("wk_value_dec"))
+    val w = Window.partitionBy($"cohort_wk").orderBy($"age_wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve
+      .withColumn("cum_value_dec", sum($"wk_value_dec").over(w))
+      .select($"cohort_wk", $"age_wk", $"n_purchases", $"n_buyers",
+        $"wk_value_dec".cast("double").as("wk_value"),
+        $"cum_value_dec".cast("double").as("cum_value"))
+      .orderBy($"cohort_wk", $"age_wk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_feat_cohort_ltv" -> (cohortLtv _),
     "q_feat_funnel_latency" -> (funnelLatency _),
     "q_events_load_curve" -> (eventsLoadCurve _),
     "q_agg_winsorize" -> (aggWinsorize _),
@@ -1249,6 +1290,28 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_feat_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |su AS (SELECT user_id, MIN(us) AS s_us FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |curve AS (
+        |  SELECT CAST(su.s_us // 604800000000 AS BIGINT) AS cohort_wk,
+        |    CAST((e.us - su.s_us) // 604800000000 AS BIGINT) AS age_wk,
+        |    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_buyers,
+        |    SUM(CAST(e.value AS DECIMAL(12,4))) AS wk_value_dec
+        |  FROM e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= su.s_us
+        |  GROUP BY 1, 2)
+        |SELECT cohort_wk, age_wk, n_purchases, n_buyers,
+        |  CAST(wk_value_dec AS DOUBLE) AS wk_value,
+        |  CAST(SUM(wk_value_dec) OVER (PARTITION BY cohort_wk
+        |    ORDER BY age_wk ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    AS cum_value
+        |FROM curve ORDER BY cohort_wk, age_wk""".stripMargin,
     "q_feat_funnel_latency" ->
       """WITH e AS (
         |  SELECT user_id, event_type,
