@@ -1237,7 +1237,40 @@ object Aggregates extends OpModule {
       .orderBy($"cohort_wk", $"age_wk")
   }
 
+  /** Benford first-digit audit — the classic fabricated-numbers screen
+    * a finance/data-quality pipeline runs over money columns: the
+    * first significant digit of `o_totalprice` against Benford's
+    * log10(1+1/d) expectation, with observed/expected shares in exact
+    * integer ppm and the per-digit absolute gap. Deterministic digit
+    * extraction on exact cents (string of the integer — no float log
+    * at the decision boundary); expected shares are nine CONSTANTS
+    * (rounded once, same literal both engines).
+    *
+    * Scale shape: stateless digit map + one ≤9-group combinable
+    * aggregate + a broadcast 1-row total. */
+  def aggBenford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ppm of log10(1 + 1/d), d = 1..9 — fixed literals on both sides
+    val expect = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val exp = expect.zipWithIndex
+      .map { case (p, i) => ((i + 1).toLong, p) }
+      .toDF("digit", "expect_ppm")
+    val d = Tables.t(s, dir, "orders")
+      .select(expr("CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) " +
+        "AS BIGINT) AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum($"n").as("total"))
+    d.crossJoin(broadcast(tot))
+      .join(broadcast(exp), Seq("digit"))
+      .select($"digit", $"n",
+        expr("n * 1000000 div total").as("obs_ppm"), $"expect_ppm",
+        expr("abs(n * 1000000 div total - expect_ppm)").as("gap_ppm"))
+      .orderBy($"digit")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_benford" -> (aggBenford _),
     "q_feat_cohort_ltv" -> (cohortLtv _),
     "q_feat_funnel_latency" -> (funnelLatency _),
     "q_events_load_curve" -> (eventsLoadCurve _),
@@ -1290,6 +1323,24 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_agg_benford" ->
+      """WITH exp AS (
+        |  SELECT UNNEST([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS digit,
+        |    UNNEST([301030, 176091, 124939, 96910, 79181,
+        |            66947, 57992, 51153, 45757]) AS expect_ppm),
+        |d AS (
+        |  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM d)
+        |SELECT d.digit, d.n,
+        |  CAST(d.n * 1000000 // tot.total AS BIGINT) AS obs_ppm,
+        |  CAST(exp.expect_ppm AS BIGINT) AS expect_ppm,
+        |  CAST(abs(d.n * 1000000 // tot.total - exp.expect_ppm)
+        |    AS BIGINT) AS gap_ppm
+        |FROM d CROSS JOIN tot JOIN exp ON d.digit = exp.digit
+        |ORDER BY d.digit""".stripMargin,
     "q_feat_cohort_ltv" ->
       """WITH e AS (
         |  SELECT user_id, event_type, value,

@@ -1293,6 +1293,29 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(p50 <= p90 && p90 <= mx.toDouble)
   }
 
+  test("cohort LTV: cumulative is monotone; totals reconcile with purchases") {
+    val r = run("q_feat_cohort_ltv")
+      .select($"cohort_wk", $"age_wk", $"wk_value", $"cum_value")
+      .as[(Long, Long, Double, Double)].collect()
+    r.groupBy(_._1).foreach { case (cohort, rows) =>
+      val byAge = rows.sortBy(_._2)
+      byAge.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 >= a._4, s"cohort $cohort cum_value decreased")
+        case _ =>
+      }
+      // cum at max age = sum of weekly values (exact decimal upstream)
+      assert(math.abs(byAge.last._4 - byAge.map(_._3).sum) < 1e-6)
+    }
+    // every attributed purchase belongs to a signed-up user, so the
+    // grand total is bounded by total purchase value
+    val grand = r.groupBy(_._1).map(_._2.maxBy(_._2)._4).sum
+    val allPurch = Tables.t(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .agg(sum($"value")).as[Double].head()
+    assert(grand <= allPurch + 1e-6)
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
