@@ -1269,7 +1269,31 @@ object Aggregates extends OpModule {
       .orderBy($"digit")
   }
 
+  /** Seasonality fingerprint — the day-of-week × hour-of-day activity
+    * heatmap behind anomaly baselines and send-time optimization:
+    * per (dow, hour) cell, event count, exact decimal value sum, and
+    * the cell's share of corpus activity in integer ppm. ISO weekday
+    * numbering via `dayofweek` ↔ DuckDB `dayofweek` alignment
+    * (both Sunday=1 after the +0 adjustment used here).
+    *
+    * Scale shape: stateless calendar projection (in codegen) + one
+    * ≤168-group combinable aggregate + broadcast 1-row total. */
+  def aggSeasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.t(s, dir, "events")
+      .select(dayofweek($"ts").cast("long").as("dow"),
+        hour($"ts").cast("long").as("hod"), $"value")
+      .groupBy($"dow", $"hod")
+      .agg(count(lit(1)).as("n"), sumMoney($"value").as("val_sum"))
+    val tot = cells.agg(sum($"n").as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select($"dow", $"hod", $"n", $"val_sum",
+        expr("n * 1000000 div total").as("share_ppm"))
+      .orderBy($"dow", $"hod")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_seasonality" -> (aggSeasonality _),
     "q_agg_benford" -> (aggBenford _),
     "q_feat_cohort_ltv" -> (cohortLtv _),
     "q_feat_funnel_latency" -> (funnelLatency _),
@@ -1323,6 +1347,18 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_agg_seasonality" ->
+      """WITH cells AS (
+        |  SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT)
+        |      AS dow,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells)
+        |SELECT dow, hod, n, val_sum,
+        |  CAST(n * 1000000 // tot.total AS BIGINT) AS share_ppm
+        |FROM cells CROSS JOIN tot ORDER BY dow, hod""".stripMargin,
     "q_agg_benford" ->
       """WITH exp AS (
         |  SELECT UNNEST([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS digit,
