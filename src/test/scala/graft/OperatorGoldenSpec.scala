@@ -1316,6 +1316,31 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(grand <= allPurch + 1e-6)
   }
 
+  test("benford: digits complete, shares sum to ~1e6, gaps consistent") {
+    val r = run("q_agg_benford")
+      .select($"digit", $"n", $"obs_ppm", $"expect_ppm", $"gap_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.map(_._1) === (1L to 9L))
+    val obsSum = r.map(_._3).sum
+    assert(obsSum > 1000000L - 10 && obsSum <= 1000000L)
+    // Benford expectation itself sums to ~1e6 by construction
+    assert(math.abs(r.map(_._4).sum - 1000000L) <= 1)
+    r.foreach { case (_, _, o, e, g) => assert(g === math.abs(o - e)) }
+    assert(r.map(_._2).sum ===
+      Tables.t(spark, sf, "orders").count())
+  }
+
+  test("seasonality covers the calendar grid; shares sum to ~1e6") {
+    val r = run("q_agg_seasonality")
+      .select($"dow", $"hod", $"n", $"share_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.forall { case (d, h, n, _) =>
+      d >= 1L && d <= 7L && h >= 0L && h <= 23L && n >= 1L })
+    val shareSum = r.map(_._4).sum
+    assert(shareSum > 1000000L - 200 && shareSum <= 1000000L)
+    assert(r.map(_._3).sum === Tables.t(spark, sf, "events").count())
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
