@@ -1292,7 +1292,40 @@ object Aggregates extends OpModule {
       .orderBy($"dow", $"hod")
   }
 
+  /** Cohort retention TRIANGLE — the canonical growth table
+    * [[cohortLtv]] prices and [[featRetention]]'s day-offset rate
+    * generalizes: cohort = signup week, age = whole weeks since
+    * signup, cell = distinct users active at that age with their
+    * integer-ppm share of the cohort. Age-0 is the cohort's own signup
+    * week, so every cohort's first cell is its size.
+    *
+    * Scale shape: user-keyed first-signup shuffle, (cohort, age, user)
+    * dedup rides the same exchange family, combinable cell counts,
+    * O(cohorts) sizes broadcast back. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wk = 604800000000L
+    val e = Tables.t(s, dir, "events")
+      .select($"user_id", $"event_type", expr("unix_micros(ts)").as("us"))
+    val su = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"us").as("s_us"))
+    val sizes = su.groupBy(expr(s"s_us div $wk").as("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_n"))
+    val active = e.join(su, Seq("user_id"))
+      .filter($"us" >= $"s_us")
+      .select(expr(s"s_us div $wk").as("cohort_wk"),
+        expr(s"(us - s_us) div $wk").as("age_wk"), $"user_id")
+      .distinct()
+      .groupBy($"cohort_wk", $"age_wk")
+      .agg(count(lit(1)).as("n_active"))
+    active.join(broadcast(sizes), Seq("cohort_wk"))
+      .select($"cohort_wk", $"age_wk", $"n_active", $"cohort_n",
+        expr("n_active * 1000000 div cohort_n").as("retained_ppm"))
+      .orderBy($"cohort_wk", $"age_wk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_feat_cohort_retention" -> (cohortRetention _),
     "q_agg_seasonality" -> (aggSeasonality _),
     "q_agg_benford" -> (aggBenford _),
     "q_feat_cohort_ltv" -> (cohortLtv _),
@@ -1347,6 +1380,32 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_feat_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |su AS (SELECT user_id, MIN(us) AS s_us FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |sizes AS (
+        |  SELECT CAST(s_us // 604800000000 AS BIGINT) AS cohort_wk,
+        |    CAST(COUNT(*) AS BIGINT) AS cohort_n
+        |  FROM su GROUP BY 1),
+        |active AS (
+        |  SELECT cohort_wk, age_wk, CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM (
+        |    SELECT DISTINCT
+        |      CAST(su.s_us // 604800000000 AS BIGINT) AS cohort_wk,
+        |      CAST((e.us - su.s_us) // 604800000000 AS BIGINT) AS age_wk,
+        |      e.user_id
+        |    FROM e JOIN su ON e.user_id = su.user_id
+        |    WHERE e.us >= su.s_us)
+        |  GROUP BY 1, 2)
+        |SELECT a.cohort_wk, a.age_wk, a.n_active, s.cohort_n,
+        |  CAST(a.n_active * 1000000 // s.cohort_n AS BIGINT)
+        |    AS retained_ppm
+        |FROM active a JOIN sizes s ON a.cohort_wk = s.cohort_wk
+        |ORDER BY a.cohort_wk, a.age_wk""".stripMargin,
     "q_agg_seasonality" ->
       """WITH cells AS (
         |  SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT)

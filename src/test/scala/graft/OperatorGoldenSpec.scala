@@ -1341,6 +1341,23 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(r.map(_._3).sum === Tables.t(spark, sf, "events").count())
   }
 
+  test("retention triangle: age-0 is the cohort, ppm bounded, monotone-ish") {
+    val r = run("q_feat_cohort_retention")
+      .select($"cohort_wk", $"age_wk", $"n_active", $"cohort_n",
+        $"retained_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    r.groupBy(_._1).foreach { case (cohort, rows) =>
+      val age0 = rows.find(_._2 === 0L)
+        .getOrElse(fail(s"cohort $cohort missing age-0"))
+      // every cohort member signs up in week 0, so the age-0 cell IS
+      // the cohort
+      assert(age0._3 === age0._4 && age0._5 === 1000000L)
+      rows.foreach { case (_, _, na, cn, ppm) =>
+        assert(na <= cn && ppm <= 1000000L && ppm >= 1L)
+      }
+    }
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
