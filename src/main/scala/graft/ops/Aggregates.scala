@@ -1165,6 +1165,39 @@ object Aggregates extends OpModule {
       .orderBy($"event_type")
   }
 
+  /** Peak concurrency per day — the sweep-line capacity metric
+    * [[eventsLoadCurve]]'s hourly counts can't see: how many users were
+    * simultaneously ACTIVE (inside their first-to-last-event span of
+    * that day) at the worst instant. Each (user, day) activity interval
+    * emits a +1 at its start and a −1 at its end; the running sum over
+    * a TOTAL order — (ts, delta DESC, user_id): closed intervals, so a
+    * start ties before an end and touching spans count as concurrent —
+    * is the instantaneous concurrency, and its per-day max is the
+    * answer. Pure integer arithmetic end-to-end.
+    *
+    * Scale shape: one (user, day) map-side-combinable groupBy to build
+    * intervals, a 2× explode, and ONE window partitioned by day —
+    * days are parallel, and a day's endpoint count is 2×users-per-day,
+    * bounded far below raw events. No self-join, no range join. */
+  def eventsConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.t(s, dir, "events")
+      .groupBy($"user_id", $"ts".cast("date").as("day"))
+      .agg(min(unix_micros($"ts")).as("us0"), max(unix_micros($"ts")).as("us1"))
+    val pts = iv.select($"day", $"user_id", $"us0".as("us"), lit(1).as("delta"))
+      .unionAll(iv.select($"day", $"user_id", $"us1".as("us"),
+        lit(-1).as("delta")))
+    val w = Window.partitionBy($"day")
+      .orderBy($"us", $"delta".desc, $"user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("conc", sum($"delta").over(w))
+      .groupBy($"day")
+      .agg((count(lit(1)) / 2).cast("long").as("n_users"),
+        max($"conc").as("peak_concurrency"))
+      .orderBy($"day")
+  }
+
   /** Conversion-latency profile — the time dimension [[featFunnel]]'s
     * counts lack: per user, the gap from FIRST signup to the first
     * purchase AFTER it, rolled up to conversion counts and latency
@@ -1331,6 +1364,7 @@ object Aggregates extends OpModule {
     "q_feat_cohort_ltv" -> (cohortLtv _),
     "q_feat_funnel_latency" -> (funnelLatency _),
     "q_events_load_curve" -> (eventsLoadCurve _),
+    "q_events_concurrency" -> (eventsConcurrency _),
     "q_agg_winsorize" -> (aggWinsorize _),
     "q_agg_moments" -> (aggMoments _),
     "q_agg_chisq" -> (aggChisq _),
@@ -1488,6 +1522,25 @@ object Aggregates extends OpModule {
         |  quantile_cont(CAST(c AS DOUBLE), 0.95) AS p95_per_hour,
         |  MAX(c) AS max_per_hour
         |FROM hourly GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_events_concurrency" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS us0,
+        |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS us1
+        |  FROM events GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT day, user_id, us0 AS us, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT day, user_id, us1 AS us, -1 AS delta FROM iv),
+        |swept AS (
+        |  SELECT day, delta,
+        |    SUM(delta) OVER (PARTITION BY day
+        |      ORDER BY us, delta DESC, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM pts)
+        |SELECT day, CAST(COUNT(*) // 2 AS BIGINT) AS n_users,
+        |  CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+        |FROM swept GROUP BY day ORDER BY day""".stripMargin,
     "q_agg_winsorize" ->
       """WITH base AS (
         |  SELECT c_mktsegment, c_custkey,

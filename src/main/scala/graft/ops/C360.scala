@@ -225,7 +225,39 @@ object C360 extends OpModule {
       .orderBy($"revenue".desc, $"n_name")
   }
 
+  /** TPC-H Q10 shape — "returned items": the churn-risk readout of a
+    * customer-360: customers ranked by revenue lost to returns
+    * (l_returnflag = 'R') over one order year, with their geography.
+    * The third classic planner shape next to Q3/Q5: two fact joins,
+    * a customer-grain aggregate that carries the display columns in
+    * the GROUP BY (no re-join), broadcast nation, and a top-20 that
+    * fuses to TakeOrderedAndProject. Revenue runs the [[Det]] decimal
+    * chain; (lost_revenue DESC, c_custkey) is a total order. */
+  def returnedItems(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val c = Tables.t(s, dir, "customer")
+    val n = Tables.t(s, dir, "nation")
+    val o = Tables.t(s, dir, "orders")
+      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+      .select($"o_orderkey", $"o_custkey")
+    val l = Tables.t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val one = lit(1).cast(D6)
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_mktsegment", $"n_name")
+      .agg(dbl4(sum(d12($"l_extendedprice") * (one - d6($"l_discount"))))
+        .as("lost_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"lost_revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_c360_returns" -> (returnedItems _),
     "q_c360_shipping_priority" -> (shippingPriority _),
     "q_c360_local_volume" -> (localSupplierVolume _),
     "q_c360_profile" -> (profile _),
@@ -241,6 +273,22 @@ object C360 extends OpModule {
     .mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_c360_returns" ->
+      """SELECT c.c_custkey, c.c_name, c.c_mktsegment, n.n_name,
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+        |    * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))),
+        |    4) AS DOUBLE) AS lost_revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY c.c_custkey, c.c_name, c.c_mktsegment, n.n_name
+        |ORDER BY lost_revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
     "q_c360_shipping_priority" ->
       """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
         |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))

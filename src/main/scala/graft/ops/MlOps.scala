@@ -405,7 +405,60 @@ object MlOps extends OpModule {
       .orderBy($"feature")
   }
 
+  /** Decile calibration table — the model-quality readout every scored
+    * pipeline ships with: a LEAKAGE-FREE temporal split (features from
+    * orders before cutoff = max date − 365 d, label = ordered after the
+    * cutoff), a deterministic RFM score (mean of the three percent
+    * ranks, recency inverted, integer per-myriad basis so group sums
+    * stay exact), and per-decile observed-vs-predicted rates. A
+    * well-calibrated score has pos_rate rising with avg_score.
+    *
+    * Determinism: percent_rank = (rank−1)/(n−1) in both engines over
+    * total orders (value, custkey); the 3-term mean is one fixed IEEE
+    * expression; ROUND(×10⁴) lands on a BIGINT so every aggregate
+    * downstream is an exact integer sum cast once to double.
+    *
+    * Scale shape: one custkey shuffle for history features, a semi-join
+    * label, and global-rank windows over the CUSTOMER-grain table —
+    * fine at feature-store grain (a global sort of customers, not
+    * facts); at 100 TB swap the three percent_ranks for approx-quantile
+    * bin lookups and keep the rest unchanged. */
+  def mlCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+    val cut = o.agg(date_sub(max($"o_orderdate").cast("date"), 365).as("cut"))
+    val hist = o.crossJoin(broadcast(cut))
+      .filter($"o_orderdate".cast("date") < $"cut")
+      .groupBy($"o_custkey")
+      .agg(datediff(max($"cut"), max($"o_orderdate".cast("date")))
+        .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sumMoney($"o_totalprice").as("monetary"))
+    val future = o.crossJoin(broadcast(cut))
+      .filter($"o_orderdate".cast("date") >= $"cut")
+      .select($"o_custkey".as("f_custkey")).distinct()
+    val labeled = hist.join(future, $"o_custkey" === $"f_custkey", "left")
+      .withColumn("label", when($"f_custkey".isNotNull, 1L).otherwise(0L))
+    def pr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      percent_rank().over(Window.orderBy(c, $"o_custkey"))
+    val withRanks = labeled
+      .withColumn("pr_r", pr($"recency_days".desc))
+      .withColumn("pr_f", pr($"frequency"))
+      .withColumn("pr_m", pr($"monetary"))
+      .withColumn("score_pm", expr(
+        "CAST(ROUND((pr_r + pr_f + pr_m) / 3 * 10000) AS BIGINT)"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy($"score_pm", $"o_custkey")))
+    withRanks.groupBy($"decile")
+      .agg(count(lit(1)).as("n"),
+        r4(sum($"score_pm").cast("double") / count(lit(1)) / 10000.0)
+          .as("avg_score"),
+        r4(sum($"label").cast("double") / count(lit(1))).as("pos_rate"))
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ml_calibration" -> (mlCalibration _),
     "q_ml_mutual_info" -> (mlMutualInfo _),
     "q_feat_woe" -> (featWoe _),
     "q_feat_hashed_cross" -> (featHashedCross _),
@@ -422,6 +475,46 @@ object MlOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ml_calibration" ->
+      """WITH cut AS (
+        |  SELECT CAST(max(o_orderdate) AS DATE) - INTERVAL 365 DAY AS cut
+        |  FROM orders),
+        |hist AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |      CAST(max(cut.cut) AS DATE)) AS INTEGER) AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS monetary
+        |  FROM orders CROSS JOIN cut
+        |  WHERE CAST(o_orderdate AS DATE) < CAST(cut.cut AS DATE)
+        |  GROUP BY o_custkey),
+        |fut AS (
+        |  SELECT DISTINCT o_custkey AS f_custkey
+        |  FROM orders CROSS JOIN cut
+        |  WHERE CAST(o_orderdate AS DATE) >= CAST(cut.cut AS DATE)),
+        |lab AS (
+        |  SELECT h.*, CASE WHEN f.f_custkey IS NOT NULL THEN 1 ELSE 0 END
+        |    AS label
+        |  FROM hist h LEFT JOIN fut f ON h.o_custkey = f.f_custkey),
+        |ranked AS (
+        |  SELECT *,
+        |    percent_rank() OVER (ORDER BY recency_days DESC, o_custkey) AS pr_r,
+        |    percent_rank() OVER (ORDER BY frequency, o_custkey) AS pr_f,
+        |    percent_rank() OVER (ORDER BY monetary, o_custkey) AS pr_m
+        |  FROM lab),
+        |scored AS (
+        |  SELECT o_custkey, label,
+        |    CAST(ROUND((pr_r + pr_f + pr_m) / 3 * 10000) AS BIGINT) AS score_pm
+        |  FROM ranked),
+        |dec AS (
+        |  SELECT *, CAST(ntile(10) OVER (ORDER BY score_pm, o_custkey)
+        |    AS INTEGER) AS decile
+        |  FROM scored)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(score_pm) AS DOUBLE) / COUNT(*) / 10000.0, 4)
+        |    AS avg_score,
+        |  ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 4) AS pos_rate
+        |FROM dec GROUP BY decile ORDER BY decile""".stripMargin,
     "q_ml_mutual_info" ->
       """WITH base AS (
         |  SELECT c_mktsegment AS seg,

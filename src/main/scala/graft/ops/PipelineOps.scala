@@ -655,6 +655,47 @@ object PipelineOps extends OpModule {
       .orderBy($"k")
   }
 
+  /** l-diversity audit — [[privacyKanon]]'s partner gate: k-anonymity
+    * bounds GROUP SIZE, l-diversity bounds what a re-identified group
+    * REVEALS: within each quasi-identifier group (nation, segment),
+    * how many DISTINCT values of the sensitive attribute (the
+    * customer's dominant order priority) appear. A group where l = 1
+    * leaks the sensitive value of every member even at high k. Output
+    * is the l histogram: for each observed l, the number of QI groups
+    * and customers at that diversity (l = 0 ⇒ group has no order
+    * history at all).
+    *
+    * The per-customer sensitive value is the mode of their order
+    * priorities with lexicographic tiebreak — deterministic via the
+    * (count DESC, priority) window, the [[q_agg_mode]] recipe.
+    *
+    * Scale shape: one custkey-keyed combinable aggregate for the mode,
+    * one QI-keyed aggregate for (l, size), one O(distinct l) rollup —
+    * three shuffles, each strictly smaller than the last; no joins
+    * beyond the customer⋈mode equi-join on the shared custkey
+    * partitioning. */
+  def privacyLdiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pc = Tables.t(s, dir, "orders")
+      .groupBy($"o_custkey", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"cnt".desc, $"o_orderpriority")
+    val mode = pc.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderpriority".as("sensitive"))
+    val groups = Tables.t(s, dir, "customer")
+      .join(mode, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(countDistinct($"sensitive").as("l"),
+        count(lit(1)).as("group_size"))
+    groups.groupBy($"l")
+      .agg(count(lit(1)).as("n_groups"),
+        sum($"group_size").as("n_customers"),
+        min($"group_size").as("min_group_size"))
+      .orderBy($"l")
+  }
+
   /** Deterministic class-balanced downsampling — the label-skew fix
     * for training extracts: every event class is cut to the SMALLEST
     * class's size, members chosen by md5-hash order (hash, event_id
@@ -788,6 +829,7 @@ object PipelineOps extends OpModule {
     "q_sample_balance" -> (sampleBalance _),
     "q_shard_manifest" -> (shardManifest _),
     "q_privacy_kanon" -> (privacyKanon _),
+    "q_privacy_ldiversity" -> (privacyLdiversity _),
     "q_sample_bootstrap" -> (sampleBootstrap _),
     "q_scd2_asof" -> (scd2Asof _),
     "q_dq_drift" -> (dqDrift _),
@@ -936,6 +978,25 @@ object PipelineOps extends OpModule {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM g GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "q_privacy_ldiversity" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |mode AS (
+        |  SELECT o_custkey, o_orderpriority AS sensitive
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY cnt DESC, o_orderpriority) AS rn
+        |        FROM pc) WHERE rn = 1),
+        |groups AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l,
+        |    CAST(COUNT(*) AS BIGINT) AS group_size
+        |  FROM customer LEFT JOIN mode ON c_custkey = o_custkey
+        |  GROUP BY 1, 2)
+        |SELECT l, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(group_size) AS BIGINT) AS n_customers,
+        |  MIN(group_size) AS min_group_size
+        |FROM groups GROUP BY l ORDER BY l""".stripMargin,
     "q_privacy_kanon" ->
       """WITH qi AS (
         |  SELECT c_custkey, c_nationkey, c_mktsegment,

@@ -1358,6 +1358,51 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  test("returns top-20: sorted desc, positive revenue, known flag only") {
+    val r = run("q_c360_returns")
+      .select($"lost_revenue", $"n_items").as[(Double, Long)].collect()
+    assert(r.length <= 20 && r.nonEmpty)
+    assert(r.map(_._1).sameElements(r.map(_._1).sorted.reverse))
+    assert(r.forall { case (rev, n) => rev > 0 && n >= 1 })
+  }
+
+  test("concurrency: 1 <= peak <= day's users; exact user counts") {
+    val r = run("q_events_concurrency")
+      .select($"day".cast("string"), $"n_users", $"peak_concurrency")
+      .as[(String, Long, Long)].collect()
+    assert(r.forall { case (_, u, p) => p >= 1 && p <= u })
+    val direct = Tables.t(spark, sf, "events")
+      .select($"user_id", $"ts".cast("date").cast("string").as("day"))
+      .distinct().groupBy($"day").count()
+      .as[(String, Long)].collect().toMap
+    r.foreach { case (d, u, _) => assert(direct(d) === u) }
+  }
+
+  test("calibration: full deciles, monotone score, rates in [0,1]") {
+    val r = run("q_ml_calibration")
+      .select($"decile", $"n", $"avg_score", $"pos_rate")
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(r.map(_._1) === (1 to 10))
+    // ntile deciles differ in size by at most one
+    assert(r.map(_._2).max - r.map(_._2).min <= 1)
+    assert(r.map(_._3).sameElements(r.map(_._3).sorted))
+    assert(r.forall { case (_, _, s, p) =>
+      s >= 0 && s <= 1 && p >= 0 && p <= 1 })
+  }
+
+  test("l-diversity: customers fully partitioned, l within domain") {
+    val r = run("q_privacy_ldiversity")
+      .select($"l", $"n_groups", $"n_customers", $"min_group_size")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.map(_._3).sum === Tables.t(spark, sf, "customer").count())
+    // sensitive domain = the 5 order priorities (plus l=0 no-history)
+    assert(r.forall { case (l, g, c, m) =>
+      l >= 0 && l <= 5 && g >= 1 && m >= 1 && c >= m })
+    val nGroups = Tables.t(spark, sf, "customer")
+      .select($"c_nationkey", $"c_mktsegment").distinct().count()
+    assert(r.map(_._2).sum === nGroups)
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
