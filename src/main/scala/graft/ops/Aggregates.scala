@@ -394,6 +394,45 @@ object Aggregates extends OpModule {
         .distinct()
     }
 
+  /** Connected components over the REPEAT co-purchase graph (part pairs
+    * bought together in ≥ 2 distinct orders — the support threshold
+    * that separates signal ties from one-off noise), reported as the
+    * component-size histogram: the "how fragmented is my entity/
+    * co-occurrence graph" readout that decides whether downstream
+    * clustering is even worth running. Completes the graph family:
+    * PageRank (importance), triangles (cohesion), sparsify (pruning),
+    * components (connectivity).
+    *
+    * Reuses [[graft.ops.Dedup.connectedComponents]] — the Pregel-style
+    * min-label fixpoint with monotone-sum convergence (1-row driver
+    * read per round), lineage truncation, and conditional pointer
+    * jumping (O(log diameter) rounds on deep chains). Isolated parts
+    * (no repeat partner) are out of scope by construction — the
+    * histogram covers nodes WITH at least one support-2 edge.
+    *
+    * Scale shape: one order-keyed self-join bounded per order,
+    * map-combinable pair counts, then the fixpoint walks the O(E')
+    * thresholded edge list — at 100 TB the threshold is exactly what
+    * keeps E' (and every fixpoint round) linear-ish instead of
+    * clique-quadratic. */
+  def graphComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cc = OpCache.cached(s, dir, "graph_cc") {
+      val li = Tables.t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val edges = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .filter($"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter($"n_orders" >= 2)
+        .select($"pa", $"pb")
+      Dedup.connectedComponents(edges)
+    }
+    cc.groupBy($"rep").agg(count(lit(1)).as("csize"))
+      .groupBy($"csize").agg(count(lit(1)).as("n_components"))
+      .orderBy($"csize")
+  }
+
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = copurchasePairs(s, dir)
@@ -607,6 +646,35 @@ object Aggregates extends OpModule {
         count(when($"adev" > $"mad" * 3.0, lit(1))).as("n_outliers"),
         count(lit(1)).as("n"))
       .orderBy($"c_mktsegment")
+  }
+
+  /** Exponential recency-decay spend — the time-weighted monetary
+    * feature beside [[featRfm]]'s raw sum: each order's value is
+    * discounted by half per 4 weeks of age (vs the corpus max date),
+    * so the feature tracks CURRENT engagement instead of lifetime
+    * accumulation. The decay is EXACT: weight 2^(8−k) for age bucket
+    * k = min(age_days div 28, 8) is an integer, decimal × integer sums
+    * stay exact (unscaled ≤ 2.5e12 ≪ 2^53), and the single final
+    * ÷256 is a dyadic double division — bit-identical cross-engine
+    * with no transcendental exp() at any point.
+    *
+    * Scale shape: one broadcast 1-row max-date, one custkey-keyed
+    * map-side-combinable aggregation. The decay weight is a stateless
+    * projection — nothing about the shape changes at 100 TB. */
+  def featDecaySpend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+    val maxd = o.agg(max($"o_orderdate").cast("date").as("maxd"))
+    o.crossJoin(broadcast(maxd))
+      .withColumn("k", least(
+        expr("datediff(maxd, CAST(o_orderdate AS DATE)) div 28"), lit(8)))
+      .withColumn("w", expr("CAST(shiftleft(1, 8 - k) AS BIGINT)"))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(d12($"o_totalprice") * $"w").cast("double") / 256.0)
+          .as("decayed_spend"),
+        sumMoney($"o_totalprice").as("raw_spend"))
+      .orderBy($"o_custkey")
   }
 
   /** A/B experiment readout — deterministic 50/50 assignment by the
@@ -1393,6 +1461,8 @@ object Aggregates extends OpModule {
     "q_time_downsample" -> (timeDownsample _),
     "q_event_transitions" -> (eventTransitions _),
     "q_graph_pagerank" -> (graphPagerank _),
+    "q_graph_components" -> (graphComponents _),
+    "q_feat_decay_spend" -> (featDecaySpend _),
     "q_graph_triangles" -> (graphTriangles _),
     "q_graph_sparsify" -> (graphSparsify _),
     "q_agg_bool" -> (aggBool _),
@@ -1646,6 +1716,38 @@ object Aggregates extends OpModule {
         |  CAST(SUM(term_e4) AS BIGINT) AS entropy_e4,
         |  CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q_graph_components" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM pairs
+        |  UNION ALL SELECT pb, pa FROM pairs),
+        |walk(v, rep) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, w.rep FROM walk w JOIN e ON e.src = w.v),
+        |cc AS (SELECT v, MIN(rep) AS rep FROM walk GROUP BY v),
+        |sizes AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS csize
+        |  FROM cc GROUP BY rep)
+        |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components
+        |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
+    "q_feat_decay_spend" ->
+      """WITH md AS (SELECT CAST(max(o_orderdate) AS DATE) AS maxd FROM orders),
+        |wt AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    CAST(1 << (8 - LEAST(date_diff('day',
+        |      CAST(o_orderdate AS DATE), maxd) // 28, 8)) AS BIGINT) AS w
+        |  FROM orders CROSS JOIN md)
+        |SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)) * w) AS DOUBLE)
+        |    / 256.0 AS decayed_spend,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |    AS raw_spend
+        |FROM wt GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_graph_sparsify" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (

@@ -736,6 +736,38 @@ object PipelineOps extends OpModule {
     * parents (nation) broadcast, large parents (orders, part) stay
     * shuffle equi-joins on the key — never a full-row join, the probe
     * carries (key, count) pairs only. */
+  /** Feed-freshness audit — the fifth data-quality gate (after profile,
+    * anomaly, drift, referential): per monitored feed, the high-water
+    * timestamp and how much volume arrived in the trailing 24 h / 7 d
+    * of the feed's OWN high-water mark. Anchoring each feed to its own
+    * max (not a cross-feed "now") keeps the op meaningful for feeds on
+    * different clocks and makes it pure: re-running on a frozen corpus
+    * always yields the same rows — the scheduler compares max_ts
+    * against wall-clock OUTSIDE the engine.
+    *
+    * Scale shape: one map-side-combinable conditional aggregate per
+    * feed (max rides the same pass via a broadcast 1-row self-join),
+    * union of O(feeds) rows. */
+  def dqFreshness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def feed(name: String, df: DataFrame, tsCol: String): DataFrame = {
+      val t = df.select(col(tsCol).as("ts"))
+      val mx = t.agg(max($"ts").as("max_ts"))
+      t.crossJoin(broadcast(mx))
+        .agg(count(lit(1)).as("total_rows"),
+          max($"max_ts").as("max_ts"),
+          count(when($"ts" >= expr("max_ts - INTERVAL 24 HOURS"), lit(1)))
+            .as("rows_24h"),
+          count(when($"ts" >= expr("max_ts - INTERVAL 7 DAYS"), lit(1)))
+            .as("rows_7d"))
+        .select(lit(name).as("feed"), $"total_rows", $"max_ts",
+          $"rows_24h", $"rows_7d")
+    }
+    feed("events", Tables.t(s, dir, "events"), "ts")
+      .unionAll(feed("orders", Tables.t(s, dir, "orders"), "o_orderdate"))
+      .orderBy($"feed")
+  }
+
   def dqReferential(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def edge(name: String, child: DataFrame, fk: String,
@@ -825,6 +857,7 @@ object PipelineOps extends OpModule {
   val queries: Map[String, Q] = Map(
     "q_dq_skew" -> (dqSkew _),
     "q_dq_referential" -> (dqReferential _),
+    "q_dq_freshness" -> (dqFreshness _),
     "q_ml_kfold" -> (mlKfold _),
     "q_sample_balance" -> (sampleBalance _),
     "q_shard_manifest" -> (shardManifest _),
@@ -892,6 +925,28 @@ object PipelineOps extends OpModule {
         |  t3.top_key
         |FROM s3, t3
         |ORDER BY join_key""".stripMargin,
+    "q_dq_freshness" ->
+      """WITH ev AS (
+        |  SELECT 'events' AS feed, CAST(COUNT(*) AS BIGINT) AS total_rows,
+        |    MAX(CAST(ts AS TIMESTAMP)) AS max_ts,
+        |    COUNT(CASE WHEN CAST(ts AS TIMESTAMP) >=
+        |      (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)
+        |        - INTERVAL 24 HOUR THEN 1 END) AS rows_24h,
+        |    COUNT(CASE WHEN CAST(ts AS TIMESTAMP) >=
+        |      (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)
+        |        - INTERVAL 7 DAY THEN 1 END) AS rows_7d
+        |  FROM events),
+        |od AS (
+        |  SELECT 'orders' AS feed, CAST(COUNT(*) AS BIGINT) AS total_rows,
+        |    MAX(o_orderdate) AS max_ts,
+        |    COUNT(CASE WHEN o_orderdate >=
+        |      (SELECT MAX(o_orderdate) FROM orders)
+        |        - INTERVAL 24 HOUR THEN 1 END) AS rows_24h,
+        |    COUNT(CASE WHEN o_orderdate >=
+        |      (SELECT MAX(o_orderdate) FROM orders)
+        |        - INTERVAL 7 DAY THEN 1 END) AS rows_7d
+        |  FROM orders)
+        |SELECT * FROM ev UNION ALL SELECT * FROM od ORDER BY feed""".stripMargin,
     "q_dq_referential" ->
       """WITH e1 AS (
         |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,

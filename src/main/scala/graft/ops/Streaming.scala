@@ -119,6 +119,33 @@ object Streaming extends OpModule {
       .orderBy($"hour_start", $"event_type")
   }
 
+  /** Streaming windowed top-k — the live "trending now" readout: hourly
+    * per-type counts maintained IN-STREAM (watermarked tumbling
+    * aggregation, the state-store-bounded part), then the top-3 rank
+    * per closed hour applied to the emitted state (rank is not a
+    * streaming-supported operator; applying it downstream of the sink
+    * is the standard composition — at 100 TB the sink is a compacted
+    * table and the rank is a cheap WindowGroupLimit batch over it).
+    * Tiebreak (n DESC, event_type) keeps the cut deterministic. */
+  def streamTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = runToTable(s, "complete") { ss =>
+      eventsStream(ss, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+    }
+    val w = Window.partitionBy($"hour_start")
+      .orderBy($"n".desc, $"event_type")
+    counts
+      .select($"window.start".as("hour_start"), $"event_type", $"n")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"hour_start", $"rk".cast("int").as("rk"), $"event_type", $"n")
+      .orderBy($"hour_start", $"rk")
+  }
+
   def streamSliding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     runToTable(s, "complete") { ss =>
@@ -294,6 +321,7 @@ object Streaming extends OpModule {
     "q_stream_stateful" -> (streamStateful _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_tumbling" -> (streamTumbling _),
+    "q_stream_topk" -> (streamTopk _),
     "q_stream_sliding" -> (streamSliding _),
     "q_stream_session" -> (streamSession _),
     "q_stream_dedup" -> (streamDedup _)
@@ -345,6 +373,18 @@ object Streaming extends OpModule {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
         |FROM e GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_stream_topk" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY hour_start
+        |    ORDER BY n DESC, event_type) AS INTEGER) AS rk
+        |  FROM hourly)
+        |SELECT hour_start, rk, event_type, n
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY hour_start, rk""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
         |  event_type, COUNT(*) AS n,

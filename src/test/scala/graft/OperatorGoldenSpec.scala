@@ -1403,6 +1403,62 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(r.map(_._2).sum === nGroups)
   }
 
+  test("graph components: sizes >= 2, node total matches edge support") {
+    val r = run("q_graph_components")
+      .select($"csize", $"n_components").as[(Long, Long)].collect()
+    assert(r.forall { case (sz, n) => sz >= 2 && n >= 1 })
+    val li = Tables.t(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val nodes = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+      .count().filter($"count" >= 2)
+      .select(explode(array($"pa", $"pb")).as("v")).distinct().count()
+    assert(r.map { case (sz, n) => sz * n }.sum === nodes)
+  }
+
+  test("decayed spend: bounded by raw, exact at the no-decay boundary") {
+    val r = run("q_feat_decay_spend")
+      .select($"decayed_spend", $"raw_spend").as[(Double, Double)].collect()
+    assert(r.forall { case (d, raw) => d > 0 && d <= raw + 1e-9 })
+    // decay floor: weight never drops below 2^-8 of raw
+    assert(r.forall { case (d, raw) => d >= raw / 256.0 - 1e-9 })
+  }
+
+  test("stream topk agrees with the batch hourly rank") {
+    val r = run("q_stream_topk")
+      .select($"hour_start".cast("string"), $"rk", $"event_type", $"n")
+      .as[(String, Int, String, Long)].collect()
+    assert(r.forall(_._2 >= 1) && r.forall(_._2 <= 3))
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.sameElements(byRank.sorted.reverse))
+    }
+    val batch = Tables.t(spark, sf, "events")
+      .groupBy(date_trunc("hour", $"ts").cast("string").as("h"),
+        $"event_type").count()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"h")
+          .orderBy($"count".desc, $"event_type")))
+      .filter($"rk" <= 3)
+      .select($"h", $"rk", $"event_type", $"count")
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(r.map { case (h, k, t, n) => (h, k, t, n) }.toSet === batch)
+  }
+
+  test("freshness: window counts nested, high-water marks exact") {
+    val r = run("q_dq_freshness")
+      .select($"feed", $"total_rows", $"max_ts".cast("string"),
+        $"rows_24h", $"rows_7d")
+      .as[(String, Long, String, Long, Long)].collect()
+    assert(r.map(_._1).sorted === Array("events", "orders"))
+    assert(r.forall { case (_, tot, _, d1, d7) =>
+      d1 >= 1 && d1 <= d7 && d7 <= tot })
+    val evMax = Tables.t(spark, sf, "events")
+      .agg(max($"ts").cast("string")).as[String].first()
+    assert(r.find(_._1 == "events").get._3 === evMax)
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
