@@ -677,6 +677,47 @@ object Aggregates extends OpModule {
       .orderBy($"o_custkey")
   }
 
+  /** Discrete survival table — the churn-analytics actuary view:
+    * customers bucketed by ORDER TENURE in whole 30-day months (first
+    * to last order), with per-month at-risk counts (reverse
+    * cumulative), churn events, right-CENSORING (customers whose last
+    * order falls within 90 days of the corpus high-water mark are not
+    * churners — their tenure is a lower bound), the discrete hazard
+    * h(t) = churned·10⁶ div at_risk, and the crude survival
+    * S(t) = at_risk·10⁶ div N. Every number is an exact integer (ppm
+    * floor division) — the KM cumulative PRODUCT is deliberately left
+    * to the consumer because a float cumprod is the one piece that
+    * can't cross the engine boundary bit-exactly.
+    *
+    * Scale shape: one customer-keyed combinable aggregate, an
+    * O(months) rollup, and a single window over the ≤O(months) table
+    * (the only unpartitioned window in the engine runs on
+    * calendar-bounded rows). */
+  def featSurvival(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.t(s, dir, "orders")
+      .select($"o_custkey".as("user_id"), $"o_orderdate".cast("date").as("d"))
+    val dmax = e.agg(max($"d").as("dmax"))
+    val per = e.crossJoin(broadcast(dmax))
+      .groupBy($"user_id")
+      .agg(expr("datediff(max(d), min(d)) div 30").as("tenure"),
+        (datediff(max($"dmax"), max($"d")) <= 90).as("cens"))
+    val byW = per.groupBy($"tenure")
+      .agg(count(lit(1)).as("n"),
+        count(when(!$"cens", lit(1))).as("n_churned"),
+        count(when($"cens", lit(1))).as("n_censored"))
+    val n = per.agg(count(lit(1)).as("n_total"))
+    val wRisk = Window.orderBy($"tenure".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byW.withColumn("n_at_risk", sum($"n").over(wRisk))
+      .crossJoin(broadcast(n))
+      .select($"tenure", $"n_at_risk", $"n_churned", $"n_censored",
+        expr("n_churned * 1000000 div n_at_risk").as("hazard_ppm"),
+        expr("n_at_risk * 1000000 div n_total").as("surv_ppm"))
+      .orderBy($"tenure")
+  }
+
   /** A/B experiment readout — deterministic 50/50 assignment by the
     * portable user hash, then a Welch t-statistic on event value per
     * event type: the experimentation-analytics staple. Cross-engine
@@ -1463,6 +1504,7 @@ object Aggregates extends OpModule {
     "q_graph_pagerank" -> (graphPagerank _),
     "q_graph_components" -> (graphComponents _),
     "q_feat_decay_spend" -> (featDecaySpend _),
+    "q_feat_survival" -> (featSurvival _),
     "q_graph_triangles" -> (graphTriangles _),
     "q_graph_sparsify" -> (graphSparsify _),
     "q_agg_bool" -> (aggBool _),
@@ -1735,6 +1777,31 @@ object Aggregates extends OpModule {
         |  FROM cc GROUP BY rep)
         |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components
         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
+    "q_feat_survival" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders),
+        |dm AS (SELECT MAX(d) AS dmax FROM e),
+        |per AS (
+        |  SELECT user_id,
+        |    date_diff('day', MIN(d), MAX(d)) // 30 AS tenure,
+        |    date_diff('day', MAX(d), MAX(dm.dmax)) <= 90 AS cens
+        |  FROM e CROSS JOIN dm GROUP BY user_id),
+        |byw AS (
+        |  SELECT tenure, CAST(COUNT(*) AS BIGINT) AS n,
+        |    COUNT(CASE WHEN NOT cens THEN 1 END) AS n_churned,
+        |    COUNT(CASE WHEN cens THEN 1 END) AS n_censored
+        |  FROM per GROUP BY tenure),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM per),
+        |risk AS (
+        |  SELECT *, CAST(SUM(n) OVER (ORDER BY tenure DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_at_risk
+        |  FROM byw)
+        |SELECT tenure, n_at_risk, n_churned, n_censored,
+        |  n_churned * 1000000 // n_at_risk AS hazard_ppm,
+        |  n_at_risk * 1000000 // n_total AS surv_ppm
+        |FROM risk CROSS JOIN tot ORDER BY tenure""".stripMargin,
     "q_feat_decay_spend" ->
       """WITH md AS (SELECT CAST(max(o_orderdate) AS DATE) AS maxd FROM orders),
         |wt AS (

@@ -558,6 +558,48 @@ object PipelineOps extends OpModule {
       .orderBy($"bin")
   }
 
+  /** Population-stability index (PSI) — the industry-standard drift
+    * score [[dqDrift]]'s L1 distance lacks: per price bin,
+    * (p−q)·ln(p/q) between the base and current order snapshots, with
+    * the headline PSI = Σ terms (PSI < 0.1 stable, > 0.25 action —
+    * the scorecard-monitoring convention). Shares are exact integer
+    * ppm floored at 1 ppm (the standard epsilon so an empty bin
+    * contributes a finite penalty instead of ±∞); each term is
+    * rounded to an e-6 INTEGER before any aggregation (the
+    * `q_agg_entropy` recipe), so the sum is order-insensitive and the
+    * single ln() runs on identical rational operands in both engines.
+    *
+    * Scale shape: identical to [[dqDrift]] — one map-combinable
+    * (snap, bin) aggregate, O(snap) totals broadcast, full-outer on
+    * O(bins). */
+  def dqPsi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val binned = Tables.t(s, dir, "orders")
+      .select(
+        when($"o_orderdate" < lit("1997-01-01").cast("timestamp"), "base")
+          .otherwise("current").as("snap"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 3000000")
+          .as("bin"))
+      .groupBy($"snap", $"bin").agg(count(lit(1)).as("c"))
+    val tot = binned.groupBy($"snap").agg(sum($"c").as("n"))
+    val ppm = binned.join(broadcast(tot), Seq("snap"))
+      .select($"snap", $"bin",
+        greatest(expr("1000000 * c div n"), lit(1L)).as("ppm"))
+    val base = ppm.filter($"snap" === "base")
+      .select($"bin", $"ppm".as("base_ppm"))
+    val cur = ppm.filter($"snap" === "current")
+      .select($"bin", $"ppm".as("cur_ppm"))
+    base.join(cur, Seq("bin"), "full_outer")
+      .select($"bin",
+        coalesce($"base_ppm", lit(1L)).as("base_ppm"),
+        coalesce($"cur_ppm", lit(1L)).as("cur_ppm"))
+      .withColumn("psi_term_e6", expr(
+        """CAST(ROUND((cur_ppm - base_ppm) / 1000000.0
+          |* ln(CAST(cur_ppm AS DOUBLE) / base_ppm) * 1000000, 0)
+          |AS BIGINT)""".stripMargin))
+      .orderBy($"bin")
+  }
+
   /** Deterministic Poisson(1) bootstrap — resampling-by-WEIGHT, the
     * scalable form of the bootstrap: instead of materializing resampled
     * copies, each (row, replicate) draws k ~ Poisson(1) from the
@@ -858,6 +900,7 @@ object PipelineOps extends OpModule {
     "q_dq_skew" -> (dqSkew _),
     "q_dq_referential" -> (dqReferential _),
     "q_dq_freshness" -> (dqFreshness _),
+    "q_dq_psi" -> (dqPsi _),
     "q_ml_kfold" -> (mlKfold _),
     "q_sample_balance" -> (sampleBalance _),
     "q_shard_manifest" -> (shardManifest _),
@@ -925,6 +968,29 @@ object PipelineOps extends OpModule {
         |  t3.top_key
         |FROM s3, t3
         |ORDER BY join_key""".stripMargin,
+    "q_dq_psi" ->
+      """WITH binned AS (
+        |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |    THEN 'base' ELSE 'current' END AS snap,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) // 3000000 AS bin,
+        |    COUNT(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT snap, SUM(c) AS n FROM binned GROUP BY snap),
+        |ppm AS (
+        |  SELECT b.snap, b.bin, GREATEST(1000000 * b.c // t.n, 1) AS ppm
+        |  FROM binned b JOIN tot t ON b.snap = t.snap),
+        |base AS (SELECT bin, ppm AS base_ppm FROM ppm WHERE snap = 'base'),
+        |cur AS (SELECT bin, ppm AS cur_ppm FROM ppm WHERE snap = 'current'),
+        |j AS (
+        |  SELECT COALESCE(base.bin, cur.bin) AS bin,
+        |    CAST(COALESCE(base_ppm, 1) AS BIGINT) AS base_ppm,
+        |    CAST(COALESCE(cur_ppm, 1) AS BIGINT) AS cur_ppm
+        |  FROM base FULL OUTER JOIN cur ON base.bin = cur.bin)
+        |SELECT bin, base_ppm, cur_ppm,
+        |  CAST(ROUND((cur_ppm - base_ppm) / 1000000.0
+        |    * ln(CAST(cur_ppm AS DOUBLE) / base_ppm) * 1000000, 0)
+        |  AS BIGINT) AS psi_term_e6
+        |FROM j ORDER BY bin""".stripMargin,
     "q_dq_freshness" ->
       """WITH ev AS (
         |  SELECT 'events' AS feed, CAST(COUNT(*) AS BIGINT) AS total_rows,

@@ -291,7 +291,42 @@ object Windows extends OpModule {
       .orderBy($"user_id")
   }
 
+  /** CUSUM changepoint scan — the control-chart primitive behind "did
+    * this metric shift and WHEN": per event type, the running
+    * cumulative deviation of the daily event count from the type's
+    * overall daily mean, reported as the day where |CUSUM| peaks (the
+    * maximum-likelihood single changepoint location) and the signed
+    * peak value. All arithmetic is EXACT integers: deviations are
+    * scaled by n_days (d_i = x_i·n_days − total, so the rational mean
+    * never materializes), the running sum is over the total (day)
+    * order within each type, and the argmax tiebreak is earliest day.
+    *
+    * Scale shape: one (type, day) map-combinable aggregate, O(types)
+    * totals broadcast back, one type-partitioned window pair (cusum,
+    * then rank over O(days) rows per type). Types are parallel; the
+    * window input is bounded by the calendar, never by raw events. */
+  def winCusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.t(s, dir, "events")
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"x").as("total"))
+    val wSum = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPeak = Window.partitionBy($"event_type")
+      .orderBy(abs($"cusum").desc, $"day")
+    daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("cusum", sum($"x" * $"n_days" - $"total").over(wSum))
+      .withColumn("rk", row_number().over(wPeak))
+      .filter($"rk" === 1)
+      .select($"event_type", $"n_days", $"day".as("peak_day"),
+        $"cusum".as("peak_cusum_scaled"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_win_cusum" -> (winCusum _),
     "q_win_drawdown" -> (winDrawdown _),
     "q_feat_sessions" -> (featSessions _),
     "q_sessionize" -> (sessionize _),
@@ -312,6 +347,28 @@ object Windows extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS total
+        |  FROM daily GROUP BY 1),
+        |c AS (
+        |  SELECT d.event_type, t.n_days, d.day,
+        |    CAST(SUM(d.x * t.n_days - t.total) OVER (
+        |      PARTITION BY d.event_type ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cusum
+        |  FROM daily d JOIN tot t ON d.event_type = t.event_type),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY ABS(cusum) DESC, day) AS rk
+        |  FROM c)
+        |SELECT event_type, n_days, day AS peak_day,
+        |  cusum AS peak_cusum_scaled
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "q_win_ewma" ->
       """WITH daily AS (
         |  SELECT c.c_nationkey AS nation, CAST(o.o_orderdate AS DATE) AS d,

@@ -1459,6 +1459,44 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(r.find(_._1 == "events").get._3 === evMax)
   }
 
+  test("psi: terms non-negative, epsilon floor respected") {
+    val r = run("q_dq_psi")
+      .select($"base_ppm", $"cur_ppm", $"psi_term_e6")
+      .as[(Long, Long, Long)].collect()
+    // (p-q)ln(p/q) >= 0 always; equality iff p == q
+    assert(r.forall { case (b, c, t) => if (b == c) t == 0 else t >= 0 })
+    assert(r.forall { case (b, c, _) => b >= 1 && c >= 1 })
+  }
+
+  test("cusum: one peak row per type, zero-sum deviations bound it") {
+    val r = run("q_win_cusum")
+      .select($"event_type", $"n_days", $"peak_cusum_scaled")
+      .as[(String, Long, Long)].collect()
+    assert(r.map(_._1).distinct.length === r.length)
+    // total deviation sums to zero, so |peak| is strictly inside the
+    // total-variation bound n_days * total
+    val totals = Tables.t(spark, sf, "events")
+      .groupBy($"event_type").count().as[(String, Long)].collect().toMap
+    r.foreach { case (t, nd, pk) =>
+      assert(math.abs(pk) <= nd * totals(t)) }
+  }
+
+  test("survival: at-risk reverse-cumulative, ppm columns consistent") {
+    val r = run("q_feat_survival")
+      .select($"tenure", $"n_at_risk", $"n_churned", $"n_censored",
+        $"hazard_ppm", $"surv_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val nTotal = r.map(x => x._3 + x._4).sum
+    assert(r.head._2 === nTotal) // smallest tenure: everyone at risk
+    // at_risk(t) = at_risk(t+1) + n(t)
+    r.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 === b._2 + a._3 + a._4)
+      case _ =>
+    }
+    assert(r.forall { case (_, risk, ch, _, hz, sv) =>
+      hz === ch * 1000000L / risk && sv === risk * 1000000L / nTotal })
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
