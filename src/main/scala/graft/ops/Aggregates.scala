@@ -718,6 +718,41 @@ object Aggregates extends OpModule {
       .orderBy($"tenure")
   }
 
+  /** Lag-k autocorrelation of the daily revenue series — the
+    * seasonality detector behind forecast-model selection (lag 1 =
+    * momentum, lag 7 = weekly cycle). Pairs are formed by an exact
+    * calendar self-join (day d ⋈ day d−k; gap days drop out, matching
+    * the standard treatment of irregular series), moment sums run in
+    * EXACT integer cents through DECIMAL products (the `q_agg_moments`
+    * recipe — each sum is one correctly-rounded decimal→double
+    * conversion), and the Pearson chain is a fixed IEEE expression on
+    * identical operands in both engines, ROUND 4.
+    *
+    * Scale shape: one date-keyed combinable aggregate collapses the
+    * fact table to O(days); everything after runs on calendar-bounded
+    * rows (self-join + one-row aggregate per lag). */
+  def timeAutocorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = OpCache.cached(s, dir, "autocorr_daily")(
+      Tables.t(s, dir, "orders")
+        .groupBy($"o_orderdate".cast("date").as("d"))
+        .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS DECIMAL(14,0))"))
+          .as("r")))
+    def lagCorr(k: Int): DataFrame =
+      daily.as("a").join(daily.as("b"), $"a.d" === date_add($"b.d", k))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"a.r").cast("double").as("sx"),
+          sum($"b.r").cast("double").as("sy"),
+          sum($"a.r" * $"a.r").cast("double").as("sxx"),
+          sum($"b.r" * $"b.r").cast("double").as("syy"),
+          sum($"a.r" * $"b.r").cast("double").as("sxy"))
+        .select(lit(k).as("lag"), $"n_pairs",
+          r4(($"n_pairs" * $"sxy" - $"sx" * $"sy") /
+            sqrt(($"n_pairs" * $"sxx" - $"sx" * $"sx") *
+              ($"n_pairs" * $"syy" - $"sy" * $"sy"))).as("autocorr"))
+    lagCorr(1).unionAll(lagCorr(7)).orderBy($"lag")
+  }
+
   /** A/B experiment readout — deterministic 50/50 assignment by the
     * portable user hash, then a Welch t-statistic on event value per
     * event type: the experimentation-analytics staple. Cross-engine
@@ -1505,6 +1540,7 @@ object Aggregates extends OpModule {
     "q_graph_components" -> (graphComponents _),
     "q_feat_decay_spend" -> (featDecaySpend _),
     "q_feat_survival" -> (featSurvival _),
+    "q_time_autocorr" -> (timeAutocorr _),
     "q_graph_triangles" -> (graphTriangles _),
     "q_graph_sparsify" -> (graphSparsify _),
     "q_agg_bool" -> (aggBool _),
@@ -1777,6 +1813,29 @@ object Aggregates extends OpModule {
         |  FROM cc GROUP BY rep)
         |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components
         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
+    "q_time_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS r
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT 1 AS lag, a.r AS x, b.r AS y
+        |  FROM daily a JOIN daily b ON a.d = b.d + 1
+        |  UNION ALL
+        |  SELECT 7 AS lag, a.r AS x, b.r AS y
+        |  FROM daily a JOIN daily b ON a.d = b.d + 7),
+        |m AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |  FROM j GROUP BY lag)
+        |SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+        |  ROUND((n_pairs * sxy - sx * sy) /
+        |    sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 4)
+        |  AS autocorr
+        |FROM m ORDER BY lag""".stripMargin,
     "q_feat_survival" ->
       """WITH e AS (
         |  SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS d

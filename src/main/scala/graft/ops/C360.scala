@@ -256,7 +256,34 @@ object C360 extends OpModule {
       .limit(20)
   }
 
+  /** TPC-H Q4 shape — "order priority checking": per priority, how many
+    * orders of one quarter had at least one SLOW line item (shipped
+    * ≥ 90 days after the order date — the corpus's analogue of Q4's
+    * commit-vs-receipt lateness). The EXISTS decorrelates to a LEFT
+    * SEMI join: equi on the order key with the lateness range predicate
+    * as the join residual — each order contributes at most once no
+    * matter how many items were late, and the probe side carries only
+    * (orderkey, shipdate). The fourth classic planner shape (semi-join
+    * dedup) next to Q3/Q5/Q10. */
+  def orderPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lo = lit("1996-07-01").cast("timestamp")
+    val hi = lit("1996-10-01").cast("timestamp")
+    val o = Tables.t(s, dir, "orders")
+      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val l = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_shipdate")
+    o.join(l, $"o_orderkey" === $"l_orderkey" &&
+        $"l_shipdate" >= $"o_orderdate" + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_c360_order_priority" -> (orderPriority _),
     "q_c360_returns" -> (returnedItems _),
     "q_c360_shipping_priority" -> (shippingPriority _),
     "q_c360_local_volume" -> (localSupplierVolume _),
@@ -273,6 +300,17 @@ object C360 extends OpModule {
     .mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_c360_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_c360_returns" ->
       """SELECT c.c_custkey, c.c_name, c.c_mktsegment, n.n_name,
         |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))

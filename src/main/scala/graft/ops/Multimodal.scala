@@ -183,7 +183,40 @@ object Multimodal extends OpModule {
       .orderBy($"doc_id")
   }
 
+  /** Content-addressed dedup sizing — the CAS-store planning readout a
+    * multimodal lake runs before ingest: per source, how many binary
+    * assets collapse to how many UNIQUE payloads (keyed by md5 of the
+    * bytes — the content-address), total vs deduplicated bytes, and
+    * the integer-ppm storage savings. The byte-level twin of
+    * `q_dedup_exact` (which keys on text): here the payload is the
+    * opaque binary column, so the same op covers images/audio verbatim
+    * at 100 TB — hash travels through the shuffle, bytes stay put.
+    *
+    * Scale shape: one map-side md5 projection (bytes never shuffle —
+    * only the 16-byte digest and the length), one (source, digest)
+    * combinable aggregate, one O(sources) rollup. */
+  def multimodalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.t(s, dir, "documents")
+      .select($"source",
+        md5(encode($"text", "UTF-8")).as("digest"),
+        octet_length(encode($"text", "UTF-8")).cast("long").as("blen"))
+    assets.groupBy($"source", $"digest")
+      .agg(count(lit(1)).as("n"), min($"blen").as("blen"))
+      .groupBy($"source")
+      .agg(sum($"n").as("n_assets"),
+        count(lit(1)).as("n_unique"),
+        sum($"n" * $"blen").as("bytes_total"),
+        sum($"blen").as("bytes_unique"))
+      .select($"source", $"n_assets", $"n_unique", $"bytes_total",
+        $"bytes_unique",
+        expr("(bytes_total - bytes_unique) * 1000000 div bytes_total")
+          .as("savings_ppm"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_multimodal_dedup" -> (multimodalDedup _),
     "q_multimodal_resize" -> (multimodalResize _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_multimodal_decode" -> (multimodalDecode _),
@@ -193,6 +226,22 @@ object Multimodal extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_dedup" ->
+      """WITH assets AS (
+        |  SELECT source, md5(text) AS digest,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS blen
+        |  FROM documents),
+        |uniq AS (
+        |  SELECT source, digest, CAST(COUNT(*) AS BIGINT) AS n,
+        |    MIN(blen) AS blen
+        |  FROM assets GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_assets,
+        |  CAST(COUNT(*) AS BIGINT) AS n_unique,
+        |  CAST(SUM(n * blen) AS BIGINT) AS bytes_total,
+        |  CAST(SUM(blen) AS BIGINT) AS bytes_unique,
+        |  (CAST(SUM(n * blen) AS BIGINT) - CAST(SUM(blen) AS BIGINT))
+        |    * 1000000 // CAST(SUM(n * blen) AS BIGINT) AS savings_ppm
+        |FROM uniq GROUP BY source ORDER BY source""".stripMargin,
     "q_multimodal_framesample" ->
       """WITH p AS (
         |  SELECT doc_id, hex(encode(text)) AS payload_hex,

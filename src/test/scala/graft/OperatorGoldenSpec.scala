@@ -1497,6 +1497,38 @@ class OperatorGoldenSpec extends SparkSpec {
       hz === ch * 1000000L / risk && sv === risk * 1000000L / nTotal })
   }
 
+  test("order priority: semi-join bounded by quarter order counts") {
+    val r = run("q_c360_order_priority")
+      .select($"o_orderpriority", $"order_count")
+      .as[(String, Long)].collect().toMap
+    val quarter = Tables.t(spark, sf, "orders")
+      .filter($"o_orderdate" >= lit("1996-07-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-10-01").cast("timestamp"))
+      .groupBy($"o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    r.foreach { case (p, n) => assert(n >= 1 && n <= quarter(p)) }
+  }
+
+  test("autocorr: both lags present, |r| <= 1") {
+    val r = run("q_time_autocorr")
+      .select($"lag", $"n_pairs", $"autocorr")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(r.map(_._1) === Array(1, 7))
+    assert(r.forall { case (_, n, a) => n > 100 && math.abs(a) <= 1.0 })
+  }
+
+  test("multimodal dedup: unique <= assets, byte accounting consistent") {
+    val r = run("q_multimodal_dedup")
+      .select($"n_assets", $"n_unique", $"bytes_total", $"bytes_unique",
+        $"savings_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r.forall { case (a, u, bt, bu, sp) =>
+      u >= 1 && u <= a && bu <= bt &&
+        sp === (bt - bu) * 1000000L / bt })
+    assert(r.map(_._1).sum ===
+      Tables.t(spark, sf, "documents").count())
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
