@@ -48,6 +48,33 @@ class PlanSpec extends SparkSpec {
       s"co-bucketed join+agg should not shuffle:\n$p")
   }
 
+  test("returns top-20: nation broadcast, fused top-k, no cartesian") {
+    val p = plan("q_c360_returns")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation dim should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 should fuse (no global sort):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("order priority: EXISTS decorrelates to a semi join, no BNLJ") {
+    val p = plan("q_c360_order_priority")
+    assert(p.contains("LeftSemi"), s"expected a left-semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"lateness residual must ride the equi join:\n$p")
+  }
+
+  test("concurrency sweep: exactly one window, partitioned by day") {
+    val p = plan("q_events_concurrency")
+    // one running-sum window only, and it must hang below a
+    // day-keyed exchange (days parallel — never a global sweep)
+    assert("Window ".r.findAllIn(p).size >= 1, s"window missing:\n$p")
+    assert(!p.contains("Window [") ||
+      p.contains("Exchange hashpartitioning(day"),
+      s"sweep window should partition by day:\n$p")
+  }
+
   test("sparsify: broadcast adjacency, group-limited rank, no nested loop") {
     val p = plan("q_graph_sparsify")
     assert(p.contains("BroadcastHashJoin"),
