@@ -718,6 +718,74 @@ object Aggregates extends OpModule {
       .orderBy($"tenure")
   }
 
+  /** Purchase-cadence profile — the inter-order gap statistics behind
+    * replenishment prediction and "due for a purchase" triggers: per
+    * customer with ≥ 2 orders, the count, mean (ROUND 4 from an exact
+    * integer day sum), min and max of consecutive-order gaps in days.
+    * Consecutiveness is one lag window over the (o_orderdate,
+    * o_orderkey) total order per customer; all gaps are exact integer
+    * datediffs, so only the final mean division is float (single IEEE
+    * op, identical both engines).
+    *
+    * Scale shape: one custkey shuffle shared by the window and the
+    * aggregation (same partitioning — no second exchange); per-group
+    * window input is bounded by orders-per-customer. */
+  def featCadence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    Tables.t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey")
+      .withColumn("gap", datediff($"o_orderdate".cast("date"),
+        lag($"o_orderdate", 1).over(w).cast("date")))
+      .filter($"gap".isNotNull)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_gaps"),
+        r4(sum($"gap").cast("double") / count(lit(1))).as("mean_gap_days"),
+        min($"gap").as("min_gap_days"),
+        max($"gap").as("max_gap_days"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Customer value-tier migration matrix — the YoY "upgraded /
+    * downgraded / churned" readout every retention deck opens with:
+    * customers terciled by spend within each of two order years
+    * (ntile(3) over the (spend, custkey) total order — deterministic),
+    * then the full-outer transition count matrix, with customers
+    * absent from a year carried as tier 0. Spend ranks on the exact
+    * decimal sum, so the tercile boundaries are reproducible at any
+    * partitioning.
+    *
+    * Scale shape: per-year spend is one custkey-keyed combinable
+    * aggregate; the tercile is a rank over the customer-grain table
+    * (at 100 TB: approx-quantile boundaries, same matrix after); the
+    * transition join is a full-outer equi-join on custkey; the matrix
+    * itself is ≤ 16 rows. */
+  def featTierMigration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def tiers(year: Int): DataFrame = {
+      val lo = lit(f"$year-01-01").cast("timestamp")
+      val hi = lit(f"${year + 1}-01-01").cast("timestamp")
+      Tables.t(s, dir, "orders")
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .groupBy($"o_custkey")
+        .agg(sumMoney($"o_totalprice").as("spend"))
+        .withColumn("tier",
+          ntile(3).over(Window.orderBy($"spend", $"o_custkey")))
+        .select($"o_custkey", $"tier")
+    }
+    tiers(1996).as("a")
+      .join(tiers(1997).as("b"), $"a.o_custkey" === $"b.o_custkey",
+        "full_outer")
+      .select(coalesce($"a.tier", lit(0)).as("tier_from"),
+        coalesce($"b.tier", lit(0)).as("tier_to"))
+      .groupBy($"tier_from", $"tier_to")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"tier_from", $"tier_to")
+  }
+
   /** Lag-k autocorrelation of the daily revenue series — the
     * seasonality detector behind forecast-model selection (lag 1 =
     * momentum, lag 7 = weekly cycle). Pairs are formed by an exact
@@ -1541,6 +1609,8 @@ object Aggregates extends OpModule {
     "q_feat_decay_spend" -> (featDecaySpend _),
     "q_feat_survival" -> (featSurvival _),
     "q_time_autocorr" -> (timeAutocorr _),
+    "q_feat_cadence" -> (featCadence _),
+    "q_feat_tier_migration" -> (featTierMigration _),
     "q_graph_triangles" -> (graphTriangles _),
     "q_graph_sparsify" -> (graphSparsify _),
     "q_agg_bool" -> (aggBool _),
@@ -1813,6 +1883,42 @@ object Aggregates extends OpModule {
         |  FROM cc GROUP BY rep)
         |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components
         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
+    "q_feat_tier_migration" ->
+      """WITH a AS (
+        |  SELECT o_custkey,
+        |    CAST(ntile(3) OVER (ORDER BY CAST(SUM(CAST(o_totalprice AS
+        |      DECIMAL(12,4))) AS DOUBLE), o_custkey) AS INTEGER) AS tier
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY o_custkey),
+        |b AS (
+        |  SELECT o_custkey,
+        |    CAST(ntile(3) OVER (ORDER BY CAST(SUM(CAST(o_totalprice AS
+        |      DECIMAL(12,4))) AS DOUBLE), o_custkey) AS INTEGER) AS tier
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY o_custkey)
+        |SELECT COALESCE(a.tier, 0) AS tier_from,
+        |  COALESCE(b.tier, 0) AS tier_to,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        |GROUP BY 1, 2 ORDER BY tier_from, tier_to""".stripMargin,
+    "q_feat_cadence" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    date_diff('day',
+        |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |      CAST(o_orderdate AS DATE)) AS gap
+        |  FROM orders)
+        |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 4) AS mean_gap_days,
+        |  CAST(MIN(gap) AS INTEGER) AS min_gap_days,
+        |  CAST(MAX(gap) AS INTEGER) AS max_gap_days
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_time_autocorr" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,

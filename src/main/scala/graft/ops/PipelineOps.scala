@@ -600,6 +600,37 @@ object PipelineOps extends OpModule {
       .orderBy($"bin")
   }
 
+  /** Temporal train/val/test split manifest — the split a TIME-SERIES
+    * model must use (the hash split `q_split_hash` leaks future into
+    * past): events ordered by (ts, event_id), first 80% of rows →
+    * train, next 10% → val, last 10% → test, reported as per-split
+    * counts + time boundaries. Boundary decisions are integer
+    * cross-multiplications (rn·10 ≤ n·8 — no float at the cut), so
+    * the assignment is exact and append-stable up to the new data.
+    *
+    * Scale shape: the global (ts, id) rank is ONE total sort — the
+    * same one-time job the split materialization itself is (and the
+    * `q_layout_zorder` precedent); the manifest rollup after it is
+    * O(splits). At 100 TB the sort is the job you were going to run
+    * anyway to write the split files. */
+  def splitTemporal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"ts", $"event_id")
+    val n = Tables.t(s, dir, "events").agg(count(lit(1)).as("n_total"))
+    Tables.t(s, dir, "events")
+      .select($"ts", $"event_id")
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(n))
+      .withColumn("split",
+        when($"rn" * 10 <= $"n_total" * 8, "1_train")
+          .when($"rn" * 10 <= $"n_total" * 9, "2_val")
+          .otherwise("3_test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n"),
+        min($"ts").as("min_ts"), max($"ts").as("max_ts"))
+      .orderBy($"split")
+  }
+
   /** Deterministic Poisson(1) bootstrap — resampling-by-WEIGHT, the
     * scalable form of the bootstrap: instead of materializing resampled
     * copies, each (row, replicate) draws k ~ Poisson(1) from the
@@ -901,6 +932,7 @@ object PipelineOps extends OpModule {
     "q_dq_referential" -> (dqReferential _),
     "q_dq_freshness" -> (dqFreshness _),
     "q_dq_psi" -> (dqPsi _),
+    "q_split_temporal" -> (splitTemporal _),
     "q_ml_kfold" -> (mlKfold _),
     "q_sample_balance" -> (sampleBalance _),
     "q_shard_manifest" -> (shardManifest _),
@@ -968,6 +1000,21 @@ object PipelineOps extends OpModule {
         |  t3.top_key
         |FROM s3, t3
         |ORDER BY join_key""".stripMargin,
+    "q_split_temporal" ->
+      """WITH r AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts,
+        |    row_number() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |      AS rn,
+        |    (SELECT COUNT(*) FROM events) AS n_total
+        |  FROM events),
+        |tagged AS (
+        |  SELECT ts, CASE WHEN rn * 10 <= n_total * 8 THEN '1_train'
+        |    WHEN rn * 10 <= n_total * 9 THEN '2_val'
+        |    ELSE '3_test' END AS split
+        |  FROM r)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(ts) AS min_ts, MAX(ts) AS max_ts
+        |FROM tagged GROUP BY split ORDER BY split""".stripMargin,
     "q_dq_psi" ->
       """WITH binned AS (
         |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'

@@ -1529,6 +1529,51 @@ class OperatorGoldenSpec extends SparkSpec {
       Tables.t(spark, sf, "documents").count())
   }
 
+  test("temporal split: 80/10/10 partition, time-ordered boundaries") {
+    val r = run("q_split_temporal")
+      .select($"split", $"n", $"min_ts".cast("string"),
+        $"max_ts".cast("string"))
+      .as[(String, Long, String, String)].collect().sortBy(_._1)
+    assert(r.map(_._1) === Array("1_train", "2_val", "3_test"))
+    val total = Tables.t(spark, sf, "events").count()
+    assert(r.map(_._2).sum === total)
+    assert(r(0)._2 === total * 8 / 10)
+    assert(r(0)._2 + r(1)._2 === total * 9 / 10)
+    // splits must be time-ordered: train's max <= val's min, etc.
+    assert(r(0)._4 <= r(1)._3 && r(1)._4 <= r(2)._3)
+  }
+
+  test("cadence: gap count is orders minus one per multi-order customer") {
+    val r = run("q_feat_cadence")
+      .select($"o_custkey", $"n_gaps", $"mean_gap_days",
+        $"min_gap_days", $"max_gap_days")
+      .as[(Long, Long, Double, Int, Int)].collect()
+    val orders = Tables.t(spark, sf, "orders")
+      .groupBy($"o_custkey").count().as[(Long, Long)].collect().toMap
+    r.foreach { case (c, g, m, lo, hi) =>
+      assert(g === orders(c) - 1)
+      assert(lo <= hi && m >= lo && m <= hi)
+    }
+    assert(r.length === orders.count(_._2 >= 2))
+  }
+
+  test("tier migration: matrix partitions both year cohorts") {
+    val r = run("q_feat_tier_migration")
+      .select($"tier_from", $"tier_to", $"n_customers")
+      .as[(Int, Int, Long)].collect()
+    assert(r.forall { case (f, t, n) =>
+      f >= 0 && f <= 3 && t >= 0 && t <= 3 && n >= 1 })
+    // no (0,0) cell: a customer absent from both years isn't a row
+    assert(!r.exists { case (f, t, _) => f == 0 && t == 0 })
+    // each 1996 tier cohort is fully accounted for in the matrix
+    val from = r.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val y96 = Tables.t(spark, sf, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"o_custkey").distinct().count()
+    assert(from.filterKeys(_ > 0).values.sum === y96)
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
