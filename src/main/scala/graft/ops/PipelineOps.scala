@@ -809,6 +809,33 @@ object PipelineOps extends OpModule {
     * parents (nation) broadcast, large parents (orders, part) stay
     * shuffle equi-joins on the key — never a full-row join, the probe
     * carries (key, count) pairs only. */
+  /** Per-user burstiness profile — the rate-limit / abuse-screening
+    * readout a training-data pipeline runs before trusting behavioral
+    * logs: per user, total events, active hours, the single worst
+    * hour's event count, and the burst concentration (peak-hour share
+    * of all activity, integer ppm). A scripted client shows
+    * burst_ppm ≫ a human's; the op emits the full profile and leaves
+    * the cut to policy (no magic threshold baked into the engine).
+    *
+    * Scale shape: two nested map-side-combinable aggregates — (user,
+    * hour) then user; nothing else. The hour bucketing bounds state by
+    * the calendar, and no window or join appears at any scale. */
+  def dqBurstiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"user_id")
+      .agg(sum($"c").as("total_events"),
+        count(lit(1)).as("n_active_hours"),
+        max($"c").as("peak_hour_events"))
+      .select($"user_id", $"total_events", $"n_active_hours",
+        $"peak_hour_events",
+        expr("peak_hour_events * 1000000 div total_events")
+          .as("burst_ppm"))
+      .orderBy($"user_id")
+  }
+
   /** Feed-freshness audit — the fifth data-quality gate (after profile,
     * anomaly, drift, referential): per monitored feed, the high-water
     * timestamp and how much volume arrived in the trailing 24 h / 7 d
@@ -932,6 +959,7 @@ object PipelineOps extends OpModule {
     "q_dq_referential" -> (dqReferential _),
     "q_dq_freshness" -> (dqFreshness _),
     "q_dq_psi" -> (dqPsi _),
+    "q_dq_burstiness" -> (dqBurstiness _),
     "q_split_temporal" -> (splitTemporal _),
     "q_ml_kfold" -> (mlKfold _),
     "q_sample_balance" -> (sampleBalance _),
@@ -1015,6 +1043,16 @@ object PipelineOps extends OpModule {
         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
         |  MIN(ts) AS min_ts, MAX(ts) AS max_ts
         |FROM tagged GROUP BY split ORDER BY split""".stripMargin,
+    "q_dq_burstiness" ->
+      """WITH ph AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(c) AS BIGINT) AS total_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active_hours,
+        |  MAX(c) AS peak_hour_events,
+        |  MAX(c) * 1000000 // CAST(SUM(c) AS BIGINT) AS burst_ppm
+        |FROM ph GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_dq_psi" ->
       """WITH binned AS (
         |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'

@@ -1574,6 +1574,73 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(from.filterKeys(_ > 0).values.sum === y96)
   }
 
+  test("auc: rank-sum equals the brute-force pairwise definition") {
+    val Array((nPos, nNeg, auc)) = run("q_ml_auc")
+      .select($"n_pos", $"n_neg", $"auc")
+      .as[(Long, Long, Double)].collect()
+    assert(auc >= 0 && auc <= 1)
+    // recompute pairwise on the tiny fixture: P(score+ > score-) + P(=)/2
+    val cut = Tables.t(spark, sf, "orders")
+      .agg(date_sub(max($"o_orderdate").cast("date"), 365).as("c"))
+      .collect()(0).getDate(0).toString
+    val hist = Tables.t(spark, sf, "orders")
+      .filter($"o_orderdate".cast("date") < lit(cut))
+      .groupBy($"o_custkey")
+      .agg(org.apache.spark.sql.functions.datediff(lit(cut).cast("date"),
+          max($"o_orderdate".cast("date"))).as("r"),
+        count(lit(1)).as("f"), Det.sumMoney($"o_totalprice").as("m"))
+    val fut = Tables.t(spark, sf, "orders")
+      .filter($"o_orderdate".cast("date") >= lit(cut))
+      .select($"o_custkey").distinct().as[Long].collect().toSet
+    val rows = hist.as[(Long, Int, Long, Double)].collect()
+    def ranks[T](xs: Array[(Long, T)])(implicit o: Ordering[T]): Map[Long, Int] =
+      xs.sortBy(x => (x._2, x._1)).zipWithIndex
+        .map { case ((k, _), i) => k -> i }.toMap
+    val n = rows.length
+    val prR = ranks(rows.map(r => r._1 -> (-r._2)))
+    val prF = ranks(rows.map(r => r._1 -> r._3))
+    val prM = ranks(rows.map(r => r._1 -> r._4))
+    val scored = rows.map { r =>
+      val s = (prR(r._1).toDouble / (n - 1) + prF(r._1).toDouble / (n - 1) +
+        prM(r._1).toDouble / (n - 1)) / 3 * 10000
+      (math.round(s), if (fut(r._1)) 1 else 0)
+    }
+    val pos = scored.filter(_._2 == 1).map(_._1)
+    val neg = scored.filter(_._2 == 0).map(_._1)
+    assert(nPos === pos.length && nNeg === neg.length)
+    val wins = (for (p <- pos; q <- neg)
+      yield if (p > q) 2L else if (p == q) 1L else 0L).sum
+    val pairAuc = wins.toDouble / (2.0 * pos.length * neg.length)
+    assert(math.abs(auc - math.rint(pairAuc * 10000) / 10000) <= 1e-4,
+      s"rank-sum $auc vs pairwise $pairAuc")
+  }
+
+  test("burstiness: peak <= total, ppm consistent, all users present") {
+    val r = run("q_dq_burstiness")
+      .select($"total_events", $"n_active_hours", $"peak_hour_events",
+        $"burst_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.forall { case (t, h, p, b) =>
+      p >= 1 && p <= t && h >= 1 && h <= t &&
+        b === p * 1000000L / t })
+    assert(r.length === Tables.t(spark, sf, "events")
+      .select($"user_id").distinct().count())
+    assert(r.map(_._1).sum === Tables.t(spark, sf, "events").count())
+  }
+
+  test("leaderboard: 10 named rows + OTHER, shares near 1e6") {
+    val r = run("q_agg_leaderboard")
+      .select($"rank", $"label", $"n_customers", $"revenue", $"share_ppm")
+      .as[(Int, String, Long, Double, Long)].collect()
+    assert(r.count(_._1 > 0) === 10 && r.count(_._1 == 0) === 1)
+    val head = r.filter(_._1 > 0).sortBy(_._1)
+    // leaderboard is revenue-sorted
+    assert(head.map(_._4).sameElements(head.map(_._4).sorted.reverse))
+    assert(head.forall(_._3 === 1L))
+    val shareSum = r.map(_._5).sum
+    assert(shareSum > 1000000L - 20 && shareSum <= 1000000L)
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
