@@ -301,6 +301,38 @@ object Aggregates extends OpModule {
       .orderBy($"prev_type", $"next_type")
   }
 
+  /** Top 3-step journey paths — the sequence-mining readout one hop
+    * deeper than [[eventTransitions]]'s Markov matrix (which, being
+    * memoryless, cannot see that click→view→purchase and
+    * view→click→purchase differ): every consecutive event-type triple
+    * within a user's (ts, event_id) timeline, counted and ranked, top
+    * 10 with integer-ppm share of all triples. Two stacked leads ride
+    * ONE user-keyed window exchange; the triple count is map-side
+    * combinable; the top-10 cut is (n DESC, path) deterministic.
+    *
+    * Scale shape: one shuffle on user_id, one combinable aggregate
+    * over the ≤|types|³ = 125 path domain (broadcast-scale), top-k
+    * fuses to TakeOrderedAndProject. */
+  def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val triples = Tables.t(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("t2", lead($"event_type", 1).over(w))
+      .withColumn("t3", lead($"event_type", 2).over(w))
+      .filter($"t3".isNotNull)
+      .select(concat($"event_type", lit(">"), $"t2", lit(">"), $"t3")
+        .as("path"))
+    val counts = triples.groupBy($"path").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum($"n").as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .select($"path", $"n",
+        expr("n * 1000000 div n_total").as("share_ppm"))
+      .orderBy($"n".desc, $"path")
+      .limit(10)
+  }
+
   /** PageRank over the behavioral transition graph — the weighted
     * companion of [[graft.ops.Dedup]]'s connected components: which
     * event types are the "sinks" of user journeys. Fixed 3 power
@@ -746,6 +778,29 @@ object Aggregates extends OpModule {
         min($"gap").as("min_gap_days"),
         max($"gap").as("max_gap_days"))
       .orderBy($"o_custkey")
+  }
+
+  /** Order-fanout histogram — the join-planning profile every
+    * fact-to-fact join should be sized against (the co-purchase pair
+    * explosion in the graph ops is quadratic in exactly this number):
+    * distribution of line items per order, with integer-ppm share and
+    * the quadratic pair weight each size class contributes
+    * (n_orders·k·(k−1)/2 — what actually drives the self-join cost).
+    * Pure integers end-to-end.
+    *
+    * Scale shape: two nested combinable aggregates (order, then
+    * size), O(sizes) output, broadcast 1-row total. */
+  def aggOrderFanout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sizes = Tables.t(s, dir, "lineitem")
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n_orders"))
+    val tot = sizes.agg(sum($"n_orders").as("n_total"))
+    sizes.crossJoin(broadcast(tot))
+      .select($"k".as("items_per_order"), $"n_orders",
+        expr("n_orders * 1000000 div n_total").as("share_ppm"),
+        expr("n_orders * k * (k - 1) div 2").as("pair_weight"))
+      .orderBy($"items_per_order")
   }
 
   /** Top-10 revenue leaderboard WITH the residual — the report shape
@@ -1649,6 +1704,8 @@ object Aggregates extends OpModule {
     "q_feat_cadence" -> (featCadence _),
     "q_feat_tier_migration" -> (featTierMigration _),
     "q_agg_leaderboard" -> (aggLeaderboard _),
+    "q_event_paths" -> (eventPaths _),
+    "q_agg_order_fanout" -> (aggOrderFanout _),
     "q_graph_triangles" -> (graphTriangles _),
     "q_graph_sparsify" -> (graphSparsify _),
     "q_agg_bool" -> (aggBool _),
@@ -1921,6 +1978,32 @@ object Aggregates extends OpModule {
         |  FROM cc GROUP BY rep)
         |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components
         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
+    "q_agg_order_fanout" ->
+      """WITH sizes AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k
+        |        FROM lineitem GROUP BY l_orderkey)
+        |  GROUP BY k),
+        |tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM sizes)
+        |SELECT k AS items_per_order, n_orders,
+        |  n_orders * 1000000 // n_total AS share_ppm,
+        |  n_orders * k * (k - 1) // 2 AS pair_weight
+        |FROM sizes CROSS JOIN tot ORDER BY items_per_order""".stripMargin,
+    "q_event_paths" ->
+      """WITH t AS (
+        |  SELECT event_type || '>' ||
+        |    lead(event_type, 1) OVER w || '>' ||
+        |    lead(event_type, 2) OVER w AS path
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |c AS (
+        |  SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t WHERE path IS NOT NULL GROUP BY path),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+        |SELECT path, n, n * 1000000 // n_total AS share_ppm
+        |FROM c CROSS JOIN tot
+        |ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "q_agg_leaderboard" ->
       """WITH spend AS (
         |  SELECT o_custkey,

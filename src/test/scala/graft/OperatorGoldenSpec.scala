@@ -1641,6 +1641,32 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(shareSum > 1000000L - 20 && shareSum <= 1000000L)
   }
 
+  test("event paths: valid triples, counts sorted, shares bounded") {
+    val types = Set("click", "view", "purchase", "signup", "error")
+    val r = run("q_event_paths")
+      .select($"path", $"n", $"share_ppm").as[(String, Long, Long)].collect()
+    assert(r.length === 10)
+    assert(r.forall { case (p, _, _) =>
+      p.split(">").length == 3 && p.split(">").forall(types) })
+    assert(r.map(_._2).sameElements(r.map(_._2).sorted.reverse))
+    assert(r.map(_._3).sum <= 1000000L)
+  }
+
+  test("order fanout: orders partitioned, pair weights quadratic") {
+    val r = run("q_agg_order_fanout")
+      .select($"items_per_order", $"n_orders", $"pair_weight")
+      .as[(Long, Long, Long)].collect()
+    assert(r.map(_._2).sum ===
+      Tables.t(spark, sf, "lineitem").select($"l_orderkey").distinct().count())
+    r.foreach { case (k, n, w) => assert(w === n * k * (k - 1) / 2) }
+    // total pair weight equals Σ k(k−1)/2 over independently-computed
+    // per-order sizes (the within-order self-join row count)
+    val pairs = Tables.t(spark, sf, "lineitem")
+      .groupBy($"l_orderkey").count().as[(Long, Long)].collect()
+      .map { case (_, k) => k * (k - 1) / 2 }.sum
+    assert(r.map(_._3).sum === pairs)
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
