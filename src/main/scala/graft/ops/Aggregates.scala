@@ -1485,10 +1485,19 @@ object Aggregates extends OpModule {
     * bounded far below raw events. No self-join, no range join. */
   def eventsConcurrency(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val iv = Tables.t(s, dir, "events")
+    sweepPeaks(Tables.t(s, dir, "events")
       .groupBy($"user_id", $"ts".cast("date").as("day"))
-      .agg(min(unix_micros($"ts")).as("us0"), max(unix_micros($"ts")).as("us1"))
+      .agg(min(unix_micros($"ts")).as("us0"),
+        max(unix_micros($"ts")).as("us1")))
+  }
+
+  /** The sweep itself over an interval table (day, user_id, us0, us1) —
+    * exposed so PropertiesSpec can drive it with random synthetic
+    * intervals against a brute-force per-instant scan. */
+  private[graft] def sweepPeaks(iv: DataFrame): DataFrame = {
+    val s = iv.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val pts = iv.select($"day", $"user_id", $"us0".as("us"), lit(1).as("delta"))
       .unionAll(iv.select($"day", $"user_id", $"us1".as("us"),
         lit(-1).as("delta")))

@@ -307,9 +307,17 @@ object Windows extends OpModule {
     * window input is bounded by the calendar, never by raw events. */
   def winCusum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val daily = Tables.t(s, dir, "events")
+    cusumPeaks(Tables.t(s, dir, "events")
       .groupBy($"event_type", $"ts".cast("date").as("day"))
-      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("x")))
+  }
+
+  /** The scan itself over a (event_type, day, x) series table —
+    * exposed so PropertiesSpec can plant synthetic level shifts and
+    * assert the peak lands on the planted boundary. */
+  private[graft] def cusumPeaks(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
     val tot = daily.groupBy($"event_type")
       .agg(count(lit(1)).as("n_days"), sum($"x").as("total"))
     val wSum = Window.partitionBy($"event_type").orderBy($"day")

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
+import graft.ops.{Aggregates, Windows}
 
 /** ScalaCheck-generator-driven properties (SURVEY §5.3), sampled with
   * fixed seeds (the scalatest–scalacheck bridge artifact isn't available
@@ -131,6 +132,44 @@ class PropertiesSpec extends SparkSpec {
           .as[(Long, Long)].collect().toMap
         assert(got === truth, s"edges=$edges")
       }
+    }
+  }
+
+  test("sweep-line peak ≡ brute-force per-instant scan on random intervals") {
+    val iv = Gen.listOfN(10, for {
+      u <- Gen.chooseNum(1L, 6L)
+      a <- Gen.chooseNum(0L, 20L)
+      b <- Gen.chooseNum(0L, 20L)
+    } yield (u, math.min(a, b), math.max(a, b)))
+    samples(iv, 5).foreach { raw =>
+      // one interval per user (the op aggregates min/max per user first)
+      val merged = raw.groupBy(_._1).map { case (u, xs) =>
+        (u, xs.map(_._2).min, xs.map(_._3).max) }.toSeq
+      val df = merged.toDF("user_id", "us0", "us1")
+        .withColumn("day", lit("d"))
+      val Array((users, peak)) = Aggregates.sweepPeaks(df)
+        .select($"n_users", $"peak_concurrency")
+        .as[(Long, Long)].collect()
+      val brute = (0L to 20L).map(t =>
+        merged.count { case (_, a, b) => a <= t && t <= b }).max
+      assert(users === merged.size.toLong)
+      assert(peak === brute.toLong, s"intervals=$merged")
+    }
+  }
+
+  test("cusum peak lands exactly on a planted level shift") {
+    val cases = Gen.zip(Gen.chooseNum(3, 17), Gen.chooseNum(1L, 9L),
+      Gen.chooseNum(11L, 20L))
+    samples(cases, 6).foreach { case (m, a, b) =>
+      val n = 20
+      val daily = (0 until n).map(i =>
+        ("t", i, if (i < m) a else b)).toDF("event_type", "day", "x")
+      val Array((nd, peakDay, peakVal)) = Windows.cusumPeaks(daily)
+        .select($"n_days", $"peak_day", $"peak_cusum_scaled")
+        .as[(Long, Int, Long)].collect()
+      assert(nd === n.toLong)
+      assert(peakDay === m - 1, s"shift at $m, a=$a b=$b")
+      assert(peakVal === m.toLong * (n - m) * (a - b))
     }
   }
 
