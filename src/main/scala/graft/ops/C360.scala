@@ -282,7 +282,55 @@ object C360 extends OpModule {
       .orderBy($"o_orderpriority")
   }
 
+  /** TPC-H Q6 shape — the "forecast revenue change" single-row scan
+    * aggregate, the canonical PUSHDOWN showcase: all three predicates
+    * (ship year, discount band, quantity cap) are scan-level parquet
+    * filters, so the plan is scan → one-stage partial+final agg with
+    * no join, no shuffle beyond the O(partitions) agg merge. Revenue =
+    * exact decimal Σ price·discount (the d12×d6 product stays well
+    * inside the 38-digit cap), ROUND 4 before the double cast. */
+  def forecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    Tables.t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lo && $"l_shipdate" < hi &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+        $"l_quantity" < 24)
+      .agg(dbl4(sum(d12($"l_extendedprice") * d6($"l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q14 shape — "promo revenue share": the conditional-share
+    * aggregate (what fraction of one month's revenue came from one
+    * part type) with the part dimension BROADCAST into the filtered
+    * fact scan. Both numerator and denominator ride the same exact
+    * decimal sum in ONE pass (a conditional agg, not two scans); the
+    * final share is a single double division on identical operands in
+    * both engines, ROUND 4. */
+  def typeShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lo = lit("1996-06-01").cast("timestamp")
+    val hi = lit("1996-07-01").cast("timestamp")
+    val p = Tables.t(s, dir, "part").select($"p_partkey", $"p_type")
+    val one = lit(1).cast(D6)
+    Tables.t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lo && $"l_shipdate" < hi)
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .agg(
+        dbl4(sum(when($"p_type" === "ECONOMY",
+          d12($"l_extendedprice") * (one - d6($"l_discount")))))
+          .as("promo_revenue"),
+        dbl4(sum(d12($"l_extendedprice") * (one - d6($"l_discount"))))
+          .as("total_revenue"))
+      .select($"promo_revenue", $"total_revenue",
+        r4($"promo_revenue" / $"total_revenue" * 100).as("promo_share_pct"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_c360_forecast_revenue" -> (forecastRevenue _),
+    "q_c360_type_share" -> (typeShare _),
     "q_c360_order_priority" -> (orderPriority _),
     "q_c360_returns" -> (returnedItems _),
     "q_c360_shipping_priority" -> (shippingPriority _),
@@ -300,6 +348,31 @@ object C360 extends OpModule {
     .mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_c360_forecast_revenue" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |    * CAST(l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_c360_type_share" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(ROUND(SUM(CASE WHEN p.p_type = 'ECONOMY'
+        |      THEN CAST(l.l_extendedprice AS DECIMAL(12,4))
+        |        * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))
+        |      END), 4) AS DOUBLE) AS promo_revenue,
+        |    CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+        |      * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))),
+        |      4) AS DOUBLE) AS total_revenue
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1996-07-01 00:00:00')
+        |SELECT promo_revenue, total_revenue,
+        |  ROUND(promo_revenue / total_revenue * 100, 4) AS promo_share_pct
+        |FROM m""".stripMargin,
     "q_c360_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders o

@@ -333,7 +333,31 @@ object Windows extends OpModule {
       .orderBy($"event_type")
   }
 
+  /** Rolling 7-day median of daily activity per event type — the
+    * robust trend line (a single spike day drags a rolling MEAN but
+    * not the median; this is the smoother ops dashboards overlay on
+    * [[graft.ops.Aggregates.eventsLoadCurve]]-style raw series).
+    * Exactness: the inputs are integer daily counts cast to double,
+    * and both engines interpolate percentiles identically over
+    * integral data (`q_agg_percentile` precedent), so the frame median
+    * is binary-exact. One (type, day) combinable aggregate, then ONE
+    * type-partitioned window with a ROWS 7-frame — types parallel,
+    * per-frame buffer bounded by 7. */
+  def winRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.t(s, dir, "events")
+      .groupBy($"event_type", $"ts".cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("med7", percentile($"x".cast("double"), lit(0.5)).over(w))
+      .select($"event_type", $"day", $"x", $"med7")
+      .orderBy($"event_type", $"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_win_rolling_median" -> (winRollingMedian _),
     "q_win_cusum" -> (winCusum _),
     "q_win_drawdown" -> (winDrawdown _),
     "q_feat_sessions" -> (featSessions _),
@@ -355,6 +379,16 @@ object Windows extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, x,
+        |  quantile_cont(CAST(x AS DOUBLE), 0.5) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |FROM daily ORDER BY event_type, day""".stripMargin,
     "q_win_cusum" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x

@@ -1667,6 +1667,39 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(r.map(_._3).sum === pairs)
   }
 
+  test("forecast revenue: single row, bounded by unfiltered revenue") {
+    val Array((rev, n)) = run("q_c360_forecast_revenue")
+      .as[(Double, Long)].collect()
+    assert(rev > 0 && n > 0)
+    // price×discount ≤ 7% of price sum on the filtered rows
+    val cap = Tables.t(spark, sf, "lineitem")
+      .agg(Det.sumMoney($"l_extendedprice")).as[Double].first()
+    assert(rev <= cap * 0.07)
+  }
+
+  test("type share: promo <= total, pct consistent") {
+    val Array((promo, tot, pct)) = run("q_c360_type_share")
+      .as[(Double, Double, Double)].collect()
+    assert(promo > 0 && promo <= tot)
+    assert(math.abs(pct - math.rint(promo / tot * 100 * 10000) / 10000)
+      <= 1e-9)
+  }
+
+  test("rolling median: within frame min/max, equals x on day one") {
+    val r = run("q_win_rolling_median")
+      .select($"event_type", $"day".cast("string"), $"x", $"med7")
+      .as[(String, String, Long, Double)].collect()
+      .groupBy(_._1).values
+    r.foreach { series =>
+      val s = series.sortBy(_._2)
+      assert(s.head._4 === s.head._3.toDouble) // frame of one
+      s.indices.foreach { i =>
+        val frame = s.slice(math.max(0, i - 6), i + 1).map(_._3)
+        assert(s(i)._4 >= frame.min && s(i)._4 <= frame.max)
+      }
+    }
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")

@@ -48,6 +48,20 @@ class PlanSpec extends SparkSpec {
       s"co-bucketed join+agg should not shuffle:\n$p")
   }
 
+  test("Q6 scan-aggregate: all three predicates pushed, no join") {
+    val p = plan("q_c360_forecast_revenue")
+    // toString elides the tail of long PushedFilters lists — assert on
+    // the stable prefix (all three columns present as scan filters)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual"),
+      s"predicates should reach the parquet scan:\n$p")
+    // 4-column read schema = pruning held (no full-row scan)
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_shipdate:timestamp"),
+      s"column pruning lost:\n$p")
+    assert(!p.contains("Join"), s"Q6 shape must be join-free:\n$p")
+  }
+
   test("returns top-20: nation broadcast, fused top-k, no cartesian") {
     val p = plan("q_c360_returns")
     assert(p.contains("BroadcastHashJoin"),
