@@ -301,7 +301,30 @@ object Scans extends OpModule {
       .orderBy($"event_type")
   }
 
+  /** Parquet AGGREGATE pushdown — the footer-statistics fast path: a
+    * bare COUNT/MIN/MAX over a parquet table answers from row-group
+    * metadata without decoding a single data page. Spark gates this
+    * behind the DSv2 reader (`useV1SourceList` cleared for parquet) +
+    * `spark.sql.parquet.aggregatePushdown`, both set on a CLONED
+    * session so the shared session's reader stack is untouched (the
+    * `nanosAsLong` hoisting precedent — no conf mutation observable
+    * outside). The plan pin asserts `PushedAggregation` reached the
+    * scan. At 100 TB this is the difference between a metadata-only
+    * touch and a full corpus decode for every freshness/row-count
+    * probe a scheduler issues. */
+  def scanAggPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.sources.useV1SourceList", "")
+    ss.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    ss.read.parquet(s"$dir/lineitem.parquet")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"l_orderkey").as("min_orderkey"),
+        max($"l_orderkey").as("max_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_scan_agg_pushdown" -> (scanAggPushdown _),
     "q_source_generated" -> (sourceGenerated _),
     "q_part_roundtrip" -> (partitionedRoundtrip _),
     "q_source_csv_roundtrip" -> (csvRoundtrip _),
@@ -320,6 +343,10 @@ object Scans extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scan_agg_pushdown" ->
+      """SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_orderkey,
+        |  MAX(l_orderkey) AS max_orderkey
+        |FROM lineitem""".stripMargin,
     "q_source_generated" ->
       """WITH ids AS (SELECT UNNEST(range(5000, 20000)) AS id),
         |h AS (

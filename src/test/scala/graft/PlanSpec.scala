@@ -48,6 +48,13 @@ class PlanSpec extends SparkSpec {
       s"co-bucketed join+agg should not shuffle:\n$p")
   }
 
+  test("count/min/max answers from parquet footers (PushedAggregation)") {
+    val p = plan("q_scan_agg_pushdown")
+    assert(p.contains("PushedAggregation: [COUNT(*), MIN(l_orderkey), " +
+      "MAX(l_orderkey)]"),
+      s"aggregate should push to the parquet scan:\n$p")
+  }
+
   test("Q6 scan-aggregate: all three predicates pushed, no join") {
     val p = plan("q_c360_forecast_revenue")
     // toString elides the tail of long PushedFilters lists — assert on
