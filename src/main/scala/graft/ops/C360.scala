@@ -328,7 +328,79 @@ object C360 extends OpModule {
         r4($"promo_revenue" / $"total_revenue" * 100).as("promo_share_pct"))
   }
 
+  /** TPC-H Q8 shape — "national market share": one supplier nation's
+    * share of a region's customer revenue, per order year. The share
+    * is a conditional decimal sum over the SAME aggregation pass
+    * (numerator rides a CASE inside the denominator's groupBy — never
+    * two scans), and the whole dimension chain (region → nation ×2)
+    * broadcasts. Year extraction is calendar-exact on both engines.
+    * Share is integer ppm (exact decimal÷decimal avoided: ppm =
+    * num_cents·10⁶ div den_cents on the exact integer grid). */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = Tables.t(s, dir, "region").filter($"r_name" === "ASIA")
+    val n = Tables.t(s, dir, "nation")
+    val custN = Tables.t(s, dir, "customer")
+      .join(broadcast(n.join(broadcast(r),
+        $"n_regionkey" === $"r_regionkey").select($"n_nationkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val supN = Tables.t(s, dir, "supplier")
+      .join(broadcast(n.select($"n_nationkey".as("sn_key"), $"n_name")),
+        $"s_nationkey" === $"sn_key")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        year($"o_orderdate").as("o_year"))
+    val l = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey",
+        expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+          .as("rev_c"))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(custN, $"o_custkey" === $"c_custkey")
+      .join(broadcast(supN), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"o_year")
+      .agg(sum(when($"supp_nation" === "NATION_3", $"rev_c").otherwise(0L))
+        .as("nation_c"),
+        sum($"rev_c").as("total_c"))
+      .select($"o_year",
+        ($"nation_c".cast("double") / 100.0).as("nation_revenue"),
+        ($"total_c".cast("double") / 100.0).as("total_revenue"),
+        expr("nation_c * 1000000 div total_c").as("share_ppm"))
+      .orderBy($"o_year")
+  }
+
+  /** TPC-H Q19 shape — disjunctive bracket pricing: revenue from three
+    * OR'd (brand, size-range, quantity-range) condition classes over
+    * lineitem ⋈ part. The planner showcase here is predicate
+    * DECOMPOSITION: the common parts of the disjunction
+    * (quantity ≤ 30, size ≥ 1) are factored out and pushed to the
+    * scans, while the cross-table OR evaluates post-join — exactly
+    * what Catalyst's CNF conversion does with the declarative form.
+    * Revenue runs the exact decimal chain. */
+  def disjunctivePricing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.t(s, dir, "part")
+      .select($"p_partkey", $"p_brand", $"p_size")
+    val l = Tables.t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+    val one = lit(1).cast(D6)
+    val cls1 = $"p_brand" === "Brand#2" && $"p_size".between(1, 10) &&
+      $"l_quantity".between(1, 11)
+    val cls2 = $"p_brand" === "Brand#17" && $"p_size".between(1, 20) &&
+      $"l_quantity".between(10, 20)
+    val cls3 = $"p_brand" === "Brand#4" && $"p_size".between(1, 30) &&
+      $"l_quantity".between(20, 30)
+    l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .filter(cls1 || cls2 || cls3)
+      .agg(dbl4(sum(d12($"l_extendedprice") * (one - d6($"l_discount"))))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_c360_market_share" -> (marketShare _),
+    "q_c360_disjunctive" -> (disjunctivePricing _),
     "q_c360_forecast_revenue" -> (forecastRevenue _),
     "q_c360_type_share" -> (typeShare _),
     "q_c360_order_priority" -> (orderPriority _),
@@ -348,6 +420,44 @@ object C360 extends OpModule {
     .mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_c360_market_share" ->
+      """WITH custN AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |supN AS (
+        |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |j AS (
+        |  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |    sn.supp_nation,
+        |    CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |      AS BIGINT) AS rev_c
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN custN c ON o.o_custkey = c.c_custkey
+        |  JOIN supN sn ON l.l_suppkey = sn.s_suppkey)
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END)
+        |    AS DOUBLE) / 100.0 AS nation_revenue,
+        |  CAST(SUM(rev_c) AS DOUBLE) / 100.0 AS total_revenue,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_c ELSE 0 END)
+        |    AS BIGINT) * 1000000 // CAST(SUM(rev_c) AS BIGINT) AS share_ppm
+        |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q_c360_disjunctive" ->
+      """SELECT
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+        |    * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))),
+        |    4) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 1 AND 20
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 30
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q_c360_forecast_revenue" ->
       """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
         |    * CAST(l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue,

@@ -1700,6 +1700,34 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  test("market share: nation <= total, ppm consistent, years complete") {
+    val r = run("q_c360_market_share")
+      .select($"o_year", $"nation_revenue", $"total_revenue", $"share_ppm")
+      .as[(Int, Double, Double, Long)].collect().sortBy(_._1)
+    assert(r.map(_._1) === (r.head._1 to r.last._1).toArray)
+    assert(r.forall { case (_, nr, tr, sp) =>
+      nr >= 0 && nr <= tr && sp >= 0 && sp <= 1000000 &&
+        sp === math.floor(nr / tr * 1000000).toLong })
+  }
+
+  test("disjunctive pricing: revenue equals the per-class union sum") {
+    val Array((rev, n)) = run("q_c360_disjunctive")
+      .as[(Double, Long)].collect()
+    assert(rev > 0 && n > 0)
+    // classes are brand-disjoint, so the union count is the sum of
+    // per-class counts
+    val p = Tables.t(spark, sf, "part")
+    val l = Tables.t(spark, sf, "lineitem")
+    val j = l.join(p, $"l_partkey" === $"p_partkey")
+    val per = Seq(
+      ("Brand#2", 10, 1, 11), ("Brand#17", 20, 10, 20),
+      ("Brand#4", 30, 20, 30)).map { case (b, sz, ql, qh) =>
+      j.filter($"p_brand" === b && $"p_size".between(1, sz) &&
+        $"l_quantity".between(ql, qh)).count()
+    }.sum
+    assert(n === per)
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
