@@ -913,6 +913,72 @@ object Aggregates extends OpModule {
     lagCorr(1).unionAll(lagCorr(7)).orderBy($"lag")
   }
 
+  /** Week-over-week growth — the trend readout every metrics review
+    * opens with: weekly event counts per type (ISO Monday weeks, same
+    * `date_trunc` semantics both engines) with the previous observed
+    * week and the growth in integer ppm. Growth is computed as
+    * cur·10⁶ div prev − 10⁶: both operands of the floor division stay
+    * POSITIVE, sidestepping the cross-engine negative-division trap
+    * (Spark `div` truncates toward zero, DuckDB `//` floors — they
+    * disagree exactly when the numerator is negative). First observed
+    * week carries NULLs.
+    *
+    * Scale shape: one (type, week) combinable aggregate, one
+    * type-partitioned lag over calendar-bounded rows. */
+  def timeWow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables.t(s, dir, "events")
+      .groupBy($"event_type",
+        date_trunc("week", $"ts").cast("date").as("week"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"week")
+    weekly
+      .withColumn("prev_n", lag($"n", 1).over(w))
+      .select($"event_type", $"week", $"n", $"prev_n",
+        expr("n * 1000000 div prev_n - 1000000").as("growth_ppm"))
+      .orderBy($"event_type", $"week")
+  }
+
+  /** Mann-Whitney U readout — the NONPARAMETRIC two-sample test beside
+    * [[abTest]]'s Welch t (rank-based, so a heavy-tailed value
+    * distribution can't fake or mask a shift): same deterministic
+    * 50/50 user-hash arms, per event type the U statistic from
+    * DOUBLED average ranks (2·rank+ties−1 — the `q_ml_auc` recipe, so
+    * U2 = 2U is an exact integer even with midranked ties) and the
+    * normal-approximation z-score (ties left uncorrected in the
+    * variance — the midranks already place them; the correction term
+    * is O(ties³/n³) here). The z is one fixed IEEE chain on identical
+    * integer operands, ROUND 4.
+    *
+    * Scale shape: ONE type-partitioned rank window over the events
+    * shuffle + a combinable conditional aggregate — the n₁×n₂
+    * pairwise comparison never materializes (same scale story as the
+    * AUC op). */
+  def aggMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.t(s, dir, "events")
+      .withColumn("arm",
+        (md5int60($"user_id".cast("string")) % 2L).cast("int"))
+      .withColumn("rk", rank().over(
+        Window.partitionBy($"event_type").orderBy($"value")))
+      .withColumn("ties", count(lit(1)).over(
+        Window.partitionBy($"event_type", $"value")))
+      .withColumn("midrank2", $"rk" * 2 + $"ties" - 1)
+    e.groupBy($"event_type")
+      .agg(count(when($"arm" === 0, lit(1))).as("n_a"),
+        count(when($"arm" === 1, lit(1))).as("n_b"),
+        sum(when($"arm" === 0, $"midrank2")).as("r2_a"))
+      .select($"event_type", $"n_a", $"n_b",
+        ($"r2_a" - $"n_a" * ($"n_a" + 1)).as("u2"),
+        r4((($"r2_a" - $"n_a" * ($"n_a" + 1)).cast("double") / 2.0 -
+          $"n_a".cast("double") * $"n_b".cast("double") / 2.0) /
+          sqrt($"n_a".cast("double") * $"n_b".cast("double") *
+            ($"n_a" + $"n_b" + 1).cast("double") / 12.0)).as("z"))
+      .orderBy($"event_type")
+  }
+
   /** A/B experiment readout — deterministic 50/50 assignment by the
     * portable user hash, then a Welch t-statistic on event value per
     * event type: the experimentation-analytics staple. Cross-engine
@@ -1715,6 +1781,8 @@ object Aggregates extends OpModule {
     "q_agg_leaderboard" -> (aggLeaderboard _),
     "q_event_paths" -> (eventPaths _),
     "q_agg_order_fanout" -> (aggOrderFanout _),
+    "q_agg_mannwhitney" -> (aggMannWhitney _),
+    "q_time_wow" -> (timeWow _),
     "q_graph_triangles" -> (graphTriangles _),
     "q_graph_sparsify" -> (graphSparsify _),
     "q_agg_bool" -> (aggBool _),
@@ -1987,6 +2055,45 @@ object Aggregates extends OpModule {
         |  FROM cc GROUP BY rep)
         |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components
         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
+    "q_time_wow" ->
+      """WITH weekly AS (
+        |  SELECT event_type,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |led AS (
+        |  SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY week)
+        |    AS prev_n
+        |  FROM weekly)
+        |SELECT event_type, week, n, prev_n,
+        |  n * 1000000 // prev_n - 1000000 AS growth_ppm
+        |FROM led ORDER BY event_type, week""".stripMargin,
+    "q_agg_mannwhitney" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST((CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 2) AS INTEGER) AS arm
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, arm,
+        |    CAST(rank() OVER (PARTITION BY event_type ORDER BY value)
+        |      AS BIGINT) * 2
+        |      + COUNT(*) OVER (PARTITION BY event_type, value) - 1
+        |      AS midrank2
+        |  FROM e),
+        |m AS (
+        |  SELECT event_type,
+        |    COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+        |    COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN midrank2 END) AS BIGINT) AS r2_a
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, n_a, n_b,
+        |  r2_a - n_a * (n_a + 1) AS u2,
+        |  ROUND((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2.0 -
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) /
+        |    sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *
+        |      CAST(n_a + n_b + 1 AS DOUBLE) / 12.0), 4) AS z
+        |FROM m ORDER BY event_type""".stripMargin,
     "q_agg_order_fanout" ->
       """WITH sizes AS (
         |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_orders

@@ -512,7 +512,35 @@ object MlOps extends OpModule {
           ($"n_pos" * ($"n" - $"n_pos") * 2).cast("double")).as("auc"))
   }
 
+  /** Regression-label extract — "days until the customer's next
+    * order", the replenishment-model target: per order, the exact
+    * integer day gap to the SAME customer's next order (lead over the
+    * (date, orderkey) total order per customer), right-censored at
+    * the corpus high-water mark when no next order exists (label =
+    * days of observed silence, censored = true — the survival-style
+    * treatment that keeps the extract unbiased instead of silently
+    * dropping the most interesting rows). Downstream training joins
+    * this spine to any as-of feature snapshot.
+    *
+    * Scale shape: one custkey-keyed window (lead) + a broadcast 1-row
+    * max date — a single shuffle, map-side everything else. */
+  def mlLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate".cast("date").as("d"))
+    val maxd = o.agg(max($"d").as("dmax"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"d", $"o_orderkey")
+    o.withColumn("next_d", lead($"d", 1).over(w))
+      .crossJoin(broadcast(maxd))
+      .select($"o_orderkey", $"o_custkey", $"d".as("order_date"),
+        when($"next_d".isNotNull, datediff($"next_d", $"d"))
+          .otherwise(datediff($"dmax", $"d")).as("label_days"),
+        $"next_d".isNull.as("censored"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ml_labels" -> (mlLabels _),
     "q_ml_auc" -> (mlAuc _),
     "q_ml_calibration" -> (mlCalibration _),
     "q_ml_mutual_info" -> (mlMutualInfo _),
@@ -531,6 +559,21 @@ object MlOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ml_labels" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders),
+        |md AS (SELECT MAX(d) AS dmax FROM o),
+        |led AS (
+        |  SELECT *, lead(d) OVER (PARTITION BY o_custkey
+        |    ORDER BY d, o_orderkey) AS next_d
+        |  FROM o)
+        |SELECT o_orderkey, o_custkey, d AS order_date,
+        |  CAST(CASE WHEN next_d IS NOT NULL
+        |    THEN date_diff('day', d, next_d)
+        |    ELSE date_diff('day', d, dmax) END AS INTEGER) AS label_days,
+        |  next_d IS NULL AS censored
+        |FROM led CROSS JOIN md ORDER BY o_orderkey""".stripMargin,
     "q_ml_auc" ->
       """WITH cut AS (
         |  SELECT CAST(max(o_orderdate) AS DATE) - INTERVAL 365 DAY AS cut

@@ -836,6 +836,41 @@ object PipelineOps extends OpModule {
       .orderBy($"user_id")
   }
 
+  /** Key-uniqueness audit — the PK gate that decides whether a table
+    * can be a join spine at all: for each declared key (orders PK,
+    * customer PK, lineitem's composite (orderkey, linenumber) — which
+    * this corpus VIOLATES, making the op's non-zero row real), the
+    * row count, distinct keys, duplicated keys, rows involved in
+    * duplicates, and the worst key's multiplicity. A feature join on
+    * a non-unique spine silently fans out — this is the audit that
+    * catches it before the join does.
+    *
+    * Scale shape: one map-side-combinable count per key column set,
+    * then an O(1) conditional rollup per table; feeds union of
+    * O(tables) rows. */
+  def dqUniqueness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def audit(table: String, keyName: String, df: DataFrame,
+        keys: Seq[String]): DataFrame = {
+      val per = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("m"))
+      per.agg(sum($"m").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          count(when($"m" > 1, lit(1))).as("n_dup_keys"),
+          coalesce(sum(when($"m" > 1, $"m")), lit(0L)).as("n_dup_rows"),
+          max($"m").as("max_multiplicity"))
+        .select(lit(table).as("table_name"), lit(keyName).as("key"),
+          $"n_rows", $"n_keys", $"n_dup_keys", $"n_dup_rows",
+          $"max_multiplicity")
+    }
+    audit("customer", "c_custkey", Tables.t(s, dir, "customer"),
+        Seq("c_custkey"))
+      .unionAll(audit("orders", "o_orderkey", Tables.t(s, dir, "orders"),
+        Seq("o_orderkey")))
+      .unionAll(audit("lineitem", "o_orderkey+l_linenumber",
+        Tables.t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber")))
+      .orderBy($"table_name")
+  }
+
   /** Feed-freshness audit — the fifth data-quality gate (after profile,
     * anomaly, drift, referential): per monitored feed, the high-water
     * timestamp and how much volume arrived in the trailing 24 h / 7 d
@@ -960,6 +995,7 @@ object PipelineOps extends OpModule {
     "q_dq_freshness" -> (dqFreshness _),
     "q_dq_psi" -> (dqPsi _),
     "q_dq_burstiness" -> (dqBurstiness _),
+    "q_dq_uniqueness" -> (dqUniqueness _),
     "q_split_temporal" -> (splitTemporal _),
     "q_ml_kfold" -> (mlKfold _),
     "q_sample_balance" -> (sampleBalance _),
@@ -1043,6 +1079,28 @@ object PipelineOps extends OpModule {
         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
         |  MIN(ts) AS min_ts, MAX(ts) AS max_ts
         |FROM tagged GROUP BY split ORDER BY split""".stripMargin,
+    "q_dq_uniqueness" ->
+      """WITH c AS (
+        |  SELECT 'customer' AS table_name, 'c_custkey' AS key, m
+        |  FROM (SELECT COUNT(*) AS m FROM customer GROUP BY c_custkey)),
+        |o AS (
+        |  SELECT 'orders' AS table_name, 'o_orderkey' AS key, m
+        |  FROM (SELECT COUNT(*) AS m FROM orders GROUP BY o_orderkey)),
+        |l AS (
+        |  SELECT 'lineitem' AS table_name,
+        |    'o_orderkey+l_linenumber' AS key, m
+        |  FROM (SELECT COUNT(*) AS m FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)),
+        |u AS (SELECT * FROM c UNION ALL SELECT * FROM o
+        |      UNION ALL SELECT * FROM l)
+        |SELECT table_name, key,
+        |  CAST(SUM(m) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  COUNT(CASE WHEN m > 1 THEN 1 END) AS n_dup_keys,
+        |  CAST(COALESCE(SUM(CASE WHEN m > 1 THEN m END), 0) AS BIGINT)
+        |    AS n_dup_rows,
+        |  MAX(m) AS max_multiplicity
+        |FROM u GROUP BY table_name, key ORDER BY table_name""".stripMargin,
     "q_dq_burstiness" ->
       """WITH ph AS (
         |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,

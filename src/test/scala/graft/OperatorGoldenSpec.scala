@@ -1728,6 +1728,60 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(n === per)
   }
 
+  test("uniqueness: PK tables clean, composite lineitem key flags dups") {
+    val r = run("q_dq_uniqueness")
+      .select($"table_name", $"n_rows", $"n_keys", $"n_dup_keys",
+        $"n_dup_rows", $"max_multiplicity")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("customer")._4 === 0 && r("orders")._4 === 0)
+    r.values.foreach { case (_, rows, keys, dupK, dupR, mx) =>
+      assert(keys <= rows && dupK <= keys && dupR <= rows)
+      assert(if (dupK == 0) mx === 1 else mx >= 2)
+    }
+  }
+
+  test("mann-whitney: U within range, z consistent with U") {
+    val r = run("q_agg_mannwhitney")
+      .select($"n_a", $"n_b", $"u2", $"z")
+      .as[(Long, Long, Long, Double)].collect()
+    r.foreach { case (na, nb, u2, z) =>
+      assert(u2 >= 0 && u2 <= 2 * na * nb)
+      val zc = (u2 / 2.0 - na.toDouble * nb / 2.0) /
+        math.sqrt(na.toDouble * nb * (na + nb + 1) / 12.0)
+      assert(math.abs(z - math.rint(zc * 10000) / 10000) <= 1e-9)
+    }
+  }
+
+  test("labels: one per order, censored iff last order, gaps positive") {
+    val r = run("q_ml_labels")
+      .select($"o_custkey", $"label_days", $"censored")
+      .as[(Long, Int, Boolean)].collect()
+    assert(r.length === Tables.t(spark, sf, "orders").count())
+    assert(r.forall(_._2 >= 0))
+    // exactly one censored row (the last order) per customer
+    val censPerCust = r.filter(_._3).groupBy(_._1).view.mapValues(_.length)
+    assert(censPerCust.values.forall(_ === 1))
+    assert(censPerCust.size ===
+      Tables.t(spark, sf, "orders").select($"o_custkey").distinct().count())
+  }
+
+  test("wow growth: ppm matches counts, first week null") {
+    val r = run("q_time_wow")
+      .select($"event_type", $"n", $"prev_n", $"growth_ppm")
+      .as[(String, Long, Option[Long], Option[Long])].collect()
+    val byType = r.groupBy(_._1)
+    byType.values.foreach { rows =>
+      assert(rows.count(_._3.isEmpty) === 1)
+    }
+    r.foreach {
+      case (_, n, Some(p), Some(g)) =>
+        assert(g === n * 1000000L / p - 1000000L)
+      case (_, _, None, g) => assert(g.isEmpty)
+      case other => fail(s"inconsistent row $other")
+    }
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
