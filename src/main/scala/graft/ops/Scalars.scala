@@ -211,7 +211,52 @@ object Scalars extends OpModule {
       .orderBy($"event_id")
   }
 
+  /** Spark 4 VARIANT surface — semi-structured data as the OPEN type
+    * the lakehouse world standardized on: `parse_json` shreds the
+    * props string once into the binary variant encoding, and typed
+    * access is `variant_get(v, '$.k', 'int')` — schema-on-read without
+    * a declared struct, the drop-in for evolving telemetry payloads
+    * (`q_json_nested`'s `from_json` twin for when the schema is NOT
+    * known up front). Aggregated per event type so the oracle is
+    * bounded; k extraction is exact integer.
+    *
+    * Scale shape: stateless parse + extract (codegen'd), one
+    * combinable aggregate. The variant binary never shuffles — only
+    * the extracted int does. */
+  def jsonVariant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .select($"event_type",
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy($"event_type")
+      .agg(count($"k").as("n_with_k"), min($"k").as("min_k"),
+        max($"k").as("max_k"), sum($"k".cast("long")).as("sum_k"))
+      .orderBy($"event_type")
+  }
+
+  /** Correlated LATERAL subquery — the "top-N related rows per outer
+    * row" SQL surface (Spark 4 lateral correlated subqueries ↔
+    * DuckDB LATERAL): each of the 5 largest customers by balance
+    * pulls its own 2 most recent orders via a correlated ordered
+    * LIMIT. The planner decorrelates this into a ranked join — the
+    * declarative form of `q_topk_per_group` when the driving side is
+    * itself a query. */
+  def joinLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "customer").createOrReplaceTempView("cust_lat")
+    Tables.t(s, dir, "orders").createOrReplaceTempView("orders_lat")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_orderdate
+        |FROM (SELECT c_custkey FROM cust_lat
+        |      ORDER BY c_acctbal DESC, c_custkey LIMIT 5) c,
+        |LATERAL (SELECT o_orderkey, o_orderdate FROM orders_lat
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderdate DESC, o.o_orderkey DESC""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_json_variant" -> (jsonVariant _),
+    "q_join_lateral" -> (joinLateral _),
     "q_str_funcs" -> (strFuncs _),
     "q_str_regexp_split" -> (strRegexpSplit _),
     "q_date_funcs" -> (dateFuncs _),
@@ -227,6 +272,23 @@ object Scalars extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_json_variant" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(k) AS n_with_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_join_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_orderdate
+        |FROM (SELECT c_custkey FROM customer
+        |      ORDER BY c_acctbal DESC, c_custkey LIMIT 5) c,
+        |LATERAL (SELECT o_orderkey, o_orderdate FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderdate DESC, o.o_orderkey DESC""".stripMargin,
     "q_str_funcs" ->
       """SELECT p_partkey,
         |  lower(p_name) AS name_lc,

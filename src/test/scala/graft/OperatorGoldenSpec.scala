@@ -1782,6 +1782,32 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  test("variant extraction agrees with the struct-typed json path") {
+    val direct = Tables.t(spark, sf, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count($"k").as("n"), sum($"k").as("s"))
+      .as[(String, Long, Long)].collect()
+    val variant = run("q_json_variant")
+      .select($"event_type", $"n_with_k", $"sum_k")
+      .as[(String, Long, Long)].collect().toSet
+    assert(direct.toSet === variant)
+  }
+
+  test("lateral: five outer customers, at most two orders each, ordered") {
+    val r = run("q_join_lateral")
+      .select($"c_custkey", $"o_orderdate".cast("string"))
+      .as[(Long, String)].collect()
+    val perCust = r.groupBy(_._1)
+    assert(perCust.size === 5)
+    perCust.values.foreach { rows =>
+      assert(rows.length <= 2)
+      val ds = rows.map(_._2)
+      assert(ds.sameElements(ds.sorted.reverse))
+    }
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
