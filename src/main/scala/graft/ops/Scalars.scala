@@ -211,6 +211,52 @@ object Scalars extends OpModule {
       .orderBy($"event_id")
   }
 
+  /** Spark 4 COLLATION surface — case-insensitive comparison as a
+    * COLUMN PROPERTY instead of scattered lower() calls: the segment
+    * string is collated UTF8_LCASE and grouped directly; the oracle
+    * expresses the same semantics with explicit lower(). Mixed-case
+    * inputs are synthesized deterministically (odd custkeys lowercase
+    * their segment) so the op proves the collation actually merges
+    * case variants — on clean input the two group-bys would be
+    * trivially equal.
+    *
+    * Scale shape: stateless projection + combinable aggregate; the
+    * collation comparison is codegen'd, no normalization
+    * materializes. */
+  def strCollation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "customer")
+      .select($"c_custkey",
+        when($"c_custkey" % 2 === 1, lower($"c_mktsegment"))
+          .otherwise($"c_mktsegment").as("seg_mixed"))
+      .select($"c_custkey",
+        expr("collate(seg_mixed, 'UTF8_LCASE')").as("seg_ci"))
+      .groupBy($"seg_ci")
+      .agg(count(lit(1)).as("n"))
+      .select(upper($"seg_ci").as("segment"), $"n")
+      .orderBy($"segment")
+  }
+
+  /** XML ingestion surface — `from_xml` as the third semi-structured
+    * reader beside JSON (`q_source_json_col`) and VARIANT
+    * (`q_json_variant`): a deterministic XML payload is synthesized
+    * from the row (the corpus ships none), round-tripped through
+    * `from_xml` with a declared schema, and aggregated. The oracle
+    * recomputes the extracted values directly — proving the XML path
+    * is lossless, which is exactly what an ingestion round-trip test
+    * should pin. */
+  def sourceXmlCol(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .select($"o_orderkey", concat(lit("<o><k>"), $"o_orderkey",
+        lit("</k><p>"), $"o_orderpriority", lit("</p></o>")).as("xml"))
+      .select(expr(
+        "from_xml(xml, 'k BIGINT, p STRING')").as("r"))
+      .groupBy($"r.p".as("priority"))
+      .agg(count(lit(1)).as("n"), sum($"r.k").as("key_sum"))
+      .orderBy($"priority")
+  }
+
   /** Spark 4 VARIANT surface — semi-structured data as the OPEN type
     * the lakehouse world standardized on: `parse_json` shreds the
     * props string once into the binary variant encoding, and typed
@@ -257,6 +303,8 @@ object Scalars extends OpModule {
   val queries: Map[String, Q] = Map(
     "q_json_variant" -> (jsonVariant _),
     "q_join_lateral" -> (joinLateral _),
+    "q_str_collation" -> (strCollation _),
+    "q_source_xml_col" -> (sourceXmlCol _),
     "q_str_funcs" -> (strFuncs _),
     "q_str_regexp_split" -> (strRegexpSplit _),
     "q_date_funcs" -> (dateFuncs _),
@@ -272,6 +320,17 @@ object Scalars extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_str_collation" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN c_custkey % 2 = 1 THEN lower(c_mktsegment)
+        |    ELSE c_mktsegment END AS seg_mixed
+        |  FROM customer)
+        |SELECT upper(seg_mixed) AS segment, COUNT(*) AS n
+        |FROM m GROUP BY upper(seg_mixed) ORDER BY segment""".stripMargin,
+    "q_source_xml_col" ->
+      """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin,
     "q_json_variant" ->
       """WITH e AS (
         |  SELECT event_type,

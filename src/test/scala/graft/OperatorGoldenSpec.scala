@@ -1808,6 +1808,26 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  test("collation merges case variants back to the clean segment counts") {
+    val r = run("q_str_collation")
+      .select($"segment", $"n").as[(String, Long)].collect().toMap
+    val clean = Tables.t(spark, sf, "customer")
+      .groupBy(upper($"c_mktsegment").as("s")).count()
+      .as[(String, Long)].collect().toMap
+    assert(r === clean)
+  }
+
+  test("xml round-trip is lossless: extraction equals direct aggregation") {
+    val r = run("q_source_xml_col")
+      .select($"priority", $"n", $"key_sum")
+      .as[(String, Long, Long)].collect().toSet
+    val direct = Tables.t(spark, sf, "orders")
+      .groupBy($"o_orderpriority".as("p"))
+      .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(r === direct)
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
