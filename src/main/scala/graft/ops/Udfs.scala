@@ -50,13 +50,73 @@ object Udfs extends OpModule {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** Spark 4 SQL-defined scalar function (`CREATE FUNCTION … RETURN
+    * expr`) — the governed-UDF surface: the banding logic lives in the
+    * catalog as a SQL expression, so unlike the opaque Scala UDF above
+    * it stays CODEGEN-VISIBLE (Catalyst inlines the body — filter
+    * pushdown and constant folding still work through it). The oracle
+    * inlines the same expression, proving the function is pure
+    * sugar. */
+  def udfSql(s: SparkSession, dir: String): DataFrame = {
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION price_band_sql(x DOUBLE)
+            |RETURNS BIGINT
+            |RETURN CAST(ROUND(x * 100) AS BIGINT) div 3000000""".stripMargin)
+    Tables.t(s, dir, "orders").createOrReplaceTempView("orders_sqludf")
+    s.sql(
+      """SELECT price_band_sql(o_totalprice) AS band, COUNT(*) AS n
+        |FROM orders_sqludf GROUP BY 1 ORDER BY band""".stripMargin)
+  }
+
+  /** Recursive CTE (Spark 4) — the calendar-spine generator: a
+    * WITH RECURSIVE day series spanning the events month LEFT-joined
+    * to daily counts, so silent zero-activity days appear as explicit
+    * rows (the recursion-surface twin of `q_events_gapfill`'s
+    * sequence-explode). Depth = days-in-corpus (30) — far inside the
+    * engine's recursion limit; at 100 TB the spine is still only
+    * O(calendar) rows. */
+  def sqlRecursive(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "events").createOrReplaceTempView("events_rec")
+    s.sql(
+      """WITH RECURSIVE spine(d) AS (
+        |  SELECT CAST(MIN(ts) AS DATE) FROM events_rec
+        |  UNION ALL
+        |  SELECT date_add(d, 1) FROM spine
+        |  WHERE d < (SELECT CAST(MAX(ts) AS DATE) FROM events_rec)),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |  FROM events_rec GROUP BY 1)
+        |SELECT spine.d AS day, COALESCE(daily.n, 0) AS n_events
+        |FROM spine LEFT JOIN daily ON spine.d = daily.d
+        |ORDER BY day""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_udf_sql" -> (udfSql _),
+    "q_sql_recursive" -> (sqlRecursive _),
     "q_udf_scalar" -> (udfScalar _),
     "q_udaf_geomean" -> (udafGeomean _),
     "q_udtf_explode" -> (udtfExplode _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_udf_sql" ->
+      """SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 3000000 AS band,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin,
+    "q_sql_recursive" ->
+      """WITH RECURSIVE spine(d) AS (
+        |  SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) FROM events
+        |  UNION ALL
+        |  SELECT d + 1 FROM spine
+        |  WHERE d < (SELECT CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE)
+        |             FROM events)),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT spine.d AS day, CAST(COALESCE(daily.n, 0) AS BIGINT)
+        |  AS n_events
+        |FROM spine LEFT JOIN daily ON spine.d = daily.d
+        |ORDER BY day""".stripMargin,
     "q_udf_scalar" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice < 100000 THEN 'low'

@@ -1828,6 +1828,28 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(r === direct)
   }
 
+  test("sql udf inlines: bands equal the expression applied directly") {
+    val r = run("q_udf_sql").select($"band", $"n")
+      .as[(Long, Long)].collect().toMap
+    val direct = Tables.t(spark, sf, "orders")
+      .groupBy(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 3000000")
+        .as("b")).count().as[(Long, Long)].collect().toMap
+    assert(r === direct)
+  }
+
+  test("recursive spine covers every calendar day exactly once") {
+    val r = run("q_sql_recursive")
+      .select($"day".cast("string"), $"n_events")
+      .as[(String, Long)].collect().sortBy(_._1)
+    val bounds = Tables.t(spark, sf, "events")
+      .agg(min($"ts".cast("date")).cast("string"),
+        max($"ts".cast("date")).cast("string"))
+      .as[(String, String)].first()
+    assert(r.head._1 === bounds._1 && r.last._1 === bounds._2)
+    assert(r.map(_._1).distinct.length === r.length)
+    assert(r.map(_._2).sum === Tables.t(spark, sf, "events").count())
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
