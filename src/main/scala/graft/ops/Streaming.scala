@@ -146,6 +146,37 @@ object Streaming extends OpModule {
       .orderBy($"hour_start", $"rk")
   }
 
+  /** The production serving sink as a GRADED query: the events stream
+    * drains through `foreachBatch` into the idempotent versioned-
+    * snapshot upsert ([[graft.streaming.ForeachUpsert]] — at-least-once
+    * batch delivery made exactly-once at the EXTERNAL table by
+    * versioned snapshots + an atomic current-pointer), and the op
+    * returns the committed table, which must equal the batch
+    * aggregation bit-for-bit. Restart semantics are separately proven
+    * in StreamingSemanticsSpec; this registers the end-to-end
+    * composition under the oracle gate. A fresh per-invocation target
+    * keeps bench reps independent (the versioned layout would
+    * otherwise keep merging across reps). */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val target = graft.Tables.sinkPath("upsert", dir,
+      s"t${runId.incrementAndGet()}")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = eventsStream(ss, dir).writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        graft.streaming.ForeachUpsert.applyBatch(
+          ss, target, id, batch.toDF(), "event_type"))
+      .option("checkpointLocation", s"${target}_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.ForeachUpsert.read(s, target)
+      .select($"key".as("event_type"), $"n")
+      .orderBy($"event_type")
+  }
+
   def streamSliding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     runToTable(s, "complete") { ss =>
@@ -322,6 +353,7 @@ object Streaming extends OpModule {
     "q_stream_join" -> (streamJoin _),
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_topk" -> (streamTopk _),
+    "q_stream_upsert" -> (streamUpsert _),
     "q_stream_sliding" -> (streamSliding _),
     "q_stream_session" -> (streamSession _),
     "q_stream_dedup" -> (streamDedup _)
@@ -373,6 +405,9 @@ object Streaming extends OpModule {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
         |FROM e GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q_stream_upsert" ->
+      """SELECT event_type, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_topk" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
