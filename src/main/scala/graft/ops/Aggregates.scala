@@ -913,6 +913,80 @@ object Aggregates extends OpModule {
     lagCorr(1).unionAll(lagCorr(7)).orderBy($"lag")
   }
 
+  /** RFM quintile scoring with named segments — the business-readable
+    * layer on [[featRfm]]'s raw numbers: R/F/M each coded 1–5 by
+    * ntile(5) over a deterministic total order (recency inverted so 5
+    * is always "best"), then the classic rule-based segment labels
+    * (champions / loyal / at-risk / hibernating / other) from the R
+    * and F codes. Everything after the raw RFM aggregate is rank
+    * arithmetic — exact.
+    *
+    * Scale shape: one custkey aggregate + three global-rank windows
+    * over the customer-grain table (approx-quantile boundaries at
+    * 100 TB, labels unchanged), O(segments) rollup output. */
+  def featRfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.t(s, dir, "orders")
+    val maxd = o.agg(max($"o_orderdate").cast("date").as("maxd"))
+    val rfm = o.crossJoin(broadcast(maxd))
+      .groupBy($"o_custkey")
+      .agg(datediff(max($"maxd"), max($"o_orderdate".cast("date")))
+        .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        // exact integer cents — the segment rollup's mean must be an
+        // order-insensitive integer sum, and cents rank identically
+        // to dollars
+        sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+          .as("monetary_c"))
+    def code(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ntile(5).over(Window.orderBy(c, $"o_custkey"))
+    val coded = rfm
+      .withColumn("r", code($"recency_days".desc))
+      .withColumn("f", code($"frequency"))
+      .withColumn("m", code($"monetary_c"))
+      .withColumn("segment",
+        when($"r" >= 4 && $"f" >= 4, "1_champions")
+          .when($"f" >= 4, "2_loyal")
+          .when($"r" <= 2 && $"f" >= 3, "3_at_risk")
+          .when($"r" <= 2, "4_hibernating")
+          .otherwise("5_other"))
+    coded.groupBy($"segment")
+      .agg(count(lit(1)).as("n_customers"),
+        r4(sum($"monetary_c").cast("double") / count(lit(1)) / 100.0)
+          .as("avg_monetary"),
+        min($"r").as("min_r"), max($"f").as("max_f"))
+      .orderBy($"segment")
+  }
+
+  /** New vs returning purchasers per week — the acquisition/retention
+    * split every growth dashboard leads with: a purchaser's FIRST week
+    * (one user-keyed min) classifies each active (user, week) as new
+    * or returning; weekly rollup with integer-ppm returning share.
+    * Pure integer week arithmetic (µs div), exact everywhere.
+    *
+    * Scale shape: one user-keyed combinable min, one (user, week)
+    * dedup, one broadcast-joinable classification (the first-week
+    * table is user-grain but joins on the SAME user partitioning as
+    * the dedup — no extra exchange), one O(weeks) rollup. */
+  def aggNewReturning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.t(s, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        expr("unix_micros(ts) div 604800000000").as("wk"))
+    val uw = p.distinct()
+    val first = p.groupBy($"user_id").agg(min($"wk").as("wk0"))
+    uw.join(first, Seq("user_id"))
+      .groupBy($"wk")
+      .agg(count(when($"wk" === $"wk0", lit(1))).as("n_new"),
+        count(when($"wk" > $"wk0", lit(1))).as("n_returning"))
+      .select($"wk", $"n_new", $"n_returning",
+        expr("n_returning * 1000000 div (n_new + n_returning)")
+          .as("returning_ppm"))
+      .orderBy($"wk")
+  }
+
   /** Week-over-week growth — the trend readout every metrics review
     * opens with: weekly event counts per type (ISO Monday weeks, same
     * `date_trunc` semantics both engines) with the previous observed
@@ -1783,6 +1857,8 @@ object Aggregates extends OpModule {
     "q_agg_order_fanout" -> (aggOrderFanout _),
     "q_agg_mannwhitney" -> (aggMannWhitney _),
     "q_time_wow" -> (timeWow _),
+    "q_agg_new_returning" -> (aggNewReturning _),
+    "q_feat_rfm_segments" -> (featRfmSegments _),
     "q_graph_triangles" -> (graphTriangles _),
     "q_graph_sparsify" -> (graphSparsify _),
     "q_agg_bool" -> (aggBool _),
@@ -2055,6 +2131,52 @@ object Aggregates extends OpModule {
         |  FROM cc GROUP BY rep)
         |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components
         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
+    "q_feat_rfm_segments" ->
+      """WITH md AS (SELECT CAST(max(o_orderdate) AS DATE) AS maxd FROM orders),
+        |rfm AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |      CAST(max(md.maxd) AS DATE)) AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_c
+        |  FROM orders CROSS JOIN md GROUP BY o_custkey),
+        |coded AS (
+        |  SELECT *,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+        |      AS INTEGER) AS r,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+        |      AS INTEGER) AS f,
+        |    CAST(ntile(5) OVER (ORDER BY monetary_c, o_custkey)
+        |      AS INTEGER) AS m
+        |  FROM rfm),
+        |seg AS (
+        |  SELECT *, CASE
+        |    WHEN r >= 4 AND f >= 4 THEN '1_champions'
+        |    WHEN f >= 4 THEN '2_loyal'
+        |    WHEN r <= 2 AND f >= 3 THEN '3_at_risk'
+        |    WHEN r <= 2 THEN '4_hibernating'
+        |    ELSE '5_other' END AS segment
+        |  FROM coded)
+        |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  ROUND(CAST(SUM(monetary_c) AS DOUBLE) / COUNT(*) / 100.0, 4)
+        |    AS avg_monetary,
+        |  MIN(r) AS min_r, MAX(f) AS max_f
+        |FROM seg GROUP BY segment ORDER BY segment""".stripMargin,
+    "q_agg_new_returning" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+        |  FROM events WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id, MIN(wk) AS wk0 FROM p GROUP BY user_id)
+        |SELECT p.wk,
+        |  COUNT(CASE WHEN p.wk = f.wk0 THEN 1 END) AS n_new,
+        |  COUNT(CASE WHEN p.wk > f.wk0 THEN 1 END) AS n_returning,
+        |  COUNT(CASE WHEN p.wk > f.wk0 THEN 1 END) * 1000000
+        |    // (COUNT(CASE WHEN p.wk = f.wk0 THEN 1 END)
+        |       + COUNT(CASE WHEN p.wk > f.wk0 THEN 1 END)) AS returning_ppm
+        |FROM p JOIN f ON p.user_id = f.user_id
+        |GROUP BY p.wk ORDER BY p.wk""".stripMargin,
     "q_time_wow" ->
       """WITH weekly AS (
         |  SELECT event_type,

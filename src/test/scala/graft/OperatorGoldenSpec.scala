@@ -1850,6 +1850,31 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(r.map(_._2).sum === Tables.t(spark, sf, "events").count())
   }
 
+  test("new vs returning: first week all-new, totals partition weeks") {
+    val r = run("q_agg_new_returning")
+      .select($"wk", $"n_new", $"n_returning", $"returning_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.head._3 === 0) // nobody can return in the first week
+    r.foreach { case (_, nn, nr, ppm) =>
+      assert(ppm === nr * 1000000L / (nn + nr)) }
+    // every purchaser is new exactly once
+    val purchasers = Tables.t(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id").distinct().count()
+    assert(r.map(_._2).sum === purchasers)
+  }
+
+  test("rfm segments partition customers; champions rank constraints") {
+    val r = run("q_feat_rfm_segments")
+      .select($"segment", $"n_customers", $"min_r", $"max_f")
+      .as[(String, Long, Int, Int)].collect()
+    val nCust = Tables.t(spark, sf, "orders")
+      .select($"o_custkey").distinct().count()
+    assert(r.map(_._2).sum === nCust)
+    r.find(_._1 == "1_champions").foreach { c =>
+      assert(c._3 >= 4 && c._4 >= 4) }
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
