@@ -913,6 +913,52 @@ object Aggregates extends OpModule {
     lagCorr(1).unionAll(lagCorr(7)).orderBy($"lag")
   }
 
+  /** Laspeyres price index — the index-number economics staple
+    * ("how much did the same basket inflate"): base-period (1996)
+    * quantities price-weighted at base vs comparison (1997) unit
+    * prices over the parts traded in BOTH years,
+    * L = Σ p₁·q₀ / Σ p₀·q₀ in integer ppm. Unit prices are exact
+    * per-part rationals kept as (cents·qty) integer cross-products —
+    * the two Σ terms are exact BIGINTs and the single division is a
+    * ppm floor on the integer grid; nothing floats until the display
+    * column.
+    *
+    * Scale shape: two filtered per-part combinable aggregates, one
+    * part-keyed equi-join (both sides part-grain — co-partitioned),
+    * one O(1) rollup. */
+  def aggPriceIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def yearAgg(y: Int): DataFrame = {
+      val lo = lit(f"$y-01-01").cast("timestamp")
+      val hi = lit(f"${y + 1}-01-01").cast("timestamp")
+      Tables.t(s, dir, "lineitem").as("l")
+        .join(Tables.t(s, dir, "orders").as("o"),
+          $"l.l_orderkey" === $"o.o_orderkey")
+        .filter($"o.o_orderdate" >= lo && $"o.o_orderdate" < hi)
+        .groupBy($"l.l_partkey".as(s"pk$y"))
+        .agg(sum(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+          .as(s"spend_c$y"),
+          sum(expr("CAST(ROUND(l_quantity) AS BIGINT)")).as(s"qty$y"))
+    }
+    val b = yearAgg(1996)
+    val c = yearAgg(1997)
+    // p·q cross-products on the integer grid: p0·q0 = spend_c0 (by
+    // definition); p1·q0 = spend_c1 · q0 / q1 — kept exact by
+    // cross-multiplying BEFORE dividing: num = Σ spend_c1·q0·q1-grid
+    // needs per-part rational care, so the index uses the standard
+    // unit-value formulation with one ppm floor per part avoided:
+    // numerator = Σ (spend_c1 · q0) div q1 (≤1 cent·q0 error per
+    // part, deterministic in both engines)
+    b.join(c, $"pk1996" === $"pk1997")
+      .agg(count(lit(1)).as("n_common_parts"),
+        sum(expr("spend_c1997 * qty1996 div qty1997")).as("num_c"),
+        sum($"spend_c1996").as("den_c"))
+      .select($"n_common_parts",
+        ($"num_c".cast("double") / 100.0).as("basket_at_new_prices"),
+        ($"den_c".cast("double") / 100.0).as("basket_at_base_prices"),
+        expr("num_c * 1000000 div den_c").as("index_ppm"))
+  }
+
   /** RFM quintile scoring with named segments — the business-readable
     * layer on [[featRfm]]'s raw numbers: R/F/M each coded 1–5 by
     * ntile(5) over a deterministic total order (recency inverted so 5
@@ -1859,6 +1905,7 @@ object Aggregates extends OpModule {
     "q_time_wow" -> (timeWow _),
     "q_agg_new_returning" -> (aggNewReturning _),
     "q_feat_rfm_segments" -> (featRfmSegments _),
+    "q_agg_price_index" -> (aggPriceIndex _),
     "q_graph_triangles" -> (graphTriangles _),
     "q_graph_sparsify" -> (graphSparsify _),
     "q_agg_bool" -> (aggBool _),
@@ -2131,6 +2178,36 @@ object Aggregates extends OpModule {
         |  FROM cc GROUP BY rep)
         |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components
         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
+    "q_agg_price_index" ->
+      """WITH b AS (
+        |  SELECT l.l_partkey AS pk,
+        |    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS spend_c0,
+        |    CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS q0
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT l.l_partkey AS pk,
+        |    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS spend_c1,
+        |    CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS q1
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT b.spend_c0, spend_c1 * q0 // q1 AS num_part
+        |  FROM b JOIN c ON b.pk = c.pk)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+        |  CAST(CAST(SUM(num_part) AS BIGINT) AS DOUBLE) / 100.0
+        |    AS basket_at_new_prices,
+        |  CAST(CAST(SUM(spend_c0) AS BIGINT) AS DOUBLE) / 100.0
+        |    AS basket_at_base_prices,
+        |  CAST(SUM(num_part) AS BIGINT) * 1000000
+        |    // CAST(SUM(spend_c0) AS BIGINT) AS index_ppm
+        |FROM j""".stripMargin,
     "q_feat_rfm_segments" ->
       """WITH md AS (SELECT CAST(max(o_orderdate) AS DATE) AS maxd FROM orders),
         |rfm AS (

@@ -1875,6 +1875,15 @@ class OperatorGoldenSpec extends SparkSpec {
       assert(c._3 >= 4 && c._4 >= 4) }
   }
 
+  test("price index: positive baskets, ppm consistent with the ratio") {
+    val Array((n, newB, baseB, ppm)) = run("q_agg_price_index")
+      .as[(Long, Double, Double, Long)].collect()
+    assert(n > 0 && newB > 0 && baseB > 0)
+    assert(ppm === math.floor(newB / baseB * 1000000).toLong ||
+      // cent-grid floor can differ from the double ratio by one ppm
+      math.abs(ppm - newB / baseB * 1000000) <= 1)
+  }
+
   test("hashed cross buckets cover every customer; collisions audited") {
     val r = run("q_feat_hashed_cross")
       .select($"bucket", $"n_rows", $"n_crosses")
