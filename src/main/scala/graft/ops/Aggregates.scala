@@ -1060,6 +1060,46 @@ object Aggregates extends OpModule {
       .orderBy($"event_type", $"week")
   }
 
+  /** Kolmogorov-Smirnov two-sample statistic — the DISTRIBUTION-SHAPE
+    * test completing the family (Welch t: means; Mann-Whitney:
+    * stochastic order; χ²: categorical; KS: the whole CDF): per event
+    * type between the hash arms, D = max |ECDF_a − ECDF_b|, computed
+    * EXACTLY on the integer grid by cross-multiplying the scaled form
+    * |cum_a·n_b − cum_b·n_a| — no float ever enters until the display
+    * ratio. Ties collapse onto the distinct-value grid first, which
+    * is precisely where a valid KS evaluates (both ECDFs jump
+    * together at a tie).
+    *
+    * Scale shape: one (type, value) combinable aggregate collapses
+    * the stream to the distinct-value grid, one type-partitioned
+    * cumsum window over that grid, one O(types) max rollup. */
+  def aggKs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grid = Tables.t(s, dir, "events")
+      .withColumn("arm",
+        (md5int60($"user_id".cast("string")) % 2L).cast("int"))
+      .groupBy($"event_type", $"value")
+      .agg(count(when($"arm" === 0, lit(1))).as("ca"),
+        count(when($"arm" === 1, lit(1))).as("cb"))
+    val w = Window.partitionBy($"event_type").orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("cum_a", sum($"ca").over(w))
+      .withColumn("cum_b", sum($"cb").over(w))
+    val tot = grid.groupBy($"event_type")
+      .agg(sum($"ca").as("n_a"), sum($"cb").as("n_b"))
+    cum.join(broadcast(tot), Seq("event_type"))
+      .withColumn("d_row", abs($"cum_a" * $"n_b" - $"cum_b" * $"n_a"))
+      .groupBy($"event_type")
+      .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+        max($"d_row").as("d_scaled"))
+      .select($"event_type", $"n_a", $"n_b", $"d_scaled",
+        r4($"d_scaled".cast("double") /
+          ($"n_a" * $"n_b").cast("double")).as("d"))
+      .orderBy($"event_type")
+  }
+
   /** Mann-Whitney U readout — the NONPARAMETRIC two-sample test beside
     * [[abTest]]'s Welch t (rank-based, so a heavy-tailed value
     * distribution can't fake or mask a shift): same deterministic
@@ -1902,6 +1942,7 @@ object Aggregates extends OpModule {
     "q_event_paths" -> (eventPaths _),
     "q_agg_order_fanout" -> (aggOrderFanout _),
     "q_agg_mannwhitney" -> (aggMannWhitney _),
+    "q_agg_ks" -> (aggKs _),
     "q_time_wow" -> (timeWow _),
     "q_agg_new_returning" -> (aggNewReturning _),
     "q_feat_rfm_segments" -> (featRfmSegments _),
@@ -2267,6 +2308,37 @@ object Aggregates extends OpModule {
         |SELECT event_type, week, n, prev_n,
         |  n * 1000000 // prev_n - 1000000 AS growth_ppm
         |FROM led ORDER BY event_type, week""".stripMargin,
+    "q_agg_ks" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST((CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 2) AS INTEGER) AS arm
+        |  FROM events),
+        |grid AS (
+        |  SELECT event_type, value,
+        |    COUNT(CASE WHEN arm = 0 THEN 1 END) AS ca,
+        |    COUNT(CASE WHEN arm = 1 THEN 1 END) AS cb
+        |  FROM e GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, ca, cb,
+        |    CAST(SUM(ca) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_a,
+        |    CAST(SUM(cb) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_b
+        |  FROM grid),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cb) AS BIGINT) AS n_b
+        |  FROM grid GROUP BY 1)
+        |SELECT c.event_type, t.n_a, t.n_b,
+        |  MAX(ABS(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS d_scaled,
+        |  ROUND(CAST(MAX(ABS(c.cum_a * t.n_b - c.cum_b * t.n_a))
+        |      AS DOUBLE) / CAST(t.n_a * t.n_b AS DOUBLE), 4) AS d
+        |FROM cum c JOIN tot t ON c.event_type = t.event_type
+        |GROUP BY c.event_type, t.n_a, t.n_b
+        |ORDER BY c.event_type""".stripMargin,
     "q_agg_mannwhitney" ->
       """WITH e AS (
         |  SELECT event_type, value,

@@ -1875,6 +1875,29 @@ class OperatorGoldenSpec extends SparkSpec {
       assert(c._3 >= 4 && c._4 >= 4) }
   }
 
+  test("ks: D in [0,1], scaled form bounded, brute-force agrees") {
+    val r = run("q_agg_ks")
+      .select($"event_type", $"n_a", $"n_b", $"d_scaled", $"d")
+      .as[(String, Long, Long, Long, Double)].collect()
+    r.foreach { case (_, na, nb, ds, d) =>
+      assert(ds >= 0 && ds <= na * nb && d >= 0 && d <= 1) }
+    // brute-force one type on the driver
+    val (ty, na, nb, ds, _) = r.head
+    val vals = Tables.t(spark, sf, "events")
+      .filter($"event_type" === ty)
+      .select($"value", (Det.md5int60($"user_id".cast("string")) % 2L)
+        .cast("int").as("arm"))
+      .as[(Double, Int)].collect()
+    val a = vals.filter(_._2 == 0).map(_._1).sorted
+    val b = vals.filter(_._2 == 1).map(_._1).sorted
+    val gridVals = (a ++ b).distinct.sorted
+    val brute = gridVals.map { v =>
+      math.abs(a.count(_ <= v).toLong * nb - b.count(_ <= v).toLong * na)
+    }.max
+    assert(a.length === na && b.length === nb)
+    assert(brute === ds)
+  }
+
   test("price index: positive baskets, ppm consistent with the ratio") {
     val Array((n, newB, baseB, ppm)) = run("q_agg_price_index")
       .as[(Long, Double, Double, Long)].collect()
