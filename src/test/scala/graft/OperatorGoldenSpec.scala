@@ -710,6 +710,26 @@ class OperatorGoldenSpec extends SparkSpec {
       "split assignment must be a pure function of the key, not the layout")
   }
 
+  test("exactness-critical ops are invariant to shuffle partition count") {
+    // The session's integer-exact claims (dyadic decay, KS grid,
+    // doubled midranks, sweep-line order, censored labels) all assert
+    // order-insensitivity — so the SAME query under different shuffle
+    // widths must return byte-identical rows. 3 and 17 partitions
+    // exercise both the tiny and the co-prime-to-data layouts.
+    val targets = Seq("q_feat_decay_spend", "q_agg_ks", "q_ml_auc",
+      "q_agg_mannwhitney", "q_events_concurrency", "q_feat_survival")
+    targets.foreach { name =>
+      val results = Seq("3", "17").map { parts =>
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", parts)
+        SparkEntry.queries(name)(ss, sf)
+          .collect().map(_.toString).sorted.toSeq
+      }
+      assert(results(0) === results(1),
+        s"$name differs across shuffle widths")
+    }
+  }
+
   test("connected components resolves a 30-node chain (pointer-jump path)") {
     // radius 29 chain: plain 1-hop propagation would exhaust the
     // 20-round cap; the round-5 pointer-jump switch must kick in
