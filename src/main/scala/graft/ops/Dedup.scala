@@ -762,7 +762,12 @@ object Dedup extends OpModule {
     * `nprobe` centroid cells instead of the full corpus. Approx +
     * trained centroids ⇒ no SQL oracle; recall vs brute force is
     * bounds-checked in ScalaTest. */
-  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+  def simIvfTopk(s: SparkSession, dir: String): DataFrame =
+    ivfTopk(s, dir, nprobe = 4)
+
+  /** The IVF search parameterized by nprobe — shared by the registered
+    * nprobe=4 op and the [[simIvfSweep]] recall curve. */
+  private def ivfTopk(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
     import s.implicits._
@@ -774,14 +779,14 @@ object Dedup extends OpModule {
     val model = km.fit(e)
     val centers = model.clusterCenters
     val corpus = model.transform(e).select($"vec_id", $"embedding", $"cell")
-    // nprobe=4 nearest cells per probe vector
+    // nprobe nearest cells per probe vector
     val nearestCells = udf((a: Seq[Float]) => {
       val v = a.map(_.toDouble).toArray
       centers.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var j = 0
         while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
         (i, d)
-      }.sortBy { case (i, d) => (d, i) }.take(4).map(_._1)
+      }.sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
     })
     val probes = e.filter($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"embedding".as("pe"),
@@ -797,6 +802,34 @@ object Dedup extends OpModule {
       .filter($"rank" <= 10)
       .select($"probe_id", $"rank".cast("int").as("rank"), $"nbr_id", $"sim4")
       .orderBy($"probe_id", $"rank")
+  }
+
+  /** IVF recall curve — the ANN ENGINEERING readout that decides the
+    * nprobe knob in production: recall@10 of the IVF search vs the
+    * brute-force truth, per nprobe ∈ {1, 2, 4, 8, 16}. Recall is an
+    * exact integer ppm (matched neighbors ×10⁶ div expected), and the
+    * curve carries its own correctness witness: at nprobe = K = 16
+    * every cell is probed, so IVF degenerates to brute force and the
+    * recall MUST be exactly 10⁶ — pinned in ScalaTest along with
+    * monotonicity. Non-oracled (seeded KMeans cells), like the other
+    * trained-index ops.
+    *
+    * Scale shape: one KMeans fit + per-nprobe candidate joins, each
+    * bounded by probes × probed-cells' members — the brute-force
+    * comparison is confined to the 10-probe evaluation set, never the
+    * corpus. */
+  def simIvfSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = simTopkCosine(s, dir)
+      .select($"probe_id", $"nbr_id")
+    val nTruth = truth.count()
+    val rows = Seq(1, 2, 4, 8, 16).map { np =>
+      val got = ivfTopk(s, dir, np).select($"probe_id", $"nbr_id")
+      val matched = got.join(truth, Seq("probe_id", "nbr_id")).count()
+      (np, matched, nTruth, matched * 1000000L / nTruth)
+    }
+    rows.toDF("nprobe", "n_matched", "n_expected", "recall_ppm")
+      .orderBy($"nprobe")
   }
 
   /** MLlib random-projection LSH ANN — approx, seeded; ScalaTest checks
@@ -841,6 +874,7 @@ object Dedup extends OpModule {
     "q_text_decontam" -> (textDecontam _),
     "q_dedup_near_embedding" -> (dedupNearEmbedding _),
     "q_sim_ivf_topk" -> (simIvfTopk _),
+    "q_sim_ivf_sweep" -> (simIvfSweep _),
     "q_sim_lsh_knn" -> (simLshKnn _)
   )
 

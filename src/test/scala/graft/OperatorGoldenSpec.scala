@@ -1918,6 +1918,16 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(brute === ds)
   }
 
+  test("ivf sweep: recall monotone in nprobe, exhaustive probe = 1.0") {
+    val r = run("q_sim_ivf_sweep")
+      .select($"nprobe", $"recall_ppm").as[(Int, Long)].collect()
+      .sortBy(_._1)
+    assert(r.map(_._1) === Array(1, 2, 4, 8, 16))
+    assert(r.map(_._2).sameElements(r.map(_._2).sorted))
+    // nprobe = K probes every cell: IVF degenerates to brute force
+    assert(r.last._2 === 1000000L)
+  }
+
   test("price index: positive baskets, ppm consistent with the ratio") {
     val Array((n, newB, baseB, ppm)) = run("q_agg_price_index")
       .as[(Long, Double, Double, Long)].collect()
