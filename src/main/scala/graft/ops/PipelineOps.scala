@@ -836,6 +836,57 @@ object PipelineOps extends OpModule {
       .orderBy($"user_id")
   }
 
+  /** Right-to-erasure propagation — the GDPR delete as a dataflow: a
+    * deterministic tombstone cohort (5% of users by the portable hash)
+    * is deleted from the event log and CASCADED through the order
+    * graph (orders of tombstoned customers, then line items of those
+    * orders), reported as per-table before/deleted/after counts plus
+    * the post-delete ORPHAN count — which must be zero, making the op
+    * self-auditing (the cascade proof rides in the result, ScalaTest
+    * pins it).
+    *
+    * Scale shape: the tombstone set is a hash predicate (no
+    * materialized list to broadcast — the filter is map-side
+    * everywhere); the lineitem cascade is one semi-join against the
+    * deleted-order keys; counts are combinable aggregates. At 100 TB
+    * this is the delete-vector build every lakehouse erasure job
+    * runs. */
+  def privacyErasure(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def tomb(c: org.apache.spark.sql.Column) =
+      md5int(c.cast("string")) % 20L === 0L
+    val ev = Tables.t(s, dir, "events")
+    val o = Tables.t(s, dir, "orders")
+    val li = Tables.t(s, dir, "lineitem")
+    val deadOrders = o.filter(tomb($"o_custkey"))
+      .select($"o_orderkey".as("dead_ok"))
+    // fully declarative: every count is an aggregate subplan, nothing
+    // reads through the driver
+    def stats(table: String, before: DataFrame,
+        deleted: DataFrame): DataFrame =
+      before.agg(count(lit(1)).as("rows_before"))
+        .crossJoin(deleted.agg(count(lit(1)).as("rows_deleted")))
+        .select(lit(table).as("table_name"), $"rows_before",
+          $"rows_deleted",
+          ($"rows_before" - $"rows_deleted").as("rows_after"))
+    val evDel = ev.filter(tomb($"user_id"))
+    val liDel = li.join(deadOrders, $"l_orderkey" === $"dead_ok",
+      "left_semi")
+    // post-delete orphan audit: surviving lineitems must all join a
+    // surviving order (0 expected — the self-auditing column)
+    val orphans = li.join(deadOrders, $"l_orderkey" === $"dead_ok",
+        "left_anti")
+      .join(o.filter(!tomb($"o_custkey"))
+        .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey",
+        "left_anti")
+      .agg(count(lit(1)).as("orphans_after"))
+    stats("events", ev, evDel)
+      .unionAll(stats("orders", o, o.filter(tomb($"o_custkey"))))
+      .unionAll(stats("lineitem", li, liDel))
+      .crossJoin(broadcast(orphans))
+      .orderBy($"table_name")
+  }
+
   /** Key-uniqueness audit — the PK gate that decides whether a table
     * can be a join spine at all: for each declared key (orders PK,
     * customer PK, lineitem's composite (orderkey, linenumber) — which
@@ -996,6 +1047,7 @@ object PipelineOps extends OpModule {
     "q_dq_psi" -> (dqPsi _),
     "q_dq_burstiness" -> (dqBurstiness _),
     "q_dq_uniqueness" -> (dqUniqueness _),
+    "q_privacy_erasure" -> (privacyErasure _),
     "q_split_temporal" -> (splitTemporal _),
     "q_ml_kfold" -> (mlKfold _),
     "q_sample_balance" -> (sampleBalance _),
@@ -1079,6 +1131,45 @@ object PipelineOps extends OpModule {
         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
         |  MIN(ts) AS min_ts, MAX(ts) AS max_ts
         |FROM tagged GROUP BY split ORDER BY split""".stripMargin,
+    "q_privacy_erasure" ->
+      """WITH dead_orders AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 20 = 0),
+        |ev AS (
+        |  SELECT 'events' AS table_name,
+        |    CAST(COUNT(*) AS BIGINT) AS rows_before,
+        |    COUNT(CASE WHEN CAST(('0x' ||
+        |      substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 20 = 0 THEN 1 END) AS rows_deleted
+        |  FROM events),
+        |od AS (
+        |  SELECT 'orders' AS table_name,
+        |    CAST(COUNT(*) AS BIGINT) AS rows_before,
+        |    COUNT(CASE WHEN CAST(('0x' ||
+        |      substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 20 = 0 THEN 1 END) AS rows_deleted
+        |  FROM orders),
+        |lid AS (
+        |  SELECT 'lineitem' AS table_name,
+        |    CAST(COUNT(*) AS BIGINT) AS rows_before,
+        |    COUNT(CASE WHEN l_orderkey IN (SELECT o_orderkey
+        |      FROM dead_orders) THEN 1 END) AS rows_deleted
+        |  FROM lineitem),
+        |orph AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS orphans_after
+        |  FROM lineitem l
+        |  WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM dead_orders)
+        |    AND l.l_orderkey NOT IN (
+        |      SELECT o_orderkey FROM orders
+        |      WHERE NOT (CAST(('0x' ||
+        |        substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        % 20 = 0))),
+        |u AS (SELECT * FROM ev UNION ALL SELECT * FROM od
+        |      UNION ALL SELECT * FROM lid)
+        |SELECT table_name, rows_before, rows_deleted,
+        |  rows_before - rows_deleted AS rows_after, orphans_after
+        |FROM u CROSS JOIN orph ORDER BY table_name""".stripMargin,
     "q_dq_uniqueness" ->
       """WITH c AS (
         |  SELECT 'customer' AS table_name, 'c_custkey' AS key, m

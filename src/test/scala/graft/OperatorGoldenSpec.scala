@@ -1928,6 +1928,16 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(r.last._2 === 1000000L)
   }
 
+  test("erasure cascade: zero orphans, deletes consistent per table") {
+    val r = run("q_privacy_erasure")
+      .select($"table_name", $"rows_before", $"rows_deleted",
+        $"rows_after", $"orphans_after")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r.map(_._1).sorted === Array("events", "lineitem", "orders"))
+    r.foreach { case (_, b, d, a, orph) =>
+      assert(a === b - d && d >= 1 && orph === 0) }
+  }
+
   test("price index: positive baskets, ppm consistent with the ratio") {
     val Array((n, newB, baseB, ppm)) = run("q_agg_price_index")
       .as[(Long, Double, Double, Long)].collect()
