@@ -170,7 +170,59 @@ object Embeddings extends OpModule {
       .orderBy($"bin")
   }
 
+  /** Top principal component by POWER ITERATION — the classic
+    * linear-algebra-on-DataFrames witness for the embedding family
+    * (whitening, drift direction, "is one axis eating the variance"):
+    * v ← normalize(Eᵀ(Ev)) for 6 iterations from the deterministic
+    * all-ones start, entirely as DataFrame jobs — the matvec is a
+    * per-row dot (codegen'd [[graft.functions.DotProductF]] via the
+    * SQL aggregate HOF), and the reduction Eᵀ(score) is a posexplode +
+    * per-dimension combinable sum. Only the 64-float vector itself
+    * crosses the driver per iteration (it IS the model — the pagerank
+    * precedent). Output: per-dimension loading + the Rayleigh-quotient
+    * top-eigenvalue share of total variance (uncentered — energy PCA,
+    * matching [[embMatryoshka]]'s energy view). Non-oracled (iterative
+    * float linear algebra); ScalaTest pins the eigen-residual and
+    * monotone Rayleigh quotient.
+    *
+    * Scale shape per iteration: one map-side dot projection + one
+    * (dim)-keyed combinable aggregate over |rows|·64 exploded terms;
+    * nothing quadratic in corpus, no broadcast beyond the 64-double
+    * literal. */
+  def embPca(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = OpCache.cached(s, dir, "pca_embeddings")(
+      Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding"))
+    val dim = 64
+    var v: Array[Double] = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var lambda = 0.0
+    for (_ <- 1 to 6) {
+      val scored = e.select($"embedding",
+        expr(s"aggregate(zip_with(embedding, " +
+          s"array(${v.mkString(",")}), (a, b) -> a * b), " +
+          "0D, (acc, x) -> acc + x)").as("score"))
+      val next = scored
+        .select(posexplode($"embedding").as(Seq("j", "ej")), $"score")
+        .groupBy($"j").agg(sum($"ej" * $"score").as("avj"))
+        .orderBy($"j").select($"avj").as[Double].collect()
+      // for the PSD matrix A = EᵀE and unit v, ‖Av‖ → λ_max as v
+      // converges to the top eigenvector
+      val norm = math.sqrt(next.map(x => x * x).sum)
+      lambda = norm
+      v = next.map(_ / norm)
+    }
+    val total = e.select(expr(
+      "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * x)")
+      .as("sq")).agg(sum($"sq")).as[Double].first()
+    v.zipWithIndex.map { case (l, j) =>
+      (j, math.rint(l * 10000) / 10000,
+        math.rint(lambda / total * 1000000).toLong)
+    }.toSeq.toDF("dim", "loading", "explained_ppm")
+      .orderBy($"dim")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_emb_pca" -> (embPca _),
     "q_emb_dim_stats" -> (embDimStats _),
     "q_emb_norm_hist" -> (embNormHist _),
     "q_emb_matryoshka" -> (embMatryoshka _),

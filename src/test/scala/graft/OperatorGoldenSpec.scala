@@ -1941,6 +1941,29 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(r.map(_._3).sum >= 1)
   }
 
+  test("pca: unit loadings, top direction beats the average axis") {
+    val r = run("q_emb_pca")
+      .select($"dim", $"loading", $"explained_ppm")
+      .as[(Int, Double, Long)].collect().sortBy(_._1)
+    assert(r.map(_._1) === (0 until 64))
+    assert(r.map(_._3).distinct.length === 1)
+    val ppm = r.head._3
+    assert(ppm > 0 && ppm <= 1000000)
+    val v = r.map(_._2)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 0.01) // unit, 4dp
+    // Rayleigh quotient of the returned direction must beat the mean
+    // eigenvalue trace/64 — true for anything near the top eigenvector
+    val em = Tables.t(spark, sf, "embeddings")
+      .select($"embedding").as[Seq[Float]].collect()
+    val trace = em.map(e => e.map(x => x.toDouble * x).sum).sum
+    val rq = em.map { e =>
+      val d = e.zip(v).map { case (a, b) => a * b }.sum
+      d * d
+    }.sum
+    assert(rq > 1.2 * trace / 64,
+      s"top direction RQ $rq vs mean ${trace / 64}")
+  }
+
   test("price index: positive baskets, ppm consistent with the ratio") {
     val Array((n, newB, baseB, ppm)) = run("q_agg_price_index")
       .as[(Long, Double, Double, Long)].collect()
