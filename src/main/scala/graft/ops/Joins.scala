@@ -451,7 +451,42 @@ object Joins extends OpModule {
       .orderBy($"brand_a", $"brand_b")
   }
 
+  /** Runtime Bloom-filter join pruning — Spark's row-level runtime
+    * filtering (the shuffle-join answer to DPP's partition pruning):
+    * the selective dimension side builds a `bloom_filter_agg` at run
+    * time and the fact scan probes it with `might_contain` BEFORE the
+    * shuffle, so non-joining fact rows die at the scan instead of
+    * crossing the wire — at 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling the ~20% that can
+    * join. Enabled on a CLONED session (application-side threshold
+    * floored for the test corpus; broadcast disabled so the shuffle
+    * join — the case runtime filtering exists for — is what's
+    * exercised); the plan pin asserts both halves landed. Result ≡
+    * the plain join (the filter is semantics-free). */
+  def joinBloomFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ss.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val o = Tables.t(ss, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.t(ss, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val one = lit(1).cast(D6)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(dbl4(sum(d12(col("l_extendedprice")) *
+        (one - d6(col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_year"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_bloom_filtered" -> (joinBloomFiltered _),
     "q_basket_affinity" -> (basketAffinity _),
     "q_join_star" -> (joinStar _),
     "q_feat_pit_join" -> (featPitJoin _),
@@ -473,6 +508,15 @@ object Joins extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_join_bloom_filtered" ->
+      """SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+        |    * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))),
+        |    4) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q_basket_affinity" ->
       """WITH ob AS (
         |  SELECT DISTINCT l_orderkey, p_brand

@@ -55,6 +55,14 @@ class PlanSpec extends SparkSpec {
       s"aggregate should push to the parquet scan:\n$p")
   }
 
+  test("runtime bloom filter: built on the dim side, probed at the scan") {
+    val p = plan("q_join_bloom_filtered")
+    assert(p.contains("bloom_filter_agg"),
+      s"selective side should build a runtime bloom filter:\n$p")
+    assert(p.contains("might_contain"),
+      s"fact side should probe the bloom filter before the shuffle:\n$p")
+  }
+
   test("Q6 scan-aggregate: all three predicates pushed, no join") {
     val p = plan("q_c360_forecast_revenue")
     // toString elides the tail of long PushedFilters lists — assert on
