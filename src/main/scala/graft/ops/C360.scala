@@ -398,7 +398,57 @@ object C360 extends OpModule {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q15 shape — "top supplier": revenue per supplier over one
+    * quarter, then the supplier(s) achieving the GLOBAL max — the
+    * aggregate-of-aggregate planner shape (the max is a 1-row
+    * broadcast joined back by equality, never a global sort). Exact
+    * integer-cents revenue keeps the max comparison exact (a double
+    * tie at the top would be engine-dependent). */
+  def topSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val rev = Tables.t(s, dir, "lineitem").as("l")
+      .join(Tables.t(s, dir, "orders").as("o"),
+        $"l.l_orderkey" === $"o.o_orderkey")
+      .filter($"o.o_orderdate" >= lo && $"o.o_orderdate" < hi)
+      .groupBy($"l.l_suppkey".as("s_suppkey"))
+      .agg(sum(expr(
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("rev_c"))
+    val mx = rev.agg(max($"rev_c").as("max_c"))
+    rev.join(broadcast(mx), $"rev_c" === $"max_c")
+      .join(broadcast(Tables.t(s, dir, "supplier")
+        .select($"s_suppkey".as("sk"), $"s_name")), $"s_suppkey" === $"sk")
+      .select($"s_suppkey", $"s_name",
+        ($"rev_c".cast("double") / 100.0).as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** TPC-H Q17 shape — "small-quantity-order revenue": line items
+    * below 20% of their part's average quantity, total revenue ÷ 7
+    * (the weekly-average convention). The correlated per-part average
+    * decorrelates to one part-keyed aggregate joined back on the SAME
+    * key partitioning; the threshold comparison is one fixed IEEE
+    * chain (0.2 × avg on identical operands), and revenue runs the
+    * exact decimal chain before the single ÷7. */
+  def smallOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    val avgQ = l.groupBy($"l_partkey".as("pk"))
+      .agg((sum(expr("CAST(ROUND(l_quantity) AS BIGINT)")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_qty"))
+    l.join(avgQ, $"l_partkey" === $"pk")
+      .filter($"l_quantity" < $"avg_qty" * 0.2)
+      .agg(count(lit(1)).as("n_items"),
+        r4(sum(d12($"l_extendedprice")).cast("double") / 7.0)
+          .as("avg_weekly_revenue"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_c360_top_supplier" -> (topSupplier _),
+    "q_c360_small_orders" -> (smallOrders _),
     "q_c360_market_share" -> (marketShare _),
     "q_c360_disjunctive" -> (disjunctivePricing _),
     "q_c360_forecast_revenue" -> (forecastRevenue _),
@@ -420,6 +470,32 @@ object C360 extends OpModule {
     .mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_c360_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l.l_suppkey AS s_suppkey,
+        |    CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+        |      * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1),
+        |mx AS (SELECT MAX(rev_c) AS max_c FROM rev)
+        |SELECT r.s_suppkey, s.s_name,
+        |  CAST(r.rev_c AS DOUBLE) / 100.0 AS total_revenue
+        |FROM rev r JOIN mx ON r.rev_c = mx.max_c
+        |JOIN supplier s ON r.s_suppkey = s.s_suppkey
+        |ORDER BY r.s_suppkey""".stripMargin,
+    "q_c360_small_orders" ->
+      """WITH avgq AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
+        |      / COUNT(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT COUNT(*) AS n_items,
+        |  ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)))
+        |    AS DOUBLE) / 7.0, 4) AS avg_weekly_revenue
+        |FROM lineitem l JOIN avgq ON l.l_partkey = avgq.pk
+        |WHERE l.l_quantity < avgq.avg_qty * 0.2""".stripMargin,
     "q_c360_market_share" ->
       """WITH custN AS (
         |  SELECT c_custkey FROM customer

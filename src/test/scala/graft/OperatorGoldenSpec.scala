@@ -1964,6 +1964,31 @@ class OperatorGoldenSpec extends SparkSpec {
       s"top direction RQ $rq vs mean ${trace / 64}")
   }
 
+  test("top supplier: revenue is the max over the per-supplier aggs") {
+    val rows = run("q_c360_top_supplier")
+      .select($"total_revenue").as[Double].collect()
+    assert(rows.nonEmpty && rows.distinct.length === 1)
+    val all = Tables.t(spark, sf, "lineitem").as("l")
+      .join(Tables.t(spark, sf, "orders").as("o"),
+        $"l.l_orderkey" === $"o.o_orderkey")
+      .filter($"o.o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o.o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l.l_suppkey")
+      .agg((sum(expr(
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .cast("double") / 100.0).as("r"))
+      .agg(max($"r")).as[Double].first()
+    assert(rows.head === all)
+  }
+
+  test("small orders: strictly below the 20% threshold, rev bounded") {
+    val Array((n, rev)) = run("q_c360_small_orders")
+      .as[(Long, Double)].collect()
+    assert(n > 0 && rev > 0)
+    val totalItems = Tables.t(spark, sf, "lineitem").count()
+    assert(n < totalItems / 2) // a 20% cut can't catch most rows
+  }
+
   test("price index: positive baskets, ppm consistent with the ratio") {
     val Array((n, newB, baseB, ppm)) = run("q_agg_price_index")
       .as[(Long, Double, Double, Long)].collect()
