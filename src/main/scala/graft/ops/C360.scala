@@ -446,7 +446,58 @@ object C360 extends OpModule {
           .as("avg_weekly_revenue"))
   }
 
+  /** TPC-H Q18 shape — "large-volume orders": orders whose TOTAL line
+    * quantity clears a threshold (the HAVING-driven semi filter),
+    * joined back to the customer, top-20 by quantity. The aggregate
+    * feeds the join — not a correlated subquery — so the plan is one
+    * orderkey-grain aggregation reused as the probe side. Quantity is
+    * an exact integer sum; (qty DESC, orderkey) totals the order. */
+  def bigOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum(expr("CAST(ROUND(l_quantity) AS BIGINT)")).as("total_qty"))
+      .filter($"total_qty" >= 180)
+    Tables.t(s, dir, "orders")
+      .join(q, $"o_orderkey" === $"l_orderkey")
+      .join(Tables.t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+        $"total_qty")
+      .orderBy($"total_qty".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  /** TPC-H Q22 shape — "lapsed sales opportunity": customers with an
+    * ABOVE-AVERAGE positive balance and NO order in the corpus's final
+    * two years (the NOT-EXISTS anti join over a broadcast scalar
+    * threshold — every corpus customer has SOME order, so the lapse
+    * window is what makes the cohort real), counted per nation with
+    * their aggregate balance. The scalar average is a 1-row
+    * broadcast; the anti join probes only the recent-orders key set.
+    * Exact integer-cents balance sums. */
+  def lostProspects(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val avgBal = Tables.t(s, dir, "customer")
+      .filter($"c_acctbal" > 0.0)
+      .agg((sum(expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)"))
+        .cast("double") / count(lit(1)).cast("double")).as("avg_c"))
+    Tables.t(s, dir, "customer")
+      .crossJoin(broadcast(avgBal))
+      .filter(expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)") > $"avg_c")
+      .join(Tables.t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1999-08-01").cast("timestamp"))
+        .select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_prospects"),
+        (sum(expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)"))
+          .cast("double") / 100.0).as("total_balance"))
+      .orderBy($"c_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_c360_big_orders" -> (bigOrders _),
+    "q_c360_lost_prospects" -> (lostProspects _),
     "q_c360_top_supplier" -> (topSupplier _),
     "q_c360_small_orders" -> (smallOrders _),
     "q_c360_market_share" -> (marketShare _),
@@ -470,6 +521,35 @@ object C360 extends OpModule {
     .mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_c360_big_orders" ->
+      """WITH q AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) >= 180)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        |  q.total_qty
+        |FROM orders o
+        |JOIN q ON o.o_orderkey = q.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY q.total_qty DESC, o.o_orderkey
+        |LIMIT 20""".stripMargin,
+    "q_c360_lost_prospects" ->
+      """WITH ab AS (
+        |  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+        |    AS DOUBLE) / COUNT(*) AS avg_c
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c.c_nationkey, COUNT(*) AS n_prospects,
+        |  CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total_balance
+        |FROM customer c CROSS JOIN ab
+        |WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) > ab.avg_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >=
+        |                      TIMESTAMP '1999-08-01 00:00:00')
+        |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin,
     "q_c360_top_supplier" ->
       """WITH rev AS (
         |  SELECT l.l_suppkey AS s_suppkey,

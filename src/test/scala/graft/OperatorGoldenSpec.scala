@@ -1964,6 +1964,33 @@ class OperatorGoldenSpec extends SparkSpec {
       s"top direction RQ $rq vs mean ${trace / 64}")
   }
 
+  test("big orders: quantities clear the bar, sorted desc, capped 20") {
+    val r = run("q_c360_big_orders")
+      .select($"total_qty").as[Long].collect()
+    assert(r.length <= 20 && r.forall(_ >= 180))
+    assert(r.sameElements(r.sorted.reverse))
+  }
+
+  test("lost prospects: lapsed high-balance cohort, no recent order") {
+    val r = run("q_c360_lost_prospects")
+      .select($"n_prospects", $"total_balance").as[(Long, Double)].collect()
+    assert(r.nonEmpty && r.forall { case (n, b) => n >= 1 && b > 0 })
+    // cross-check the cohort size against a direct computation
+    val recent = Tables.t(spark, sf, "orders")
+      .filter($"o_orderdate" >= lit("1999-08-01").cast("timestamp"))
+      .select($"o_custkey").distinct().as[Long].collect().toSet
+    val avg = Tables.t(spark, sf, "customer")
+      .filter($"c_acctbal" > 0.0)
+      .agg(sum(expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)"))
+        .cast("double") / count(lit(1))).as[Double].first()
+    val direct = Tables.t(spark, sf, "customer")
+      .select($"c_custkey",
+        expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("cc"))
+      .as[(Long, Long)].collect()
+      .count { case (k, c) => c > avg && !recent(k) }
+    assert(r.map(_._1).sum === direct)
+  }
+
   test("top supplier: revenue is the max over the per-supplier aggs") {
     val rows = run("q_c360_top_supplier")
       .select($"total_revenue").as[Double].collect()
