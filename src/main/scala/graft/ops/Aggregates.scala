@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
 import graft.{Det, Tables}
 
 /** SURVEY.md §2.D — aggregation + Customer-360 feature ops.
@@ -1060,6 +1060,51 @@ object Aggregates extends OpModule {
       .orderBy($"event_type", $"week")
   }
 
+  /** Spearman rank correlation — the monotone-association measure
+    * completing the correlation family (Pearson in `q_agg_stats`
+    * measures LINEAR association; Spearman survives any monotone
+    * transform and outliers): balance vs lifetime spend per customer,
+    * as Pearson over DOUBLED average ranks (2·rank+ties−1 — the
+    * `q_ml_auc` recipe, honest ties) with all five moment sums in
+    * exact integer arithmetic (DECIMAL products, the `q_agg_moments`
+    * recipe) and one fixed IEEE chain at the end, ROUND 4.
+    *
+    * Scale shape: one custkey aggregate, two global rank windows over
+    * the customer-grain table (approx-rank at 100 TB), one combinable
+    * moment pass. */
+  def aggSpearman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .as("spend_c"))
+    val base = Tables.t(s, dir, "customer")
+      .join(spend, $"c_custkey" === $"o_custkey", "inner")
+      .select($"c_custkey",
+        expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("bal_c"),
+        $"spend_c")
+    val ranked = base
+      .withColumn("rx", expr(
+        "CAST(rank() OVER (ORDER BY bal_c) AS BIGINT) * 2 " +
+          "+ COUNT(*) OVER (PARTITION BY bal_c) - 1"))
+      .withColumn("ry", expr(
+        "CAST(rank() OVER (ORDER BY spend_c) AS BIGINT) * 2 " +
+          "+ COUNT(*) OVER (PARTITION BY spend_c) - 1"))
+    ranked.select($"rx".cast(DecimalType(20, 0)).as("x"),
+        $"ry".cast(DecimalType(20, 0)).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum($"x").cast("double").as("sx"),
+        sum($"y").cast("double").as("sy"),
+        sum($"x" * $"x").cast("double").as("sxx"),
+        sum($"y" * $"y").cast("double").as("syy"),
+        sum($"x" * $"y").cast("double").as("sxy"))
+      .select($"n",
+        r4(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") *
+            ($"n" * $"syy" - $"sy" * $"sy"))).as("spearman_rho"))
+  }
+
   /** Kolmogorov-Smirnov two-sample statistic — the DISTRIBUTION-SHAPE
     * test completing the family (Welch t: means; Mann-Whitney:
     * stochastic order; χ²: categorical; KS: the whole CDF): per event
@@ -1943,6 +1988,7 @@ object Aggregates extends OpModule {
     "q_agg_order_fanout" -> (aggOrderFanout _),
     "q_agg_mannwhitney" -> (aggMannWhitney _),
     "q_agg_ks" -> (aggKs _),
+    "q_agg_spearman" -> (aggSpearman _),
     "q_time_wow" -> (timeWow _),
     "q_agg_new_returning" -> (aggNewReturning _),
     "q_feat_rfm_segments" -> (featRfmSegments _),
@@ -2308,6 +2354,35 @@ object Aggregates extends OpModule {
         |SELECT event_type, week, n, prev_n,
         |  n * 1000000 // prev_n - 1000000 AS growth_ppm
         |FROM led ORDER BY event_type, week""".stripMargin,
+    "q_agg_spearman" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend_c
+        |  FROM orders GROUP BY o_custkey),
+        |base AS (
+        |  SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c, spend_c
+        |  FROM customer JOIN spend ON c_custkey = o_custkey),
+        |ranked AS (
+        |  SELECT
+        |    CAST(rank() OVER (ORDER BY bal_c) AS BIGINT) * 2
+        |      + COUNT(*) OVER (PARTITION BY bal_c) - 1 AS x,
+        |    CAST(rank() OVER (ORDER BY spend_c) AS BIGINT) * 2
+        |      + COUNT(*) OVER (PARTITION BY spend_c) - 1 AS y
+        |  FROM base),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+        |  FROM ranked)
+        |SELECT n,
+        |  ROUND((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+        |    AS spearman_rho
+        |FROM m""".stripMargin,
     "q_agg_ks" ->
       """WITH e AS (
         |  SELECT event_type, value,

@@ -1895,6 +1895,37 @@ class OperatorGoldenSpec extends SparkSpec {
       assert(c._3 >= 4 && c._4 >= 4) }
   }
 
+  test("spearman: |rho| <= 1, equals driver-side midrank pearson") {
+    val Array((n, rho)) = run("q_agg_spearman")
+      .as[(Long, Double)].collect()
+    assert(math.abs(rho) <= 1.0)
+    val rows = Tables.t(spark, sf, "customer")
+      .join(Tables.t(spark, sf, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+          .as("sc")), $"c_custkey" === $"o_custkey")
+      .select(expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)"), $"sc")
+      .as[(Long, Long)].collect()
+    assert(n === rows.length)
+    def midranks(xs: Array[Long]): Map[Long, Double] = {
+      val sorted = xs.sorted
+      xs.distinct.map { v =>
+        val lo = sorted.indexWhere(_ == v) + 1
+        val hi = sorted.lastIndexWhere(_ == v) + 1
+        v -> (lo + hi) / 2.0
+      }.toMap
+    }
+    val mx = midranks(rows.map(_._1)); val my = midranks(rows.map(_._2))
+    val xs = rows.map(r => mx(r._1)); val ys = rows.map(r => my(r._2))
+    val nn = rows.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val brute = (nn * sxy - sx * sy) /
+      math.sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy))
+    assert(math.abs(rho - brute) < 2e-4, s"op $rho vs brute $brute")
+  }
+
   test("ks: D in [0,1], scaled form bounded, brute-force agrees") {
     val r = run("q_agg_ks")
       .select($"event_type", $"n_a", $"n_b", $"d_scaled", $"d")
