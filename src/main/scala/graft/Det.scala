@@ -58,7 +58,19 @@ object Det {
     * minhash): a portable 60-bit integer from the first 15 hex chars of
     * md5. DuckDB mirror: `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`.
     * One definition — the op modules delegate here so the contract
-    * can't drift per module. */
+    * can't drift per module.
+    *
+    * Implementation: the fused native [[graft.functions.Md5Int60F]]
+    * (one digest over the raw bytes, no intermediate hex string) —
+    * bit-identical to the composed `conv(substring(md5(x),1,15),16,10)`
+    * chain, proven by [[md5int60Chain]]-vs-native randomized spec and
+    * by the full oracle gate. */
   def md5int60(c: Column): Column =
+    graft.functions.Md5Int60F.md5int60(c)
+
+  /** The original composed form — retained as the equivalence-test
+    * reference for the native expression (and as the executable
+    * documentation of the DuckDB mirror). */
+  def md5int60Chain(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 }

@@ -135,6 +135,26 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("native md5_int60 ≡ the composed conv(substring(md5)) chain") {
+    // random strings incl. unicode + empties; both paths over the same
+    // frame must agree bit-for-bit (every hash-derived op depends on it)
+    val strs = Gen.listOfN(200, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(24)),
+      Gen.const(""),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(_.toString),
+      Gen.listOfN(6, Gen.oneOf("é", "日", "a", ":", "0")).map(_.mkString)))
+    samples(strs, 3).foreach { xs =>
+      val df = xs.toDF("s")
+      val both = df.select(
+        graft.Det.md5int60(col("s")).as("native"),
+        graft.Det.md5int60Chain(col("s")).as("chain"))
+      assert(both.filter($"native" =!= $"chain").count() === 0)
+      // 60-bit range: always non-negative, below 2^60
+      assert(both.filter($"native" < 0 ||
+        $"native" >= (1L << 60)).count() === 0)
+    }
+  }
+
   test("sweep-line peak ≡ brute-force per-instant scan on random intervals") {
     val iv = Gen.listOfN(10, for {
       u <- Gen.chooseNum(1L, 6L)
