@@ -157,6 +157,19 @@ object Bench {
       renderLines(results, sfDir, sentinels.toSeq)
     println(mapLine)
     println(totalLine)
+    // Persist the FULL per-query map next to the repo artifacts: the
+    // driver's tail-capture keeps only ~2000 chars of stdout, so
+    // BENCH_r{N}.json preserves per-query timings for just the
+    // alphabetical tail (~72/275 in round 7) — this file makes every
+    // query's r{N}→r{N+1} delta diffable from artifacts alone
+    // (round-7 verdict item 3).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "bench_per_query.json")),
+      mapLine + "\n" + totalLine + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] per-query persist failed: $e")
+    }
     spark.stop()
   }
 

@@ -810,33 +810,46 @@ object Aggregates extends OpModule {
     * each with its integer-ppm share of total. rank = 0 marks the
     * residual; (revenue DESC, custkey) makes the cut deterministic.
     *
-    * Scale shape: one custkey combinable aggregate, one rank window
-    * over the customer-grain table (WindowGroupLimit prunes to ≤11
-    * rows per partition before the exchange at scale... rank feeds a
-    * conditional re-aggregation, which is itself O(11) output), and a
-    * broadcast 1-row total. Never a sort of the fact table. */
+    * Scale shape (round 8): one custkey combinable aggregate, then the
+    * top-10 as `orderBy(...).limit(10)` — Catalyst fuses it to
+    * TakeOrderedAndProject (per-partition heap of 10, no global sort,
+    * no window over the customer-grain table); OTHER is derived
+    * arithmetically as broadcast-grand-total minus the top-10 sum.
+    * The only window left ranks the ALREADY-LIMITED 10 rows. Shares
+    * run through DECIMAL(25,0)·10⁶ so the ppm is exact past the
+    * rc ≈ 9.2·10¹² cents where a BIGINT product would overflow. */
   def aggLeaderboard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val spend = Tables.t(s, dir, "orders")
-      .groupBy($"o_custkey")
-      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
-        .as("rev_c"))
-    val tot = spend.agg(sum($"rev_c").as("tot_c"))
-    val ranked = spend.withColumn("rk",
-      row_number().over(Window.orderBy($"rev_c".desc, $"o_custkey")))
-    ranked
-      .withColumn("rank", when($"rk" <= 10, $"rk").otherwise(lit(0)))
-      .withColumn("label", when($"rk" <= 10,
-        concat(lit("cust_"), $"o_custkey")).otherwise(lit("OTHER")))
-      .groupBy($"rank", $"label")
-      .agg(sum($"rev_c").as("rc"), count(lit(1)).as("n_customers"))
+    val spend = OpCache.cached(s, dir, "leaderboard_spend")(
+      Tables.t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+          .as("rev_c")))
+    val tot = spend.agg(sum($"rev_c").as("tot_c"),
+      count(lit(1)).as("n_cust"))
+    val top10 = spend.orderBy($"rev_c".desc, $"o_custkey").limit(10)
+    val topRows = top10
+      // window input is the LIMIT-10 frame — 10 rows, whitelisted
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"rev_c".desc, $"o_custkey")))
+      .select($"rank", concat(lit("cust_"), $"o_custkey").as("label"),
+        lit(1L).as("n_customers"), $"rev_c".as("rc"))
+    val otherRow = top10
+      .agg(coalesce(sum($"rev_c"), lit(0L)).as("top_c"),
+        count(lit(1)).as("n_top"))
       .crossJoin(broadcast(tot))
+      .select(lit(0).as("rank"), lit("OTHER").as("label"),
+        ($"n_cust" - $"n_top").as("n_customers"),
+        ($"tot_c" - $"top_c").as("rc"))
+      .filter($"n_customers" > 0)
+    topRows.unionAll(otherRow)
+      .crossJoin(broadcast(tot.select($"tot_c")))
       .select($"rank", $"label", $"n_customers",
         ($"rc".cast("double") / 100.0).as("revenue"),
-        // exact integer ppm; rc·10⁶ ≤ ~2e18 at the graded SFs — at
-        // larger corpora divide tot_c down first (ppm precision only)
-        expr("rc * 1000000 div tot_c").as("share_ppm"))
+        // exact integer ppm at ANY corpus size: 25+7 digits < 38
+        expr("CAST(rc AS DECIMAL(25,0)) * 1000000 div tot_c")
+          .as("share_ppm"))
       .orderBy($"rank".asc, $"label")
   }
 
@@ -849,23 +862,27 @@ object Aggregates extends OpModule {
     * decimal sum, so the tercile boundaries are reproducible at any
     * partitioning.
     *
-    * Scale shape: per-year spend is one custkey-keyed combinable
-    * aggregate; the tercile is a rank over the customer-grain table
-    * (at 100 TB: approx-quantile boundaries, same matrix after); the
-    * transition join is a full-outer equi-join on custkey; the matrix
-    * itself is ≤ 16 rows. */
+    * Scale shape (round 8): per-year spend is one custkey-keyed
+    * combinable aggregate; the tercile is [[Ranks.withGlobalRn]]'s
+    * two-level exact rank (range-binned partitioned window + broadcast
+    * prefix offsets — no single-partition sort at any corpus size)
+    * with `ntile(3)` reconstructed arithmetically from (rank, n) —
+    * bit-identical buckets, oracle hash unchanged; the pure
+    * approx-boundary bin ([[Ranks.approxNtile]], zero windows) is the
+    * tested 100-TB variant. The transition join is a full-outer
+    * equi-join on custkey; the matrix itself is ≤ 16 rows. */
   def featTierMigration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     def tiers(year: Int): DataFrame = {
       val lo = lit(f"$year-01-01").cast("timestamp")
       val hi = lit(f"${year + 1}-01-01").cast("timestamp")
-      Tables.t(s, dir, "orders")
+      val spend = Tables.t(s, dir, "orders")
         .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
         .groupBy($"o_custkey")
         .agg(sumMoney($"o_totalprice").as("spend"))
-        .withColumn("tier",
-          ntile(3).over(Window.orderBy($"spend", $"o_custkey")))
+      Ranks.withGlobalRn(spend, $"spend",
+          Seq($"spend", $"o_custkey"), "rn", "n", s"t$year")
+        .withColumn("tier", Ranks.ntileFromRn($"rn", $"n", 3))
         .select($"o_custkey", $"tier")
     }
     tiers(1996).as("a")
@@ -967,12 +984,15 @@ object Aggregates extends OpModule {
     * and F codes. Everything after the raw RFM aggregate is rank
     * arithmetic — exact.
     *
-    * Scale shape: one custkey aggregate + three global-rank windows
-    * over the customer-grain table (approx-quantile boundaries at
-    * 100 TB, labels unchanged), O(segments) rollup output. */
+    * Scale shape (round 8): one custkey aggregate + three TWO-LEVEL
+    * exact ranks ([[Ranks.withGlobalRn]] — range-binned partitioned
+    * windows + broadcast offsets, never a single-partition sort) with
+    * each quintile code reconstructed arithmetically from (rank, n) —
+    * bit-identical to `ntile(5)`, oracle hash unchanged. The pure
+    * approx-boundary quintile ([[Ranks.approxNtile]], zero windows) is
+    * the tested 100-TB variant; O(segments) rollup output. */
   def featRfmSegments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val o = Tables.t(s, dir, "orders")
     val maxd = o.agg(max($"o_orderdate").cast("date").as("maxd"))
     val rfm = o.crossJoin(broadcast(maxd))
@@ -985,12 +1005,21 @@ object Aggregates extends OpModule {
         // to dollars
         sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
           .as("monetary_c"))
-    def code(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      ntile(5).over(Window.orderBy(c, $"o_custkey"))
-    val coded = rfm
-      .withColumn("r", code($"recency_days".desc))
-      .withColumn("f", code($"frequency"))
-      .withColumn("m", code($"monetary_c"))
+    // quintile code via the two-level exact rank; binOn is negated for
+    // the DESC recency axis so bins stay ASC-aligned with the order
+    def code(df: DataFrame, binOn: org.apache.spark.sql.Column,
+        ord: Seq[org.apache.spark.sql.Column], out: String,
+        tag: String): DataFrame =
+      Ranks.withGlobalRn(df, binOn, ord, s"__rn_$tag", s"__n_$tag", tag)
+        .withColumn(out,
+          Ranks.ntileFromRn(col(s"__rn_$tag"), col(s"__n_$tag"), 5))
+        .drop(s"__rn_$tag", s"__n_$tag")
+    val coded0 = code(rfm, -$"recency_days",
+      Seq($"recency_days".desc, $"o_custkey"), "r", "rfm_r")
+    val coded1 = code(coded0, $"frequency",
+      Seq($"frequency", $"o_custkey"), "f", "rfm_f")
+    val coded = code(coded1, $"monetary_c",
+      Seq($"monetary_c", $"o_custkey"), "m", "rfm_m")
       .withColumn("segment",
         when($"r" >= 4 && $"f" >= 4, "1_champions")
           .when($"f" >= 4, "2_loyal")
@@ -1069,12 +1098,16 @@ object Aggregates extends OpModule {
     * exact integer arithmetic (DECIMAL products, the `q_agg_moments`
     * recipe) and one fixed IEEE chain at the end, ROUND 4.
     *
-    * Scale shape: one custkey aggregate, two global rank windows over
-    * the customer-grain table (approx-rank at 100 TB), one combinable
-    * moment pass. */
+    * Scale shape (round 8): one custkey aggregate, then each doubled
+    * midrank comes from a VALUE-grain rollup (`groupBy(value).count`)
+    * plus [[Ranks.withGlobalCumsumExcl]]'s two-level exact cumulative
+    * count — rank-with-ties = #rows-before-the-value-group + 1, so
+    * midrank2 = 2·cumBefore + ties + 1, bit-identical to the
+    * `rank()·2 + COUNT() OVER (PARTITION BY v) − 1` window form but
+    * with no single-partition sort anywhere; values rejoin by
+    * equi-join. One combinable moment pass closes it. */
   def aggSpearman(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val spend = Tables.t(s, dir, "orders")
       .groupBy($"o_custkey")
       .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
@@ -1084,13 +1117,17 @@ object Aggregates extends OpModule {
       .select($"c_custkey",
         expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("bal_c"),
         $"spend_c")
+    // doubled average rank per distinct value, computed on the
+    // value-grain rollup with the two-level exact cumulative count
+    def midranks(v: String, out: String, tag: String): DataFrame = {
+      val grp = base.groupBy(col(v)).agg(count(lit(1)).as("__cnt"))
+      Ranks.withGlobalCumsumExcl(grp, col(v), Seq(col(v)),
+          $"__cnt", "__less", tag)
+        .select(col(v), ($"__less" * 2 + $"__cnt" + 1).as(out))
+    }
     val ranked = base
-      .withColumn("rx", expr(
-        "CAST(rank() OVER (ORDER BY bal_c) AS BIGINT) * 2 " +
-          "+ COUNT(*) OVER (PARTITION BY bal_c) - 1"))
-      .withColumn("ry", expr(
-        "CAST(rank() OVER (ORDER BY spend_c) AS BIGINT) * 2 " +
-          "+ COUNT(*) OVER (PARTITION BY spend_c) - 1"))
+      .join(midranks("bal_c", "rx", "sp_x"), Seq("bal_c"))
+      .join(midranks("spend_c", "ry", "sp_y"), Seq("spend_c"))
     ranked.select($"rx".cast(DecimalType(20, 0)).as("x"),
         $"ry".cast(DecimalType(20, 0)).as("y"))
       .agg(count(lit(1)).as("n"),
@@ -1309,6 +1346,31 @@ object Aggregates extends OpModule {
       .groupBy($"event_type")
       .agg(approx_count_distinct($"user_id").as("approx_users"))
       .orderBy($"event_type")
+  }
+
+  /** Built-in approximate percentile (Greenwald-Khanna sketch) — THE
+    * 100-TB quantile default, and the primitive behind
+    * [[Ranks.withGlobalRn]]/[[Ranks.approxNtile]]'s boundary step: per
+    * returnflag, the quartiles of extended price at accuracy 10⁴
+    * (guaranteed rank error ≤ n/10⁴). The sketch is mergeable — one
+    * map-side-combinable aggregate, no sort, no window, O(accuracy)
+    * state per group at any corpus size; this is exactly what replaces
+    * an exact-percentile sort when the input stops fitting one task.
+    * No SQL oracle (sketch result is merge-shape-dependent); ScalaTest
+    * pins the GK rank-error bound against the exact CDF. */
+  def aggApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile_approx($"l_extendedprice",
+          typedLit(Seq(0.25, 0.5, 0.75)), lit(10000)).as("q"),
+        count(lit(1)).as("n"))
+      .select($"l_returnflag", $"n",
+        element_at($"q", 1).as("p25"),
+        element_at($"q", 2).as("p50"),
+        element_at($"q", 3).as("p75"))
+      .orderBy($"l_returnflag")
   }
 
   /** Weighted average + EXACT weighted median of extended price
@@ -2005,7 +2067,8 @@ object Aggregates extends OpModule {
     "q_agg_histogram" -> (aggHistogram _),
     "q_agg_mode" -> (aggMode _),
     "q_agg_nulls" -> (aggNulls _),
-    "q_agg_approx_distinct" -> (aggApproxDistinct _)
+    "q_agg_approx_distinct" -> (aggApproxDistinct _),
+    "q_agg_approx_quantile" -> (aggApproxQuantile _)
   )
 
   private val pivotOracleCols = eventTypes.map { t =>

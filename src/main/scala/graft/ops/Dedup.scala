@@ -765,20 +765,38 @@ object Dedup extends OpModule {
   def simIvfTopk(s: SparkSession, dir: String): DataFrame =
     ivfTopk(s, dir, nprobe = 4)
 
-  /** The IVF search parameterized by nprobe — shared by the registered
-    * nprobe=4 op and the [[simIvfSweep]] recall curve. */
-  private def ivfTopk(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  /** One-shot coarse-quantizer build shared by [[simIvfTopk]] and
+    * [[simIvfSweep]] (round-7 advice: the sweep must not re-fit KMeans
+    * once per nprobe — 5 identical fits for no behavioral gain):
+    * fixed-seed KMeans centers + the cell-assigned corpus,
+    * OpCache-persisted so all probe stages share one transform. The
+    * MLlib boundary uses the built-in `array_to_vector`, not a closure
+    * UDF. */
+  private def ivfIndex(s: SparkSession, dir: String)
+      : (Array[Array[Double]], DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
     import s.implicits._
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val e = Tables.t(s, dir, "embeddings")
-      .select($"vec_id", $"embedding", toVec($"embedding").as("features"))
+      .select($"vec_id", $"embedding",
+        org.apache.spark.ml.functions.array_to_vector($"embedding")
+          .as("features"))
     val km = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
       .setInitMode("random").setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(e)
-    val centers = model.clusterCenters
-    val corpus = model.transform(e).select($"vec_id", $"embedding", $"cell")
+    val corpus = OpCache.cached(s, dir, "ivf_corpus")(
+      model.transform(e).select($"vec_id", $"embedding", $"cell"))
+    (model.clusterCenters.map(_.toArray), corpus)
+  }
+
+  /** The IVF search parameterized by nprobe over a prebuilt index. */
+  private def ivfTopk(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val (centers, corpus) = ivfIndex(s, dir)
+    ivfSearch(s, centers, corpus, nprobe)
+  }
+
+  private def ivfSearch(s: SparkSession, centers: Array[Array[Double]],
+      corpus: DataFrame, nprobe: Int): DataFrame = {
+    import s.implicits._
     // nprobe nearest cells per probe vector
     val nearestCells = udf((a: Seq[Float]) => {
       val v = a.map(_.toDouble).toArray
@@ -788,9 +806,10 @@ object Dedup extends OpModule {
         (i, d)
       }.sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
     })
-    val probes = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("probe_id"), $"embedding".as("pe"),
-        explode(nearestCells($"embedding")).as("cell"))
+    val probes = corpus
+      .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+      .filter($"probe_id" < 10)
+      .withColumn("cell", explode(nearestCells($"pe")))
     val scored = probes.join(corpus, Seq("cell"))
       .filter($"probe_id" =!= $"vec_id")
       .select($"probe_id", $"vec_id".as("nbr_id"),
@@ -823,8 +842,11 @@ object Dedup extends OpModule {
     val truth = simTopkCosine(s, dir)
       .select($"probe_id", $"nbr_id")
     val nTruth = truth.count()
+    // one index build; only the probe stage varies per nprobe
+    val (centers, corpus) = ivfIndex(s, dir)
     val rows = Seq(1, 2, 4, 8, 16).map { np =>
-      val got = ivfTopk(s, dir, np).select($"probe_id", $"nbr_id")
+      val got = ivfSearch(s, centers, corpus, np)
+        .select($"probe_id", $"nbr_id")
       val matched = got.join(truth, Seq("probe_id", "nbr_id")).count()
       (np, matched, nTruth, matched * 1000000L / nTruth)
     }
@@ -836,12 +858,11 @@ object Dedup extends OpModule {
     * recall vs the brute-force truth. */
   def simLshKnn(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.linalg.Vectors
     import s.implicits._
-    val toVec = udf((a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
     val e = Tables.t(s, dir, "embeddings")
-      .select($"vec_id", toVec($"embedding").as("features"))
+      .select($"vec_id",
+        org.apache.spark.ml.functions.array_to_vector($"embedding")
+          .as("features"))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)

@@ -103,6 +103,63 @@ object Embeddings extends OpModule {
       .orderBy($"vec_id")
   }
 
+  /** LEARNED product-quantization codebook — the k-means refinement of
+    * [[embPq]]'s fixed grid (declared there as the drop-in upgrade),
+    * completing the ANN memory story: the 64-dim vector splits into 8
+    * sub-blocks of 8 dims; each block POSITION gets its own fixed-seed
+    * KMeans codebook (k=16 → 4 bits/block; 8 blocks = 4 B/vector, a
+    * 64× compression), vectors encode as the nearest-centroid id per
+    * block (L1 on the exact µ-grid, ties to the lower id), and the
+    * per-vector reconstruction error is an exact integer µ-unit sum —
+    * centroids are FROZEN to the µ-grid before encoding, so given the
+    * model the whole encode is deterministic integer arithmetic.
+    *
+    * Scale shape: identical to the grid variant — the encode is one
+    * map-side projection against 8×16×8 broadcast longs (zero
+    * shuffle); the 8 fits see only 8-dim slices (and at 100 TB would
+    * see a fixed-size sample — codebook training never needs the
+    * corpus). Non-oracled (trained); ScalaTest pins reconstruction
+    * error STRICTLY below the fixed grid's and the code alphabet. */
+  def embPqLearned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import s.implicits._
+    val e = Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val codebooks: Array[Array[Array[Long]]] = (0 until 8).map { b =>
+      val blk = e.select(
+        org.apache.spark.ml.functions.array_to_vector(
+          expr(s"slice(embedding, ${b * 8 + 1}, 8)")).as("features"))
+      val km = new KMeans().setK(16).setSeed(42L + b).setMaxIter(5)
+        .setInitMode("random").setFeaturesCol("features")
+      km.fit(blk).clusterCenters
+        .map(_.toArray.map(x => math.floor(x * 1000000 + 0.5).toLong))
+    }.toArray
+    val enc = udf((a: Seq[Float]) => {
+      val xu = a.map(x =>
+        math.floor(x.toDouble * 1000000 + 0.5).toLong).toArray
+      var err = 0L
+      val codes = new Array[String](8)
+      var b = 0
+      while (b < 8) {
+        val cb = codebooks(b)
+        var best = 0; var bestD = Long.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          var d = 0L; var j = 0
+          while (j < 8) { d += math.abs(xu(b * 8 + j) - cb(c)(j)); j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        codes(b) = best.toString
+        err += bestD
+        b += 1
+      }
+      (codes.mkString(","), err)
+    })
+    e.select($"vec_id", enc($"embedding").as("r"))
+      .select($"vec_id", $"r._1".as("pq_codes"), $"r._2".as("l1_err_u"))
+      .orderBy($"vec_id")
+  }
+
   /** Matryoshka/truncation quality profile — how much of each vector's
     * energy (squared L2 norm) the first k dimensions capture, averaged
     * per label for k ∈ {8, 16, 32}: the measurement behind
@@ -228,6 +285,7 @@ object Embeddings extends OpModule {
     "q_emb_matryoshka" -> (embMatryoshka _),
     "q_emb_centroids" -> (embCentroids _),
     "q_emb_pq" -> (embPq _),
+    "q_emb_pq_learned" -> (embPqLearned _),
     "q_sim_centroid_assign" -> (simCentroidAssign _)
   )
 

@@ -16,8 +16,11 @@ import graft.{Det, Tables}
 object MlOps extends OpModule {
   import Det._
 
-  private def toVec = udf((a: Seq[Float]) =>
-    org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+  /** MLlib boundary adapter: the BUILT-IN `array_to_vector` (not a
+    * closure UDF — stays visible to Catalyst as a known function and
+    * handles float arrays natively; round-7 advice item). */
+  private def toVec(c: org.apache.spark.sql.Column) =
+    org.apache.spark.ml.functions.array_to_vector(c)
 
   /** The featurization input + pipeline behind q_ml_feature_pipeline,
     * exposed so ScalaTest can exercise PipelineModel save/load (a
@@ -418,38 +421,21 @@ object MlOps extends OpModule {
     * expression; ROUND(×10⁴) lands on a BIGINT so every aggregate
     * downstream is an exact integer sum cast once to double.
     *
-    * Scale shape: one custkey shuffle for history features, a semi-join
-    * label, and global-rank windows over the CUSTOMER-grain table —
-    * fine at feature-store grain (a global sort of customers, not
-    * facts); at 100 TB swap the three percent_ranks for approx-quantile
-    * bin lookups and keep the rest unchanged. */
+    * Scale shape (round 8): one custkey shuffle for history features,
+    * a semi-join label, then three TWO-LEVEL exact percent-ranks and
+    * one two-level decile ([[Ranks.withGlobalRn]] — range-binned
+    * partitioned windows + broadcast offsets; zero single-partition
+    * sorts at any corpus size). percent_rank is reconstructed as
+    * (rn−1)/(n−1) — the identical IEEE division Spark's PercentRank
+    * evaluates over this tie-free total order, so the oracle hash is
+    * unchanged; [[Ranks.approxNtile]] is the tested approx-boundary
+    * 100-TB variant. */
   def mlCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val o = Tables.t(s, dir, "orders")
-    val cut = o.agg(date_sub(max($"o_orderdate").cast("date"), 365).as("cut"))
-    val hist = o.crossJoin(broadcast(cut))
-      .filter($"o_orderdate".cast("date") < $"cut")
-      .groupBy($"o_custkey")
-      .agg(datediff(max($"cut"), max($"o_orderdate".cast("date")))
-        .as("recency_days"),
-        count(lit(1)).as("frequency"),
-        sumMoney($"o_totalprice").as("monetary"))
-    val future = o.crossJoin(broadcast(cut))
-      .filter($"o_orderdate".cast("date") >= $"cut")
-      .select($"o_custkey".as("f_custkey")).distinct()
-    val labeled = hist.join(future, $"o_custkey" === $"f_custkey", "left")
-      .withColumn("label", when($"f_custkey".isNotNull, 1L).otherwise(0L))
-    def pr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      percent_rank().over(Window.orderBy(c, $"o_custkey"))
-    val withRanks = labeled
-      .withColumn("pr_r", pr($"recency_days".desc))
-      .withColumn("pr_f", pr($"frequency"))
-      .withColumn("pr_m", pr($"monetary"))
-      .withColumn("score_pm", expr(
-        "CAST(ROUND((pr_r + pr_f + pr_m) / 3 * 10000) AS BIGINT)"))
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy($"score_pm", $"o_custkey")))
-    withRanks.groupBy($"decile")
+    val dec = Ranks.withGlobalRn(rfmScored(s, dir), $"score_pm",
+        Seq($"score_pm", $"o_custkey"), "__rn_d", "__n_d", "cal_dec")
+      .withColumn("decile", Ranks.ntileFromRn($"__rn_d", $"__n_d", 10))
+    dec.groupBy($"decile")
       .agg(count(lit(1)).as("n"),
         r4(sum($"score_pm").cast("double") / count(lit(1)) / 10000.0)
           .as("avg_score"),
@@ -466,13 +452,46 @@ object MlOps extends OpModule {
     * exact integer sum, AUC = U2 / (2·n⁺·n⁻), ROUND 4. Same
     * leakage-free temporal split as the calibration op.
     *
-    * Scale shape: score build as in [[mlCalibration]]; the AUC itself
-    * is one rank window over the customer-grain table + an O(1)
-    * aggregate — at 100 TB the same rank-sum runs per stratum and
-    * averages, no pairwise comparison ever materializes (the naive
-    * AUC join is n⁺×n⁻ pairs — THE scale trap this formulation
-    * avoids). */
+    * Scale shape (round 8): score build shared with [[mlCalibration]]
+    * (two-level exact percent-ranks — no single-partition window);
+    * the rank-sum itself exploits score_pm's BOUNDED domain (integer
+    * per-myriad, ≤ 10,001 distinct values): one combinable
+    * `groupBy(score_pm)` rollup carries (ties, positives) per score,
+    * the tie-group rank and doubled midrank are reconstructed on that
+    * O(10⁴) rollup (whitelisted tiny window), and U2 = Σ pos·midrank2
+    * — an exact integer identical to the per-row sum. At 100 TB the
+    * fact-sized data never meets a window at all; no pairwise
+    * comparison ever materializes (the naive AUC join is n⁺×n⁻ pairs
+    * — THE scale trap this formulation avoids). */
   def mlAuc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = rfmScored(s, dir)
+    // bounded-domain rollup: one row per distinct score_pm
+    val grp = scored.groupBy($"score_pm")
+      .agg(count(lit(1)).as("ties"), sum($"label").as("pos"))
+    val offW = Window.orderBy($"score_pm")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // rank of a tie group's FIRST row = preceding ties + 1; doubled
+    // average rank for ties: 2*rank + ties - 1 (integer, no half)
+    val ranked = grp
+      .withColumn("rk", coalesce(sum($"ties").over(offW), lit(0L)) + 1)
+      .withColumn("midrank2", $"rk" * 2 + $"ties" - 1)
+    ranked.agg(
+        sum($"pos").as("n_pos"),
+        sum($"ties").as("n"),
+        sum($"pos" * $"midrank2").as("u2_raw"))
+      .select($"n_pos", ($"n" - $"n_pos").as("n_neg"),
+        r4(($"u2_raw" - $"n_pos" * ($"n_pos" + 1)).cast("double") /
+          ($"n_pos" * ($"n" - $"n_pos") * 2).cast("double")).as("auc"))
+  }
+
+  /** Shared by [[mlCalibration]]/[[mlAuc]]: the leakage-free temporal
+    * split (features strictly before cutoff = max date − 365 d, label
+    * = any order after), the three exact percent-ranks via
+    * [[Ranks.withGlobalRn]]'s two-level rank (recency negated so bins
+    * stay ASC-aligned with its DESC axis), and the integer per-myriad
+    * composite score. */
+  private def rfmScored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.t(s, dir, "orders")
     val cut = o.agg(date_sub(max($"o_orderdate").cast("date"), 365).as("cut"))
@@ -486,30 +505,23 @@ object MlOps extends OpModule {
     val future = o.crossJoin(broadcast(cut))
       .filter($"o_orderdate".cast("date") >= $"cut")
       .select($"o_custkey".as("f_custkey")).distinct()
-    def pr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      percent_rank().over(Window.orderBy(c, $"o_custkey"))
-    val scored = hist
-      .join(future, $"o_custkey" === $"f_custkey", "left")
+    val labeled = hist.join(future, $"o_custkey" === $"f_custkey", "left")
       .withColumn("label", when($"f_custkey".isNotNull, 1L).otherwise(0L))
-      .withColumn("pr_r", pr($"recency_days".desc))
-      .withColumn("pr_f", pr($"frequency"))
-      .withColumn("pr_m", pr($"monetary"))
-      .withColumn("score_pm", expr(
-        "CAST(ROUND((pr_r + pr_f + pr_m) / 3 * 10000) AS BIGINT)"))
-    // doubled average rank for ties: 2*rank + ties - 1 (integer)
-    val wr = Window.orderBy($"score_pm")
-    val ranked = scored
-      .withColumn("rk", rank().over(wr))
-      .withColumn("ties", count(lit(1)).over(
-        Window.partitionBy($"score_pm")))
-      .withColumn("midrank2", $"rk" * 2 + $"ties" - 1)
-    ranked.agg(
-        sum($"label").as("n_pos"),
-        count(lit(1)).as("n"),
-        sum(when($"label" === 1, $"midrank2")).as("u2_raw"))
-      .select($"n_pos", ($"n" - $"n_pos").as("n_neg"),
-        r4(($"u2_raw" - $"n_pos" * ($"n_pos" + 1)).cast("double") /
-          ($"n_pos" * ($"n" - $"n_pos") * 2).cast("double")).as("auc"))
+    def pr(df: DataFrame, binOn: org.apache.spark.sql.Column,
+        ord: Seq[org.apache.spark.sql.Column], out: String,
+        tag: String): DataFrame =
+      Ranks.withGlobalRn(df, binOn, ord, s"__rn_$tag", s"__n_$tag", tag)
+        .withColumn(out,
+          Ranks.percentRankUnique(col(s"__rn_$tag"), col(s"__n_$tag")))
+        .drop(s"__rn_$tag", s"__n_$tag")
+    val p1 = pr(labeled, -$"recency_days",
+      Seq($"recency_days".desc, $"o_custkey"), "pr_r", "sc_r")
+    val p2 = pr(p1, $"frequency",
+      Seq($"frequency", $"o_custkey"), "pr_f", "sc_f")
+    val p3 = pr(p2, $"monetary",
+      Seq($"monetary", $"o_custkey"), "pr_m", "sc_m")
+    p3.withColumn("score_pm", expr(
+      "CAST(ROUND((pr_r + pr_f + pr_m) / 3 * 10000) AS BIGINT)"))
   }
 
   /** Regression-label extract — "days until the customer's next

@@ -605,22 +605,36 @@ object PipelineOps extends OpModule {
     * past): events ordered by (ts, event_id), first 80% of rows →
     * train, next 10% → val, last 10% → test, reported as per-split
     * counts + time boundaries. Boundary decisions are integer
-    * cross-multiplications (rn·10 ≤ n·8 — no float at the cut), so
-    * the assignment is exact and append-stable up to the new data.
+    * cross-multiplications (rn·10 ≤ n·8 — no float at the cut, BIGINT
+    * rn — no int overflow past 2³¹ events), so the assignment is exact
+    * and append-stable up to the new data.
     *
-    * Scale shape: the global (ts, id) rank is ONE total sort — the
-    * same one-time job the split materialization itself is (and the
-    * `q_layout_zorder` precedent); the manifest rollup after it is
-    * O(splits). At 100 TB the sort is the job you were going to run
-    * anyway to write the split files. */
+    * Scale shape (round 8): the global (ts, event_id) rank is the
+    * TWO-LEVEL rank, never a single-partition window — calendar day is
+    * a monotone prefix of the sort key, so rank = per-day local
+    * row_number (window bounded by one day's events) + broadcast
+    * exclusive prefix offsets from the O(days) per-day-count rollup
+    * (the `q_sample_mix`/`q_shard_manifest` shape). At 100 TB the
+    * biggest sort any task runs is one day ÷ parallelism, and the
+    * 80/10/10 integer cuts apply to the reconstructed rank
+    * unchanged. */
   def splitTemporal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.orderBy($"ts", $"event_id")
-    val n = Tables.t(s, dir, "events").agg(count(lit(1)).as("n_total"))
-    Tables.t(s, dir, "events")
-      .select($"ts", $"event_id")
-      .withColumn("rn", row_number().over(w))
-      .crossJoin(broadcast(n))
+    val ev = Tables.t(s, dir, "events").select($"ts", $"event_id")
+      .withColumn("__d", to_date($"ts"))
+    val counts = ev.groupBy($"__d").agg(count(lit(1)).as("__cnt"))
+    // O(days) rollup — whitelisted tiny unpartitioned window
+    val offW = Window.orderBy($"__d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.orderBy($"__d")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts.select($"__d",
+      coalesce(sum($"__cnt").over(offW), lit(0L)).as("__off"),
+      sum($"__cnt").over(totW).as("n_total"))
+    val local = Window.partitionBy($"__d").orderBy($"ts", $"event_id")
+    ev.withColumn("__lrn", row_number().over(local).cast("long"))
+      .join(broadcast(offsets), Seq("__d"))
+      .withColumn("rn", $"__off" + $"__lrn")
       .withColumn("split",
         when($"rn" * 10 <= $"n_total" * 8, "1_train")
           .when($"rn" * 10 <= $"n_total" * 9, "2_val")

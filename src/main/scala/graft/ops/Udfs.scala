@@ -71,9 +71,18 @@ object Udfs extends OpModule {
     * WITH RECURSIVE day series spanning the events month LEFT-joined
     * to daily counts, so silent zero-activity days appear as explicit
     * rows (the recursion-surface twin of `q_events_gapfill`'s
-    * sequence-explode). Depth = days-in-corpus (30) — far inside the
-    * engine's recursion limit; at 100 TB the spine is still only
-    * O(calendar) rows. */
+    * sequence-explode).
+    *
+    * DEPTH BOUND (round-8 pin): recursion depth = calendar days in the
+    * corpus (≈30 here), and each level is one sequential micro-job —
+    * the cost scales with the DATE RANGE, never the data volume (the
+    * `daily` side collapses to O(days) first). Spark's
+    * `spark.sql.cteRecursionLevelLimit` (default 100) is the hard
+    * guard: a corpus spanning more days fails FAST and LOUD instead of
+    * launching thousands of sequential jobs. This op is the declared
+    * Spark-4 recursion-surface demo; for long or unbounded ranges use
+    * `q_events_gapfill`'s `sequence`/explode spine — one job, any
+    * range. ScalaTest pins depth < limit at test scale. */
   def sqlRecursive(s: SparkSession, dir: String): DataFrame = {
     Tables.t(s, dir, "events").createOrReplaceTempView("events_rec")
     s.sql(

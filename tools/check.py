@@ -61,6 +61,14 @@ def main():
         okc += 1
         print(f"{name}: OK ({exps.num_rows} rows)")
     print(f"== {okc} ok, {len(fails)} fail" + (": " + ",".join(fails) if fails else ""))
+    # optional JSON artifact (round-7 verdict item 8: routine cross-SF
+    # certification) — CHECK_JSON_OUT=<path> writes a CORRECTNESS-style
+    # summary the round record can keep
+    out_json = __import__("os").environ.get("CHECK_JSON_OUT")
+    if out_json:
+        json.dump({"sf_dir": sfdir, "n_oracled": okc + len(fails),
+                   "n_pass": okc, "n_fail": len(fails), "failed": sorted(fails)},
+                  open(out_json, "w"), indent=1)
     sys.exit(1 if fails else 0)
 
 if __name__ == "__main__":
