@@ -881,7 +881,8 @@ object Aggregates extends OpModule {
         .groupBy($"o_custkey")
         .agg(sumMoney($"o_totalprice").as("spend"))
       Ranks.withGlobalRn(spend, $"spend",
-          Seq($"spend", $"o_custkey"), "rn", "n", s"t$year")
+          Seq($"spend", $"o_custkey"), "rn", "n", s"t$year",
+          persist = OpCache.cached(s, dir, s"tiermig_spend_$year")(_))
         .withColumn("tier", Ranks.ntileFromRn($"rn", $"n", 3))
         .select($"o_custkey", $"tier")
     }
@@ -1006,20 +1007,28 @@ object Aggregates extends OpModule {
         sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
           .as("monetary_c"))
     // quintile code via the two-level exact rank; binOn is negated for
-    // the DESC recency axis so bins stay ASC-aligned with the order
-    def code(df: DataFrame, binOn: org.apache.spark.sql.Column,
+    // the DESC recency axis so bins stay ASC-aligned with the order.
+    // Each code rank is computed INDEPENDENTLY from the cached base
+    // and joined back by custkey (nesting levels triples the logical
+    // plan per level — the Catalyst-analysis blowup measured on
+    // q_ml_calibration; join-back is linear in levels).
+    val base = OpCache.cached(s, dir, "rfmseg_base")(rfm)
+    def code(value: org.apache.spark.sql.Column,
+        binOn: org.apache.spark.sql.Column,
         ord: Seq[org.apache.spark.sql.Column], out: String,
         tag: String): DataFrame =
-      Ranks.withGlobalRn(df, binOn, ord, s"__rn_$tag", s"__n_$tag", tag)
-        .withColumn(out,
-          Ranks.ntileFromRn(col(s"__rn_$tag"), col(s"__n_$tag"), 5))
-        .drop(s"__rn_$tag", s"__n_$tag")
-    val coded0 = code(rfm, -$"recency_days",
-      Seq($"recency_days".desc, $"o_custkey"), "r", "rfm_r")
-    val coded1 = code(coded0, $"frequency",
-      Seq($"frequency", $"o_custkey"), "f", "rfm_f")
-    val coded = code(coded1, $"monetary_c",
-      Seq($"monetary_c", $"o_custkey"), "m", "rfm_m")
+      Ranks.withGlobalRn(base.select($"o_custkey", value), binOn, ord,
+          s"__rn_$tag", s"__n_$tag", tag)
+        .select($"o_custkey",
+          Ranks.ntileFromRn(col(s"__rn_$tag"), col(s"__n_$tag"), 5).as(out))
+    val coded = base
+      .join(code($"recency_days", -$"recency_days",
+        Seq($"recency_days".desc, $"o_custkey"), "r", "rfm_r"),
+        Seq("o_custkey"))
+      .join(code($"frequency", $"frequency",
+        Seq($"frequency", $"o_custkey"), "f", "rfm_f"), Seq("o_custkey"))
+      .join(code($"monetary_c", $"monetary_c",
+        Seq($"monetary_c", $"o_custkey"), "m", "rfm_m"), Seq("o_custkey"))
       .withColumn("segment",
         when($"r" >= 4 && $"f" >= 4, "1_champions")
           .when($"f" >= 4, "2_loyal")
@@ -1119,13 +1128,15 @@ object Aggregates extends OpModule {
         $"spend_c")
     // doubled average rank per distinct value, computed on the
     // value-grain rollup with the two-level exact cumulative count
+    val cbase = OpCache.cached(s, dir, "spearman_base")(base)
     def midranks(v: String, out: String, tag: String): DataFrame = {
-      val grp = base.groupBy(col(v)).agg(count(lit(1)).as("__cnt"))
+      val grp = cbase.groupBy(col(v)).agg(count(lit(1)).as("__cnt"))
       Ranks.withGlobalCumsumExcl(grp, col(v), Seq(col(v)),
-          $"__cnt", "__less", tag)
+          $"__cnt", "__less", tag,
+          persist = OpCache.cached(s, dir, s"spearman_grp_$tag")(_))
         .select(col(v), ($"__less" * 2 + $"__cnt" + 1).as(out))
     }
-    val ranked = base
+    val ranked = cbase
       .join(midranks("bal_c", "rx", "sp_x"), Seq("bal_c"))
       .join(midranks("spend_c", "ry", "sp_y"), Seq("spend_c"))
     ranked.select($"rx".cast(DecimalType(20, 0)).as("x"),
@@ -1257,6 +1268,137 @@ object Aggregates extends OpModule {
             (($"ssv_b" - ($"sv_b" * $"sv_b") / $"n_b") / ($"n_b" - 1) / $"n_b")
           )).as("t_stat"))
       .orderBy($"event_type")
+  }
+
+  /** A/B POWER calculator — the experiment-design companion to
+    * [[abTest]]'s readout (the question every experiment review asks
+    * FIRST: "was this test even capable of detecting the effect?"):
+    * per event type, the pooled per-event variance from exact decimal
+    * moments, the minimum detectable effect at the CURRENT sample
+    * size, and the required per-arm n for a 1%-of-mean MDE at
+    * α=0.05/power=0.8 (z 1.96 + 0.84 — the standard two-sample
+    * formula n = 2σ²(z_α+z_β)²/Δ²). Determinism: moments are exact
+    * decimal sums; the closed-form chain is one fixed IEEE expression
+    * on identical operands both engines, CEIL to an integer row
+    * target at the end (ceil of irrational operands — no knife edge).
+    *
+    * Scale shape: one map-side-combinable (type) aggregate; the
+    * formula runs on ≤|types| rows. */
+  def abPower(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sumMoney($"value").as("sv"),
+        dbl4(sum(d12($"value") * d12($"value"))).as("ssv"))
+      .select($"event_type", $"n",
+        r4($"sv" / $"n").as("mean"),
+        r4(($"ssv" - ($"sv" * $"sv") / $"n") / ($"n" - 1)).as("variance"),
+        // MDE at current n (per-arm n/2): Δ = (zα+zβ)·σ·√(2/(n/2))
+        r4(lit(2.8) * sqrt(($"ssv" - ($"sv" * $"sv") / $"n") / ($"n" - 1)) *
+          sqrt(lit(4.0) / $"n")).as("mde_now"),
+        // required per-arm n for MDE = 1% of the mean
+        ceil(lit(2.0) * (($"ssv" - ($"sv" * $"sv") / $"n") / ($"n" - 1)) *
+          lit(2.8 * 2.8) /
+          (($"sv" / $"n" * lit(0.01)) * ($"sv" / $"n" * lit(0.01))))
+          .cast("long").as("n_per_arm_1pct"))
+      .orderBy($"event_type")
+  }
+
+  /** Herfindahl–Hirschman concentration index per market segment — the
+    * antitrust/market-structure staple ("how concentrated is revenue
+    * among customers"): per-customer integer-cents revenue share in
+    * exact ppm (DECIMAL·10⁶ product — overflow-free at any corpus
+    * size), HHI = Σ share² ÷ 10⁶ back on the ppm scale (10⁶ =
+    * monopoly; Σshare² ≤ maxshare·Σshare ≤ 10¹² — the sum can never
+    * overflow BIGINT regardless of customer count), plus the top
+    * single-customer share. Every number is an exact integer.
+    *
+    * Scale shape: one (custkey) combinable aggregate joined to the
+    * BROADCAST O(segments) totals, then one combinable (segment)
+    * rollup — no window, no sort of the customer grain. */
+  def aggHhi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cs = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_custkey")
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .as("rev_c"))
+    val tot = cs.groupBy($"c_mktsegment".as("seg"))
+      .agg(sum($"rev_c").as("tot_c"))
+    cs.join(broadcast(tot), $"c_mktsegment" === $"seg")
+      .withColumn("share_ppm",
+        expr("CAST(rev_c AS DECIMAL(25,0)) * 1000000 div tot_c"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_e6"),
+        max($"share_ppm").as("top_share_ppm"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Delta-method ratio-metric readout — the A/B primitive [[abTest]]
+    * deliberately skips (a per-EVENT t-test is wrong when the metric
+    * is a per-USER ratio — users are the randomization unit, events
+    * within a user are correlated): revenue-per-order by hash arm,
+    * with the standard delta-method standard error over CUSTOMER
+    * clusters: R = ΣY/ΣN, se² = (k/(k−1))·Σ(yᵢ−R·nᵢ)²/(ΣN)², the
+    * linearization expanded to moment form Σy² − 2RΣyn + R²Σn² so
+    * everything reduces to five exact integer/decimal sums per arm
+    * and one fixed IEEE chain (ROUND 4).
+    *
+    * Scale shape: one (custkey) combinable aggregate, one (arm)
+    * combinable rollup over customer grain, O(2) output. */
+  def aggRatioCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.t(s, dir, "orders")
+      .withColumn("arm",
+        (md5int60($"o_custkey".cast("string")) % 2L).cast("int"))
+      .groupBy($"arm", $"o_custkey")
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("y"),
+        count(lit(1)).as("nn"))
+    per.groupBy($"arm")
+      .agg(count(lit(1)).as("k"),
+        sum($"y").as("sy"), sum($"nn").as("sn"),
+        sum(expr("CAST(y AS DECIMAL(25,0)) * y")).as("syy"),
+        sum($"nn" * $"nn").as("snn"),
+        sum(expr("CAST(y AS DECIMAL(25,0)) * nn")).as("syn"))
+      .select($"arm", $"k", $"sn".as("n_orders"),
+        r4(($"sy".cast("double") / 100.0) / $"sn").as("ratio"),
+        r4(sqrt(($"k".cast("double") / ($"k" - 1)) *
+            ($"syy".cast("double") -
+              lit(2.0) * ($"sy".cast("double") / $"sn") * $"syn" +
+              ($"sy".cast("double") / $"sn") * ($"sy".cast("double") / $"sn")
+                * $"snn".cast("double"))) /
+          $"sn".cast("double") / 100.0).as("se"))
+      .orderBy($"arm")
+  }
+
+  /** Same-month year-over-year revenue — the seasonality-honest growth
+    * readout ([[timeWow]] compares adjacent weeks; retail compares
+    * December to DECEMBER): monthly exact-cents revenue equi-joined to
+    * the month 12 months prior, growth in integer ppm via the
+    * positive-operand floor division (cur·10⁶ div prev − 10⁶ — both
+    * operands positive, so Spark's truncating div and DuckDB's
+    * flooring // agree).
+    *
+    * Scale shape: one month-keyed combinable aggregate collapses the
+    * fact table to O(months); the YoY join is calendar-bounded. */
+  def timeYoy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = OpCache.cached(s, dir, "yoy_monthly")(
+      Tables.t(s, dir, "orders")
+        .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
+        .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+          .as("rev_c")))
+    monthly.as("cur")
+      .join(monthly.as("prev"),
+        $"cur.month" === add_months($"prev.month", 12))
+      .select($"cur.month".as("month"),
+        ($"cur.rev_c".cast("double") / 100.0).as("revenue"),
+        ($"prev.rev_c".cast("double") / 100.0).as("prev_revenue"),
+        expr("CAST(cur.rev_c AS DECIMAL(25,0)) * 1000000 div prev.rev_c" +
+          " - 1000000").as("yoy_ppm"))
+      .orderBy($"month")
   }
 
   /** Pareto / ABC revenue classification per market segment — "which
@@ -2030,6 +2172,10 @@ object Aggregates extends OpModule {
     "q_agg_distinct_rollup" -> (aggDistinctRollup _),
     "q_agg_mad" -> (aggMad _),
     "q_ab_test" -> (abTest _),
+    "q_ab_power" -> (abPower _),
+    "q_agg_hhi" -> (aggHhi _),
+    "q_agg_ratio_ci" -> (aggRatioCi _),
+    "q_time_yoy" -> (timeYoy _),
     "q_agg_pareto" -> (aggPareto _),
     "q_agg_cube" -> (aggCube _),
     "q_agg_grouping_sets" -> (aggGroupingSets _),
@@ -2945,6 +3091,75 @@ object Aggregates extends OpModule {
         |  COUNT(*) AS n_cust,
         |  CAST(SUM(rev_c) AS DOUBLE) / 100 AS revenue
         |FROM cum GROUP BY 1, 2 ORDER BY c_mktsegment, clazz""".stripMargin,
+    "q_ab_power" ->
+      """WITH g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sv,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))
+        |      * CAST(value AS DECIMAL(12,4))), 4) AS DOUBLE) AS ssv
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        |  ROUND(sv / n, 4) AS mean,
+        |  ROUND((ssv - (sv * sv) / n) / (n - 1), 4) AS variance,
+        |  ROUND(CAST(2.8 AS DOUBLE) * sqrt((ssv - (sv * sv) / n) / (n - 1))
+        |    * sqrt(CAST(4.0 AS DOUBLE) / n), 4) AS mde_now,
+        |  CAST(ceil(CAST(2.0 AS DOUBLE) * ((ssv - (sv * sv) / n) / (n - 1))
+        |    * (CAST(2.8 AS DOUBLE) * CAST(2.8 AS DOUBLE))
+        |    / ((sv / n * CAST(0.01 AS DOUBLE)) * (sv / n * CAST(0.01 AS DOUBLE))))
+        |    AS BIGINT) AS n_per_arm_1pct
+        |FROM g ORDER BY event_type""".stripMargin,
+    "q_agg_hhi" ->
+      """WITH cs AS (
+        |  SELECT c_mktsegment, o_custkey,
+        |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT c_mktsegment, SUM(rev_c) AS tot_c FROM cs GROUP BY 1),
+        |sh AS (
+        |  SELECT cs.c_mktsegment,
+        |    CAST(CAST(rev_c AS HUGEINT) * 1000000 // tot_c AS BIGINT)
+        |      AS share_ppm
+        |  FROM cs JOIN t USING (c_mktsegment))
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_e6,
+        |  MAX(share_ppm) AS top_share_ppm
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg_ratio_ci" ->
+      """WITH per AS (
+        |  SELECT CAST(CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 2 AS INTEGER) AS arm,
+        |    o_custkey,
+        |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y,
+        |    COUNT(*) AS nn
+        |  FROM orders GROUP BY 1, 2),
+        |g AS (
+        |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS k,
+        |    SUM(y) AS sy, SUM(nn) AS sn,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(nn * nn) AS snn,
+        |    SUM(CAST(y AS HUGEINT) * nn) AS syn
+        |  FROM per GROUP BY 1)
+        |SELECT arm, k, CAST(sn AS BIGINT) AS n_orders,
+        |  ROUND((CAST(sy AS DOUBLE) / 100.0) / sn, 4) AS ratio,
+        |  ROUND(sqrt((CAST(k AS DOUBLE) / (k - 1)) *
+        |      (CAST(syy AS DOUBLE)
+        |        - CAST(2.0 AS DOUBLE) * (CAST(sy AS DOUBLE) / sn) * syn
+        |        + (CAST(sy AS DOUBLE) / sn) * (CAST(sy AS DOUBLE) / sn)
+        |          * CAST(snn AS DOUBLE)))
+        |    / CAST(sn AS DOUBLE) / 100.0, 4) AS se
+        |FROM g ORDER BY arm""".stripMargin,
+    "q_time_yoy" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+        |  FROM orders GROUP BY 1)
+        |SELECT cur.month AS month,
+        |  CAST(cur.rev_c AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(prev.rev_c AS DOUBLE) / 100.0 AS prev_revenue,
+        |  CAST(CAST(cur.rev_c AS HUGEINT) * 1000000 // prev.rev_c
+        |    - 1000000 AS BIGINT) AS yoy_ppm
+        |FROM m cur JOIN m prev ON cur.month = prev.month + INTERVAL 12 MONTH
+        |ORDER BY month""".stripMargin,
     "q_ab_test" ->
       """WITH g AS (
         |  SELECT event_type,

@@ -123,7 +123,8 @@ object Embeddings extends OpModule {
   def embPqLearned(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import s.implicits._
-    val e = Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val e = OpCache.cached(s, dir, "pq_learned_e")(
+      Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding"))
     val codebooks: Array[Array[Array[Long]]] = (0 until 8).map { b =>
       val blk = e.select(
         org.apache.spark.ml.functions.array_to_vector(

@@ -186,6 +186,38 @@ object Joins extends OpModule {
       .orderBy($"event_id")
   }
 
+  /** As-of join WITH a staleness tolerance — the feature-store variant
+    * every serving stack actually runs ([[joinAsof]] takes the last
+    * prior touch no matter how old; a model must NOT join features
+    * staler than its freshness SLA): same packed-key single-window
+    * as-of, but the match is kept only when the prior touch is within
+    * 1 hour of the purchase — older matches surface as NULL (feature
+    * missing) rather than silently stale. The packed key already
+    * carries the prior's µs offset (key div 10⁵), so staleness is one
+    * exact integer subtraction — no second window, no join.
+    *
+    * Scale shape: identical to [[joinAsof]] — one user-bounded window
+    * over the shared user exchange; the tolerance test is a stateless
+    * map. */
+  def joinAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+    val base = lit(1704067200000000L) // unix_micros 2024-01-01T00:00Z
+    val key = when($"event_type" =!= "purchase",
+      (unix_micros($"ts") - base) * 100000L + $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("prior_key", max(key).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("gap_us",
+        (unix_micros($"ts") - base) - expr("prior_key div 100000"))
+      .select($"event_id", $"user_id",
+        when($"gap_us" <= 3600000000L, $"prior_key" % 100000L)
+          .as("prior_event_id"),
+        when($"gap_us" <= 3600000000L, $"gap_us").as("staleness_us"))
+      .orderBy($"event_id")
+  }
+
   /** The same as-of query as [[joinAsof]], answered by the NATIVE
     * operator ([[graft.plans.AsOfJoinExec]] via the imperative builder)
     * instead of the union+window composition: purchases as-of join the
@@ -504,6 +536,7 @@ object Joins extends OpModule {
     "q_join_interval" -> (joinInterval _),
     "q_join_asof" -> (joinAsof _),
     "q_join_asof_native" -> (joinAsofNative _),
+    "q_join_asof_tolerance" -> (joinAsofTolerance _),
     "q_join_nearest" -> (joinNearest _)
   )
 
@@ -682,6 +715,27 @@ object Joins extends OpModule {
         |SELECT event_id, user_id, prior_key % 100000 AS prior_event_id
         |FROM k WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    "q_join_asof_tolerance" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |k AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS us,
+        |    max(CASE WHEN event_type <> 'purchase'
+        |      THEN (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) * 100000 + event_id END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_key
+        |  FROM e),
+        |g AS (
+        |  SELECT event_id, user_id, prior_key,
+        |    us - (prior_key // 100000) AS gap_us
+        |  FROM k WHERE event_type = 'purchase')
+        |SELECT event_id, user_id,
+        |  CASE WHEN gap_us <= 3600000000 THEN prior_key % 100000 END
+        |    AS prior_event_id,
+        |  CASE WHEN gap_us <= 3600000000 THEN gap_us END AS staleness_us
+        |FROM g ORDER BY event_id""".stripMargin,
     "q_join_nearest" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type,

@@ -432,7 +432,9 @@ object MlOps extends OpModule {
     * 100-TB variant. */
   def mlCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dec = Ranks.withGlobalRn(rfmScored(s, dir), $"score_pm",
+    val scored = OpCache.cached(s, dir, "rfm_scored")(rfmScored(s, dir))
+    val dec = Ranks.withGlobalRn(
+        scored.select($"o_custkey", $"score_pm", $"label"), $"score_pm",
         Seq($"score_pm", $"o_custkey"), "__rn_d", "__n_d", "cal_dec")
       .withColumn("decile", Ranks.ntileFromRn($"__rn_d", $"__n_d", 10))
     dec.groupBy($"decile")
@@ -465,7 +467,7 @@ object MlOps extends OpModule {
     * — THE scale trap this formulation avoids). */
   def mlAuc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scored = rfmScored(s, dir)
+    val scored = OpCache.cached(s, dir, "rfm_scored")(rfmScored(s, dir))
     // bounded-domain rollup: one row per distinct score_pm
     val grp = scored.groupBy($"score_pm")
       .agg(count(lit(1)).as("ties"), sum($"label").as("pos"))
@@ -505,23 +507,34 @@ object MlOps extends OpModule {
     val future = o.crossJoin(broadcast(cut))
       .filter($"o_orderdate".cast("date") >= $"cut")
       .select($"o_custkey".as("f_custkey")).distinct()
-    val labeled = hist.join(future, $"o_custkey" === $"f_custkey", "left")
-      .withColumn("label", when($"f_custkey".isNotNull, 1L).otherwise(0L))
-    def pr(df: DataFrame, binOn: org.apache.spark.sql.Column,
+    val labeled = OpCache.cached(s, dir, "rfm_labeled")(
+      hist.join(future, $"o_custkey" === $"f_custkey", "left")
+        .withColumn("label", when($"f_custkey".isNotNull, 1L).otherwise(0L)))
+    // each rank computed INDEPENDENTLY from the cached base and joined
+    // back by custkey — stacking ranks by nesting each level's output
+    // into the next grows the logical plan ~3× per level (the three
+    // reads inside withGlobalRn), and four nested levels made Catalyst
+    // analysis itself the bottleneck (measured ~2–7 s PER LEVEL at
+    // sf0.1, all driver time); the join-back shape is linear in levels
+    def pr(value: org.apache.spark.sql.Column,
+        binOn: org.apache.spark.sql.Column,
         ord: Seq[org.apache.spark.sql.Column], out: String,
         tag: String): DataFrame =
-      Ranks.withGlobalRn(df, binOn, ord, s"__rn_$tag", s"__n_$tag", tag)
-        .withColumn(out,
-          Ranks.percentRankUnique(col(s"__rn_$tag"), col(s"__n_$tag")))
-        .drop(s"__rn_$tag", s"__n_$tag")
-    val p1 = pr(labeled, -$"recency_days",
-      Seq($"recency_days".desc, $"o_custkey"), "pr_r", "sc_r")
-    val p2 = pr(p1, $"frequency",
-      Seq($"frequency", $"o_custkey"), "pr_f", "sc_f")
-    val p3 = pr(p2, $"monetary",
-      Seq($"monetary", $"o_custkey"), "pr_m", "sc_m")
-    p3.withColumn("score_pm", expr(
-      "CAST(ROUND((pr_r + pr_f + pr_m) / 3 * 10000) AS BIGINT)"))
+      Ranks.withGlobalRn(labeled.select($"o_custkey", value), binOn, ord,
+          s"__rn_$tag", s"__n_$tag", tag)
+        .select($"o_custkey",
+          Ranks.percentRankUnique(col(s"__rn_$tag"), col(s"__n_$tag"))
+            .as(out))
+    labeled
+      .join(pr($"recency_days", -$"recency_days",
+        Seq($"recency_days".desc, $"o_custkey"), "pr_r", "sc_r"),
+        Seq("o_custkey"))
+      .join(pr($"frequency", $"frequency",
+        Seq($"frequency", $"o_custkey"), "pr_f", "sc_f"), Seq("o_custkey"))
+      .join(pr($"monetary", $"monetary",
+        Seq($"monetary", $"o_custkey"), "pr_m", "sc_m"), Seq("o_custkey"))
+      .withColumn("score_pm", expr(
+        "CAST(ROUND((pr_r + pr_f + pr_m) / 3 * 10000) AS BIGINT)"))
   }
 
   /** Regression-label extract — "days until the customer's next

@@ -645,6 +645,43 @@ object PipelineOps extends OpModule {
       .orderBy($"split")
   }
 
+  /** Neyman (optimal) stratified-sample allocation — the survey-design
+    * planner behind every stratified eval set: for a 1000-row budget,
+    * allocate per market segment proportionally to N_h·S_h (stratum
+    * size × spend std — sample variance from exact decimal moments),
+    * the allocation that minimizes estimator variance at fixed budget.
+    * Determinism: moments are exact integers; the std/weight/FLOOR
+    * chain is one fixed IEEE expression on identical operands both
+    * engines (floor of irrational-valued operands — no knife edge).
+    *
+    * Scale shape: one (custkey) combinable aggregate, one O(segments)
+    * rollup, a broadcast 1-row weight total — no window, no sort. */
+  def sampleNeyman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.t(s, dir, "orders")
+      .join(Tables.t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_custkey")
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("x"))
+    val seg = per.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_h"), sum($"x").as("sx"),
+        sum(expr("CAST(x AS DECIMAL(25,0)) * x")).as("sxx"))
+      .withColumn("s_h",
+        sqrt(($"sxx".cast("double") -
+          $"sx".cast("double") * $"sx".cast("double") / $"n_h") /
+          ($"n_h" - 1)))
+      // weight rounded to an exact integer BEFORE the cross-stratum
+      // sum: a float Σ over strata would be order-sensitive (the one
+      // place this op could diverge across engines/partitionings)
+      .withColumn("w_h",
+        expr("CAST(ROUND(CAST(n_h AS DOUBLE) * s_h) AS BIGINT)"))
+    val totw = seg.agg(sum($"w_h").as("tot_w"))
+    seg.crossJoin(broadcast(totw))
+      .select($"c_mktsegment", $"n_h",
+        round($"s_h" / 100.0, 4).as("spend_std"),
+        floor(lit(1000.0) * $"w_h" / $"tot_w").cast("long").as("alloc"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Deterministic Poisson(1) bootstrap — resampling-by-WEIGHT, the
     * scalable form of the bootstrap: instead of materializing resampled
     * copies, each (row, replicate) draws k ~ Poisson(1) from the
@@ -1069,6 +1106,7 @@ object PipelineOps extends OpModule {
     "q_privacy_kanon" -> (privacyKanon _),
     "q_privacy_ldiversity" -> (privacyLdiversity _),
     "q_sample_bootstrap" -> (sampleBootstrap _),
+    "q_sample_neyman" -> (sampleNeyman _),
     "q_scd2_asof" -> (scd2Asof _),
     "q_dq_drift" -> (dqDrift _),
     "q_sample_consistent" -> (sampleConsistent _),
@@ -1469,6 +1507,31 @@ object PipelineOps extends OpModule {
         |JOIN tb ON tb.tier = i.tier
         |WHERE o.s_off + i.cum_in <= tb.tier_budget
         |ORDER BY i.doc_id""".stripMargin,
+    "q_sample_neyman" ->
+      """WITH per AS (
+        |  SELECT c_mktsegment, o_custkey,
+        |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_h,
+        |    SUM(x) AS sx, SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM per GROUP BY 1),
+        |w AS (
+        |  SELECT c_mktsegment, n_h,
+        |    sqrt((CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_h) / (n_h - 1))
+        |      AS s_h
+        |  FROM seg),
+        |ww AS (
+        |  SELECT c_mktsegment, n_h, s_h,
+        |    CAST(ROUND(CAST(n_h AS DOUBLE) * s_h) AS BIGINT) AS w_h
+        |  FROM w),
+        |t AS (SELECT SUM(w_h) AS tot_w FROM ww)
+        |SELECT c_mktsegment, n_h,
+        |  ROUND(s_h / 100.0, 4) AS spend_std,
+        |  CAST(floor(CAST(1000.0 AS DOUBLE) * w_h / tot_w) AS BIGINT) AS alloc
+        |FROM ww CROSS JOIN t ORDER BY c_mktsegment""".stripMargin,
     "q_dq_drift" ->
       """WITH tagged AS (
         |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'

@@ -62,14 +62,20 @@ object Ranks {
     *              restored by the in-bin sort).
     */
   def withGlobalRn(df: DataFrame, binOn: Column, order: Seq[Column],
-      rnCol: String, nCol: String, tag: String, bins: Int = 32): DataFrame = {
+      rnCol: String, nCol: String, tag: String, bins: Int = 32,
+      persist: DataFrame => DataFrame = identity): DataFrame = {
     val b = s"__bin_$tag"
     val lrn = s"__lrn_$tag"
     val off = s"__off_$tag"
+    // the input is read three times (boundary sketch, bin counts, the
+    // ranked pass itself) — without the persist hook each read would
+    // recompute the ENTIRE upstream lineage, and stacked ranks (RFM ×3,
+    // calibration ×4) would multiply that recomputation geometrically
+    val in = persist(df)
     val probs = (1 until bins).map(i => i.toDouble / bins)
-    val bnds = df.agg(percentile_approx(binOn.cast("double"),
+    val bnds = in.agg(percentile_approx(binOn.cast("double"),
       typedLit(probs), lit(1000)).as("__bnds"))
-    val binned = df
+    val binned = in
       .crossJoin(broadcast(bnds))
       .withColumn(b, size(filter(col("__bnds"),
         x => x < binOn.cast("double"))).cast("int"))
@@ -100,14 +106,16 @@ object Ranks {
     * counts over the value-grain rollup. */
   def withGlobalCumsumExcl(df: DataFrame, binOn: Column,
       order: Seq[Column], valueCol: Column, outCol: String,
-      tag: String, bins: Int = 32): DataFrame = {
+      tag: String, bins: Int = 32,
+      persist: DataFrame => DataFrame = identity): DataFrame = {
     val b = s"__cbin_$tag"
     val lcs = s"__lcs_$tag"
     val off = s"__coff_$tag"
+    val in = persist(df)
     val probs = (1 until bins).map(i => i.toDouble / bins)
-    val bnds = df.agg(percentile_approx(binOn.cast("double"),
+    val bnds = in.agg(percentile_approx(binOn.cast("double"),
       typedLit(probs), lit(1000)).as("__cbnds"))
-    val binned = df
+    val binned = in
       .crossJoin(broadcast(bnds))
       .withColumn(b, size(filter(col("__cbnds"),
         x => x < binOn.cast("double"))).cast("int"))

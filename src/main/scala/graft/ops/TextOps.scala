@@ -240,6 +240,81 @@ object TextOps extends OpModule {
       .orderBy($"doc_id")
   }
 
+  /** Zipf rank-frequency fit — the corpus-health law every tokenizer
+    * and language-ID model implicitly assumes (natural text has
+    * log(freq) ≈ intercept − slope·log(rank); a flat or broken slope
+    * flags boilerplate, templated spam, or a scraped table dump):
+    * OLS of ln(freq) on ln(rank) over the top-100 tokens. Determinism:
+    * the top-100 cut is the deterministic (tf DESC, term ASC) order;
+    * each ln is rounded to an e-6 INTEGER before any sum (the
+    * `q_ml_mutual_info` recipe — absorbs last-ulp libm differences),
+    * so the OLS moment sums are exact integers and the closing
+    * slope/intercept chain is one fixed IEEE expression, ROUND 4.
+    *
+    * Scale shape: one combinable vocabulary aggregate, a top-100 heap
+    * (TakeOrderedAndProject — never a vocab sort), and O(100) math;
+    * the rank window runs on the LIMIT-100 frame (whitelisted). */
+  def textZipf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.t(s, dir, "documents")
+      .select(explode(split(lower($"text"), " ")).as("term"))
+      .filter(length($"term") > 0)
+      .groupBy($"term").agg(count(lit(1)).as("tf"))
+      .orderBy($"tf".desc, $"term".asc)
+      .limit(100)
+    val pts = top
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"tf".desc, $"term".asc)))
+      .select(
+        expr("CAST(ROUND(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("lx"),
+        expr("CAST(ROUND(ln(CAST(tf AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("ly"))
+    pts
+      .agg(count(lit(1)).as("n"), sum($"lx").as("sx"), sum($"ly").as("sy"),
+        sum($"lx" * $"lx").as("sxx"), sum($"lx" * $"ly").as("sxy"))
+      .select($"n".as("n_terms"),
+        round(($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy") /
+          ($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"), 4)
+          .as("slope"),
+        round(($"sy".cast("double") -
+          (($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy") /
+            ($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"))
+            * $"sx") / $"n" / 1000000.0, 4).as("intercept"))
+  }
+
+  /** Quality-gate FUNNEL accounting — the report every corpus build
+    * ships next to its filter stack ("what did each rule cost us"):
+    * documents pass three ORDERED gates (chars ≥ 100, tokens ≥ 30,
+    * stopword ratio ≤ ½), each doc attributed to the FIRST gate it
+    * fails, per-source drop counts + survivor ppm. The ratio gate is
+    * the exact integer cross-multiplication 2·stops ≤ tokens — no
+    * float at any decision boundary, so both engines agree exactly.
+    *
+    * Scale shape: stateless per-row gate evaluation inside codegen +
+    * one combinable O(sources) rollup — embarrassingly parallel. */
+  def textFilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split($"text", " ")
+    val d = Tables.t(s, dir, "documents")
+      .select($"source", $"n_chars",
+        size(words).cast("long").as("toks"),
+        size(filter(words, w => w.isin(stopwords: _*))).cast("long")
+          .as("stops"))
+      .withColumn("g1", $"n_chars" >= 100)
+      .withColumn("g2", $"toks" >= 30)
+      .withColumn("g3", $"stops" * 2 <= $"toks")
+    d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(!$"g1", lit(1))).as("drop_short"),
+        count(when($"g1" && !$"g2", lit(1))).as("drop_few_tokens"),
+        count(when($"g1" && $"g2" && !$"g3", lit(1))).as("drop_stopword"),
+        count(when($"g1" && $"g2" && $"g3", lit(1))).as("n_kept"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000 div n_docs"))
+      .orderBy($"source")
+  }
+
   /** Quality-FILTER materialization (the C4-style pipeline stage): keep
     * documents whose token count is in [40, 200] and whose stopword
     * ratio is ≤ 0.18. Pure narrow projection+filter — stays inside
@@ -462,6 +537,8 @@ object TextOps extends OpModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_text_zipf" -> (textZipf _),
+    "q_text_filter_funnel" -> (textFilterFunnel _),
     "q_text_keywords" -> (textKeywords _),
     "q_text_hashing_tf" -> (textHashingTf _),
     "q_text_lm_score" -> (textLmScore _),
@@ -484,6 +561,56 @@ object TextOps extends OpModule {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_zipf" ->
+      """WITH tf AS (
+        |  SELECT term, COUNT(*) AS tf FROM (
+        |    SELECT UNNEST(string_split(lower(text), ' ')) AS term
+        |    FROM documents) t
+        |  WHERE length(term) > 0
+        |  GROUP BY term ORDER BY tf DESC, term ASC LIMIT 100),
+        |pts AS (
+        |  SELECT
+        |    CAST(ROUND(ln(CAST(row_number() OVER (ORDER BY tf DESC, term ASC)
+        |      AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+        |    CAST(ROUND(ln(CAST(tf AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+        |  FROM tf),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+        |    CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+        |    CAST(SUM(lx * ly) AS BIGINT) AS sxy
+        |  FROM pts)
+        |SELECT n AS n_terms,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4) AS slope,
+        |  ROUND((CAST(sy AS DOUBLE) -
+        |    ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |      (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+        |    / n / 1000000.0, 4) AS intercept
+        |FROM s""".stripMargin,
+    "q_text_filter_funnel" ->
+      s"""WITH d AS (
+         |  SELECT source, n_chars,
+         |    len(string_split(text, ' ')) AS toks,
+         |    len(list_filter(string_split(text, ' '),
+         |      w -> w IN ($stopList))) AS stops
+         |  FROM documents),
+         |g AS (
+         |  SELECT source,
+         |    (n_chars >= 100) AS g1, (toks >= 30) AS g2,
+         |    (stops * 2 <= toks) AS g3
+         |  FROM d)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(CASE WHEN NOT g1 THEN 1 END) AS BIGINT) AS drop_short,
+         |  CAST(COUNT(CASE WHEN g1 AND NOT g2 THEN 1 END) AS BIGINT)
+         |    AS drop_few_tokens,
+         |  CAST(COUNT(CASE WHEN g1 AND g2 AND NOT g3 THEN 1 END) AS BIGINT)
+         |    AS drop_stopword,
+         |  CAST(COUNT(CASE WHEN g1 AND g2 AND g3 THEN 1 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(COUNT(CASE WHEN g1 AND g2 AND g3 THEN 1 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS kept_ppm
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q_text_keywords" ->
       """WITH alltok AS (
         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
