@@ -2145,7 +2145,99 @@ object Aggregates extends OpModule {
       .orderBy($"cohort_wk", $"age_wk")
   }
 
+  /** CUSUM changepoint scan over the daily revenue series — the
+    * level-shift detector run before any trend readout is trusted
+    * ("did the metric move, or did the pipeline?"): cumulative sum of
+    * deviations from the global mean, peak |CUSUM| days are the
+    * candidate changepoints. All arithmetic exact BIGINT cents: the
+    * baseline is the FLOOR-mean daily revenue (positive-operand
+    * integer division — identical on both engines), so
+    * cusum_k = Σ_{i≤k} rev_i − k·mean stays on the cents grid with no
+    * negative-division or decimal-rounding ambiguity anywhere.
+    *
+    * Scale shape: one map-combinable day rollup collapses the corpus
+    * to O(days) rows; the CUSUM window runs on that rollup (the
+    * whitelisted tiny-frame case), and the top-5 peaks fuse to
+    * TakeOrderedAndProject. */
+  def aggChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.t(s, dir, "orders")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .as("rev_c"), count(lit(1)).as("n_orders"))
+    val tot = daily.agg(sum($"rev_c").as("tot_c"),
+      count(lit(1)).as("n_days"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("run_c", sum($"rev_c").over(w))
+      .withColumn("k", row_number().over(Window.orderBy($"day")).cast("long"))
+      .withColumn("cusum_c", $"run_c" - $"k" * expr("tot_c div n_days"))
+      .select($"day", $"n_orders",
+        ($"rev_c".cast("double") / 100.0).as("revenue"), $"cusum_c")
+      .orderBy(abs($"cusum_c").desc, $"day").limit(5)
+  }
+
+  /** Per-customer order LAG features — the forecasting feature row a
+    * demand model trains on: each customer's LATEST order with the two
+    * previous order amounts, the day gaps between them, and the
+    * lifetime order count. Both the lag window and the latest-row
+    * rank share one custkey partitioning, so the op is a single
+    * shuffle; amounts ride the exact cents grid.
+    *
+    * Scale shape: one custkey-keyed sort window (parallel across
+    * customers), no global ordering anywhere. */
+  def featLags(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"d", $"o_orderkey")
+    Tables.t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        $"o_orderdate".cast("date").as("d"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("p_c"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ord", count(lit(1)).over(Window.partitionBy($"o_custkey")))
+      .withColumn("prev1_c", lag($"p_c", 1).over(w))
+      .withColumn("prev2_c", lag($"p_c", 2).over(w))
+      .withColumn("gap1_days", datediff($"d", lag($"d", 1).over(w)))
+      .filter($"rn" === $"n_ord")
+      .select($"o_custkey", $"d".as("last_order_date"),
+        ($"p_c".cast("double") / 100.0).as("last_amount"),
+        ($"prev1_c".cast("double") / 100.0).as("prev1_amount"),
+        ($"prev2_c".cast("double") / 100.0).as("prev2_amount"),
+        $"gap1_days", $"n_ord".as("n_orders"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Degree distribution of the co-purchase graph — the first
+    * diagnostic run on any similarity/co-occurrence graph (a heavy
+    * tail here is what makes [[graphSparsify]] necessary before the
+    * quadratic ops): per-part neighbor count, rolled to the
+    * (degree → node count) histogram with integer-ppm node share.
+    *
+    * Scale shape: the O(E) edge list collapses to O(V) degrees in one
+    * combinable aggregate, the histogram is an O(distinct degrees)
+    * rollup, and the node total is a 1-row broadcast. */
+  def graphDegrees(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = copurchasePairs(s, dir)
+    val deg = pairs.select($"pa".as("v"))
+      .union(pairs.select($"pb".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("degree"))
+    val tot = deg.agg(count(lit(1)).as("n_total"))
+    deg.groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(tot))
+      .select($"degree", $"n_nodes",
+        expr("n_nodes * 1000000 div n_total").as("nodes_ppm"))
+      .orderBy($"degree")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_changepoint" -> (aggChangepoint _),
+    "q_feat_lags" -> (featLags _),
+    "q_graph_degrees" -> (graphDegrees _),
     "q_feat_cohort_retention" -> (cohortRetention _),
     "q_agg_seasonality" -> (aggSeasonality _),
     "q_agg_benford" -> (aggBenford _),
@@ -2223,6 +2315,67 @@ object Aggregates extends OpModule {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_agg_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev_c,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(rev_c) AS BIGINT) AS tot_c,
+        |    COUNT(*) AS n_days FROM daily),
+        |cu AS (
+        |  SELECT day, n_orders, rev_c,
+        |    CAST(SUM(rev_c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - (CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT)
+        |         * (tot_c // n_days)) AS cusum_c
+        |  FROM daily CROSS JOIN tot)
+        |SELECT day, n_orders,
+        |  CAST(rev_c AS DOUBLE) / 100.0 AS revenue, cusum_c
+        |FROM cu ORDER BY abs(cusum_c) DESC, day LIMIT 5""".stripMargin,
+    "q_feat_lags" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p_c
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_custkey, d, p_c,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY d, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_custkey) AS n_ord,
+        |    LAG(p_c, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY d, o_orderkey) AS prev1_c,
+        |    LAG(p_c, 2) OVER (PARTITION BY o_custkey
+        |      ORDER BY d, o_orderkey) AS prev2_c,
+        |    d - LAG(d, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY d, o_orderkey) AS gap1
+        |  FROM o)
+        |SELECT o_custkey, d AS last_order_date,
+        |  CAST(p_c AS DOUBLE) / 100.0 AS last_amount,
+        |  CAST(prev1_c AS DOUBLE) / 100.0 AS prev1_amount,
+        |  CAST(prev2_c AS DOUBLE) / 100.0 AS prev2_amount,
+        |  CAST(gap1 AS INTEGER) AS gap1_days,
+        |  n_ord AS n_orders
+        |FROM w WHERE rn = n_ord ORDER BY o_custkey""".stripMargin,
+    "q_graph_degrees" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS degree FROM (
+        |    SELECT pa AS v FROM pairs
+        |    UNION ALL SELECT pb AS v FROM pairs)
+        |  GROUP BY v),
+        |tot AS (SELECT COUNT(*) AS n_total FROM deg)
+        |SELECT degree, COUNT(*) AS n_nodes,
+        |  COUNT(*) * 1000000 // n_total AS nodes_ppm
+        |FROM deg CROSS JOIN tot
+        |GROUP BY degree, n_total ORDER BY degree""".stripMargin,
     "q_feat_cohort_retention" ->
       """WITH e AS (
         |  SELECT user_id, event_type,

@@ -495,9 +495,70 @@ object C360 extends OpModule {
       .orderBy($"c_nationkey")
   }
 
+  /** TPC-H Q7 shape — cross-border trade flows: revenue shipped between
+    * two chosen nations (supplier side vs customer side), per direction
+    * per ship year. The planner showcase is the ASYMMETRIC dimension
+    * treatment: the supplier→nation side is a bounded catalog dimension
+    * (broadcast end-to-end), while the customer→nation side is
+    * corpus-sized even after the 2-of-25-nations filter — it shuffles
+    * on its join key like the fact it annotates. Fact side shuffles
+    * exactly twice (orderkey, custkey); revenue on the exact
+    * integer-cents grid. */
+  def tradeFlows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = Tables.t(s, dir, "nation")
+    val supN = Tables.t(s, dir, "supplier")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .filter($"n_name".isin("NATION_3", "NATION_8"))
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val custN = Tables.t(s, dir, "customer")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .filter($"n_name".isin("NATION_3", "NATION_8"))
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val li = Tables.t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+    li.join(broadcast(supN), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(custN, $"o_custkey" === $"c_custkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate".cast("date")).cast("int").as("ship_year"))
+      .agg((sum(expr(
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .cast("double") / 100.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"supp_nation", $"cust_nation", $"ship_year")
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: how many
+    * customers placed 0, 1, 2, … qualifying orders (urgent orders
+    * excluded — the Q13 filtered-join character; zero-order customers
+    * are the point of the LEFT join). The classic two-phase aggregate:
+    * orders collapse per custkey FIRST (map-combinable count — the
+    * shuffle carries one row per customer, never raw orders), the
+    * customer spine left-joins the counts on the same custkey
+    * partitioning, and the O(distinct counts) histogram is a
+    * near-free rollup. (custdist, c_count) descending is a total
+    * order because c_count is the group key. */
+  def orderDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ocnt = Tables.t(s, dir, "orders")
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_ord"))
+    Tables.t(s, dir, "customer")
+      .join(ocnt, $"c_custkey" === $"o_custkey", "left")
+      .select(coalesce($"n_ord", lit(0L)).as("c_count"))
+      .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_c360_big_orders" -> (bigOrders _),
     "q_c360_lost_prospects" -> (lostProspects _),
+    "q_c360_trade_flows" -> (tradeFlows _),
+    "q_c360_order_dist" -> (orderDist _),
     "q_c360_top_supplier" -> (topSupplier _),
     "q_c360_small_orders" -> (smallOrders _),
     "q_c360_market_share" -> (marketShare _),
@@ -521,6 +582,36 @@ object C360 extends OpModule {
     .mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "q_c360_trade_flows" ->
+      """WITH supN AS (
+        |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_8')),
+        |custN AS (
+        |  SELECT c_custkey, n_name AS cust_nation FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_8'))
+        |SELECT sn.supp_nation, cn.cust_nation,
+        |  CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+        |  CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+        |    * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN supN sn ON l.l_suppkey = sn.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN custN cn ON o.o_custkey = cn.c_custkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND sn.supp_nation <> cn.cust_nation
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_c360_order_dist" ->
+      """WITH ocnt AS (
+        |  SELECT o_custkey, COUNT(*) AS n_ord FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey)
+        |SELECT COALESCE(n_ord, 0) AS c_count,
+        |  COUNT(*) AS custdist
+        |FROM customer LEFT JOIN ocnt ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_c360_big_orders" ->
       """WITH q AS (
         |  SELECT l_orderkey,

@@ -228,6 +228,32 @@ object Embeddings extends OpModule {
       .orderBy($"bin")
   }
 
+  /** Centroid-distance OUTLIER scan — the embedding-quality triage
+    * run before any ANN index build (mislabeled modality, truncated
+    * vectors, and encoder failures all land far from the corpus
+    * centroid): per-vector L1 distance to the global centroid in the
+    * quantized integer domain, top-10 by distance. Exactness via
+    * cross-multiplication — distance is Σ_dim |n·q − S_dim| in
+    * n-scaled code units (no mean division anywhere), so every
+    * comparison is BIGINT-exact on both engines.
+    *
+    * Scale shape: the O(dims) centroid sums are one combinable
+    * aggregate broadcast back into a map-side probe; the per-vector
+    * reduce shares the vec_id shuffle with [[embNormHist]]; top-10
+    * fuses to TakeOrderedAndProject. */
+  def embOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cs = codes(s, dir)
+    val dimSums = cs.groupBy($"dim").agg(sum($"q").as("s_dim"))
+    val n = Tables.t(s, dir, "embeddings").agg(count(lit(1)).as("n_vecs"))
+    cs.join(broadcast(dimSums), Seq("dim"))
+      .crossJoin(broadcast(n))
+      .groupBy($"vec_id", $"label", $"n_vecs")
+      .agg(sum(abs($"q" * $"n_vecs" - $"s_dim")).as("dist_n"))
+      .select($"vec_id", $"label", $"dist_n", $"n_vecs")
+      .orderBy($"dist_n".desc, $"vec_id").limit(10)
+  }
+
   /** Top principal component by POWER ITERATION — the classic
     * linear-algebra-on-DataFrames witness for the embedding family
     * (whitening, drift direction, "is one axis eating the variance"):
@@ -283,6 +309,7 @@ object Embeddings extends OpModule {
     "q_emb_pca" -> (embPca _),
     "q_emb_dim_stats" -> (embDimStats _),
     "q_emb_norm_hist" -> (embNormHist _),
+    "q_emb_outliers" -> (embOutliers _),
     "q_emb_matryoshka" -> (embMatryoshka _),
     "q_emb_centroids" -> (embCentroids _),
     "q_emb_pq" -> (embPq _),
@@ -291,6 +318,25 @@ object Embeddings extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_emb_outliers" ->
+      """WITH codes AS (
+        |  SELECT vec_id, label,
+        |    CAST(UNNEST(range(len(embedding))) AS INTEGER) AS dim,
+        |    CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * 127 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM embeddings),
+        |ds AS (
+        |  SELECT dim, CAST(SUM(q) AS BIGINT) AS s_dim
+        |  FROM codes GROUP BY dim),
+        |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs
+        |       FROM embeddings)
+        |SELECT c.vec_id, c.label,
+        |  CAST(SUM(abs(c.q * nv.n_vecs - ds.s_dim)) AS BIGINT)
+        |    AS dist_n,
+        |  nv.n_vecs
+        |FROM codes c JOIN ds ON c.dim = ds.dim CROSS JOIN nv
+        |GROUP BY c.vec_id, c.label, nv.n_vecs
+        |ORDER BY dist_n DESC, c.vec_id LIMIT 10""".stripMargin,
     "q_emb_dim_stats" ->
       """WITH codes AS (
         |  SELECT CAST(UNNEST(range(len(embedding))) AS INTEGER) AS dim,

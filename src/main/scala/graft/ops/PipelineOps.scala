@@ -820,6 +820,73 @@ object PipelineOps extends OpModule {
       .orderBy($"l")
   }
 
+  /** t-closeness audit — the third privacy gate beside
+    * [[privacyKanon]] and [[privacyLdiversity]]: l-diversity counts
+    * DISTINCT sensitive values, but a group can be "diverse" while its
+    * DISTRIBUTION still gives the attacker a large posterior shift.
+    * t-closeness bounds the Earth-Mover's Distance between each
+    * quasi-identifier group's sensitive-attribute distribution and the
+    * global one. The sensitive attribute is the customer's dominant
+    * order priority (the [[q_agg_mode]] recipe, deterministic
+    * tiebreak); priorities are ordinal ('1-URGENT' < … < '5-LOW'),
+    * so EMD = Σ|cumulative diffs| / (L−1).
+    *
+    * Determinism: the EMD is computed by cross-multiplication on
+    * exact integer counts — |cum_group·N − cum_global·gsz| summed
+    * through DECIMAL(38,0) (a 10⁹-customer corpus squares past
+    * BIGINT), then one positive-operand floor division onto the ppm
+    * grid. No float anywhere.
+    *
+    * Scale shape: one custkey aggregate for the mode, one combinable
+    * (QI, level) count, the O(levels) global distribution and the
+    * O(groups) sizes broadcast back; the level-complete spine is
+    * groups × 5 levels, and the cumsum window is partitioned BY GROUP
+    * (parallel, never global). */
+  def privacyTcloseness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pc = Tables.t(s, dir, "orders")
+      .groupBy($"o_custkey", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    val mw = Window.partitionBy($"o_custkey")
+      .orderBy($"cnt".desc, $"o_orderpriority")
+    val sens = pc.withColumn("rn", row_number().over(mw))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderpriority".as("sv"))
+    val rows = Tables.t(s, dir, "customer")
+      .join(sens, $"c_custkey" === $"o_custkey")
+      .select($"c_nationkey", $"c_mktsegment", $"sv")
+    val levels = rows.select($"sv").distinct()
+    val glob = rows.groupBy($"sv").agg(count(lit(1)).as("g_cnt"))
+    val gsz = rows.groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("gsz"))
+    val cell = rows.groupBy($"c_nationkey", $"c_mktsegment", $"sv")
+      .agg(count(lit(1)).as("cnt"))
+    // level-complete spine: every (group, level) cell exists, so the
+    // per-group cumulative distribution aligns level-by-level
+    val spine = gsz.crossJoin(broadcast(levels))
+      .join(cell, Seq("c_nationkey", "c_mktsegment", "sv"), "left")
+      .join(broadcast(glob), Seq("sv"))
+      .withColumn("cnt", coalesce($"cnt", lit(0L)))
+    val cw = Window.partitionBy($"c_nationkey", $"c_mktsegment")
+      .orderBy($"sv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rows.agg(count(lit(1)).as("n_total"))
+    spine
+      .withColumn("cum_g", sum($"cnt").over(cw))
+      .withColumn("cum_glob", sum($"g_cnt").over(cw))
+      .crossJoin(broadcast(tot))
+      // the last level's cumulative diff is identically 0 — the L−1
+      // interior boundaries are the EMD terms
+      .filter($"cum_glob" < $"n_total")
+      .groupBy($"c_nationkey", $"c_mktsegment", $"gsz", $"n_total")
+      .agg(sum(abs($"cum_g".cast("decimal(38,0)") * $"n_total" -
+        $"cum_glob".cast("decimal(38,0)") * $"gsz")).as("num"))
+      .select($"c_nationkey", $"c_mktsegment", $"gsz".as("group_size"),
+        expr("CAST((num * 1000000) div (4 * gsz * n_total) AS BIGINT)")
+          .as("t_ppm"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
   /** Deterministic class-balanced downsampling — the label-skew fix
     * for training extracts: every event class is cut to the SMALLEST
     * class's size, members chosen by md5-hash order (hash, event_id
@@ -1105,6 +1172,7 @@ object PipelineOps extends OpModule {
     "q_shard_manifest" -> (shardManifest _),
     "q_privacy_kanon" -> (privacyKanon _),
     "q_privacy_ldiversity" -> (privacyLdiversity _),
+    "q_privacy_tcloseness" -> (privacyTcloseness _),
     "q_sample_bootstrap" -> (sampleBootstrap _),
     "q_sample_neyman" -> (sampleNeyman _),
     "q_scd2_asof" -> (scd2Asof _),
@@ -1404,6 +1472,51 @@ object PipelineOps extends OpModule {
         |  CAST(SUM(group_size) AS BIGINT) AS n_customers,
         |  MIN(group_size) AS min_group_size
         |FROM groups GROUP BY l ORDER BY l""".stripMargin,
+    "q_privacy_tcloseness" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |sens AS (
+        |  SELECT o_custkey, o_orderpriority AS sv
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY cnt DESC, o_orderpriority) AS rn
+        |        FROM pc) WHERE rn = 1),
+        |rws AS (
+        |  SELECT c_nationkey, c_mktsegment, sv
+        |  FROM customer JOIN sens ON c_custkey = o_custkey),
+        |lv AS (SELECT DISTINCT sv FROM rws),
+        |gdist AS (SELECT sv, CAST(COUNT(*) AS BIGINT) AS g_cnt
+        |         FROM rws GROUP BY sv),
+        |gsz AS (SELECT c_nationkey, c_mktsegment,
+        |          CAST(COUNT(*) AS BIGINT) AS gsz
+        |        FROM rws GROUP BY 1, 2),
+        |cell AS (SELECT c_nationkey, c_mktsegment, sv,
+        |           CAST(COUNT(*) AS BIGINT) AS cnt
+        |         FROM rws GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM rws),
+        |spine AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, g.gsz, lv.sv,
+        |    COALESCE(c.cnt, 0) AS cnt, gl.g_cnt
+        |  FROM gsz g CROSS JOIN lv
+        |  LEFT JOIN cell c ON c.c_nationkey = g.c_nationkey
+        |    AND c.c_mktsegment = g.c_mktsegment AND c.sv = lv.sv
+        |  JOIN gdist gl ON gl.sv = lv.sv),
+        |cum AS (
+        |  SELECT c_nationkey, c_mktsegment, gsz,
+        |    CAST(SUM(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |      ROW) AS BIGINT) AS cum_g,
+        |    CAST(SUM(g_cnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |      ROW) AS BIGINT) AS cum_glob,
+        |    (SELECT n_total FROM tot) AS n_total
+        |  FROM spine)
+        |SELECT c_nationkey, c_mktsegment, gsz AS group_size,
+        |  CAST(SUM(abs(cum_g * n_total - cum_glob * gsz)) * 1000000
+        |    // (4 * gsz * n_total) AS BIGINT) AS t_ppm
+        |FROM cum WHERE cum_glob < n_total
+        |GROUP BY c_nationkey, c_mktsegment, gsz, n_total
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "q_privacy_kanon" ->
       """WITH qi AS (
         |  SELECT c_custkey, c_nationkey, c_mktsegment,

@@ -504,6 +504,7 @@ class PlanSpec extends SparkSpec {
       "q_shard_manifest" -> "O(sources) per-source-total rollup",
       "q_agg_spearman" -> "O(bins) offsets rollup (Ranks cumsum) x2",
       "q_text_zipf" -> "LIMIT-100 top-token frame",
+      "q_agg_changepoint" -> "O(days) daily-revenue rollup",
       "q_sketch_quantile" -> "~100 histogram register rows",
       "q_dq_anomaly" -> "O(days) daily-count rollup",
       "q_feat_survival" -> "O(months) tenure rollup")
