@@ -564,7 +564,45 @@ object MlOps extends OpModule {
       .orderBy($"o_orderkey")
   }
 
+  /** Confusion matrix + threshold sweep — the operating-point readout
+    * that turns [[mlAuc]]'s ranking quality into a deployable
+    * decision: TP/FP/FN/TN plus precision/recall/F1 at three
+    * per-myriad score thresholds, on the SAME leakage-free
+    * [[rfmScored]] base as AUC and calibration (one shared cached
+    * scoring pass). All ratios are integer ppm with positive-operand
+    * floor division (zero-denominator guarded to NULL on both
+    * engines); F1 = 2·TP·10⁶ div (2·TP+FP+FN) — exact, no float.
+    *
+    * Scale shape: one conditional aggregate over the scored
+    * customer-grain table per broadcast threshold row — O(thresholds)
+    * output, no window, no join beyond the 3-row broadcast. */
+  def mlConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = OpCache.cached(s, dir, "rfm_scored")(rfmScored(s, dir))
+    val th = Seq(2500L, 5000L, 7500L).toDF("thr")
+    scored.crossJoin(broadcast(th))
+      .groupBy($"thr")
+      .agg(
+        sum(when($"score_pm" >= $"thr" && $"label" === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when($"score_pm" >= $"thr" && $"label" === 0L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when($"score_pm" < $"thr" && $"label" === 1L, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when($"score_pm" < $"thr" && $"label" === 0L, 1L)
+          .otherwise(0L)).as("tn"))
+      .select($"thr", $"tp", $"fp", $"fn", $"tn",
+        when($"tp" + $"fp" > 0,
+          expr("tp * 1000000 div (tp + fp)")).as("precision_ppm"),
+        when($"tp" + $"fn" > 0,
+          expr("tp * 1000000 div (tp + fn)")).as("recall_ppm"),
+        when($"tp" * 2 + $"fp" + $"fn" > 0,
+          expr("2 * tp * 1000000 div (2 * tp + fp + fn)")).as("f1_ppm"))
+      .orderBy($"thr")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ml_confusion" -> (mlConfusion _),
     "q_ml_labels" -> (mlLabels _),
     "q_ml_auc" -> (mlAuc _),
     "q_ml_calibration" -> (mlCalibration _),
@@ -599,6 +637,58 @@ object MlOps extends OpModule {
         |    ELSE date_diff('day', d, dmax) END AS INTEGER) AS label_days,
         |  next_d IS NULL AS censored
         |FROM led CROSS JOIN md ORDER BY o_orderkey""".stripMargin,
+    "q_ml_confusion" ->
+      """WITH cut AS (
+        |  SELECT CAST(max(o_orderdate) AS DATE) - INTERVAL 365 DAY AS cut
+        |  FROM orders),
+        |hist AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |      CAST(max(cut.cut) AS DATE)) AS INTEGER) AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS monetary
+        |  FROM orders CROSS JOIN cut
+        |  WHERE CAST(o_orderdate AS DATE) < CAST(cut.cut AS DATE)
+        |  GROUP BY o_custkey),
+        |fut AS (
+        |  SELECT DISTINCT o_custkey AS f_custkey
+        |  FROM orders CROSS JOIN cut
+        |  WHERE CAST(o_orderdate AS DATE) >= CAST(cut.cut AS DATE)),
+        |lab AS (
+        |  SELECT h.*, CASE WHEN f.f_custkey IS NOT NULL THEN 1 ELSE 0 END
+        |    AS label
+        |  FROM hist h LEFT JOIN fut f ON h.o_custkey = f.f_custkey),
+        |ranked0 AS (
+        |  SELECT *,
+        |    percent_rank() OVER (ORDER BY recency_days DESC, o_custkey) AS pr_r,
+        |    percent_rank() OVER (ORDER BY frequency, o_custkey) AS pr_f,
+        |    percent_rank() OVER (ORDER BY monetary, o_custkey) AS pr_m
+        |  FROM lab),
+        |scored AS (
+        |  SELECT o_custkey, label,
+        |    CAST(ROUND((pr_r + pr_f + pr_m) / 3 * 10000) AS BIGINT) AS score_pm
+        |  FROM ranked0),
+        |cm AS (
+        |  SELECT thr,
+        |    CAST(SUM(CASE WHEN score_pm >= thr AND label = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN score_pm >= thr AND label = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN score_pm < thr AND label = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN score_pm < thr AND label = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM scored CROSS JOIN
+        |    (SELECT CAST(UNNEST([2500, 5000, 7500]) AS BIGINT) AS thr)
+        |  GROUP BY thr)
+        |SELECT thr, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0
+        |    THEN tp * 1000000 // (tp + fp) END AS precision_ppm,
+        |  CASE WHEN tp + fn > 0
+        |    THEN tp * 1000000 // (tp + fn) END AS recall_ppm,
+        |  CASE WHEN tp * 2 + fp + fn > 0
+        |    THEN 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm
+        |FROM cm ORDER BY thr""".stripMargin,
     "q_ml_auc" ->
       """WITH cut AS (
         |  SELECT CAST(max(o_orderdate) AS DATE) - INTERVAL 365 DAY AS cut

@@ -152,6 +152,37 @@ object Windows extends OpModule {
       .limit(100)
   }
 
+  /** KEYSET pagination — the scale-correct page fetch (`LIMIT k` after
+    * a composite-key cursor predicate) vs the OFFSET anti-pattern:
+    * `OFFSET n` must produce-and-discard n rows on every page (O(n·k)
+    * total across a scan), while the keyset predicate pushes to the
+    * scan and each page is an independent O(k) top-k
+    * (TakeOrderedAndProject, same fused plan as every top-k here).
+    * Page 4 of the order book ordered by (o_orderdate, o_orderkey),
+    * cursor = last key of page 3, page size 50. The row-comparison
+    * `(d, k) > (d₀, k₀)` is decomposed to its OR form so both engines
+    * plan plain conjunctive pushdown. */
+  def sortKeyset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pageSize = 50
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        $"o_orderdate".cast("date").as("d"), $"o_totalprice")
+    // cursor: the last (d, key) of page 3 — in production this arrives
+    // from the client; derived here so the op is self-contained AND the
+    // equivalence to pages 1-3+4 stays oracle-checkable
+    val cursor = o.orderBy($"d", $"o_orderkey").limit(3 * pageSize)
+      .agg(max_by(struct($"d", $"o_orderkey"), struct($"d", $"o_orderkey"))
+        .as("c"))
+      .select($"c.d".as("cd"), $"c.o_orderkey".as("ck"))
+    o.crossJoin(broadcast(cursor))
+      .filter($"d" > $"cd" || ($"d" === $"cd" && $"o_orderkey" > $"ck"))
+      .orderBy($"d", $"o_orderkey")
+      .limit(pageSize)
+      .select($"o_orderkey", $"o_custkey", $"d".as("o_date"),
+        d12($"o_totalprice").cast("double").as("total"))
+  }
+
   /** Engine defaults differ (Spark ASC=nulls-first, DuckDB ASC=nulls-last)
     * so null placement is always explicit. */
   def sortNulls(s: SparkSession, dir: String): DataFrame = {
@@ -375,7 +406,8 @@ object Windows extends OpModule {
     "q_win_first_last" -> (winFirstLast _),
     "q_topk_per_group" -> (topkPerGroup _),
     "q_sort_multi" -> (sortMulti _),
-    "q_sort_nulls" -> (sortNulls _)
+    "q_sort_nulls" -> (sortNulls _),
+    "q_sort_keyset" -> (sortKeyset _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -603,6 +635,20 @@ object Windows extends OpModule {
     "q_sort_nulls" ->
       """SELECT o_orderkey, NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio_n
         |FROM orders
-        |ORDER BY prio_n ASC NULLS LAST, o_orderkey ASC LIMIT 500""".stripMargin
+        |ORDER BY prio_n ASC NULLS LAST, o_orderkey ASC LIMIT 500""".stripMargin,
+    "q_sort_keyset" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    o_totalprice
+        |  FROM orders),
+        |cur AS (
+        |  SELECT d AS cd, o_orderkey AS ck FROM (
+        |    SELECT * FROM o ORDER BY d, o_orderkey LIMIT 150)
+        |  ORDER BY d DESC, o_orderkey DESC LIMIT 1)
+        |SELECT o_orderkey, o_custkey, d AS o_date,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,4)) AS DOUBLE) AS total
+        |FROM o CROSS JOIN cur
+        |WHERE d > cd OR (d = cd AND o_orderkey > ck)
+        |ORDER BY d, o_orderkey LIMIT 50""".stripMargin
   )
 }
