@@ -207,8 +207,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = d3(results.map(_._2).sum)
     val s = if (sentinels.nonEmpty) sentinels else Seq(0.0)
+    // per_query_file: the driver's tail-capture truncates the map line
+    // above on a 294-query suite, so the total line (which always
+    // survives) carries a pointer to the repo-committed full map
+    // (round-8 verdict item 7).
     (s"""{"queries":$qs,"sf":"$sfDir"}""",
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+        s""""n_queries":${results.length},""" +
+        s""""per_query_file":"bench_per_query.json",""" +
         s""""sentinel_pre":${d3(s.head)},"sentinel_post":${d3(s.last)},""" +
         s""""sentinel_max":${d3(s.max)}}""")
   }

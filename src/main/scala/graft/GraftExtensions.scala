@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.shingleGenBuilder))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.SessionizeStrategy)
   }
 }
 

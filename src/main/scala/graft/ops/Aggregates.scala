@@ -406,7 +406,11 @@ object Aggregates extends OpModule {
     * aggregate (u and v take |W|, each w ∈ W takes 1 — all three
     * vertices credited in the same pass). For an identity-scale graph
     * where adjacency outgrows a broadcast, the same plan runs with the
-    * hint dropped: two equi-joins on O(E) rows, still never Θ(wedges).
+    * hint dropped: two equi-joins on O(E) rows, still never Θ(wedges)
+    * — implemented as a size gate on the persisted edge count
+    * ([[BroadcastAdjMaxEdges]]), not just documented: past the ceiling
+    * both graph ops switch every adjacency/degree reference to
+    * sort-merge form, with bit-equality of the two paths law-tested.
     */
   /** Distinct co-purchase part pairs (the undirected edge list both
     * graph ops walk) — built ONCE per (session, sf) and persisted: the
@@ -465,8 +469,34 @@ object Aggregates extends OpModule {
       .orderBy($"csize")
   }
 
-  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+  /** Edge-count ceiling for broadcasting the (vertex, sorted-neighbor)
+    * adjacency in [[graphTriangles]]/[[graphSparsify]]. The adjacency
+    * holds exactly one int64 entry per directed edge plus one row per
+    * vertex, so edges is the right gate unit; 4M edges ≈ 32 MB of
+    * packed longs — comfortably inside Spark's default 8 GB broadcast
+    * hard limit with headroom for row overhead, and past it the SAME
+    * logical plan degrades to sort-merge equi-joins on O(E) rows
+    * (still never the Θ(Σ deg²) wedge set). The gate reads the COUNT
+    * of the already-persisted edge list — one bounded action against a
+    * table every downstream branch materializes anyway. */
+  private[graft] val BroadcastAdjMaxEdges = 4000000L
+
+  private def adjacencyFits(s: SparkSession, dir: String): Boolean =
+    copurchasePairs(s, dir).count() <= BroadcastAdjMaxEdges
+
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    graphTrianglesImpl(s, dir, adjacencyFits(s, dir))
+
+  /** `broadcastAdj=false` is the identity-scale path the class doc
+    * promises: every adjacency/degree reference becomes a sort-merge
+    * equi-join (hint("merge") pins the shape so statistics can't
+    * silently re-broadcast in tests). Bit-equality of the two paths
+    * and the fallback plan shape are law-tested. */
+  private[graft] def graphTrianglesImpl(s: SparkSession, dir: String,
+      broadcastAdj: Boolean): DataFrame = {
     import s.implicits._
+    def bhint(df: DataFrame): DataFrame =
+      if (broadcastAdj) broadcast(df) else df.hint("merge")
     val pairs = copurchasePairs(s, dir)
     val deg = pairs.select($"pa".as("v"))
       .union(pairs.select($"pb".as("v")))
@@ -476,8 +506,8 @@ object Aggregates extends OpModule {
     // itself; broadcasting it keeps the O(E) edge list map-side instead
     // of shuffling it twice through sort-merge joins
     val oriented = pairs
-      .join(broadcast(deg.select($"v".as("pa"), $"d".as("da"))), Seq("pa"))
-      .join(broadcast(deg.select($"v".as("pb"), $"d".as("db"))), Seq("pb"))
+      .join(bhint(deg.select($"v".as("pa"), $"d".as("da"))), Seq("pa"))
+      .join(bhint(deg.select($"v".as("pb"), $"d".as("db"))), Seq("pb"))
       .select(when(fwd, $"pa").otherwise($"pb").as("src"),
         when(fwd, $"pb").otherwise($"pa").as("dst"))
     // one canonical (k, nbrs) projection cached, referenced twice via
@@ -488,8 +518,8 @@ object Aggregates extends OpModule {
         .agg(sort_array(collect_list($"dst")).as("nbrs"))
     }
     val closed = oriented
-      .join(broadcast(adj.as("x")), $"src" === $"x.k")
-      .join(broadcast(adj.as("y")), $"dst" === $"y.k")
+      .join(bhint(adj.as("x")), $"src" === $"x.k")
+      .join(bhint(adj.as("y")), $"dst" === $"y.k")
       .select($"src", $"dst",
         array_intersect($"x.nbrs", $"y.nbrs").as("ws"))
       .filter(size($"ws") > 0)
@@ -524,9 +554,16 @@ object Aggregates extends OpModule {
     * EITHER endpoint ranks it (union semantics — guarantees every
     * non-isolated vertex keeps ≥1 tie, so sparsification never
     * disconnects a vertex from the graph it was in). */
-  def graphSparsify(s: SparkSession, dir: String): DataFrame = {
+  def graphSparsify(s: SparkSession, dir: String): DataFrame =
+    graphSparsifyImpl(s, dir, adjacencyFits(s, dir))
+
+  /** See [[graphTrianglesImpl]] for the `broadcastAdj=false` contract. */
+  private[graft] def graphSparsifyImpl(s: SparkSession, dir: String,
+      broadcastAdj: Boolean): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    def bhint(df: DataFrame): DataFrame =
+      if (broadcastAdj) broadcast(df) else df.hint("merge")
     val pairs = copurchasePairs(s, dir)
     // canonical (k, nbrs) projection, two aliased references — same
     // single-broadcast shape as [[graphTriangles]]
@@ -536,8 +573,8 @@ object Aggregates extends OpModule {
         .groupBy($"k").agg(sort_array(collect_list($"w")).as("nbrs"))
     }
     val scored = pairs
-      .join(broadcast(adj.as("x")), $"pa" === $"x.k")
-      .join(broadcast(adj.as("y")), $"pb" === $"y.k")
+      .join(bhint(adj.as("x")), $"pa" === $"x.k")
+      .join(bhint(adj.as("y")), $"pb" === $"y.k")
       .select($"pa", $"pb",
         size(array_intersect($"x.nbrs", $"y.nbrs")).cast("long")
           .as("common_cnt"),
@@ -992,27 +1029,34 @@ object Aggregates extends OpModule {
     * bit-identical to `ntile(5)`, oracle hash unchanged. The pure
     * approx-boundary quintile ([[Ranks.approxNtile]], zero windows) is
     * the tested 100-TB variant; O(segments) rollup output. */
+  /** The shared custkey-grain (recency, frequency, monetary-cents)
+    * aggregate both RFM scoring variants code from — monetary in exact
+    * integer cents (the segment rollup's mean must be an
+    * order-insensitive integer sum, and cents rank identically to
+    * dollars); OpCache-persisted so exact + approx share one build. */
+  private def rfmSegBase(s: SparkSession, dir: String): DataFrame =
+    OpCache.cached(s, dir, "rfmseg_base") {
+      import s.implicits._
+      val o = Tables.t(s, dir, "orders")
+      val maxd = o.agg(max($"o_orderdate").cast("date").as("maxd"))
+      o.crossJoin(broadcast(maxd))
+        .groupBy($"o_custkey")
+        .agg(datediff(max($"maxd"), max($"o_orderdate".cast("date")))
+          .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .as("monetary_c"))
+    }
+
   def featRfmSegments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val o = Tables.t(s, dir, "orders")
-    val maxd = o.agg(max($"o_orderdate").cast("date").as("maxd"))
-    val rfm = o.crossJoin(broadcast(maxd))
-      .groupBy($"o_custkey")
-      .agg(datediff(max($"maxd"), max($"o_orderdate".cast("date")))
-        .as("recency_days"),
-        count(lit(1)).as("frequency"),
-        // exact integer cents — the segment rollup's mean must be an
-        // order-insensitive integer sum, and cents rank identically
-        // to dollars
-        sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
-          .as("monetary_c"))
     // quintile code via the two-level exact rank; binOn is negated for
     // the DESC recency axis so bins stay ASC-aligned with the order.
     // Each code rank is computed INDEPENDENTLY from the cached base
     // and joined back by custkey (nesting levels triples the logical
     // plan per level — the Catalyst-analysis blowup measured on
     // q_ml_calibration; join-back is linear in levels).
-    val base = OpCache.cached(s, dir, "rfmseg_base")(rfm)
+    val base = rfmSegBase(s, dir)
     def code(value: org.apache.spark.sql.Column,
         binOn: org.apache.spark.sql.Column,
         ord: Seq[org.apache.spark.sql.Column], out: String,
@@ -1041,6 +1085,50 @@ object Aggregates extends OpModule {
           .as("avg_monetary"),
         min($"r").as("min_r"), max($"f").as("max_f"))
       .orderBy($"segment")
+  }
+
+  /** RFM segments on APPROXIMATE quintiles — [[featRfmSegments]]'s
+    * declared 100-TB variant promoted to a graded query: the R/F/M
+    * codes come from [[Ranks.approxNtile]] (one `percentile_approx`
+    * boundary sketch per axis + a broadcast membership test — ZERO
+    * windows, zero rank shuffles) instead of the exact two-level
+    * global rank. Same base aggregate (OpCache-shared with the exact
+    * op), same segment rules, same O(segments) rollup schema, so the
+    * two ops diff directly.
+    *
+    * Semantics delta vs exact, by construction: (a) rank error ≤
+    * n/accuracy per boundary (accuracy 10⁴); (b) equal keys always
+    * share a bucket (the exact ntile SPLITS boundary-straddling ties
+    * by the custkey tiebreak) — which is why the approx op is often
+    * the more defensible business metric. Non-oracled (DuckDB's
+    * approx_quantile is a different sketch); the divergence-vs-exact
+    * law and the tie-consistency witness live in ScalaTest. */
+  def featRfmApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    featRfmApproxCoded(rfmSegBase(s, dir)).groupBy($"segment")
+      .agg(count(lit(1)).as("n_customers"),
+        r4(sum($"monetary_c").cast("double") / count(lit(1)) / 100.0)
+          .as("avg_monetary"),
+        min($"r").as("min_r"), max($"f").as("max_f"))
+      .orderBy($"segment")
+  }
+
+  /** Per-customer approx codes + segment — split out so the ScalaTest
+    * law can compare row-level codes against the exact path. Recency
+    * is negated so bucket 5 is "most recent" on both paths. */
+  private[graft] def featRfmApproxCoded(base: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    Ranks.approxNtile(
+      Ranks.approxNtile(
+        Ranks.approxNtile(base, -$"recency_days", 5, "r"),
+        $"frequency", 5, "f"),
+      $"monetary_c", 5, "m")
+      .withColumn("segment",
+        when($"r" >= 4 && $"f" >= 4, "1_champions")
+          .when($"f" >= 4, "2_loyal")
+          .when($"r" <= 2 && $"f" >= 3, "3_at_risk")
+          .when($"r" <= 2, "4_hibernating")
+          .otherwise("5_other"))
   }
 
   /** New vs returning purchasers per week — the acquisition/retention
@@ -2292,6 +2380,9 @@ object Aggregates extends OpModule {
     "q_time_wow" -> (timeWow _),
     "q_agg_new_returning" -> (aggNewReturning _),
     "q_feat_rfm_segments" -> (featRfmSegments _),
+    // non-oracled: approx-quantile sketch (DuckDB's approx_quantile is
+    // a different sketch); divergence-vs-exact law in ScalaTest
+    "q_feat_rfm_approx" -> (featRfmApprox _),
     "q_agg_price_index" -> (aggPriceIndex _),
     "q_graph_triangles" -> (graphTriangles _),
     "q_graph_sparsify" -> (graphSparsify _),

@@ -797,19 +797,27 @@ object Dedup extends OpModule {
   private def ivfSearch(s: SparkSession, centers: Array[Array[Double]],
       corpus: DataFrame, nprobe: Int): DataFrame = {
     import s.implicits._
-    // nprobe nearest cells per probe vector
-    val nearestCells = udf((a: Seq[Float]) => {
-      val v = a.map(_.toDouble).toArray
-      centers.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-        (i, d)
-      }.sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
-    })
+    // nprobe nearest cells per probe vector — pure expression form
+    // (r8 advice): the 16 centroids ride along as an array<array<
+    // double>> literal, per-cell squared distance is a codegen-visible
+    // zip_with/aggregate fold (same element order as the former
+    // closure's while-loop, so identical IEEE sums), and array_sort
+    // over struct(d, i) reproduces the (distance, index) tiebreak
+    // exactly. No closure crosses the engine boundary.
+    val centersLit = typedLit(centers.map(_.toSeq).toSeq)
+    val cellDists = transform(centersLit, (c, i) => struct(
+      aggregate(
+        zip_with($"pe", c, (x, cc) => {
+          val t = x.cast("double") - cc; t * t
+        }),
+        lit(0.0d), (acc, x) => acc + x).as("d"),
+      i.as("i")))
+    val nearestCells =
+      transform(slice(array_sort(cellDists), 1, nprobe), st => st.getField("i"))
     val probes = corpus
       .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
       .filter($"probe_id" < 10)
-      .withColumn("cell", explode(nearestCells($"pe")))
+      .withColumn("cell", explode(nearestCells))
     val scored = probes.join(corpus, Seq("cell"))
       .filter($"probe_id" =!= $"vec_id")
       .select($"probe_id", $"vec_id".as("nbr_id"),

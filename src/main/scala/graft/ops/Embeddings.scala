@@ -134,6 +134,18 @@ object Embeddings extends OpModule {
       km.fit(blk).clusterCenters
         .map(_.toArray.map(x => math.floor(x * 1000000 + 0.5).toLong))
     }.toArray
+    // UDF-POLICY WAIVER (the engine-wide boundary): closure UDFs are
+    // confined to (a) ops/Udfs.scala — §2.L, where the UDF *is* the
+    // operator under test — and (b) this encoder, the one site where
+    // the expression-tree alternative (an 8×16×8 integer argmin as
+    // nested transform/aggregate over a 3-level array literal) is
+    // materially less readable AND not on an oracled path. Everything
+    // else ships as built-in functions or native codegen Expressions;
+    // the IVF probe that used to be exception (c) is now the
+    // array_sort/zip_with expression in ops/Dedup.scala. The encode
+    // stays a map-side projection against broadcast codebook longs —
+    // the waiver trades codegen visibility on ONE non-oracled column,
+    // never plan shape.
     val enc = udf((a: Seq[Float]) => {
       val xu = a.map(x =>
         math.floor(x.toDouble * 1000000 + 0.5).toLong).toArray

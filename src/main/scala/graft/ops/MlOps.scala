@@ -51,10 +51,15 @@ object MlOps extends OpModule {
     * the persistence round-trip test). */
   private[graft] def featureProjection(out: DataFrame): DataFrame = {
     import out.sparkSession.implicits._
-    val firstScaled = udf((v: org.apache.spark.ml.linalg.Vector) =>
-      math.round(v(0) * 10000).toDouble / 10000)
+    // codegen-visible ML-Vector exit: the built-in vector_to_array +
+    // element_at replaces the former closure UDF; round(x, 4) is the
+    // engine's half-up decimal rounding (the projection is a display
+    // stabilizer on a non-oracled op — the round-trip law compares
+    // THROUGH this same function on both sides)
+    val firstScaled = round(element_at(
+      org.apache.spark.ml.functions.vector_to_array($"scaled"), 1), 4)
     out.select($"user_id", $"event_type", $"et_idx",
-        firstScaled($"scaled").as("scaled0"))
+        firstScaled.as("scaled0"))
       .orderBy($"user_id", $"event_type")
   }
 

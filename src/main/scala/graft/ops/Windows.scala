@@ -279,6 +279,31 @@ object Windows extends OpModule {
       .orderBy($"user_id", $"session_idx")
   }
 
+  /** [[sessionize]] answered by the NATIVE gaps-and-islands operator
+    * ([[graft.plans.SessionizeExec]], round 9) — the same session
+    * rollup, identical rows and oracle SQL, but the lag-indicator +
+    * running-sum window pair collapses into one streamed O(1)-state
+    * pass: one user exchange + one (user, ts, event_id) sort, ZERO
+    * WindowExec nodes, and the per-(user, session) rollup reuses the
+    * operator's preserved clustering without a second exchange
+    * (plan-pinned). The graded equivalence twin, like
+    * `q_join_asof_native` for the as-of family. */
+  def sessionizeNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value",
+        unix_micros($"ts").as("us"))
+    org.apache.spark.sql.graft.GraftFunctions
+      .sessionize(e, "user_id", "us", "event_id", 1800L * 1000000L)
+      .groupBy($"user_id", $"session_idx")
+      .agg(
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sumMoney($"value").as("val_sum"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
   /** Per-user session feature rollup — the reporting layer OVER
     * [[sessionize]]: session count, totals, and 4-dp average
     * events/duration per session. Second aggregation on the already
@@ -393,6 +418,7 @@ object Windows extends OpModule {
     "q_win_drawdown" -> (winDrawdown _),
     "q_feat_sessions" -> (featSessions _),
     "q_sessionize" -> (sessionize _),
+    "q_sessionize_native" -> (sessionizeNative _),
     "q_win_streak" -> (winStreak _),
     "q_win_time_range" -> (winTimeRange _),
     "q_win_dist" -> (winDist _),
@@ -409,6 +435,29 @@ object Windows extends OpModule {
     "q_sort_nulls" -> (sortNulls _),
     "q_sort_keyset" -> (sortKeyset _)
   )
+
+  private val sessionizeOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM m)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+      |FROM g GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_win_rolling_median" ->
@@ -499,28 +548,11 @@ object Windows extends OpModule {
         |  ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 4) AS avg_events,
         |  ROUND(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*), 4) AS avg_dur_us
         |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "q_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
-        |  FROM events),
-        |m AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-        |      THEN 1 ELSE 0 END AS new_s
-        |  FROM e
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |g AS (
-        |  SELECT user_id, ts, value,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS session_idx
-        |  FROM m)
-        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
-        |  CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
-        |FROM g GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin,
+    "q_sessionize" -> sessionizeOracle,
+    // the native-operator twin answers the IDENTICAL business query —
+    // one oracle text, two engine paths (window composition vs
+    // SessionizeExec), both hash-graded against it
+    "q_sessionize_native" -> sessionizeOracle,
     "q_win_streak" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.classic
 import graft.functions.{CosineSimF, DotProductF}
-import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy, SessionizePlan,
+  SessionizeStrategy}
 
 /** Imperative twin of `graft.GraftExtensions` for sessions that are
   * already built (the extensions config is only read at build time).
@@ -61,5 +62,32 @@ object GraftFunctions {
     classic.Dataset.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, leftKey, "left"), attr(lp, leftTs, "left"),
       attr(rp, rightKey, "right"), attr(rp, rightTs, "right")))
+  }
+
+  /** Gaps-and-islands sessionization through the native operator
+    * ([[graft.plans.SessionizeExec]]): every `df` row gains a LongType
+    * `outCol` — the 1-based per-`key` session ordinal, incremented
+    * when the (`ts`) gap to the previous same-key row (ordered by
+    * `ts`, `tie`) exceeds `gapMicros`. `key`/`ts`/`tie` must be
+    * non-null BIGINT (see the operator scaladoc). Same session-state
+    * answer as the lag + running-sum window composition, in one
+    * streamed pass. */
+  def sessionize(df: DataFrame, key: String, ts: String, tie: String,
+      gapMicros: Long, outCol: String = "session_idx"): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    if (!spark.experimental.extraStrategies.contains(SessionizeStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ SessionizeStrategy
+    }
+    val p = df.queryExecution.analyzed
+    def attr(n: String) =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"sessionize: no column '$n' " +
+          s"(have ${p.output.map(_.name).mkString(", ")})"))
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.LongType
+    classic.Dataset.ofRows(spark, SessionizePlan(p,
+      attr(key), attr(ts), attr(tie), gapMicros,
+      AttributeReference(outCol, LongType, nullable = false)()))
   }
 }

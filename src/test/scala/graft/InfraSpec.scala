@@ -27,6 +27,10 @@ class InfraSpec extends SparkSpec {
     assert(t.get("sentinel_post").asDouble() === 1.988)
     assert(t.get("sentinel_max").asDouble() === 2.5,
       "max over mid-run checkpoints must surface a window both endpoints miss")
+    // r8 verdict item 7: the surviving total line must point at the
+    // repo-committed full per-query map and carry the query count
+    assert(t.get("n_queries").asInt() === 2)
+    assert(t.get("per_query_file").asText() === "bench_per_query.json")
   }
 
   test("q_sink_compact bin-packs the fragmented sink") {

@@ -2156,6 +2156,85 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  test("q_feat_rfm_approx law: approx codes track exact quintiles within tie spans") {
+    // Rollup contract: same label universe and the same customer total
+    // as the exact op (the two ops score the SAME cached base).
+    val exactRoll = run("q_feat_rfm_segments")
+    val approxRoll = run("q_feat_rfm_approx")
+    val labels = Set("1_champions", "2_loyal", "3_at_risk",
+      "4_hibernating", "5_other")
+    assert(approxRoll.select($"segment").as[String].collect().toSet
+      .subsetOf(labels))
+    assert(approxRoll.agg(sum($"n_customers")).as[Long].first() ===
+      exactRoll.agg(sum($"n_customers")).as[Long].first(),
+      "approx scoring must cover exactly the exact path's customers")
+    // Per-customer axis laws on the shared base (rebuilt inline —
+    // mirrors Aggregates.rfmSegBase).
+    val o = Tables.t(spark, sf, "orders")
+    val maxd = o.agg(max($"o_orderdate").cast("date").as("maxd"))
+    val base = o.crossJoin(broadcast(maxd))
+      .groupBy($"o_custkey")
+      .agg(datediff(max($"maxd"), max($"o_orderdate".cast("date")))
+        .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+          .as("monetary_c"))
+      .cache()
+    def exactCode(value: org.apache.spark.sql.Column,
+        binOn: org.apache.spark.sql.Column,
+        ord: Seq[org.apache.spark.sql.Column], out: String,
+        tag: String) =
+      Ranks.withGlobalRn(base.select($"o_custkey", value), binOn, ord,
+          s"__rn_$tag", s"__n_$tag", tag)
+        .select($"o_custkey",
+          Ranks.ntileFromRn(col(s"__rn_$tag"), col(s"__n_$tag"), 5).as(out))
+    val ex = exactCode($"recency_days", -$"recency_days",
+        Seq($"recency_days".desc, $"o_custkey"), "er", "lawrfm_r")
+      .join(exactCode($"frequency", $"frequency",
+        Seq($"frequency", $"o_custkey"), "ef", "lawrfm_f"), Seq("o_custkey"))
+      .join(exactCode($"monetary_c", $"monetary_c",
+        Seq($"monetary_c", $"o_custkey"), "em", "lawrfm_m"), Seq("o_custkey"))
+    val j = Aggregates.featRfmApproxCoded(base)
+      .join(ex, Seq("o_custkey")).cache()
+    try {
+      // monetary cents are (near-)unique ⇒ only boundary wobble:
+      // approx within one bucket of the exact ntile everywhere
+      val mDrift = j.filter(abs($"m" - $"em") > 1).count()
+      assert(mDrift === 0L, s"$mDrift customers drifted >1 monetary bucket")
+      // tied axes: the approx path never splits a tie (one code per
+      // distinct value — the consistency the exact ntile lacks), and
+      // its code lands inside the value's exact-code span ±1 (GK
+      // boundary slack)
+      Seq(("recency_days", "r", "er"), ("frequency", "f", "ef"))
+        .foreach { case (v, a, e) =>
+          val span = j.groupBy(col(v))
+            .agg(min(col(e)).as("lo"), max(col(e)).as("hi"),
+              countDistinct(col(a)).as("nda"), min(col(a)).as("ac"))
+          assert(span.filter($"nda" =!= 1).count() === 0L,
+            s"axis $a: approx must give one code per distinct $v")
+          assert(span.filter($"ac" < $"lo" - 1 || $"ac" > $"hi" + 1)
+            .count() === 0L,
+            s"axis $a drifted outside the exact tie span ±1")
+        }
+    } finally { j.unpersist(); base.unpersist() }
+  }
+
+  test("graph adjacency fallback is bit-equal to the broadcast path") {
+    // The identity-scale degradation the scaladoc promises, as code:
+    // with the broadcast gate forced off, both graph ops must produce
+    // byte-identical results through sort-merge equi-joins.
+    val tb = Aggregates.graphTrianglesImpl(spark, sf, broadcastAdj = true)
+      .collect().toSeq
+    val tm = Aggregates.graphTrianglesImpl(spark, sf, broadcastAdj = false)
+      .collect().toSeq
+    assert(tm === tb, "triangle counts diverged between join strategies")
+    val sb = Aggregates.graphSparsifyImpl(spark, sf, broadcastAdj = true)
+      .collect().toSeq
+    val sm = Aggregates.graphSparsifyImpl(spark, sf, broadcastAdj = false)
+      .collect().toSeq
+    assert(sm === sb, "sparsified edges diverged between join strategies")
+  }
+
   test("withGlobalRn ≡ single-partition row_number (randomized)") {
     // The exactness contract Ranks' six round-8 refactors rest on:
     // the two-level rank is bit-identical to the unpartitioned-window

@@ -170,6 +170,40 @@ class PlanSpec extends SparkSpec {
       s"degree-oriented wedge enumeration must stay hash/merge-joinable:\n$p")
   }
 
+  test("graph adjacency fallback plans as sort-merge, no broadcast, no BNLJ") {
+    // The past-the-gate shape (BroadcastAdjMaxEdges): every adjacency/
+    // degree reference must become a sort-merge equi-join — still
+    // never a nested loop, and crucially never a broadcast that would
+    // OOM on an identity-scale graph.
+    Seq(
+      graft.ops.Aggregates.graphTrianglesImpl(spark, sf, broadcastAdj = false),
+      graft.ops.Aggregates.graphSparsifyImpl(spark, sf, broadcastAdj = false)
+    ).foreach { df =>
+      // tree traversal, not string matching: the toString rendering
+      // inlines cached InMemoryRelation BUILD plans (which legitimately
+      // contain fixture-scale BHJs from whichever path built the cache
+      // first), while collect() stops at the InMemoryTableScan leaf —
+      // exactly the live fallback plan we're pinning
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+        BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+      val root: SparkPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val p = root.toString
+      assert(root.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"expected SMJ fallback:\n$p")
+      assert(root.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"fallback must not broadcast adjacency/degrees:\n$p")
+      assert(root.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec => j
+      }.isEmpty, s"fallback must stay equi-joinable:\n$p")
+    }
+  }
+
   test("drift totals join broadcasts the 2-row snapshot totals") {
     assert(plan("q_dq_drift").contains("BroadcastHashJoin"),
       "per-snapshot totals must broadcast to the ppm projection")
