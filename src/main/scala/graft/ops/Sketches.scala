@@ -225,12 +225,46 @@ object Sketches extends OpModule {
     common / (theta / math.pow(2.0, 60))
   }
 
+  /** KMV set ALGEBRA over the purchase/error audience registers — the
+    * sketch merge a 100-TB overlap pipeline actually runs: the union
+    * register is the smallest-K of the two registers' hash union (the
+    * mergeability law, here as a graded artifact instead of only a
+    * ScalaTest witness), and each merged hash carries membership flags
+    * against both source registers — the θ-intersection witness set
+    * that [[kmvIntersect]] scales into an overlap estimate.
+    *
+    * Exact integers end-to-end, so fully oracled; the float
+    * estimators stay driver-side ([[kmvEstimate]]/[[kmvIntersect]],
+    * bounds-checked in ScalaTest) per the module policy above.
+    *
+    * Scale shape: both inputs are O(K)-row artifacts, the merge is a
+    * K-row sort + two broadcast membership probes — audience overlap
+    * over any number of segments costs O(K · segments), independent
+    * of corpus size. That independence is the whole point of carrying
+    * sketch registers instead of raw audiences. */
+  def sketchKmvSetops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reg = kmvOf(Tables.t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "error")))
+    val pa = reg.filter($"set_id" === "purchase").select($"hv".as("ph"))
+    val eb = reg.filter($"set_id" === "error").select($"hv".as("eh"))
+    val merged = reg.select($"hv").distinct().orderBy($"hv").limit(KmvK)
+    merged
+      .join(broadcast(pa), $"hv" === $"ph", "left")
+      .join(broadcast(eb), $"hv" === $"eh", "left")
+      .select($"hv",
+        when($"ph".isNotNull, 1).otherwise(0).as("in_purchase"),
+        when($"eh".isNotNull, 1).otherwise(0).as("in_error"))
+      .orderBy($"hv")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sketch_hll" -> (sketchHllRegisters _),
     "q_sketch_cms" -> (sketchCms _),
     "q_sketch_bloom" -> (sketchBloom _),
     "q_sketch_quantile" -> (sketchQuantile _),
-    "q_sketch_kmv" -> (sketchKmv _)
+    "q_sketch_kmv" -> (sketchKmv _),
+    "q_sketch_kmv_setops" -> (sketchKmvSetops _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -245,6 +279,25 @@ object Sketches extends OpModule {
         |  FROM h)
         |SELECT set_id, CAST(rnk AS INTEGER) AS rnk, hv
         |FROM r WHERE rnk <= 32 ORDER BY set_id, rnk""".stripMargin,
+    "q_sketch_kmv_setops" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS set_id,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |r AS (
+        |  SELECT set_id, hv,
+        |    row_number() OVER (PARTITION BY set_id ORDER BY hv) AS rnk
+        |  FROM h),
+        |reg AS (SELECT set_id, hv FROM r WHERE rnk <= 32),
+        |m AS (SELECT DISTINCT hv FROM reg ORDER BY hv LIMIT 32)
+        |SELECT m.hv,
+        |  CAST(CASE WHEN EXISTS (SELECT 1 FROM reg
+        |      WHERE set_id = 'purchase' AND reg.hv = m.hv)
+        |    THEN 1 ELSE 0 END AS INTEGER) AS in_purchase,
+        |  CAST(CASE WHEN EXISTS (SELECT 1 FROM reg
+        |      WHERE set_id = 'error' AND reg.hv = m.hv)
+        |    THEN 1 ELSE 0 END AS INTEGER) AS in_error
+        |FROM m ORDER BY hv""".stripMargin,
     "q_sketch_hll" ->
       """WITH h AS (
         |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv

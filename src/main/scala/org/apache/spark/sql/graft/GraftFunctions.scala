@@ -64,6 +64,26 @@ object GraftFunctions {
       attr(rp, rightKey, "right"), attr(rp, rightTs, "right")))
   }
 
+  /** FORWARD as-of join: every `left` row gains `right`'s columns from
+    * the EARLIEST same-key right row strictly AFTER its timestamp
+    * (nulls when none) — the "next event / next observation" lookup.
+    * Implemented by ts-negation over the backward operator (the sort
+    * order flips, strictly-before becomes strictly-after, latest
+    * becomes earliest), so ONE exec covers both directions; the
+    * scratch negated columns never escape. Same BIGINT contract as
+    * [[asofJoin]]. */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTs: String,
+      rightKey: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ln = s"__graft_neg_$leftTs"
+    val rn = s"__graft_neg_$rightTs"
+    asofJoin(left.withColumn(ln, -col(leftTs)),
+        right.withColumn(rn, -col(rightTs)),
+        leftKey, ln, rightKey, rn)
+      .drop(ln, rn)
+  }
+
   /** Gaps-and-islands sessionization through the native operator
     * ([[graft.plans.SessionizeExec]]): every `df` row gains a LongType
     * `outCol` — the 1-based per-`key` session ordinal, incremented

@@ -30,6 +30,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got("d") === null)
   }
 
+  test("forward as-of picks the earliest strictly-later row per key, else null") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"),
+      (3L, 7L, "d")).toDF("key", "ts", "tag")
+    val right = Seq((1L, 10L, "r0"), (1L, 11L, "r1"), (1L, 19L, "r2"),
+      (2L, 5L, "r4"), (9L, 99L, "r9")).toDF("rkey", "rts", "rtag")
+    val got = GraftFunctions
+      .asofJoinForward(left, right, "key", "ts", "rkey", "rts")
+    // the scratch negated columns never escape the helper
+    assert(got.columns.toSeq ===
+      Seq("key", "ts", "tag", "rkey", "rts", "rtag"))
+    val m = got.select($"tag", $"rtag").as[(String, String)].collect().toMap
+    // ts=10: r1 (rts 11 is the earliest STRICTLY after; r0's 10 is not)
+    assert(m("a") === "r1")
+    // ts=20: nothing after → null
+    assert(m("b") === null)
+    // key 2 at ts=5: r4 is simultaneous, not after → null
+    assert(m("c") === null)
+    assert(m("d") === null)
+  }
+
   test("asof survives multi-partition shuffles and key collisions") {
     // 100 keys × 20 left rows, right rows interleaved; forces real
     // hash exchanges (shuffle.partitions=4 in this session) and keys

@@ -504,6 +504,32 @@ class OperatorGoldenSpec extends SparkSpec {
       s"theta-intersection estimate $estI vs true $truthI")
   }
 
+  test("q_sketch_kmv_setops: merged register is the smallest-K union, flags are exact") {
+    val art = run("q_sketch_kmv_setops")
+      .select($"hv", $"in_purchase", $"in_error")
+      .as[(Long, Int, Int)].collect().toSeq
+    val ev = Tables.t(spark, sf, "events")
+      .filter($"event_type".isin("purchase", "error"))
+    val regs = Sketches.kmvOf(ev).select($"set_id", $"hv")
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    // artifact hvs = smallest-K of the union of the two registers
+    val wantHvs = (regs("purchase") ++ regs("error")).toSeq.sorted
+      .take(Sketches.KmvK)
+    assert(art.map(_._1) === wantHvs)
+    // membership flags match the source registers exactly
+    art.foreach { case (hv, inP, inE) =>
+      assert(inP === (if (regs("purchase")(hv)) 1 else 0), s"in_purchase($hv)")
+      assert(inE === (if (regs("error")(hv)) 1 else 0), s"in_error($hv)")
+    }
+    // the estimators the artifact feeds stay within sketch error of
+    // the exact answers (same bounds as the KMV law above)
+    val estU = Sketches.kmvEstimate(art.map(_._1))
+    val truthU = ev.select($"user_id").distinct().count().toDouble
+    assert(math.abs(estU - truthU) / truthU <= 0.35,
+      s"union estimate $estU vs true $truthU")
+  }
+
   test("triangle participation sums to 3× triangles; bounded by wedge count") {
     val part = run("q_graph_triangles")
       .select($"partkey", $"tri_cnt").as[(Long, Long)].collect()
