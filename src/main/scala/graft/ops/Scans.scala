@@ -323,7 +323,34 @@ object Scans extends OpModule {
         max($"l_orderkey").as("max_orderkey"))
   }
 
+  /** In-flight data-quality metrics via `observe()` + `Observation` —
+    * the production pattern for DQ gating WITHOUT a second pass: the
+    * metric aggregates ride the scan as an accumulator-backed plan
+    * node, and the driver reads the totals after the action. One noop
+    * write drives exactly one pass over the table; the op's output is
+    * the observed metric row itself (bounded, 1 row — the Observation
+    * API's contract, not a collect() of data). At 100 TB this is the
+    * difference between "audit the load" costing one extra full scan
+    * and costing nothing. Oracled: the metrics are plain aggregates. */
+  def scanObserved(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = new org.apache.spark.sql.Observation()
+    Tables.t(s, dir, "lineitem")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when($"l_discount" > 0.05, 1L).otherwise(0L))
+          .as("n_hi_discount"),
+        sum($"l_quantity".cast("long")).as("qty_sum"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("n_hi_discount").asInstanceOf[Long],
+      m("qty_sum").asInstanceOf[Long]))
+      .toDF("n_rows", "n_hi_discount", "qty_sum")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_scan_observed" -> (scanObserved _),
     "q_scan_agg_pushdown" -> (scanAggPushdown _),
     "q_source_generated" -> (sourceGenerated _),
     "q_part_roundtrip" -> (partitionedRoundtrip _),
@@ -343,6 +370,12 @@ object Scans extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scan_observed" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hi_discount,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+        |FROM lineitem""".stripMargin,
     "q_scan_agg_pushdown" ->
       """SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_orderkey,
         |  MAX(l_orderkey) AS max_orderkey

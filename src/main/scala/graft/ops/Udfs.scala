@@ -99,15 +99,76 @@ object Udfs extends OpModule {
         |ORDER BY day""".stripMargin)
   }
 
+  /** Spark 4 SQL PIPE syntax (`|>`) — the linear query-composition
+    * surface added in Spark 4.0: EXTEND → WHERE → AGGREGATE … GROUP BY
+    * → ORDER BY as a left-to-right pipeline. Catalyst parses pipes into
+    * the SAME logical plan the SELECT form produces (the oracle grades
+    * exactly that equivalence: DuckDB answers the classic form, the
+    * pipe form must hash-match it), so every pushdown/pruning property
+    * of the classic plan carries over verbatim at 100 TB. */
+  def sqlPipe(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "orders").createOrReplaceTempView("orders_pipe")
+    s.sql(
+      """FROM orders_pipe
+        ||> EXTEND CAST(year(o_orderdate) AS INT) AS o_year
+        ||> WHERE o_year BETWEEN 1996 AND 1997
+        ||> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |     CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 4)
+        |       AS DOUBLE) AS revenue
+        |   GROUP BY o_orderstatus, o_year
+        ||> ORDER BY o_orderstatus, o_year""".stripMargin)
+  }
+
+  /** Spark 4 parameterized SQL — named parameter markers bound
+    * server-side (`spark.sql(text, args)`): the injection-safe
+    * templating surface a production query service uses instead of
+    * string interpolation. The markers are typed literals in the plan,
+    * so constant folding / filter pushdown see the bound values
+    * exactly as if they were inlined — parameterization costs nothing
+    * at 100 TB. Oracled against the same query with values inline. */
+  def sqlParams(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "lineitem").createOrReplaceTempView("lineitem_params")
+    s.sql(
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |    * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))),
+        |    4) AS DOUBLE) AS revenue
+        |FROM lineitem_params
+        |WHERE l_quantity >= :min_qty AND l_discount <= :max_disc
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      Map("min_qty" -> 10, "max_disc" -> 0.05))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_udf_sql" -> (udfSql _),
     "q_sql_recursive" -> (sqlRecursive _),
+    "q_sql_pipe" -> (sqlPipe _),
+    "q_sql_params" -> (sqlParams _),
     "q_udf_scalar" -> (udfScalar _),
     "q_udaf_geomean" -> (udafGeomean _),
     "q_udtf_explode" -> (udtfExplode _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_params" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |    * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))),
+        |    4) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_quantity >= 10 AND l_discount <= 0.05
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sql_pipe" ->
+      """SELECT o_orderstatus,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 4)
+        |    AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE year(o_orderdate) BETWEEN 1996 AND 1997
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_udf_sql" ->
       """SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 3000000 AS band,
         |  COUNT(*) AS n

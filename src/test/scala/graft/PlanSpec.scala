@@ -9,6 +9,47 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("named SQL parameters bind to literals that push to the scan") {
+    // the round-9 parameterized-SQL claim: bound markers behave
+    // exactly like inline literals, so the quantity/discount filters
+    // must reach PushedFilters
+    val p = plan("q_sql_params")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10"),
+      s"bound :min_qty did not push to the scan:\n$p")
+    // the PushedFilters render truncates long lists — the untruncated
+    // DataFilters line carries the same pushed predicate
+    assert(p.contains("<= 0.05)"),
+      s"bound :max_disc did not push to the scan:\n$p")
+  }
+
+  test("pipe-syntax SQL plans as the classic two-phase aggregate") {
+    val p = plan("q_sql_pipe")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"pipe AGGREGATE should be partial+final:\n$p")
+    assert(!p.contains(" Window ["), s"no window belongs in this plan:\n$p")
+  }
+
+  test("observe() metrics ride the scan as a CollectMetrics node") {
+    // build the observed frame without executing: the pin is that the
+    // metrics are IN the single pass, not a second scan
+    val obs = new org.apache.spark.sql.Observation()
+    val df = Tables.t(spark, sf, "lineitem")
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("CollectMetrics"),
+      s"observe() should plan an in-pass CollectMetrics node:\n$p")
+  }
+
+  test("state audit reads the store directly — a batch state scan, no replay") {
+    val p = plan("q_stream_state_audit")
+    assert(p.toLowerCase.contains("statescan") ||
+      p.toLowerCase.contains("statestore"),
+      s"expected a state-store batch scan leaf:\n$p")
+    assert(!p.contains("parquet"),
+      s"the audit must not re-read the input corpus:\n$p")
+  }
+
   test("filter + projection reach the parquet scan") {
     val p = plan("q_scan_prune_pushdown")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),

@@ -13,6 +13,17 @@ class StreamingSemanticsSpec extends SparkSpec {
   private def ts(m: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
 
+  test("transformWithState profile ≡ flatMapGroupsWithState profile") {
+    // the two arbitrary-state APIs must agree row-for-row on the
+    // corpus — the round-9 cross-generation equivalence pin (both are
+    // also independently DuckDB-oracled against the same SQL)
+    val old = SparkEntry.queries("q_stream_stateful")(spark, sf)
+      .collect().toSeq
+    val tws = SparkEntry.queries("q_stream_tws_profile")(spark, sf)
+      .collect().toSeq
+    assert(tws === old)
+  }
+
   test("append mode drops events later than the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
