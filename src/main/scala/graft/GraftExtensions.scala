@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimF, DotProductF, ShingleGen}
+import graft.functions.{CosineSimF, DotProductF, ShingleGen,
+  SortedIntersectCountF}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions available to SQL. Activate with
@@ -34,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_gen"),
       new ExpressionInfo(classOf[ShingleGen].getName, "shingle_gen"),
       GraftExtensions.shingleGenBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count_f"),
+      new ExpressionInfo(classOf[SortedIntersectCountF].getName,
+        "sorted_intersect_count_f"),
+      binary("sorted_intersect_count_f", SortedIntersectCountF(_, _))))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.SessionizeStrategy)

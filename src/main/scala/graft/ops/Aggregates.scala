@@ -576,7 +576,12 @@ object Aggregates extends OpModule {
       .join(bhint(adj.as("x")), $"pa" === $"x.k")
       .join(bhint(adj.as("y")), $"pb" === $"y.k")
       .select($"pa", $"pb",
-        size(array_intersect($"x.nbrs", $"y.nbrs")).cast("long")
+        // fused merge-count (native codegen): the nbrs arrays are
+        // sorted-distinct by construction, and only the COUNT survives
+        // into the Jaccard arithmetic — no intersection array is ever
+        // allocated (≡ size(array_intersect), randomized-pinned)
+        graft.functions.SortedIntersectCountF
+          .count($"x.nbrs", $"y.nbrs").cast("long")
           .as("common_cnt"),
         (size($"x.nbrs") + size($"y.nbrs")).cast("long").as("dsum"))
       // |N(a)∪N(b)| minus the endpoints themselves; 0 only when the

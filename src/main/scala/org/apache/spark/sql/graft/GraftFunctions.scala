@@ -28,6 +28,13 @@ object GraftFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_gen", graft.GraftExtensions.shingleGenBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count_f",
+      { case Seq(a, b) => graft.functions.SortedIntersectCountF(a, b)
+        case other => throw new IllegalArgumentException(
+          s"sorted_intersect_count_f requires exactly 2 arguments, " +
+            s"got ${other.length}") },
+      "scala_udf")
   }
 
   /** Backward as-of join through the native operator

@@ -155,6 +155,25 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("native sorted_intersect_count ≡ size(array_intersect) (randomized)") {
+    // the fused merge-count the sparsify scoring rides: on
+    // sorted-distinct bigint arrays (the adjacency contract) it must
+    // agree with the composed form on every draw, including empties
+    // and disjoint/identical pairs
+    val arrays = Gen.listOfN(60, for {
+      a <- Gen.listOf(Gen.chooseNum(-50L, 50L))
+      b <- Gen.listOf(Gen.chooseNum(-50L, 50L))
+    } yield (a.distinct.sorted, b.distinct.sorted))
+    samples(arrays, 3).foreach { xs =>
+      val df = xs.toDF("a", "b")
+      val both = df.select(
+        graft.functions.SortedIntersectCountF.count(col("a"), col("b"))
+          .as("fused"),
+        size(array_intersect(col("a"), col("b"))).as("composed"))
+      assert(both.filter($"fused" =!= $"composed").count() === 0)
+    }
+  }
+
   test("sweep-line peak ≡ brute-force per-instant scan on random intervals") {
     val iv = Gen.listOfN(10, for {
       u <- Gen.chooseNum(1L, 6L)
