@@ -252,6 +252,29 @@ object Joins extends OpModule {
     * pass's output, whose exec preserves the hash(user) clustering —
     * so the purchases shuffle once and only re-sort for pass two
     * (pinned in PlanSpec: exactly 3 hash exchanges, one per scan). */
+  /** FORWARD as-of through the native operator — the "next action
+    * after the purchase" lookup ([[graft.plans.AsOfJoinExec]] via
+    * `asofJoinForward`'s ts-negation, so the SAME exec serves both
+    * directions): each purchase gains the EARLIEST same-user
+    * non-purchase event strictly after it on the packed
+    * (µs, event_id) key. Two key-clustered shuffles + one O(n+m)
+    * merge per partition — identical scale shape to the backward op. */
+  def joinAsofForward(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+    val base = lit(1704067200000000L)
+    val packed = (unix_micros($"ts") - base) * 100000L + $"event_id"
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", packed.as("k"))
+    val touches = e.filter($"event_type" =!= "purchase")
+      .select($"user_id".as("r_user"), packed.as("r_k"))
+    org.apache.spark.sql.graft.GraftFunctions.asofJoinForward(
+        purchases, touches, "user_id", "k", "r_user", "r_k")
+      .select($"event_id", $"user_id",
+        ($"r_k" % 100000L).as("next_event_id"))
+      .orderBy($"event_id")
+  }
+
   def joinNearest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.t(s, dir, "events")
@@ -537,6 +560,7 @@ object Joins extends OpModule {
     "q_join_asof" -> (joinAsof _),
     "q_join_asof_native" -> (joinAsofNative _),
     "q_join_asof_tolerance" -> (joinAsofTolerance _),
+    "q_join_asof_forward" -> (joinAsofForward _),
     "q_join_nearest" -> (joinNearest _)
   )
 
@@ -774,6 +798,20 @@ object Joins extends OpModule {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_key
         |  FROM e)
         |SELECT event_id, user_id, prior_key % 100000 AS prior_event_id
+        |FROM k WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "q_join_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |k AS (
+        |  SELECT event_id, user_id, event_type,
+        |    min(CASE WHEN event_type <> 'purchase'
+        |      THEN (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) * 100000 + event_id END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_key
+        |  FROM e)
+        |SELECT event_id, user_id, next_key % 100000 AS next_event_id
         |FROM k WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin
   )

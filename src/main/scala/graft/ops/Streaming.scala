@@ -409,8 +409,48 @@ object Streaming extends OpModule {
       .orderBy($"user_id")
   }
 
+  /** Streaming sessionization via `transformWithState` LIST state
+    * ([[graft.streaming.StatefulOps.SessionizeProcessor]]) — the THIRD
+    * engine for the `q_sessionize` query after the window composition
+    * and the native batch operator, all graded against one oracle.
+    * Money travels as exact 10⁻⁴-unit integers through the state and
+    * becomes the decimal-sum-equal double only at the edge. The
+    * single-file corpus yields a single AvailableNow batch, so each
+    * (user, session) is emitted exactly once; the max-rollup below is
+    * the identity on that path (and the cross-batch reduction
+    * otherwise — see the processor's scale note). */
+  def streamTwsSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runToTable(s, "update") { ss =>
+      import ss.implicits._
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      val typed = eventsStream(ss, dir)
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+          expr("CAST(ROUND(value * 10000) AS BIGINT)").as("c4"))
+        .as[(Long, Long, Long, Long)]
+      typed.groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.StatefulOps.SessionizeProcessor(
+            1800L * 1000000L),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "session_idx", "start_us", "end_us",
+          "n_events", "c4")
+    }
+      .groupBy($"user_id", $"session_idx")
+      .agg(
+        timestamp_micros(max($"start_us")).as("session_start"),
+        timestamp_micros(max($"end_us")).as("session_end"),
+        max($"n_events").as("n_events"),
+        (max($"c4").cast("double") / 10000.0).as("val_sum"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_state_audit" -> (streamStateAudit _),
+    "q_stream_tws_sessionize" -> (streamTwsSessionize _),
     "q_stream_tws_profile" -> (streamTwsProfile _),
     "q_stream_generated" -> (streamGenerated _),
     "q_stream_enrich" -> (streamEnrich _),
@@ -451,6 +491,9 @@ object Streaming extends OpModule {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the third engine for the sessionize query — one oracle text,
+    // three paths (window composition, native exec, TWS streaming)
+    "q_stream_tws_sessionize" -> Windows.sessionizeOracle,
     // the transformWithState twin answers the identical profile —
     // one oracle, two state APIs
     "q_stream_tws_profile" ->

@@ -436,7 +436,7 @@ object Windows extends OpModule {
     "q_sort_keyset" -> (sortKeyset _)
   )
 
-  private val sessionizeOracle: String =
+  private[ops] val sessionizeOracle: String =
     """WITH e AS (
       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
       |  FROM events),

@@ -113,6 +113,70 @@ object StatefulOps {
       .toDF("user_id", "n_events", "n_types")
   }
 
+  /** Streaming gaps-and-islands sessionization via `transformWithState`
+    * with LIST state — the third engine for the `q_sessionize` query
+    * (after the window composition and the native batch operator), all
+    * three graded against ONE oracle. Per key the processor appends
+    * the batch's (µs, event_id, cents) rows to a ListState, re-derives
+    * the user's sessions from the accumulated list, and emits the full
+    * session rollup — cumulative-per-key semantics under update mode,
+    * so the LAST emission per (user, session) is the final answer and
+    * a max-aggregate over the sink reproduces the batch result
+    * exactly (single-file corpus ⇒ single AvailableNow batch ⇒ one
+    * emission, deterministic).
+    *
+    * Scale note, stated honestly: list state grows with a user's
+    * event history — the production stream for this query is
+    * `session_window` (q_stream_session) or TTL'd list state with
+    * timer-driven finalization; THIS op's job is to grade the TWS
+    * ListState surface (append/get, per-variable eviction hooks)
+    * against a known-exact answer. Per-key memory is one user's
+    * events — the same bound the batch window's per-partition frame
+    * already carries. */
+  class SessionizeProcessor(gapMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Long), (Long, Long, Long, Long, Long, Long)] {
+    @transient private var rows:
+        org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      rows = getHandle.getListState[(Long, Long, Long)]("rows",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        input: Iterator[(Long, Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long, Long, Long)] = {
+      input.foreach { case (_, us, eid, cents) =>
+        rows.appendValue((us, eid, cents))
+      }
+      // re-derive this key's sessions from the full accumulated list:
+      // same (ts, tie) order and strict-gap rule as every other engine
+      val all = {
+        val it = rows.get()
+        val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        while (it.hasNext) b += it.next()
+        b.sortInPlace()(Ordering.by { case (us, eid, _) => (us, eid) })
+        b
+      }
+      var idx = 0L; var prevUs = Long.MinValue
+      var start = 0L; var end = 0L; var n = 0L; var cents = 0L
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long, Long)]
+      def close(): Unit =
+        if (n > 0) out += ((key, idx, start, end, n, cents))
+      all.foreach { case (us, _, c) =>
+        if (prevUs == Long.MinValue || us - prevUs > gapMicros) {
+          close(); idx += 1; start = us; n = 0L; cents = 0L
+        }
+        end = us; n += 1; cents += c; prevUs = us
+      }
+      close()
+      out.iterator
+    }
+  }
+
   /** Running per-user event count, updated per micro-batch. */
   def runningCounts(events: DataFrame): DataFrame = {
     val s = events.sparkSession
