@@ -199,6 +199,49 @@ object PipelineOps extends OpModule {
     * then the single profile row is unpivoted driver-free via
     * inline(array(struct…)). Exact distinct keeps the DuckDB oracle;
     * at 100 TB approx_count_distinct is the drop-in relaxation. */
+  /** Declarative DQ EXPECTATIONS suite (the great-expectations-style
+    * contract check a 100-TB ingest gate runs before promoting a
+    * batch): named rules — not-null, positive, range, domain, cap —
+    * each with a tolerated-violation budget in ppm, ALL evaluated in
+    * ONE map-combinable aggregate pass over the table (rules compile
+    * to conditional sums sharing a single scan; no per-rule jobs, no
+    * shuffle beyond the 1-row final agg). Verdicts use the
+    * cross-multiplied integer comparison (v·10⁶ ≤ tol·n) so no
+    * division rounding can flip a boundary case. O(rules) output. */
+  def dqExpectations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.t(s, dir, "lineitem")
+    // (rule_id, violation predicate (null counts as violation), ppm budget)
+    val rules: Seq[(String, Column, Long)] = Seq(
+      ("orderkey_not_null", $"l_orderkey".isNull, 0L),
+      ("quantity_positive",
+        $"l_quantity".isNull || $"l_quantity" <= 0, 0L),
+      ("discount_in_range",
+        $"l_discount".isNull || $"l_discount" < 0 || $"l_discount" > 0.1,
+        0L),
+      ("returnflag_in_domain",
+        $"l_returnflag".isNull || !$"l_returnflag".isin("A", "N", "R"),
+        0L),
+      ("price_below_cap",
+        $"l_extendedprice".isNull || $"l_extendedprice" > 95000.0,
+        10000L))
+    val aggs = count(lit(1)).as("n_rows") +: rules.map {
+      case (id, viol, _) =>
+        sum(when(viol, 1L).otherwise(0L)).as(s"__v_$id")
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(inline(array(rules.map { case (id, _, tol) =>
+        struct(lit(id).as("rule_id"),
+          col("n_rows"),
+          col(s"__v_$id").as("n_violations"),
+          expr(s"`__v_$id` * 1000000 div n_rows").as("viol_ppm"),
+          lit(tol).as("max_ppm"),
+          (col(s"__v_$id") * 1000000L <= lit(tol) * col("n_rows"))
+            .as("passed"))
+      }: _*)))
+      .orderBy($"rule_id")
+  }
+
   def dqProfile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
@@ -1188,6 +1231,7 @@ object PipelineOps extends OpModule {
     "q_source_jsonl_roundtrip" -> (jsonlRoundtrip _),
     "q_er_blocking" -> (erBlocking _),
     "q_dq_profile" -> (dqProfile _),
+    "q_dq_expectations" -> (dqExpectations _),
     "q_dq_anomaly" -> (dqAnomaly _),
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_cdc_apply" -> (cdcApply _),
@@ -1814,6 +1858,31 @@ object PipelineOps extends OpModule {
         |  CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1000000)
         |    AS BIGINT) AS text_wit
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_dq_expectations" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v1,
+        |    SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+        |      THEN 1 ELSE 0 END) AS v2,
+        |    SUM(CASE WHEN l_discount IS NULL OR l_discount < 0
+        |      OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v3,
+        |    SUM(CASE WHEN l_returnflag IS NULL
+        |      OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS v4,
+        |    SUM(CASE WHEN l_extendedprice IS NULL
+        |      OR l_extendedprice > 95000.0 THEN 1 ELSE 0 END) AS v5
+        |  FROM lineitem)
+        |SELECT t.rule_id, CAST(a.n_rows AS BIGINT) AS n_rows,
+        |  CAST(t.v AS BIGINT) AS n_violations,
+        |  CAST(t.v * 1000000 // a.n_rows AS BIGINT) AS viol_ppm,
+        |  CAST(t.tol AS BIGINT) AS max_ppm,
+        |  t.v * 1000000 <= t.tol * a.n_rows AS passed
+        |FROM a, LATERAL (VALUES
+        |  ('orderkey_not_null', a.v1, 0),
+        |  ('quantity_positive', a.v2, 0),
+        |  ('discount_in_range', a.v3, 0),
+        |  ('returnflag_in_domain', a.v4, 0),
+        |  ('price_below_cap', a.v5, 10000)) AS t(rule_id, v, tol)
+        |ORDER BY t.rule_id""".stripMargin,
     "q_dq_profile" -> {
       def col1(tbl: String, c: String, num: Boolean, viol: String) = {
         val (minN, maxN, minS, maxS) =
