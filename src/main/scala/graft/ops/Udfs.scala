@@ -140,17 +140,53 @@ object Udfs extends OpModule {
       Map("min_qty" -> 10, "max_disc" -> 0.05))
   }
 
+  /** Spark 4 SQL SCRIPTING (BEGIN … END, DECLARE, WHILE): an iterative
+    * threshold calibration — double a cents threshold until at most
+    * 10% of orders exceed it — as a procedural script the driver runs
+    * statement-by-statement (each SET's subquery is an ordinary
+    * distributed job; the LOOP is control flow, the WORK is Spark).
+    * O(log maxPrice) tiny aggregate jobs; the DuckDB oracle replays
+    * the same fixpoint as a recursive CTE, so the procedural surface
+    * is graded against the declarative one. */
+  def sqlScript(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "orders").createOrReplaceTempView("orders_script")
+    s.sql(
+      """BEGIN
+        |  DECLARE t BIGINT DEFAULT 1;
+        |  DECLARE frac BIGINT DEFAULT 1000000;
+        |  WHILE frac > 100000 DO
+        |    SET t = t * 2;
+        |    SET frac = (SELECT COUNT(IF(o_totalprice > t, 1, NULL))
+        |      * 1000000 div COUNT(*) FROM orders_script);
+        |  END WHILE;
+        |  SELECT t AS threshold, frac AS tail_ppm;
+        |END""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_udf_sql" -> (udfSql _),
     "q_sql_recursive" -> (sqlRecursive _),
     "q_sql_pipe" -> (sqlPipe _),
     "q_sql_params" -> (sqlParams _),
+    "q_sql_script" -> (sqlScript _),
     "q_udf_scalar" -> (udfScalar _),
     "q_udaf_geomean" -> (udafGeomean _),
     "q_udtf_explode" -> (udtfExplode _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_script" ->
+      """WITH RECURSIVE steps(t, frac) AS (
+        |  SELECT CAST(2 AS BIGINT),
+        |    (SELECT COUNT(CASE WHEN o_totalprice > 2 THEN 1 END)
+        |       * 1000000 // COUNT(*) FROM orders)
+        |  UNION ALL
+        |  SELECT t * 2,
+        |    (SELECT COUNT(CASE WHEN o_totalprice > s.t * 2 THEN 1 END)
+        |       * 1000000 // COUNT(*) FROM orders)
+        |  FROM steps s WHERE s.frac > 100000)
+        |SELECT t AS threshold, frac AS tail_ppm
+        |FROM steps WHERE frac <= 100000 LIMIT 1""".stripMargin,
     "q_sql_params" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(*) AS BIGINT) AS n_items,
