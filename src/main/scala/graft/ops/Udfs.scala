@@ -163,7 +163,32 @@ object Udfs extends OpModule {
         |END""".stripMargin)
   }
 
+  /** SQL TABLE function (`CREATE FUNCTION … RETURNS TABLE`) — the
+    * declarative TVF surface beside the Generator-expression UDTF
+    * (`q_udtf_explode`): a parameterized price-band segmentation that
+    * callers FROM-select like a table. The body inlines into the
+    * caller's plan (it is a named parameterized view, not a per-row
+    * closure), so pushdown/pruning see straight through it — zero
+    * cost at 100 TB. */
+  def tvfSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.t(s, dir, "orders").createOrReplaceTempView("orders_tvf")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION order_bands(
+            |    lo DOUBLE, hi DOUBLE)
+            |RETURNS TABLE (band STRING, n BIGINT, avg_price DOUBLE)
+            |RETURN SELECT
+            |  CASE WHEN o_totalprice < lo THEN 'small'
+            |       WHEN o_totalprice < hi THEN 'mid'
+            |       ELSE 'large' END AS band,
+            |  CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+            |    / COUNT(*), 4) AS DOUBLE) AS avg_price
+            |FROM orders_tvf GROUP BY 1""".stripMargin)
+    s.sql("SELECT band, n, avg_price FROM order_bands(50000.0D, 200000.0D) " +
+      "ORDER BY band")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_tvf_sql" -> (tvfSql _),
     "q_udf_sql" -> (udfSql _),
     "q_sql_recursive" -> (sqlRecursive _),
     "q_sql_pipe" -> (sqlPipe _),
@@ -175,6 +200,14 @@ object Udfs extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tvf_sql" ->
+      """SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+        |    WHEN o_totalprice < 200000.0 THEN 'mid'
+        |    ELSE 'large' END AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+        |    / COUNT(*), 4) AS DOUBLE) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin,
     "q_sql_script" ->
       """WITH RECURSIVE steps(t, frac) AS (
         |  SELECT CAST(2 AS BIGINT),
