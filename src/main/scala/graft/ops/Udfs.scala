@@ -145,9 +145,12 @@ object Udfs extends OpModule {
     * 10% of orders exceed it — as a procedural script the driver runs
     * statement-by-statement (each SET's subquery is an ordinary
     * distributed job; the LOOP is control flow, the WORK is Spark).
-    * O(log maxPrice) tiny aggregate jobs; the DuckDB oracle replays
-    * the same fixpoint as a recursive CTE, so the procedural surface
-    * is graded against the declarative one. */
+    * O(log maxPrice) probe jobs — each one is a full aggregate scan,
+    * which is the honest cost of the DEMO shape; the production form
+    * folds all probes into one histogram pass (`q_agg_histogram` is
+    * that op) and loops over the O(bins) result. The DuckDB oracle
+    * replays the same fixpoint as a recursive CTE, so the procedural
+    * surface is graded against the declarative one. */
   def sqlScript(s: SparkSession, dir: String): DataFrame = {
     Tables.t(s, dir, "orders").createOrReplaceTempView("orders_script")
     s.sql(
