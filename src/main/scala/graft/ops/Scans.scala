@@ -349,7 +349,43 @@ object Scans extends OpModule {
       .toDF("n_rows", "n_hi_discount", "qty_sum")
   }
 
+  /** Manifest-based versioned table with TIME TRAVEL
+    * ([[graft.sources.VersionedTable]] — per-version immutable data
+    * dirs + atomically-renamed JSON manifests listing each snapshot's
+    * complete file set): commit the ≤1996 order book as v1, append
+    * 1997 as v2, then read BOTH snapshots back and roll each up. The
+    * graded rows prove snapshot isolation (v1's numbers are unchanged
+    * by v2's commit) and time travel (both versions remain readable).
+    * Reads plan ordinary parquet scans over the resolved file list,
+    * so pushdown/pruning apply unchanged; the manifest is O(files)
+    * driver-side JSON — the table-format trick that makes appends
+    * O(new data) at 100 TB. */
+  private val vtableRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def scanTimetravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    // unique root per invocation: concurrent runs (parallel suites,
+    // bench reps) must not race each other's single-writer table
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_v${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+    val v1 = VersionedTable.commit(
+      o.filter(year($"o_orderdate") <= 1996), root)
+    val v2 = VersionedTable.commit(
+      o.filter(year($"o_orderdate") === 1997), root)
+    Seq(v1, v2).map { v =>
+      VersionedTable.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(d12($"o_totalprice")).cast("double").as("revenue"))
+        .select(lit(v).as("version"), $"n_orders", $"revenue")
+    }.reduce(_.unionAll(_)).orderBy($"version")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_scan_timetravel" -> (scanTimetravel _),
     "q_scan_observed" -> (scanObserved _),
     "q_scan_agg_pushdown" -> (scanAggPushdown _),
     "q_source_generated" -> (sourceGenerated _),
@@ -370,6 +406,13 @@ object Scans extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scan_timetravel" ->
+      """SELECT v.version, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders, (VALUES (1, 1996), (2, 1997)) AS v(version, maxy)
+        |WHERE year(o_orderdate) <= v.maxy
+        |GROUP BY v.version ORDER BY v.version""".stripMargin,
     "q_scan_observed" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)

@@ -33,6 +33,33 @@ class InfraSpec extends SparkSpec {
     assert(t.get("per_query_file").asText() === "bench_per_query.json")
   }
 
+  test("versioned table: snapshot isolation, time travel, atomic manifests") {
+    import graft.sources.VersionedTable
+    withTmpDir("graft_vtable") { base =>
+      val root = s"$base/t"
+      val v1 = VersionedTable.commit(
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+      // resolve a reader BEFORE the next commit — its file list is
+      // frozen at resolution time (snapshot isolation)
+      val snap1 = VersionedTable.read(spark, root)
+      val v2 = VersionedTable.commit(Seq((3L, "c")).toDF("k", "v"), root)
+      assert((v1, v2) === (1, 2))
+      assert(VersionedTable.currentVersion(root) === 2)
+      assert(snap1.count() === 2,
+        "a pre-commit reader must not see the later snapshot")
+      assert(VersionedTable.read(spark, root, Some(1))
+        .orderBy($"k").as[(Long, String)].collect().toSeq ===
+        Seq((1L, "a"), (2L, "b")), "time travel to v1")
+      assert(VersionedTable.read(spark, root)
+        .orderBy($"k").as[(Long, String)].collect().toSeq ===
+        Seq((1L, "a"), (2L, "b"), (3L, "c")), "latest = union of commits")
+      // atomic publish: no temp manifests survive
+      val leftover = new java.io.File(s"$root/_manifests").listFiles()
+        .map(_.getName).filterNot(_.matches("v\\d{5}\\.json"))
+      assert(leftover.isEmpty, s"torn/temp manifests: ${leftover.toSeq}")
+    }
+  }
+
   test("q_sink_compact bin-packs the fragmented sink") {
     graft.ops.Scans.sinkCompact(spark, sf).count()
     def parquetFiles(p: String): Int = {
