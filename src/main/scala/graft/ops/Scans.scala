@@ -384,7 +384,39 @@ object Scans extends OpModule {
     }.reduce(_.unionAll(_)).orderBy($"version")
   }
 
+  /** Table ROLLBACK + incremental (CDC-style) read on the versioned
+    * table: v1 = ≤1996 orders, v2 = +1997, v3 = rollback→v1 (a
+    * forward commit republishing v1's file list — O(manifest), nothing
+    * deleted, v2 stays readable). Output: per-version rollups for v1,
+    * v2 AND v3 (v3 must reproduce v1's numbers exactly — the rollback
+    * witness), plus the v1→v2 incremental read (version 0 row), whose
+    * scan plans ONLY the delta files — the O(change) property
+    * incremental downstream jobs rely on. */
+  def scanTableRollback(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_rb${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+    val v1 = VersionedTable.commit(
+      o.filter(year($"o_orderdate") <= 1996), root)
+    val v2 = VersionedTable.commit(
+      o.filter(year($"o_orderdate") === 1997), root)
+    val v3 = VersionedTable.rollback(root, v1)
+    def roll(df: DataFrame, tag: Int) = df
+      .agg(count(lit(1)).as("n_orders"),
+        sum(d12($"o_totalprice")).cast("double").as("revenue"))
+      .select(lit(tag).as("version"), $"n_orders", $"revenue")
+    (Seq(v1, v2, v3).map(v =>
+      roll(VersionedTable.read(s, root, Some(v)), v)) :+
+      roll(VersionedTable.readChanges(s, root, v1, v2), 0))
+      .reduce(_.unionAll(_)).orderBy($"version")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_scan_table_rollback" -> (scanTableRollback _),
     "q_scan_timetravel" -> (scanTimetravel _),
     "q_scan_observed" -> (scanObserved _),
     "q_scan_agg_pushdown" -> (scanAggPushdown _),
@@ -406,6 +438,14 @@ object Scans extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scan_table_rollback" ->
+      """SELECT v.version, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders, (VALUES (0, 1997, 1997), (1, 0, 1996),
+        |  (2, 0, 1997), (3, 0, 1996)) AS v(version, miny, maxy)
+        |WHERE year(o_orderdate) BETWEEN v.miny AND v.maxy
+        |GROUP BY v.version ORDER BY v.version""".stripMargin,
     "q_scan_timetravel" ->
       """SELECT v.version, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)

@@ -84,4 +84,42 @@ object VersionedTable {
     val v = version.getOrElse(currentVersion(root))
     spark.read.parquet(readManifest(root, v): _*)
   }
+
+  /** ROLLBACK as a forward commit: publish a NEW version whose file
+    * list is exactly `toVersion`'s — nothing is deleted (later
+    * snapshots stay readable, the data dirs are immutable), history
+    * stays linear, and the operation is O(manifest) regardless of
+    * table size. Returns the published version id. */
+  def rollback(root: String, toVersion: Int): Int = {
+    val parent = currentVersion(root)
+    val v = parent + 1
+    val files = readManifest(root, toVersion)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val body = om.createObjectNode()
+    body.put("version", v)
+    body.put("parent", parent)
+    body.put("rollbackOf", toVersion)
+    val arr = body.putArray("files")
+    files.foreach(arr.add)
+    val tmp = manifestDir(root).resolve(f".v$v%05d.json.tmp")
+    Files.writeString(tmp, om.writeValueAsString(body))
+    Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Incremental (CDC-style) read: the rows ADDED between two
+    * versions — exactly the files in `toVersion`'s manifest that are
+    * absent from `fromVersion`'s. O(manifest) planning; the scan
+    * reads only the delta files, never the base — the property that
+    * makes incremental downstream jobs O(change) at 100 TB. */
+  def readChanges(spark: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    val base = readManifest(root, fromVersion).toSet
+    val delta = readManifest(root, toVersion).filterNot(base)
+    // an empty delta (e.g. across a rollback) is a valid answer: zero
+    // changed rows, schema preserved via the target snapshot
+    if (delta.isEmpty)
+      spark.read.parquet(readManifest(root, toVersion): _*).limit(0)
+    else spark.read.parquet(delta: _*)
+  }
 }
