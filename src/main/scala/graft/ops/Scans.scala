@@ -415,7 +415,40 @@ object Scans extends OpModule {
       .reduce(_.unionAll(_)).orderBy($"version")
   }
 
+  /** Manifest-stats FILE SKIPPING on the versioned table — the data-
+    * skipping layer real formats put above row-group pushdown: four
+    * single-file commits (one per order year, min/max of `o_year`
+    * recorded per file at commit), then a range read for 1997–1998
+    * that must plan exactly the two overlapping files; the skipped
+    * files are never handed to Spark at all (O(manifest) driver
+    * pruning). The graded row carries the (scanned, total) file
+    * counts as the skip witness alongside the rollup — at 100 TB this
+    * is the difference between touching 2 files and listing a
+    * year-spanning table. */
+  def scanFileSkipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_fs${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+    (1996 to 1999).foreach { y =>
+      VersionedTable.commit(o.filter($"o_year" === y).repartition(1),
+        root, statsCol = Some("o_year"))
+    }
+    val (pruned, scanned, total) =
+      VersionedTable.readPruned(s, root, 1997.0, 1998.0)
+    pruned
+      .agg(count(lit(1)).as("n_orders"),
+        sum(d12($"o_totalprice")).cast("double").as("revenue"))
+      .select(lit(scanned).as("n_files_scanned"),
+        lit(total).as("n_files_total"), $"n_orders", $"revenue")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_scan_file_skipping" -> (scanFileSkipping _),
     "q_scan_table_rollback" -> (scanTableRollback _),
     "q_scan_timetravel" -> (scanTimetravel _),
     "q_scan_observed" -> (scanObserved _),
@@ -438,6 +471,13 @@ object Scans extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scan_file_skipping" ->
+      """SELECT 2 AS n_files_scanned, 4 AS n_files_total,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |WHERE year(o_orderdate) BETWEEN 1997 AND 1998""".stripMargin,
     "q_scan_table_rollback" ->
       """SELECT v.version, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)

@@ -8,23 +8,32 @@ import scala.jdk.CollectionConverters._
   * mechanism, from first principles): every commit writes its data to
   * an immutable per-version directory and then publishes a JSON
   * manifest listing the COMPLETE file set of the new version (parent
-  * files + new files). Readers resolve a manifest and read exactly its
-  * files — so reads are snapshot-isolated against concurrent commits,
-  * time travel is "pick an older manifest", and rollback is "commit
-  * the old file list again". Publication is atomic-rename, the same
-  * trick every table format and Spark's own checkpointing rely on: a
-  * manifest is either fully visible or absent, never torn.
+  * files + new files), each entry optionally carrying per-file min/max
+  * stats of a declared column. Readers resolve a manifest and read
+  * exactly its files — so reads are snapshot-isolated against
+  * concurrent commits, time travel is "pick an older manifest",
+  * rollback is "commit the old file list again", and a range-predicate
+  * read FILE-SKIPS on the manifest stats before Spark ever lists a
+  * path. Publication is atomic-rename, the same trick every table
+  * format and Spark's own checkpointing rely on: a manifest is either
+  * fully visible or absent, never torn.
   *
-  * Scale shape: the manifest holds file PATHS (O(files), not O(rows));
-  * a read plans one parquet scan over the resolved list, so all
-  * pushdown/pruning applies unchanged. Commit cost is the data write
-  * plus one tiny driver-side JSON rename — no table-wide rewrite, no
-  * lock. What this deliberately omits from the real formats:
-  * column-level stats in manifests (file skipping), compaction
-  * rewrites (we have `q_sink_compact` separately), and multi-writer
-  * conflict detection (single-writer per table path here).
+  * Scale shape: the manifest holds file PATHS + two numbers each
+  * (O(files), not O(rows)); a read plans one parquet scan over the
+  * resolved (possibly stats-pruned) list, so all row-group
+  * pushdown/pruning applies unchanged on top. Commit cost is the data
+  * write, one O(new files) stats pass, and one tiny driver-side JSON
+  * rename — no table-wide rewrite, no lock. Deliberately omitted vs
+  * the real formats: compaction rewrites (`q_sink_compact` covers the
+  * mechanism separately) and multi-writer conflict detection
+  * (single-writer per table path here).
   */
 object VersionedTable {
+
+  /** One manifest entry: an immutable data file + optional min/max of
+    * the table's declared stats column (absent when the commit didn't
+    * compute stats — a pruned read must then keep the file). */
+  case class FileEntry(path: String, lo: Option[Double], hi: Option[Double])
 
   private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
 
@@ -42,39 +51,87 @@ object VersionedTable {
       .foldLeft(0)(math.max)
   }
 
-  private def readManifest(root: String, v: Int): Seq[String] = {
+  private def readManifest(root: String, v: Int): Seq[FileEntry] = {
     val p = manifestPath(root, v)
     require(Files.exists(p), s"version $v not found under $root")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(Files.readString(p))
-    node.get("files").elements().asScala.map(_.asText()).toSeq
+    node.get("files").elements().asScala.map { f =>
+      def num(k: String): Option[Double] =
+        Option(f.get(k)).filterNot(_.isNull).map(_.asDouble())
+      FileEntry(f.get("path").asText(), num("lo"), num("hi"))
+    }.toSeq
   }
 
-  /** Append `df` as a new version; returns the published version id. */
-  def commit(df: DataFrame, root: String): Int = {
-    val parent = currentVersion(root)
-    val v = parent + 1
-    val dataDir = Paths.get(root, "data", f"v$v%05d")
-    df.write.mode("errorifexists").parquet(dataDir.toString)
-    val newFiles = Files.list(dataDir).iterator().asScala
-      .map(_.toString)
-      .filter(f => f.endsWith(".parquet") &&
-        Paths.get(f).getFileName.toString.startsWith("part-"))
-      .toSeq.sorted
-    val files = (if (parent > 0) readManifest(root, parent) else Nil) ++
-      newFiles
+  private def publish(root: String, v: Int, parent: Int,
+      files: Seq[FileEntry], rollbackOf: Option[Int]): Unit = {
     Files.createDirectories(manifestDir(root))
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val body = om.createObjectNode()
     body.put("version", v)
     body.put("parent", parent)
+    rollbackOf.foreach(body.put("rollbackOf", _))
     val arr = body.putArray("files")
-    files.foreach(arr.add)
+    files.foreach { f =>
+      val o = arr.addObject()
+      o.put("path", f.path)
+      f.lo.foreach(o.put("lo", _))
+      f.hi.foreach(o.put("hi", _))
+    }
     // atomic publish: write a temp file in the same directory, then
     // rename — a manifest can never be observed half-written
     val tmp = manifestDir(root).resolve(f".v$v%05d.json.tmp")
     Files.writeString(tmp, om.writeValueAsString(body))
     Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Append `df` as a new version; returns the published version id.
+    * With `statsCol` set, one O(new files) read-back pass records each
+    * new file's min/max of that column in the manifest (numeric or
+    * date/timestamp — stored as doubles), enabling [[readPruned]]. */
+  def commit(df: DataFrame, root: String,
+      statsCol: Option[String] = None): Int = {
+    val parent = currentVersion(root)
+    val v = parent + 1
+    val dataDir = Paths.get(root, "data", f"v$v%05d")
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val newPaths = Files.list(dataDir).iterator().asScala
+      .map(_.toString)
+      .filter(f => f.endsWith(".parquet") &&
+        Paths.get(f).getFileName.toString.startsWith("part-"))
+      .toSeq.sorted
+    val spark = df.sparkSession
+    val newFiles = statsCol match {
+      case Some(c) =>
+        import org.apache.spark.sql.functions._
+        val stats = spark.read.parquet(newPaths: _*)
+          .groupBy(col("_metadata.file_path").as("__f"))
+          .agg(min(col(c).cast("double")).as("__lo"),
+            max(col(c).cast("double")).as("__hi"))
+          .collect()
+          .map { r =>
+            // _metadata.file_path renders with a scheme (file:/… or
+            // file:///…) — normalize to the plain filesystem path the
+            // directory listing produced
+            val raw = r.getString(0)
+            val p = if (raw.startsWith("file:"))
+              new java.net.URI(raw).getPath else raw
+            p -> (Option(r.get(1)).map(_.asInstanceOf[Double]),
+              Option(r.get(2)).map(_.asInstanceOf[Double]))
+          }
+          .toMap
+        // a path absent from the stats pass has ZERO rows (every
+        // non-empty file produces exactly one group) — drop it from
+        // the manifest: an empty file carries no data and would
+        // otherwise be conservatively un-prunable forever
+        newPaths.flatMap { p =>
+          stats.get(p).map { case (lo, hi) => FileEntry(p, lo, hi) }
+        }
+      case None => newPaths.map(FileEntry(_, None, None))
+    }
+    val files = (if (parent > 0) readManifest(root, parent) else Nil) ++
+      newFiles
+    publish(root, v, parent, files, None)
     v
   }
 
@@ -82,7 +139,30 @@ object VersionedTable {
   def read(spark: SparkSession, root: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(root))
-    spark.read.parquet(readManifest(root, v): _*)
+    spark.read.parquet(readManifest(root, v).map(_.path): _*)
+  }
+
+  /** Stats-pruned snapshot read for `statsCol ∈ [lo, hi]`: files whose
+    * manifest range provably misses the query range are never handed
+    * to Spark at all — pruning is O(manifest) driver work, and the
+    * surviving files still get row-group pushdown on top. Files
+    * without stats are conservatively kept. Returns the pruned frame
+    * and the (scanned, total) file counts so callers can assert the
+    * skip actually happened. */
+  def readPruned(spark: SparkSession, root: String, lo: Double, hi: Double,
+      version: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = version.getOrElse(currentVersion(root))
+    val all = readManifest(root, v)
+    val keep = all.filter { f =>
+      (f.lo, f.hi) match {
+        case (Some(flo), Some(fhi)) => fhi >= lo && flo <= hi
+        case _ => true
+      }
+    }
+    val df =
+      if (keep.isEmpty) read(spark, root, Some(v)).limit(0)
+      else spark.read.parquet(keep.map(_.path): _*)
+    (df, keep.size, all.size)
   }
 
   /** ROLLBACK as a forward commit: publish a NEW version whose file
@@ -93,17 +173,7 @@ object VersionedTable {
   def rollback(root: String, toVersion: Int): Int = {
     val parent = currentVersion(root)
     val v = parent + 1
-    val files = readManifest(root, toVersion)
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val body = om.createObjectNode()
-    body.put("version", v)
-    body.put("parent", parent)
-    body.put("rollbackOf", toVersion)
-    val arr = body.putArray("files")
-    files.foreach(arr.add)
-    val tmp = manifestDir(root).resolve(f".v$v%05d.json.tmp")
-    Files.writeString(tmp, om.writeValueAsString(body))
-    Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
+    publish(root, v, parent, readManifest(root, toVersion), Some(toVersion))
     v
   }
 
@@ -114,12 +184,13 @@ object VersionedTable {
     * makes incremental downstream jobs O(change) at 100 TB. */
   def readChanges(spark: SparkSession, root: String,
       fromVersion: Int, toVersion: Int): DataFrame = {
-    val base = readManifest(root, fromVersion).toSet
-    val delta = readManifest(root, toVersion).filterNot(base)
+    val base = readManifest(root, fromVersion).map(_.path).toSet
+    val delta = readManifest(root, toVersion).map(_.path).filterNot(base)
     // an empty delta (e.g. across a rollback) is a valid answer: zero
     // changed rows, schema preserved via the target snapshot
     if (delta.isEmpty)
-      spark.read.parquet(readManifest(root, toVersion): _*).limit(0)
+      spark.read.parquet(
+        readManifest(root, toVersion).map(_.path): _*).limit(0)
     else spark.read.parquet(delta: _*)
   }
 }
