@@ -448,7 +448,45 @@ object Streaming extends OpModule {
       .orderBy($"user_id", $"session_idx")
   }
 
+  /** Streaming ingest INTO the versioned table — foreachBatch +
+    * [[graft.sources.VersionedTable.commitBatch]] (batchId-idempotent
+    * commits), the streaming-lakehouse sink recipe: each micro-batch
+    * becomes one atomic table version, a retried batch is a no-op
+    * (batchId is checked against the latest manifest), and the final
+    * table is read back and rolled up WITH a distinct-count witness —
+    * `n = n_distinct` proves no batch double-appended. At 100 TB the
+    * sink cost per batch is O(batch) data + O(manifest) driver JSON;
+    * the checkpoint gives source-side exactly-once, the manifest
+    * batchId gives sink-side idempotence — together, end-to-end
+    * exactly-once. */
+  def streamTableIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.Tables.sinkPath("vtable", dir,
+      s"events_ingest${runId.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = eventsStream(ss, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.sources.VersionedTable.commitBatch(batch, root, id)
+        ()
+      }
+      .option("checkpointLocation", s"$root/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sources.VersionedTable.read(s, root)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        count_distinct($"event_id").as("n_distinct"),
+        sumMoney($"value").as("val_sum"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_table_ingest" -> (streamTableIngest _),
     "q_stream_state_audit" -> (streamStateAudit _),
     "q_stream_tws_sessionize" -> (streamTwsSessionize _),
     "q_stream_tws_profile" -> (streamTwsProfile _),
@@ -466,6 +504,13 @@ object Streaming extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    // the ingested versioned table ≡ the batch table; n_distinct = n
+    // is the no-double-append witness
+    "q_stream_table_ingest" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // watermark-free dedup state ≡ the distinct key set — the state
     // CHECKPOINT contents are what's being graded here
     "q_stream_state_audit" ->

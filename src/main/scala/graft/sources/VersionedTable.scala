@@ -64,13 +64,15 @@ object VersionedTable {
   }
 
   private def publish(root: String, v: Int, parent: Int,
-      files: Seq[FileEntry], rollbackOf: Option[Int]): Unit = {
+      files: Seq[FileEntry], rollbackOf: Option[Int],
+      batchId: Option[Long] = None): Unit = {
     Files.createDirectories(manifestDir(root))
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val body = om.createObjectNode()
     body.put("version", v)
     body.put("parent", parent)
     rollbackOf.foreach(body.put("rollbackOf", _))
+    batchId.foreach(body.put("batchId", _))
     val arr = body.putArray("files")
     files.foreach { f =>
       val o = arr.addObject()
@@ -85,12 +87,32 @@ object VersionedTable {
     Files.move(tmp, manifestPath(root, v), StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Idempotent streaming-batch commit (the foreachBatch → table-sink
+    * contract): `batchId` is recorded in the manifest, and a commit
+    * whose batchId is ALREADY the latest manifest's is a no-op — so a
+    * micro-batch retried after a sink-side failure cannot double-
+    * append, which is exactly the exactly-once recipe every streaming
+    * table sink documents. Returns the (possibly pre-existing)
+    * version id. */
+  def commitBatch(df: DataFrame, root: String, batchId: Long,
+      statsCol: Option[String] = None): Int = {
+    val cur = currentVersion(root)
+    if (cur > 0) {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(Files.readString(manifestPath(root, cur)))
+      if (Option(node.get("batchId")).exists(_.asLong() == batchId))
+        return cur // retry of an already-committed batch
+    }
+    commit(df, root, statsCol, Some(batchId))
+  }
+
   /** Append `df` as a new version; returns the published version id.
     * With `statsCol` set, one O(new files) read-back pass records each
     * new file's min/max of that column in the manifest (numeric or
     * date/timestamp — stored as doubles), enabling [[readPruned]]. */
   def commit(df: DataFrame, root: String,
-      statsCol: Option[String] = None): Int = {
+      statsCol: Option[String] = None,
+      batchId: Option[Long] = None): Int = {
     val parent = currentVersion(root)
     val v = parent + 1
     val dataDir = Paths.get(root, "data", f"v$v%05d")
@@ -131,7 +153,7 @@ object VersionedTable {
     }
     val files = (if (parent > 0) readManifest(root, parent) else Nil) ++
       newFiles
-    publish(root, v, parent, files, None)
+    publish(root, v, parent, files, None, batchId)
     v
   }
 

@@ -60,6 +60,22 @@ class InfraSpec extends SparkSpec {
     }
   }
 
+  test("commitBatch: a retried batch id is a no-op (sink-side idempotence)") {
+    import graft.sources.VersionedTable
+    withTmpDir("graft_vtable_b") { base =>
+      val root = s"$base/t"
+      val df = Seq((1L, "a")).toDF("k", "v")
+      val v1 = VersionedTable.commitBatch(df, root, batchId = 0L)
+      val v1b = VersionedTable.commitBatch(df, root, batchId = 0L) // retry
+      val v2 = VersionedTable.commitBatch(
+        Seq((2L, "b")).toDF("k", "v"), root, batchId = 1L)
+      assert((v1, v1b, v2) === (1, 1, 2),
+        "retry must return the existing version, not publish a new one")
+      assert(VersionedTable.read(spark, root).count() === 2,
+        "retried batch must not double-append rows")
+    }
+  }
+
   test("q_sink_compact bin-packs the fragmented sink") {
     graft.ops.Scans.sinkCompact(spark, sf).count()
     def parquetFiles(p: String): Int = {
