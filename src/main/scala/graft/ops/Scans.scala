@@ -447,7 +447,40 @@ object Scans extends OpModule {
         lit(total).as("n_files_total"), $"n_orders", $"revenue")
   }
 
+  /** Table OPTIMIZE (compaction as a REWRITE commit) on the versioned
+    * table: three fragmented commits (4 files each — the streaming
+    * small-files tax), then `optimize` rewrites the snapshot into ONE
+    * file and publishes it as a version whose manifest REPLACES the
+    * parent's list. Graded rows: the pre-optimize version (12 files)
+    * and the post-optimize version (1 file) with IDENTICAL rollups —
+    * compaction must change layout, never data — and time travel to
+    * the fragmented version keeps working by construction. */
+  def scanTableOptimize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_opt${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+    (1995 to 1997).foreach { y =>
+      VersionedTable.commit(o.filter($"o_year" === y).repartition(4), root)
+    }
+    val pre = VersionedTable.currentVersion(root)
+    val post = VersionedTable.optimize(s, root, numFiles = 1)
+    Seq(pre, post).map { v =>
+      VersionedTable.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(d12($"o_totalprice")).cast("double").as("revenue"))
+        .select(lit(v).as("version"),
+          lit(VersionedTable.fileCount(root, v)).as("n_files"),
+          $"n_orders", $"revenue")
+    }.reduce(_.unionAll(_)).orderBy($"version")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_scan_table_optimize" -> (scanTableOptimize _),
     "q_scan_file_skipping" -> (scanFileSkipping _),
     "q_scan_table_rollback" -> (scanTableRollback _),
     "q_scan_timetravel" -> (scanTimetravel _),
@@ -471,6 +504,14 @@ object Scans extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scan_table_optimize" ->
+      """SELECT v.version, v.n_files,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders, (VALUES (3, 12), (4, 1)) AS v(version, n_files)
+        |WHERE year(o_orderdate) BETWEEN 1995 AND 1997
+        |GROUP BY v.version, v.n_files ORDER BY v.version""".stripMargin,
     "q_scan_file_skipping" ->
       """SELECT 2 AS n_files_scanned, 4 AS n_files_total,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -112,7 +112,12 @@ object VersionedTable {
     * date/timestamp — stored as doubles), enabling [[readPruned]]. */
   def commit(df: DataFrame, root: String,
       statsCol: Option[String] = None,
-      batchId: Option[Long] = None): Int = {
+      batchId: Option[Long] = None): Int =
+    commitImpl(df, root, statsCol, batchId, replace = false)
+
+  private def commitImpl(df: DataFrame, root: String,
+      statsCol: Option[String], batchId: Option[Long],
+      replace: Boolean): Int = {
     val parent = currentVersion(root)
     val v = parent + 1
     val dataDir = Paths.get(root, "data", f"v$v%05d")
@@ -151,11 +156,29 @@ object VersionedTable {
         }
       case None => newPaths.map(FileEntry(_, None, None))
     }
-    val files = (if (parent > 0) readManifest(root, parent) else Nil) ++
-      newFiles
+    val files =
+      (if (parent > 0 && !replace) readManifest(root, parent) else Nil) ++
+        newFiles
     publish(root, v, parent, files, None, batchId)
     v
   }
+
+  /** Number of data files in a version's manifest. */
+  def fileCount(root: String, version: Int): Int =
+    readManifest(root, version).size
+
+  /** OPTIMIZE/compaction as a REWRITE commit: the current snapshot is
+    * re-written into `numFiles` compacted files and published as a new
+    * version whose manifest REPLACES (not appends) the parent's file
+    * list. The old files are untouched, so time travel to every
+    * pre-optimize version keeps working; readers resolving manifests
+    * mid-optimize see either the old or the new snapshot, never a
+    * mix. The smalls-files problem is the #1 operational tax of
+    * streaming ingest at scale — this is its table-native cure. */
+  def optimize(spark: SparkSession, root: String, numFiles: Int = 1,
+      statsCol: Option[String] = None): Int =
+    commitImpl(read(spark, root).repartition(numFiles), root, statsCol,
+      None, replace = true)
 
   /** Snapshot read of `version` (default: latest). */
   def read(spark: SparkSession, root: String,
