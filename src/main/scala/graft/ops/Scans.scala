@@ -479,7 +479,42 @@ object Scans extends OpModule {
     }.reduce(_.unionAll(_)).orderBy($"version")
   }
 
+  /** Table MERGE (upsert) as a copy-on-write rewrite: v1 = 1995–1996
+    * orders; the update batch doubles the price of every key ≡ 0
+    * (mod 100) AND inserts the 1997 orders; `VersionedTable.merge`
+    * replaces matched rows, inserts the rest, and publishes the
+    * merged frame as a replace-commit. Graded rows: v1 and v2 rollups
+    * — v2's revenue must equal base + matched (the doubling) + the
+    * 1997 insert, exactly, and v1 stays readable (COW never mutates
+    * history). Doubling a double is exact (exponent bump), so the
+    * decimal-sum oracle is reachable bit-for-bit. */
+  def scanTableMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_mrg${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+    val v1 = VersionedTable.commit(o.filter($"o_year".between(1995, 1996)),
+      root)
+    val updates = o
+      .filter($"o_year".between(1995, 1996) && $"o_orderkey" % 100 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" * 2)
+      .unionByName(o.filter($"o_year" === 1997))
+    val v2 = VersionedTable.merge(s, root, updates, "o_orderkey",
+      numFiles = 2)
+    Seq(v1, v2).map { v =>
+      VersionedTable.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(d12($"o_totalprice")).cast("double").as("revenue"))
+        .select(lit(v).as("version"), $"n_orders", $"revenue")
+    }.reduce(_.unionAll(_)).orderBy($"version")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_scan_table_merge" -> (scanTableMerge _),
     "q_scan_table_optimize" -> (scanTableOptimize _),
     "q_scan_file_skipping" -> (scanFileSkipping _),
     "q_scan_table_rollback" -> (scanTableRollback _),
@@ -504,6 +539,26 @@ object Scans extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scan_table_merge" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice, year(o_orderdate) AS y
+        |  FROM orders),
+        |r AS (
+        |  SELECT 1 AS version,
+        |    (SELECT COUNT(*) FROM b WHERE y BETWEEN 1995 AND 1996) AS n,
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b
+        |       WHERE y BETWEEN 1995 AND 1996) AS rev
+        |  UNION ALL
+        |  SELECT 2,
+        |    (SELECT COUNT(*) FROM b WHERE y BETWEEN 1995 AND 1997),
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b
+        |       WHERE y BETWEEN 1995 AND 1997)
+        |    + (SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 0)
+        |       FROM b WHERE y BETWEEN 1995 AND 1996
+        |         AND o_orderkey % 100 = 0))
+        |SELECT version, CAST(n AS BIGINT) AS n_orders,
+        |  CAST(rev AS DOUBLE) AS revenue
+        |FROM r ORDER BY version""".stripMargin,
     "q_scan_table_optimize" ->
       """SELECT v.version, v.n_files,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,

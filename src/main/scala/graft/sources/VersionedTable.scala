@@ -180,6 +180,48 @@ object VersionedTable {
     commitImpl(read(spark, root).repartition(numFiles), root, statsCol,
       None, replace = true)
 
+  /** MERGE (upsert) as a copy-on-write REWRITE commit: rows of the
+    * current snapshot whose key matches an `updates` row are replaced,
+    * unmatched update rows are inserted, everything else is carried
+    * over — then the merged frame is published as a replace-commit.
+    * Column sets must match. This is the whole-table COW form (the
+    * honest baseline); the file-level refinement real formats add —
+    * rewrite only files whose key range intersects the updates — drops
+    * straight out of the manifest stats this layer already records,
+    * and either way history stays intact: time travel to pre-merge
+    * versions keeps working. Returns the new version id. */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+      keyCol: String, numFiles: Int = 1,
+      statsCol: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.col
+    val current = read(spark, root)
+    val merged = current
+      .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(updates)
+    commitImpl(merged.repartition(numFiles), root, statsCol, None,
+      replace = true)
+  }
+
+  /** VACUUM: delete data files referenced by NO manifest among the
+    * `keepLast` most recent versions, then delete the dropped
+    * manifests themselves — the GC that reclaims what rewrite commits
+    * (optimize/merge/rollback) leave behind. Time travel contracts to
+    * the kept window; reads of kept versions are untouched. Returns
+    * the number of data files deleted. O(manifests + files) driver
+    * work, no data reads. */
+  def vacuum(root: String, keepLast: Int): Int = {
+    val cur = currentVersion(root)
+    val keepFrom = math.max(1, cur - keepLast + 1)
+    val keep = (keepFrom to cur)
+      .flatMap(v => readManifest(root, v).map(_.path)).toSet
+    val dropped = (1 until keepFrom)
+      .flatMap(v => readManifest(root, v).map(_.path)).toSet -- keep
+    dropped.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    (1 until keepFrom).foreach(v =>
+      Files.deleteIfExists(manifestPath(root, v)))
+    dropped.size
+  }
+
   /** Snapshot read of `version` (default: latest). */
   def read(spark: SparkSession, root: String,
       version: Option[Int] = None): DataFrame = {

@@ -60,6 +60,30 @@ class InfraSpec extends SparkSpec {
     }
   }
 
+  test("vacuum reclaims only unreferenced files; kept versions still read") {
+    import graft.sources.VersionedTable
+    withTmpDir("graft_vtable_gc") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+      VersionedTable.commit(Seq((2L, "b")).toDF("k", "v"), root)
+      // optimize rewrites the snapshot — v1/v2's fragments become
+      // unreferenced by the latest manifest
+      val v3 = VersionedTable.optimize(spark, root)
+      assert(v3 === 3)
+      val deleted = VersionedTable.vacuum(root, keepLast = 1)
+      assert(deleted === 2, s"expected the 2 pre-optimize files, got $deleted")
+      // the kept (compacted) version is intact
+      assert(VersionedTable.read(spark, root)
+        .orderBy($"k").as[(Long, String)].collect().toSeq ===
+        Seq((1L, "a"), (2L, "b")))
+      assert(VersionedTable.currentVersion(root) === 3)
+      // vacuumed history is gone — time travel contracts to the window
+      intercept[IllegalArgumentException] {
+        VersionedTable.read(spark, root, Some(1)).collect()
+      }
+    }
+  }
+
   test("commitBatch: a retried batch id is a no-op (sink-side idempotence)") {
     import graft.sources.VersionedTable
     withTmpDir("graft_vtable_b") { base =>
