@@ -271,7 +271,10 @@ object VersionedTable {
     * makes incremental downstream jobs O(change) at 100 TB. */
   def readChanges(spark: SparkSession, root: String,
       fromVersion: Int, toVersion: Int): DataFrame = {
-    val base = readManifest(root, fromVersion).map(_.path).toSet
+    // version 0 is the empty table — "changes since the beginning"
+    val base =
+      if (fromVersion == 0) Set.empty[String]
+      else readManifest(root, fromVersion).map(_.path).toSet
     val delta = readManifest(root, toVersion).map(_.path).filterNot(base)
     // an empty delta (e.g. across a rollback) is a valid answer: zero
     // changed rows, schema preserved via the target snapshot

@@ -15,6 +15,64 @@ class PropertiesSpec extends SparkSpec {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("versioned table: random histories match the in-memory model") {
+    // MODEL-BASED check of the table layer: a random sequence of
+    // commit / optimize / rollback steps is applied both to a real
+    // VersionedTable and to a driver-side model (the multiset of rows
+    // each version must contain). Afterwards EVERY version's read
+    // must equal its model snapshot, and each commit step's
+    // incremental read must equal exactly the rows that step added —
+    // the whole history, not just the head, is the contract.
+    import graft.sources.VersionedTable
+    sealed trait Step
+    case class Commit(rows: Seq[Long]) extends Step
+    case object Optimize extends Step
+    case class Rollback(frac: Double) extends Step
+    var nextKey = 0L
+    val genStep: Gen[Step] = Gen.frequency(
+      5 -> Gen.chooseNum(1, 4).map(n => Commit(Seq.fill(n)(0L))),
+      2 -> Gen.const(Optimize),
+      2 -> Gen.chooseNum(0.0, 1.0).map(Rollback))
+    val genHistory = Gen.listOfN(7, genStep)
+      .map(h => Commit(Seq(0L)) :: h) // history starts with a commit
+    samples(genHistory, 2).foreach { steps =>
+      withTmpDir("graft_vtable_model") { base =>
+        val root = s"$base/t"
+        // model(v) = the key multiset version v must read back
+        val model = scala.collection.mutable.ArrayBuffer[Seq[Long]](Nil)
+        val added = scala.collection.mutable.Map[Int, Seq[Long]]()
+        steps.foreach {
+          case Commit(ks) =>
+            val keys = ks.map { _ => nextKey += 1; nextKey }
+            val v = VersionedTable.commit(
+              keys.map(k => (k, s"r$k")).toDF("k", "v"), root)
+            model += (model.last ++ keys)
+            added(v) = keys
+            assert(v === model.size - 1)
+          case Optimize =>
+            VersionedTable.optimize(spark, root)
+            model += model.last
+          case Rollback(frac) =>
+            val to = math.max(1, (frac * (model.size - 1)).toInt)
+            VersionedTable.rollback(root, to)
+            model += model(to)
+        }
+        (1 until model.size).foreach { v =>
+          val got = VersionedTable.read(spark, root, Some(v))
+            .select($"k").as[Long].collect().sorted.toSeq
+          assert(got === model(v).sorted,
+            s"version $v diverged from the model (steps: $steps)")
+          added.get(v).foreach { keys =>
+            val delta = VersionedTable.readChanges(spark, root, v - 1, v)
+              .select($"k").as[Long].collect().sorted.toSeq
+            assert(delta === keys.sorted,
+              s"incremental read v${v - 1}→v$v diverged (steps: $steps)")
+          }
+        }
+      }
+    }
+  }
+
   test("decimal sums are order-invariant") {
     val money = Gen.listOfN(40, Gen.chooseNum(0L, 9999999L).map(_ / 100.0))
     samples(money, 20).foreach { xs =>
