@@ -513,7 +513,44 @@ object Scans extends OpModule {
     }.reduce(_.unionAll(_)).orderBy($"version")
   }
 
+  /** Incremental AGGREGATE maintenance over the versioned table's CDC
+    * reads — the capstone of the table layer and the real 100-TB use
+    * of `readChanges`: a year-grain revenue aggregate is built ONCE
+    * from v1, then v2's append is folded in by aggregating ONLY the
+    * delta files and merging by key (count/sum are mergeable, so
+    * delta-agg + full-outer combine ≡ full recompute — which is
+    * exactly what the oracle grades). The v2 maintenance step never
+    * touches v1's files: its cost is O(change), not O(table). */
+  def scanIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_ia${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+    val v1 = VersionedTable.commit(o.filter($"o_year".between(1995, 1996)),
+      root)
+    val v2 = VersionedTable.commit(o.filter($"o_year".between(1997, 1998)),
+      root)
+    def agg(df: DataFrame) = df.groupBy($"o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(d12($"o_totalprice")).as("rev_d"))
+    val base = agg(VersionedTable.read(s, root, Some(v1)))
+    val delta = agg(VersionedTable.readChanges(s, root, v1, v2))
+    base.as("a").join(delta.as("b"), Seq("o_year"), "full_outer")
+      .select($"o_year",
+        (coalesce($"a.n_orders", lit(0L)) +
+          coalesce($"b.n_orders", lit(0L))).as("n_orders"),
+        (coalesce($"a.rev_d", expr("CAST(0 AS DECIMAL(22,4))")) +
+          coalesce($"b.rev_d", expr("CAST(0 AS DECIMAL(22,4))")))
+          .cast("double").as("revenue"))
+      .orderBy($"o_year")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_scan_incr_agg" -> (scanIncrAgg _),
     "q_scan_table_merge" -> (scanTableMerge _),
     "q_scan_table_optimize" -> (scanTableOptimize _),
     "q_scan_file_skipping" -> (scanFileSkipping _),
@@ -539,6 +576,14 @@ object Scans extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scan_incr_agg" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |WHERE year(o_orderdate) BETWEEN 1995 AND 1998
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q_scan_table_merge" ->
       """WITH b AS (
         |  SELECT o_orderkey, o_totalprice, year(o_orderdate) AS y
