@@ -549,7 +549,38 @@ object Scans extends OpModule {
       .orderBy($"o_year")
   }
 
+  /** SCHEMA EVOLUTION on the versioned table: v1 commits the narrow
+    * (key, price) order book; v2 appends 1997 WITH a new `o_year`
+    * column. A latest read under `mergeSchema` widens the union —
+    * pre-evolution rows surface NULL for the new column (additive
+    * evolution, the only kind that needs no rewrite), and time travel
+    * to v1 still reads the narrow schema. The graded rollup groups by
+    * the evolved column with its NULL cohort — exactly the frame a
+    * consumer sees mid-migration. Parquet is self-describing
+    * per-file, so evolution costs nothing at commit time and
+    * mergeSchema's footer union at read time — O(files), not
+    * O(rows). */
+  def scanTableEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_ev${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+    VersionedTable.commit(
+      o.filter($"o_year".between(1995, 1996)).drop("o_year"), root)
+    val v2 = VersionedTable.commit(o.filter($"o_year" === 1997), root)
+    VersionedTable.read(s, root, Some(v2), mergeSchema = true)
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(d12($"o_totalprice")).cast("double").as("revenue"))
+      .orderBy($"o_year".asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_scan_table_evolution" -> (scanTableEvolution _),
     "q_scan_incr_agg" -> (scanIncrAgg _),
     "q_scan_table_merge" -> (scanTableMerge _),
     "q_scan_table_optimize" -> (scanTableOptimize _),
@@ -576,6 +607,15 @@ object Scans extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scan_table_evolution" ->
+      """SELECT CASE WHEN year(o_orderdate) = 1997
+        |    THEN CAST(year(o_orderdate) AS INTEGER) END AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |WHERE year(o_orderdate) BETWEEN 1995 AND 1997
+        |GROUP BY 1 ORDER BY o_year NULLS FIRST""".stripMargin,
     "q_scan_incr_agg" ->
       """SELECT year(o_orderdate) AS o_year,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,

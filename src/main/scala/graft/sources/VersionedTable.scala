@@ -222,11 +222,17 @@ object VersionedTable {
     dropped.size
   }
 
-  /** Snapshot read of `version` (default: latest). */
+  /** Snapshot read of `version` (default: latest). `mergeSchema=true`
+    * unions the per-file parquet schemas (additive evolution: files
+    * written before a column existed surface NULL for it) — the
+    * footer union is O(files) at plan time, no data rewrite ever. */
   def read(spark: SparkSession, root: String,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val v = version.getOrElse(currentVersion(root))
-    spark.read.parquet(readManifest(root, v).map(_.path): _*)
+    spark.read
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(readManifest(root, v).map(_.path): _*)
   }
 
   /** Stats-pruned snapshot read for `statsCol ∈ [lo, hi]`: files whose
