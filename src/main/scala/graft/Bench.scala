@@ -42,6 +42,25 @@ import org.apache.spark.sql.SparkSession
   * genuinely-expensive query just re-confirms its cost.
   */
 object Bench {
+  /** Per-query shuffle accounting (round 9): an async listener sums
+    * stage-level shuffle read/write bytes; the bench snapshots the
+    * totals around each query's FIRST rep (after draining the
+    * listener bus) and persists the deltas to `bench_shuffle.json` —
+    * the "is this plan shuffle-shaped the way SURVEY promises"
+    * evidence, measured rather than asserted. Plan-only; stdout
+    * contract unchanged. */
+  private class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
+    val write = new java.util.concurrent.atomic.AtomicLong(0L)
+    val read = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+  }
   /** A first rep at or below this is accepted as-is: contention only
     * inflates timings, so a small observation is already a tight upper
     * bound on the quiet cost, and the worst-case total error from
@@ -124,13 +143,24 @@ object Bench {
       graft.ops.OpCache.clear(spark)
       dt
     }
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    val shuffles =
+      scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    def drained(): (Long, Long) = {
+      org.apache.spark.graft.ListenerFlush.drain(spark.sparkContext)
+      (meter.write.get(), meter.read.get())
+    }
     val sentinels = scala.collection.mutable.ArrayBuffer(sentinel(spark))
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .zipWithIndex
       .map { case ((name, fn), idx) =>
         if (idx > 0 && idx % SentinelEvery == 0) sentinels += sentinel(spark)
+        val (w0, r0) = drained()
         var times = Vector(rep(fn))
+        val (w1, r1) = drained()
+        shuffles(name) = (w1 - w0, r1 - r0)
         // Early exit: (a) tiny first rep is already un-inflated;
         // (b) best two agree within AgreeFactor — the min has
         // stabilized (rep 1 carries the query's own compile, see
@@ -169,6 +199,17 @@ object Bench {
       mapLine + "\n" + totalLine + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] per-query persist failed: $e")
+    }
+    // per-query FIRST-REP shuffle bytes (see ShuffleMeter) — a
+    // separate artifact so the driver-parsed lines above stay stable
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_SHUFFLE_OUT", "bench_shuffle.json")),
+      shuffles.map { case (n, (w, r)) =>
+        s""""$n":{"shuffle_write_bytes":$w,"shuffle_read_bytes":$r}"""
+      }.mkString("{", ",", "}") + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] shuffle persist failed: $e")
     }
     spark.stop()
   }
