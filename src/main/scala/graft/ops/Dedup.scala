@@ -517,6 +517,44 @@ object Dedup extends OpModule {
     * sub-round float noise. The fold order (left→right over the 64
     * elements) is identical in both engines, so the doubles are in fact
     * bit-identical. */
+  /** BINARY-quantized similarity search — the 1-bit embedding path
+    * modern retrieval stacks use when float vectors outgrow memory:
+    * each 64-dim vector collapses to its sign bitmap (two packed
+    * 32-bit halves in BIGINTs — shifts stay ≤31 so the packing is
+    * exact in every engine), and neighbor ranking is Hamming distance
+    * = popcount(xor) — pure integer, so unlike every float-scored ANN
+    * variant this one is fully ORACLED. 64× smaller vectors, XOR+
+    * popcount per comparison; the probe side is confined to 10
+    * vectors (same discipline as `q_sim_topk_cosine` — brute force
+    * never touches corpus×corpus). */
+  def simBinaryHamming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def pack(off: Int, out: String) =
+      s"""aggregate(transform(sequence(0, 31),
+         |  i -> IF(element_at(embedding, i + $off) >= CAST(0 AS FLOAT),
+         |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, x) -> a + x) AS $out""".stripMargin
+    val packed = OpCache.cached(s, dir, "binhash")(
+      Tables.t(s, dir, "embeddings")
+        .selectExpr("vec_id", pack(1, "h1"), pack(33, "h2")))
+    val probes = packed.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"h1".as("p1"), $"h2".as("p2"))
+    val corpus = packed
+      .select($"vec_id".as("nbr_id"), $"h1".as("c1"), $"h2".as("c2"))
+    val scored = broadcast(probes).join(corpus, $"probe_id" =!= $"nbr_id")
+      .select($"probe_id", $"nbr_id",
+        (expr("bit_count(p1 ^ c1)") + expr("bit_count(p2 ^ c2)"))
+          .cast("int").as("hamming"))
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"hamming".asc, $"nbr_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"probe_id", $"rank".cast("int").as("rank"), $"nbr_id",
+        $"hamming")
+      .orderBy($"probe_id", $"rank")
+  }
+
   def simTopkCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -897,6 +935,7 @@ object Dedup extends OpModule {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash_cluster" -> (dedupSimhashCluster _),
     "q_sim_topk_cosine" -> (simTopkCosine _),
+    "q_sim_binary_hamming" -> (simBinaryHamming _),
     "q_emb_quantize" -> (embQuantize _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "q_dedup_delta" -> (dedupDelta _),
@@ -1209,6 +1248,31 @@ object Dedup extends OpModule {
         |    (a, c) -> a + c) AS BIGINT) AS code_sum,
         |  CAST(len(list_filter(code_arr, c -> c > 0)) AS INTEGER) AS n_pos
         |FROM q ORDER BY vec_id""".stripMargin,
+    "q_sim_binary_hamming" ->
+      """WITH h AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(range(1, 33),
+        |      i -> CASE WHEN embedding[CAST(i AS INT)] >= 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT))
+        |        ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b) AS h1,
+        |    list_reduce(list_transform(range(33, 65),
+        |      i -> CASE WHEN embedding[CAST(i AS INT)] >= 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(i - 33 AS INT))
+        |        ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b) AS h2
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+        |    CAST(bit_count(xor(p.h1, c.h1))
+        |      + bit_count(xor(p.h2, c.h2)) AS INTEGER) AS hamming
+        |  FROM h p JOIN h c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT probe_id, nbr_id, hamming,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY hamming ASC, nbr_id ASC) AS rank
+        |  FROM scored)
+        |SELECT probe_id, CAST(rank AS INTEGER) AS rank, nbr_id, hamming
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
     "q_sim_topk_cosine" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |scored AS (
