@@ -527,17 +527,21 @@ object Dedup extends OpModule {
     * popcount per comparison; the probe side is confined to 10
     * vectors (same discipline as `q_sim_topk_cosine` — brute force
     * never touches corpus×corpus). */
+  /** Sign-bitmap packing of a 32-dim slice into one BIGINT (SQL-HOF
+    * string — shared by the Hamming and re-rank ops; shifts ≤31 keep
+    * the packing exact in every engine). */
+  private def binPack(off: Int, out: String): String =
+    s"""aggregate(transform(sequence(0, 31),
+       |  i -> IF(element_at(embedding, i + $off) >= CAST(0 AS FLOAT),
+       |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+       |  CAST(0 AS BIGINT), (a, x) -> a + x) AS $out""".stripMargin
+
   def simBinaryHamming(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    def pack(off: Int, out: String) =
-      s"""aggregate(transform(sequence(0, 31),
-         |  i -> IF(element_at(embedding, i + $off) >= CAST(0 AS FLOAT),
-         |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
-         |  CAST(0 AS BIGINT), (a, x) -> a + x) AS $out""".stripMargin
     val packed = OpCache.cached(s, dir, "binhash")(
       Tables.t(s, dir, "embeddings")
-        .selectExpr("vec_id", pack(1, "h1"), pack(33, "h2")))
+        .selectExpr("vec_id", binPack(1, "h1"), binPack(33, "h2")))
     val probes = packed.filter($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"h1".as("p1"), $"h2".as("p2"))
     val corpus = packed
@@ -552,6 +556,53 @@ object Dedup extends OpModule {
       .filter($"rank" <= 10)
       .select($"probe_id", $"rank".cast("int").as("rank"), $"nbr_id",
         $"hamming")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** TWO-STAGE retrieval: Hamming shortlist → exact cosine re-rank —
+    * the production binary-embedding pattern (coarse 1-bit filter
+    * cuts the candidate set 64×-cheaply, the float metric only ever
+    * touches the survivors). Stage 1 takes each probe's top-50 by
+    * packed-sign Hamming; stage 2 re-ranks those 50 with the fused
+    * native cosine and keeps 10. Both stages are deterministic
+    * (integer distance; 4-dp rounded cosine with id tiebreak), so
+    * the full pipeline is oracled — recall-vs-brute-force is visible
+    * by diffing against `q_sim_topk_cosine` directly. */
+  def simBinaryRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val packed = OpCache.cached(s, dir, "binhash")(
+      Tables.t(s, dir, "embeddings")
+        .selectExpr("vec_id", binPack(1, "h1"), binPack(33, "h2")))
+    val probes = packed.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"h1".as("p1"), $"h2".as("p2"))
+    val corpus = packed
+      .select($"vec_id".as("nbr_id"), $"h1".as("c1"), $"h2".as("c2"))
+    val hw = Window.partitionBy($"probe_id")
+      .orderBy($"hamming".asc, $"nbr_id".asc)
+    val shortlist = broadcast(probes)
+      .join(corpus, $"probe_id" =!= $"nbr_id")
+      .select($"probe_id", $"nbr_id",
+        (expr("bit_count(p1 ^ c1)") + expr("bit_count(p2 ^ c2)"))
+          .cast("int").as("hamming"))
+      .withColumn("hrank", row_number().over(hw))
+      .filter($"hrank" <= 50)
+      .select($"probe_id", $"nbr_id")
+    val e = Tables.t(s, dir, "embeddings")
+    val rr = shortlist
+      .join(broadcast(e.select($"vec_id".as("probe_id"),
+        $"embedding".as("pe"))), Seq("probe_id"))
+      .join(e.select($"vec_id".as("nbr_id"), $"embedding".as("ce")),
+        Seq("nbr_id"))
+      .select($"probe_id", $"nbr_id",
+        round(graft.functions.CosineSimF.cosine($"pe", $"ce"), 4)
+          .as("sim4"))
+    val cw = Window.partitionBy($"probe_id")
+      .orderBy($"sim4".desc, $"nbr_id".asc)
+    rr.withColumn("rank", row_number().over(cw))
+      .filter($"rank" <= 10)
+      .select($"probe_id", $"rank".cast("int").as("rank"), $"nbr_id",
+        $"sim4")
       .orderBy($"probe_id", $"rank")
   }
 
@@ -936,6 +987,7 @@ object Dedup extends OpModule {
     "q_dedup_simhash_cluster" -> (dedupSimhashCluster _),
     "q_sim_topk_cosine" -> (simTopkCosine _),
     "q_sim_binary_hamming" -> (simBinaryHamming _),
+    "q_sim_binary_rerank" -> (simBinaryRerank _),
     "q_emb_quantize" -> (embQuantize _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "q_dedup_delta" -> (dedupDelta _),
@@ -1248,6 +1300,49 @@ object Dedup extends OpModule {
         |    (a, c) -> a + c) AS BIGINT) AS code_sum,
         |  CAST(len(list_filter(code_arr, c -> c > 0)) AS INTEGER) AS n_pos
         |FROM q ORDER BY vec_id""".stripMargin,
+    "q_sim_binary_rerank" ->
+      """WITH h AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(range(1, 33),
+        |      i -> CASE WHEN embedding[CAST(i AS INT)] >= 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT))
+        |        ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b) AS h1,
+        |    list_reduce(list_transform(range(33, 65),
+        |      i -> CASE WHEN embedding[CAST(i AS INT)] >= 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(i - 33 AS INT))
+        |        ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b) AS h2
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+        |    CAST(bit_count(xor(p.h1, c.h1))
+        |      + bit_count(xor(p.h2, c.h2)) AS INTEGER) AS hamming
+        |  FROM h p JOIN h c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+        |short AS (
+        |  SELECT probe_id, nbr_id FROM (
+        |    SELECT probe_id, nbr_id,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY hamming ASC, nbr_id ASC) AS hrank
+        |    FROM sc) WHERE hrank <= 50),
+        |cos AS (
+        |  SELECT s.probe_id, s.nbr_id,
+        |    ROUND(
+        |      list_reduce(list_transform(range(1, 65),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+        |      / (sqrt(list_reduce(list_transform(range(1, 65),
+        |          i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(range(1, 65),
+        |          i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b))), 4) AS sim4
+        |  FROM short s
+        |  JOIN embeddings p ON p.vec_id = s.probe_id
+        |  JOIN embeddings c ON c.vec_id = s.nbr_id),
+        |ranked AS (
+        |  SELECT probe_id, nbr_id, sim4,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY sim4 DESC, nbr_id ASC) AS rank
+        |  FROM cos)
+        |SELECT probe_id, CAST(rank AS INTEGER) AS rank, nbr_id, sim4
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
     "q_sim_binary_hamming" ->
       """WITH h AS (
         |  SELECT vec_id,
