@@ -44,11 +44,15 @@ object VersionedTable {
   def currentVersion(root: String): Int = {
     val d = manifestDir(root)
     if (!Files.isDirectory(d)) 0
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d{5}\\.json") =>
-        s.substring(1, 6).toInt }
-      .foldLeft(0)(math.max)
+    else {
+      val st = Files.list(d)
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("v\\d{5}\\.json") =>
+          s.substring(1, 6).toInt }
+        .foldLeft(0)(math.max)
+      finally st.close()
+    }
   }
 
   private def readManifest(root: String, v: Int): Seq[FileEntry] = {
@@ -122,11 +126,15 @@ object VersionedTable {
     val v = parent + 1
     val dataDir = Paths.get(root, "data", f"v$v%05d")
     df.write.mode("errorifexists").parquet(dataDir.toString)
-    val newPaths = Files.list(dataDir).iterator().asScala
-      .map(_.toString)
-      .filter(f => f.endsWith(".parquet") &&
-        Paths.get(f).getFileName.toString.startsWith("part-"))
-      .toSeq.sorted
+    val newPaths = {
+      val st = Files.list(dataDir)
+      try st.iterator().asScala
+        .map(_.toString)
+        .filter(f => f.endsWith(".parquet") &&
+          Paths.get(f).getFileName.toString.startsWith("part-"))
+        .toSeq.sorted
+      finally st.close()
+    }
     val spark = df.sparkSession
     val newFiles = statsCol match {
       case Some(c) =>
