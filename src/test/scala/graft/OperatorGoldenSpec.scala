@@ -530,6 +530,26 @@ class OperatorGoldenSpec extends SparkSpec {
       s"union estimate $estU vs true $truthU")
   }
 
+  test("binary retrieval recall: re-rank ≥ raw Hamming vs the cosine truth") {
+    // deterministic recall witness: all three retrieval paths are
+    // exact given their metric, so overlap-with-brute-force-cosine is
+    // a FIXED property of the corpus — re-rank (Hamming shortlist +
+    // cosine scoring) must recover at least as many true top-10
+    // neighbors as raw Hamming ranking, and both must beat random
+    // (> 10% of the 100 probe-neighbor pairs at this SF)
+    def pairs(q: String) = run(q).select($"probe_id", $"nbr_id")
+      .as[(Long, Long)].collect().toSet
+    val truth = pairs("q_sim_topk_cosine")
+    val ham = pairs("q_sim_binary_hamming")
+    val rr = pairs("q_sim_binary_rerank")
+    val hamHits = (ham & truth).size
+    val rrHits = (rr & truth).size
+    assert(rrHits >= hamHits,
+      s"cosine re-rank ($rrHits) must not lose recall vs raw Hamming ($hamHits)")
+    assert(hamHits > 10,
+      s"1-bit Hamming should beat random: only $hamHits/100 true neighbors")
+  }
+
   test("triangle participation sums to 3× triangles; bounded by wedge count") {
     val part = run("q_graph_triangles")
       .select($"partkey", $"tri_cnt").as[(Long, Long)].collect()

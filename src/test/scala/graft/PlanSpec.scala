@@ -9,6 +9,26 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("binary-Hamming retrieval broadcasts probes; no nested loop blowup") {
+    Seq("q_sim_binary_hamming", "q_sim_binary_rerank").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"),
+        s"$q: the 10-probe side must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: corpus×corpus must never materialize:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"$q: top-k rank must push a group limit below the shuffle:\n$p")
+    }
+  }
+
+  test("versioned-table reads plan ordinary pushdown-capable parquet scans") {
+    val p = plan("q_scan_timetravel")
+    assert(p.contains("FileScan parquet") || p.contains("BatchScan"),
+      s"manifest-resolved reads must be plain parquet scans:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("named SQL parameters bind to literals that push to the scan") {
     // the round-9 parameterized-SQL claim: bound markers behave
     // exactly like inline literals, so the quantity/discount filters
