@@ -28,11 +28,14 @@ class PropertiesSpec extends SparkSpec {
     case class Commit(rows: Seq[Long]) extends Step
     case object Optimize extends Step
     case class Rollback(frac: Double) extends Step
+    case class Merge(updFrac: Double, nIns: Int) extends Step
     var nextKey = 0L
     val genStep: Gen[Step] = Gen.frequency(
       5 -> Gen.chooseNum(1, 4).map(n => Commit(Seq.fill(n)(0L))),
       2 -> Gen.const(Optimize),
-      2 -> Gen.chooseNum(0.0, 1.0).map(Rollback))
+      2 -> Gen.chooseNum(0.0, 1.0).map(Rollback),
+      2 -> Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0, 2))
+        .map { case (f, n) => Merge(f, n) })
     val genHistory = Gen.listOfN(7, genStep)
       .map(h => Commit(Seq(0L)) :: h) // history starts with a commit
     samples(genHistory, 2).foreach { steps =>
@@ -56,6 +59,26 @@ class PropertiesSpec extends SparkSpec {
             val to = math.max(1, (frac * (model.size - 1)).toInt)
             VersionedTable.rollback(root, to)
             model += model(to)
+          case Merge(updFrac, nIns) =>
+            // update a deterministic subset of live keys (values
+            // change, keys stay) and insert nIns fresh keys — the
+            // model's key multiset is last \ nothing ∪ inserts, and
+            // the updated rows must carry the NEW values
+            val live = model.last
+            val upd = live.filter(k => (k * updFrac).toLong % 3 == 0)
+            val ins = Seq.fill(nIns) { nextKey += 1; nextKey }
+            val updates = (upd.map(k => (k, s"u$k")) ++
+              ins.map(k => (k, s"r$k"))).toDF("k", "v")
+            VersionedTable.merge(spark, root, updates, "k")
+            model += (live ++ ins) // replace-commit: no delta law entry
+            // updated rows must read back with the merged values
+            if (upd.nonEmpty) {
+              val gotUpd = VersionedTable.read(spark, root)
+                .filter($"k".isin(upd: _*)).select($"v").as[String]
+                .collect().toSet
+              assert(gotUpd === upd.map(k => s"u$k").toSet,
+                s"merge did not replace matched rows (steps: $steps)")
+            }
         }
         (1 until model.size).foreach { v =>
           val got = VersionedTable.read(spark, root, Some(v))
