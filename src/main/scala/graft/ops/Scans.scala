@@ -579,7 +579,82 @@ object Scans extends OpModule {
       .orderBy($"o_year".asc_nulls_first)
   }
 
+  /** OPTIMISTIC CONCURRENCY on the versioned table — the multi-writer
+    * day-one scenario every real pipeline hits: two committers race
+    * appends against the same base snapshot; the loser's atomic
+    * CREATE-NEW publish collides, auto-rebases onto the winner's head
+    * (its data dir is commit-unique, so the file sets are disjoint) and
+    * lands as the next version. Both threads' rows must survive —
+    * serializable append semantics with no lock and no lost update.
+    * Which thread gets v2 vs v3 is scheduling-dependent, but the graded
+    * SNAPSHOT CONTENT is not: the final version is always 3 and the
+    * head rollup is base ∪ both appends (append commits commute). The
+    * deterministic forced-collision path (and the replace-commit abort)
+    * is pinned in InfraSpec via the onBeforePublish seam. */
+  def scanConcurrentCommit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_cc${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+    VersionedTable.commit(o.filter($"o_year" === 1995), root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = Seq(1996, 1997).map { y =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int =
+            VersionedTable.commit(o.filter($"o_year" === y), root)
+        })
+      }
+      fs.foreach(_.get())
+    } finally pool.shutdown()
+    VersionedTable.read(s, root)
+      .agg(count(lit(1)).as("n_orders"),
+        sum(d12($"o_totalprice")).cast("double").as("revenue"))
+      .select(lit(VersionedTable.currentVersion(root)).as("n_versions"),
+        $"n_orders", $"revenue")
+  }
+
+  /** PARTITION PRUNING on the versioned table — the layer real formats
+    * put ABOVE stats-based file skipping: `commitPartitioned` lays the
+    * 1996–1999 order book out in hive-style `__p_o_year=Y` directories
+    * and records each file's partition tuple in its manifest entry; a
+    * read for two of the four years prunes on the TUPLE (O(manifest)
+    * driver work) before Spark's file index ever lists a path, and the
+    * kept files still get row-group pushdown below. The graded row
+    * carries the (scanned, total) file counts as the prune witness
+    * beside the rollup. The repartition BY the partition column before
+    * the write gives one file per partition dir (the small-files
+    * discipline q_part_roundtrip documents), so the witness is exactly
+    * (2, 4). */
+  def scanPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_pp${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+      .filter($"o_year".between(1996, 1999))
+    VersionedTable.commitPartitioned(o.repartition($"o_year"), root,
+      partCols = Seq("o_year"))
+    val (pruned, scanned, total) =
+      VersionedTable.readPrunedPartitions(s, root)(p =>
+        Set("1997", "1998").contains(p("o_year")))
+    pruned
+      .agg(count(lit(1)).as("n_orders"),
+        sum(d12($"o_totalprice")).cast("double").as("revenue"))
+      .select(lit(scanned).as("n_files_scanned"),
+        lit(total).as("n_files_total"), $"n_orders", $"revenue")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_scan_concurrent_commit" -> (scanConcurrentCommit _),
+    "q_scan_partition_prune" -> (scanPartitionPrune _),
     "q_scan_table_evolution" -> (scanTableEvolution _),
     "q_scan_incr_agg" -> (scanIncrAgg _),
     "q_scan_table_merge" -> (scanTableMerge _),
@@ -607,6 +682,19 @@ object Scans extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_scan_concurrent_commit" ->
+      """SELECT 3 AS n_versions, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |WHERE year(o_orderdate) BETWEEN 1995 AND 1997""".stripMargin,
+    "q_scan_partition_prune" ->
+      """SELECT 2 AS n_files_scanned, 4 AS n_files_total,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |WHERE year(o_orderdate) BETWEEN 1997 AND 1998""".stripMargin,
     "q_scan_table_evolution" ->
       """SELECT CASE WHEN year(o_orderdate) = 1997
         |    THEN CAST(year(o_orderdate) AS INTEGER) END AS o_year,

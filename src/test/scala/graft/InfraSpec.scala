@@ -84,6 +84,119 @@ class InfraSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: forced collision rebases an append (no lost update)") {
+    import graft.sources.VersionedTable
+    withTmpDir("graft_vtable_occ") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+      // interleave a competing commit between the appender's manifest
+      // computation and its CREATE-NEW publish — a deterministic
+      // collision, no real thread race needed
+      var fired = false
+      VersionedTable.onBeforePublish = () => {
+        if (!fired) {
+          fired = true
+          VersionedTable.commit(Seq((2L, "race")).toDF("k", "v"), root)
+        }
+      }
+      try {
+        val v = VersionedTable.commit(Seq((3L, "c")).toDF("k", "v"), root)
+        assert(v === 3, "the collided append must rebase and land at v3")
+      } finally VersionedTable.onBeforePublish = () => ()
+      assert(VersionedTable.read(spark, root).orderBy($"k")
+        .as[(Long, String)].collect().toSeq ===
+        Seq((1L, "a"), (2L, "race"), (3L, "c")),
+        "both writers' rows must survive the race")
+      // the intermediate head is the racer's commit alone
+      assert(VersionedTable.read(spark, root, Some(2)).orderBy($"k")
+        .as[(Long, String)].collect().toSeq ===
+        Seq((1L, "a"), (2L, "race")))
+    }
+  }
+
+  test("versioned table: replace commit aborts when the head moves under it") {
+    import graft.sources.VersionedTable
+    withTmpDir("graft_vtable_occ2") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+      VersionedTable.commit(Seq((2L, "b")).toDF("k", "v"), root)
+      var fired = false
+      VersionedTable.onBeforePublish = () => {
+        if (!fired) {
+          fired = true
+          VersionedTable.commit(Seq((3L, "mid")).toDF("k", "v"), root)
+        }
+      }
+      try intercept[java.util.ConcurrentModificationException] {
+        VersionedTable.optimize(spark, root)
+      } finally VersionedTable.onBeforePublish = () => ()
+      // the concurrent append survived; the aborted optimize changed nothing
+      assert(VersionedTable.currentVersion(root) === 3)
+      assert(VersionedTable.read(spark, root).count() === 3)
+      // a clean re-run compacts all three rows
+      val v4 = VersionedTable.optimize(spark, root)
+      assert(v4 === 4)
+      assert(VersionedTable.read(spark, root).orderBy($"k")
+        .as[(Long, String)].collect().toSeq ===
+        Seq((1L, "a"), (2L, "b"), (3L, "mid")))
+    }
+  }
+
+  test("vacuum is re-runnable after history grows past a prior vacuum") {
+    // r9 ADVICE: a second vacuum used to readManifest versions the
+    // first vacuum already deleted and throw before any cleanup
+    import graft.sources.VersionedTable
+    withTmpDir("graft_vtable_gc2") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+      VersionedTable.commit(Seq((2L, "b")).toDF("k", "v"), root)
+      VersionedTable.optimize(spark, root) // v3
+      assert(VersionedTable.vacuum(root, keepLast = 1) === 2)
+      // history grows past the vacuumed window, then vacuum again
+      VersionedTable.commit(Seq((3L, "c")).toDF("k", "v"), root) // v4
+      VersionedTable.commit(Seq((4L, "d")).toDF("k", "v"), root) // v5
+      // keep window v5; its delta chain floors at the v3 checkpoint,
+      // whose files are all still referenced — nothing to drop, and
+      // the missing v1/v2 manifests are skipped, not an error
+      assert(VersionedTable.vacuum(root, keepLast = 1) === 0)
+      assert(VersionedTable.read(spark, root).count() === 4)
+      assert(VersionedTable.read(spark, root, Some(3)).count() === 2,
+        "the chain-floor checkpoint must survive vacuum")
+      // a rewrite then makes v3..v5's files garbage; third vacuum
+      // reclaims exactly those three single-row files
+      VersionedTable.optimize(spark, root) // v6
+      assert(VersionedTable.vacuum(root, keepLast = 1) === 3)
+      assert(VersionedTable.read(spark, root).orderBy($"k")
+        .as[(Long, String)].collect().toSeq ===
+        Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    }
+  }
+
+  test("partitioned commit: manifest tuples prune; data keeps partition columns") {
+    import graft.sources.VersionedTable
+    withTmpDir("graft_vtable_part") { base =>
+      val root = s"$base/t"
+      val df = Seq((1L, 1996, "a"), (2L, 1997, "b"),
+        (3L, 1998, "c"), (4L, 1998, "d")).toDF("k", "y", "v")
+      VersionedTable.commitPartitioned(df.repartition(col("y")), root,
+        partCols = Seq("y"))
+      val (pr, scanned, total) =
+        VersionedTable.readPrunedPartitions(spark, root)(p => p("y") == "1998")
+      assert((scanned, total) === (1, 3),
+        "one file per partition dir; only the matching dir is kept")
+      assert(pr.columns.toSeq === Seq("k", "y", "v"),
+        "partition column stays in the data files; no __p_ leakage")
+      assert(pr.orderBy($"k").as[(Long, Int, String)].collect().toSeq ===
+        Seq((3L, 1998, "c"), (4L, 1998, "d")))
+      // mixed layout: an unpartitioned append is conservatively kept
+      VersionedTable.commit(Seq((5L, 1999, "e")).toDF("k", "y", "v"), root)
+      val (pr2, s2, t2) =
+        VersionedTable.readPrunedPartitions(spark, root)(p => p("y") == "1998")
+      assert((s2, t2) === (2, 4))
+      assert(pr2.count() === 3, "2 matching + 1 conservative (no tuple)")
+    }
+  }
+
   test("commitBatch: a retried batch id is a no-op (sink-side idempotence)") {
     import graft.sources.VersionedTable
     withTmpDir("graft_vtable_b") { base =>

@@ -96,6 +96,43 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("delta manifests: a 55-commit history resolves every version; checkpoints only every K") {
+    // r9 verdict item 2: manifests record add/remove vs parent with a
+    // periodic full checkpoint, and resolve(deltas) must equal the old
+    // full-list semantics over a LONG history — every version readable,
+    // commit JSON O(change) between checkpoints.
+    import graft.sources.VersionedTable
+    withTmpDir("graft_vtable_long") { base =>
+      val root = s"$base/t"
+      val model = scala.collection.mutable.ArrayBuffer[Seq[Long]](Nil)
+      (1 to 55).foreach { i =>
+        VersionedTable.commit(Seq((i.toLong, s"r$i")).toDF("k", "v"), root)
+        model += (model.last :+ i.toLong)
+      }
+      (1 to 55).foreach { v =>
+        val got = VersionedTable.read(spark, root, Some(v))
+          .select($"k").as[Long].collect().sorted.toSeq
+        assert(got === model(v), s"version $v diverged")
+      }
+      // checkpoint policy: the full file list appears ONLY at v1 and
+      // every CheckpointInterval-th commit; every other manifest is a
+      // single-entry delta
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      (1 to 55).foreach { v =>
+        val node = om.readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(root, "_manifests", f"v$v%05d.json")))
+        val isCp = v == 1 || v % VersionedTable.CheckpointInterval == 0
+        assert(node.has("files") === isCp, s"checkpoint policy at v$v")
+        assert(node.get("add").size() === 1, s"delta must be O(change) at v$v")
+        assert(!node.has("remove"), s"append must not remove at v$v")
+      }
+      // incremental reads ride the same chains
+      val delta = VersionedTable.readChanges(spark, root, 23, 31)
+        .select($"k").as[Long].collect().sorted.toSeq
+      assert(delta === (24L to 31L))
+    }
+  }
+
   test("decimal sums are order-invariant") {
     val money = Gen.listOfN(40, Gen.chooseNum(0L, 9999999L).map(_ / 100.0))
     samples(money, 20).foreach { xs =>
