@@ -951,6 +951,96 @@ object Dedup extends OpModule {
       .orderBy($"nprobe")
   }
 
+  /** IVF-PQ retrieval with ASYMMETRIC-DISTANCE (ADC) scoring — the
+    * memory-bound ANN composition of three existing parts: the IVF
+    * coarse cells ([[ivfIndex]]), the learned µ-grid PQ codebooks
+    * (`Embeddings.pqCodebooks` — q_emb_pq_learned's model), and the
+    * two-stage shortlist→exact-rerank shape (q_sim_binary_rerank's
+    * precedent). Per probe, a LOOKUP TABLE lut[b][c] = ‖q_b − c_{b,c}‖²
+    * (exact integer µ²-units, 8×16 longs) is built driver-side from the
+    * frozen codebooks; scoring a candidate is then Σ_b lut[b][code_b] —
+    * an 8-element integer gather that reads ONLY the candidate's 8
+    * PQ codes. The ADC shortlist (top-128 per probe — 12.8×k, the standard
+    * rerank-depth margin that keeps ADC quantization error from
+    * costing recall — id tiebreak) is
+    * exact-reranked by cosine over the floats.
+    *
+    * Memory story (the point of PQ at 100 TB): the ADC scan touches
+    * 8 × 4-bit codes ≈ 4 B/vector vs 64 × 4 B = 256 B/vector on the
+    * float path — 64× less scan bandwidth, and the probed-cell float
+    * reads after it are bounded by shortlist × probes, never the
+    * corpus. Scale shape: codes ride the same cell-keyed join as plain
+    * IVF (shuffle keyed by cell, candidates bounded by probed-cell
+    * population); the LUT build is O(probes × 128) driver integers.
+    * Non-oracled (trained codebooks + seeded KMeans cells); ScalaTest
+    * pins recall ≥ the plain-IVF recall at equal nprobe. */
+  def simIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nprobe = 4
+    val shortlist = 128
+    val (centers, corpus) = ivfIndex(s, dir)
+    val codebooks = Embeddings.pqCodebooks(s, dir)
+    val enc = Embeddings.pqEncoder(codebooks)
+    val encoded = OpCache.cached(s, dir, "ivfpq_codes")(
+      corpus.select($"vec_id", $"cell", enc($"embedding").as("r"))
+        .select($"vec_id", $"cell", $"r._1".as("codes")))
+    // bounded probe set (the 10-probe evaluation convention), collected
+    // once; probed cells + LUTs are deterministic driver arithmetic —
+    // the cell distances use the same fold order and (d, i) tiebreak as
+    // ivfSearch's expression path
+    val probeRows = corpus.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").collect().sortBy(_.getLong(0))
+    val probeDefs = probeRows.toSeq.map { r =>
+      val id = r.getLong(0)
+      val q = r.getSeq[Float](1)
+      val cells = centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val t = q(j).toDouble - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2).toSeq
+      val qu = q.map(x => math.floor(x.toDouble * 1000000 + 0.5).toLong)
+      val lut = (0 until 8).map { b =>
+        (0 until 16).map { c =>
+          var d = 0L; var j = 0
+          while (j < 8) {
+            val t = qu(b * 8 + j) - codebooks(b)(c)(j); d += t * t; j += 1
+          }
+          d
+        }
+      }
+      (id, cells, lut)
+    }
+    val probes = probeDefs
+      .flatMap { case (id, cells, lut) => cells.map(c => (id, c, lut)) }
+      .toDF("probe_id", "cell", "lut")
+    // ADC: an integer µ²-unit 8-gather per candidate — no float touched
+    val adc = probes.join(encoded, Seq("cell"))
+      .filter($"probe_id" =!= $"vec_id")
+      .select($"probe_id", $"vec_id".as("nbr_id"),
+        aggregate(zip_with($"codes", $"lut",
+          (c, l) => element_at(l, c + 1)), lit(0L), (a, x) => a + x)
+          .as("adc_u2"))
+    import org.apache.spark.sql.expressions.Window
+    val wS = Window.partitionBy($"probe_id")
+      .orderBy($"adc_u2".asc, $"nbr_id".asc)
+    val short = adc.withColumn("srank", row_number().over(wS))
+      .filter($"srank" <= shortlist)
+      .select($"probe_id", $"nbr_id")
+    // exact re-rank of the shortlist only — the sole float reads
+    val pv = corpus.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+    val nv = corpus.select($"vec_id".as("nbr_id"), $"embedding".as("ne"))
+    val wR = Window.partitionBy($"probe_id")
+      .orderBy($"sim4".desc, $"nbr_id".asc)
+    short.join(broadcast(pv), Seq("probe_id")).join(nv, Seq("nbr_id"))
+      .select($"probe_id", $"nbr_id",
+        round(graft.functions.CosineSimF.cosine($"pe", $"ne"), 4).as("sim4"))
+      .withColumn("rank", row_number().over(wR))
+      .filter($"rank" <= 10)
+      .select($"probe_id", $"rank".cast("int").as("rank"), $"nbr_id", $"sim4")
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** MLlib random-projection LSH ANN — approx, seeded; ScalaTest checks
     * recall vs the brute-force truth. */
   def simLshKnn(s: SparkSession, dir: String): DataFrame = {
@@ -994,6 +1084,7 @@ object Dedup extends OpModule {
     "q_text_decontam" -> (textDecontam _),
     "q_dedup_near_embedding" -> (dedupNearEmbedding _),
     "q_sim_ivf_topk" -> (simIvfTopk _),
+    "q_sim_ivfpq_topk" -> (simIvfPqTopk _),
     "q_sim_ivf_sweep" -> (simIvfSweep _),
     "q_sim_lsh_knn" -> (simLshKnn _)
   )

@@ -120,20 +120,37 @@ object Embeddings extends OpModule {
     * see a fixed-size sample — codebook training never needs the
     * corpus). Non-oracled (trained); ScalaTest pins reconstruction
     * error STRICTLY below the fixed grid's and the code alphabet. */
+  /** Fixed-seed learned PQ codebooks on the exact µ-grid — the model
+    * half of [[embPqLearned]], shared with `Dedup.simIvfPqTopk`'s ADC
+    * scoring. Memoized per (session, dir): the 8 block fits are cheap
+    * but must not repeat across the ops that share the codebook (the
+    * `ivfIndex` single-fit precedent). */
+  private val cbMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Array[Array[Long]]]]
+
+  private[ops] def pqCodebooks(s: SparkSession,
+      dir: String): Array[Array[Array[Long]]] =
+    cbMemo.getOrElseUpdate((s, dir), {
+      import org.apache.spark.ml.clustering.KMeans
+      import s.implicits._
+      val e = OpCache.cached(s, dir, "pq_learned_e")(
+        Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding"))
+      (0 until 8).map { b =>
+        val blk = e.select(
+          org.apache.spark.ml.functions.array_to_vector(
+            expr(s"slice(embedding, ${b * 8 + 1}, 8)")).as("features"))
+        val km = new KMeans().setK(16).setSeed(42L + b).setMaxIter(5)
+          .setInitMode("random").setFeaturesCol("features")
+        km.fit(blk).clusterCenters
+          .map(_.toArray.map(x => math.floor(x * 1000000 + 0.5).toLong))
+      }.toArray
+    })
+
   def embPqLearned(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import s.implicits._
     val e = OpCache.cached(s, dir, "pq_learned_e")(
       Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding"))
-    val codebooks: Array[Array[Array[Long]]] = (0 until 8).map { b =>
-      val blk = e.select(
-        org.apache.spark.ml.functions.array_to_vector(
-          expr(s"slice(embedding, ${b * 8 + 1}, 8)")).as("features"))
-      val km = new KMeans().setK(16).setSeed(42L + b).setMaxIter(5)
-        .setInitMode("random").setFeaturesCol("features")
-      km.fit(blk).clusterCenters
-        .map(_.toArray.map(x => math.floor(x * 1000000 + 0.5).toLong))
-    }.toArray
+    val codebooks = pqCodebooks(s, dir)
     // UDF-POLICY WAIVER (the engine-wide boundary): closure UDFs are
     // confined to (a) ops/Udfs.scala — §2.L, where the UDF *is* the
     // operator under test — and (b) this encoder, the one site where
@@ -146,11 +163,27 @@ object Embeddings extends OpModule {
     // stays a map-side projection against broadcast codebook longs —
     // the waiver trades codegen visibility on ONE non-oracled column,
     // never plan shape.
-    val enc = udf((a: Seq[Float]) => {
+    val enc = pqEncoder(codebooks)
+    e.select($"vec_id", enc($"embedding").as("r"))
+      .select($"vec_id",
+        concat_ws(",", $"r._1".cast("array<string>")).as("pq_codes"),
+        $"r._2".as("l1_err_u"))
+      .orderBy($"vec_id")
+  }
+
+  /** The (sole waivered) PQ encode closure parameterized by a frozen
+    * µ-grid codebook: returns (codes: array<int> — nearest centroid id
+    * per block, L1 on the µ-grid, ties to the lower id; l1_err_u: the
+    * exact integer µ-unit reconstruction error). Shared by
+    * [[embPqLearned]] (string-joined codes) and `Dedup.simIvfPqTopk`
+    * (raw code array for ADC lookup). */
+  private[ops] def pqEncoder(codebooks: Array[Array[Array[Long]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: Seq[Float]) => {
       val xu = a.map(x =>
         math.floor(x.toDouble * 1000000 + 0.5).toLong).toArray
       var err = 0L
-      val codes = new Array[String](8)
+      val codes = new Array[Int](8)
       var b = 0
       while (b < 8) {
         val cb = codebooks(b)
@@ -162,16 +195,12 @@ object Embeddings extends OpModule {
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
-        codes(b) = best.toString
+        codes(b) = best
         err += bestD
         b += 1
       }
-      (codes.mkString(","), err)
+      (codes.toSeq, err)
     })
-    e.select($"vec_id", enc($"embedding").as("r"))
-      .select($"vec_id", $"r._1".as("pq_codes"), $"r._2".as("l1_err_u"))
-      .orderBy($"vec_id")
-  }
 
   /** Matryoshka/truncation quality profile — how much of each vector's
     * energy (squared L2 norm) the first k dimensions capture, averaged

@@ -889,6 +889,32 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("IVF-PQ ADC recall ≥ plain IVF at equal nprobe vs the cosine truth") {
+    // r9 verdict item 4's law: the ADC shortlist + exact re-rank may
+    // only lose a true neighbor that ADC ranks below the shortlist cut;
+    // with the 128-deep shortlist over these cell populations it must
+    // retain everything plain IVF (exact scoring over the SAME probed
+    // cells) finds — so its recall can't drop below plain IVF's, and
+    // the composition stays a strict memory win (4 B of codes scanned
+    // per candidate vs 256 B of floats).
+    val truth = run("q_sim_topk_cosine")
+      .select($"probe_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    val ivf = run("q_sim_ivf_topk")
+      .select($"probe_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    val ivfpq = run("q_sim_ivfpq_topk")
+      .select($"probe_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    val rIvf = truth.count(ivf.contains).toDouble / truth.size
+    val rPq = truth.count(ivfpq.contains).toDouble / truth.size
+    assert(rPq >= rIvf,
+      s"IVF-PQ recall $rPq must not drop below plain IVF $rIvf")
+    assert(rPq >= 0.5, s"IVF-PQ recall $rPq")
+    // output contract: top-10 per probe, ranks 1..10, sims in [-1, 1]
+    val out = run("q_sim_ivfpq_topk")
+    assert(out.groupBy($"probe_id").count()
+      .filter($"count" =!= 10L).count() === 0)
+    assert(out.filter($"sim4" < -1 || $"sim4" > 1).count() === 0)
+  }
+
   test("optimizer rule rewrites HOF dot-product into native expression") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ graft.plans.DotProductRewrite
