@@ -40,6 +40,14 @@ import org.apache.spark.sql.SparkSession
   * window happened to cover; by the end of the run the window has
   * usually passed, and min() repairs exactly those entries. A
   * genuinely-expensive query just re-confirms its cost.
+  *
+  * Round 10 extends the recheck into a SENTINEL-TRIGGERED self-heal:
+  * when a checkpoint probe bounding a block of the sweep exceeded
+  * [[QuietBand]], every non-trivial query of that block is re-repped
+  * at the end of the run (min-merged; `"healed"` on the total line
+  * counts the entries the extra rep actually improved) — the recorded
+  * artifact converges to the quiet number instead of depending on
+  * machine luck.
   */
 object Bench {
   /** Per-query shuffle accounting (round 9): an async listener sums
@@ -91,6 +99,17 @@ object Bench {
     * at ≲0.5 s each; the recheck costs one quiet rep of the tail. */
   val SentinelEvery = 30
   val RecheckTop = 12
+
+  /** Sentinel quiet band (round 10, r9 verdict item 7): the probe's
+    * quiet-window reference at 32 cpus is 0.09–0.15 s (BASELINE.md).
+    * A checkpoint above this proves the surrounding ~[[SentinelEvery]]
+    * queries ran inside a contention window, and triggers the
+    * SELF-HEAL pass: every non-trivial query in a noisy block gets one
+    * more end-of-run rep (min-merged), so the RECORDED artifact
+    * converges to the quiet number instead of depending on machine
+    * luck. Env-overridable for other boxes. */
+  val QuietBand: Double = sys.env.get("SPARK_GRAFT_QUIET_BAND")
+    .flatMap(_.toDoubleOption).getOrElse(0.16)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -173,18 +192,38 @@ object Bench {
               s(0) < ThirdRepFloor)
           }
         while (times.length < reps && !settled) times :+= rep(fn)
-        (name, fn, times.min)
+        (name, fn, times.min, idx / SentinelEvery)
       }
     // end-of-run re-measure of the most expensive entries (see object
     // doc): one rep each, min() repairs window-inflated tails
     val recheck = firstPass.sortBy(-_._3).take(RecheckTop)
-      .map { case (name, fn, _) => name -> rep(fn) }.toMap
-    val results = firstPass.map { case (name, _, t) =>
-      name -> math.min(t, recheck.getOrElse(name, t))
-    }
+      .map { case (name, fn, _, _) => name -> rep(fn) }.toMap
+    // Sentinel-triggered SELF-HEAL (round 10): block b of the sweep ran
+    // between probes sentinels(b) and sentinels(b+1) (the post probe
+    // below closes the last block). If either bounding probe sat above
+    // QuietBand, every query of that block above FastCutoff (and not
+    // already re-measured by the top-K recheck) gets one more rep NOW —
+    // by this point the window has usually passed, and min() repairs
+    // exactly the entries it inflated. Bounded cost: one rep per healed
+    // query, only paid when a probe proves contention.
     sentinels += sentinel(spark)
+    def probe(i: Int): Double = sentinels(math.min(i, sentinels.length - 1))
+    val healReps = firstPass
+      .filter { case (name, _, t, b) =>
+        (probe(b) > QuietBand || probe(b + 1) > QuietBand) &&
+          t > FastCutoff && !recheck.contains(name)
+      }
+      .map { case (name, fn, _, _) => name -> rep(fn) }.toMap
+    val healedNames = firstPass.collect {
+      case (name, _, t, _) if healReps.get(name).exists(_ < t) => name
+    }
+    if (healReps.nonEmpty) sentinels += sentinel(spark)
+    val results = firstPass.map { case (name, _, t, _) =>
+      name -> math.min(math.min(t, recheck.getOrElse(name, t)),
+        healReps.getOrElse(name, t))
+    }
     val (mapLine, totalLine) =
-      renderLines(results, sfDir, sentinels.toSeq)
+      renderLines(results, sfDir, sentinels.toSeq, healedNames.length)
     println(mapLine)
     println(totalLine)
     // Persist the FULL per-query map next to the repo artifacts: the
@@ -205,9 +244,13 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_SHUFFLE_OUT", "bench_shuffle.json")),
-      shuffles.map { case (n, (w, r)) =>
-        s""""$n":{"shuffle_write_bytes":$w,"shuffle_read_bytes":$r}"""
-      }.mkString("{", ",", "}") + "\n")
+      (Seq(""""_note":"deltas bracket each query's FIRST rep; a query """ +
+        """that is first to touch a shared OpCache artifact (copurchase """ +
+        """pairs, binhash, rfmseg_base) carries that build's shuffle """ +
+        """bytes in its own delta"""") ++
+        shuffles.map { case (n, (w, r)) =>
+          s""""$n":{"shuffle_write_bytes":$w,"shuffle_read_bytes":$r}"""
+        }).mkString("{", ",", "}") + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] shuffle persist failed: $e")
     }
@@ -239,7 +282,7 @@ object Bench {
     * all checkpoints (a mid-run window shows up in the max even when
     * both endpoints look quiet). */
   def renderLines(results: Seq[(String, Double)], sfDir: String,
-      sentinels: Seq[Double] = Nil): (String, String) = {
+      sentinels: Seq[Double] = Nil, healed: Int = 0): (String, String) = {
     // Locale.ROOT: the default-locale f"%.3f" renders a COMMA decimal
     // separator on e.g. de_DE JVMs — malformed JSON
     def d3(v: Double): String =
@@ -257,6 +300,6 @@ object Bench {
         s""""n_queries":${results.length},""" +
         s""""per_query_file":"bench_per_query.json",""" +
         s""""sentinel_pre":${d3(s.head)},"sentinel_post":${d3(s.last)},""" +
-        s""""sentinel_max":${d3(s.max)}}""")
+        s""""sentinel_max":${d3(s.max)},"healed":$healed}""")
   }
 }

@@ -416,9 +416,13 @@ object Streaming extends OpModule {
     * Money travels as exact 10⁻⁴-unit integers through the state and
     * becomes the decimal-sum-equal double only at the edge. The
     * single-file corpus yields a single AvailableNow batch, so each
-    * (user, session) is emitted exactly once; the max-rollup below is
-    * the identity on that path (and the cross-batch reduction
-    * otherwise — see the processor's scale note). */
+    * (user, session) is emitted exactly once and the max-rollup below
+    * is the identity. SINGLE-BATCH ONLY (r9 advice): on a multi-batch
+    * corpus the re-derived session indices shift when new events
+    * bridge gaps, leaving stale (user, session_idx) emissions the
+    * rollup would wrongly keep — the production multi-batch path is
+    * [[streamSessionizeTimer]], whose emissions are keyed by the
+    * stable session START and gated on the watermark. */
   def streamTwsSessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     runToTable(s, "update") { ss =>
@@ -446,6 +450,119 @@ object Streaming extends OpModule {
         max($"n_events").as("n_events"),
         (max($"c4").cast("double") / 10000.0).as("val_sum"))
       .orderBy($"user_id", $"session_idx")
+  }
+
+  /** TIMER-driven streaming sessionization
+    * ([[graft.streaming.StatefulOps.TimedSessionProcessor]]) — the
+    * BOUNDED fourth engine for the sessionize query and the op that
+    * exercises the TWS event-time TIMER surface for real: per-key
+    * state is ONE open session (4 longs, O(1) — the production bound
+    * the ListState variant's scale note promises), gap-closed sessions
+    * emit in-batch, and the final open session emits from
+    * `handleExpiredTimer` when the event-time watermark passes
+    * session_end + gap. A session row appears exactly once, when its
+    * closure is PROVEN — by a successor event (the gap rule) or by the
+    * watermark (the timer) — so the graded output is the sessionize
+    * oracle FILTERED to proven-closed sessions: every non-last session
+    * per user (a successor exists) plus last sessions whose
+    * end + gap < final watermark (max event ts − 1 h). Deterministic
+    * and SQL-expressible. At 100 TB this is the shape that actually
+    * ships: state O(keys), emission gated on the same watermark that
+    * bounds the store. */
+  def streamSessionizeTimer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runToTable(s, "update") { ss =>
+      import ss.implicits._
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      val typed = eventsStream(ss, dir)
+        .withWatermark("ts", "1 hour")
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+          expr("CAST(ROUND(value * 10000) AS BIGINT)").as("c4"))
+        .as[(Long, Long, Long, Long)]
+      typed.groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.StatefulOps.TimedSessionProcessor(
+            1800L * 1000000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "start_us", "end_us", "n_events", "c4")
+    }
+      .select($"user_id",
+        timestamp_micros($"start_us").as("session_start"),
+        timestamp_micros($"end_us").as("session_end"),
+        $"n_events",
+        ($"c4".cast("double") / 10000.0).as("val_sum"))
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** Stream-stream FULL OUTER join — BOTH sides' null-emission on
+    * watermark expiry (the left-outer op exercises only one): an
+    * unmatched purchase emits (p_id, null) once the watermark passes
+    * its p_ts; an unmatched click emits (null, c_id) once the
+    * watermark passes c_ts + 1 h (the join condition bounds a click's
+    * matchable purchases to p_ts ≤ c_ts + 1 h, so that is its state
+    * expiry). Same fixed Jan-29 left cutoff + MAX watermark policy as
+    * [[streamJoinOuter]]; the final watermark (max click ts − 1 h,
+    * advanced by the closing no-data batch) then releases every
+    * retained purchase, while clicks in the last pre-watermark window
+    * stay retained — so the graded set is the batch full join with
+    * the unmatched-click side FILTERED to watermark-expired clicks, a
+    * deterministic SQL-expressible set (exactly the append-mode
+    * contract at 100 TB: emit only what the watermark has proven). */
+  def streamJoinFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runToTable(s, "append") { ss =>
+      ss.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+      val purchases = eventsStream(ss, dir)
+        .filter($"event_type" === "purchase" &&
+          $"ts" < lit("2024-01-29").cast("timestamp"))
+        .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = eventsStream(ss, dir).filter($"event_type" === "click")
+        .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+          $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      purchases.join(clicks,
+        $"user_id" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts",
+        "full_outer")
+    }
+      .select($"p_id", $"c_id", coalesce($"user_id", $"c_user").as("user_id"))
+      .orderBy($"p_id", $"c_id")
+  }
+
+  /** Stream-stream RIGHT OUTER join — the remaining outer variant:
+    * only the RIGHT (click) side's unmatched rows emit, and their
+    * expiry clock is the JOIN-CONDITION bound, not their own event
+    * time — a click's latest matchable purchase is at c_ts + 1 h, so
+    * its null-emission waits until the watermark passes THAT (the
+    * distinct state-expiry semantics vs the left-outer op, where the
+    * retained row's own timestamp is the clock). Same Jan-29 purchase
+    * cutoff + MAX watermark policy as [[streamJoinFull]]; graded set =
+    * batch right join with the unmatched-click side filtered to
+    * watermark-expired clicks. */
+  def streamJoinRight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runToTable(s, "append") { ss =>
+      ss.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+      val purchases = eventsStream(ss, dir)
+        .filter($"event_type" === "purchase" &&
+          $"ts" < lit("2024-01-29").cast("timestamp"))
+        .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = eventsStream(ss, dir).filter($"event_type" === "click")
+        .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+          $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      purchases.join(clicks,
+        $"user_id" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts",
+        "right_outer")
+    }
+      .select($"p_id", $"c_id", coalesce($"user_id", $"c_user").as("user_id"))
+      .orderBy($"p_id", $"c_id")
   }
 
   /** Streaming ingest INTO the versioned table — foreachBatch +
@@ -486,6 +603,9 @@ object Streaming extends OpModule {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_stream_sessionize_timer" -> (streamSessionizeTimer _),
+    "q_stream_join_full" -> (streamJoinFull _),
+    "q_stream_join_right" -> (streamJoinRight _),
     "q_stream_table_ingest" -> (streamTableIngest _),
     "q_stream_state_audit" -> (streamStateAudit _),
     "q_stream_tws_sessionize" -> (streamTwsSessionize _),
@@ -504,6 +624,91 @@ object Streaming extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    // the timer-driven sessionize emits exactly the PROVEN-closed
+    // sessions: non-last per user (closed by a successor event) plus
+    // last sessions whose timer (end + gap, ms-truncated, +1 guard)
+    // the final watermark (max event ts − 1 h, ms) passed
+    "q_stream_sessionize_timer" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |wm AS (
+        |  SELECT (epoch_us(MAX(ts)) // 1000) - 3600000 AS wm_ms FROM e),
+        |m AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM m),
+        |roll AS (
+        |  SELECT user_id, session_idx,
+        |    MAX(session_idx) OVER (PARTITION BY user_id) AS last_idx,
+        |    MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+        |  FROM g GROUP BY user_id, session_idx)
+        |SELECT user_id, session_start, session_end, n_events, val_sum
+        |FROM roll, wm
+        |WHERE session_idx < last_idx
+        |   OR (epoch_us(session_end) + 1800000000) // 1000 + 1 < wm_ms
+        |ORDER BY user_id, session_start""".stripMargin,
+    // full outer: matched pairs + all unmatched purchases (the final
+    // watermark passes every p_ts behind the Jan-29 cutoff) + the
+    // unmatched clicks whose state expiry (c_ts + 1 h — the join
+    // bound on their latest matchable purchase) the watermark passed
+    "q_stream_join_full" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-29'),
+        |c AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |wm AS (
+        |  SELECT (epoch_us(MAX(ts)) // 1000) - 3600000 AS wm_ms FROM c)
+        |SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+        |FROM p LEFT JOIN c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT) AS p_id, c.event_id AS c_id, c.user_id
+        |FROM c, wm
+        |WHERE NOT EXISTS (SELECT 1 FROM p
+        |    WHERE p.user_id = c.user_id
+        |      AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts)
+        |  AND (epoch_us(c.ts) // 1000) + 3600000 < wm_ms
+        |ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""".stripMargin,
+    // right outer: matched pairs + unmatched clicks whose state
+    // expiry (c_ts + 1 h) the final watermark passed — the full-outer
+    // oracle minus the unmatched-purchase branch
+    "q_stream_join_right" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-29'),
+        |c AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |wm AS (
+        |  SELECT (epoch_us(MAX(ts)) // 1000) - 3600000 AS wm_ms FROM c)
+        |SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+        |FROM p JOIN c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT) AS p_id, c.event_id AS c_id, c.user_id
+        |FROM c, wm
+        |WHERE NOT EXISTS (SELECT 1 FROM p
+        |    WHERE p.user_id = c.user_id
+        |      AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts)
+        |  AND (epoch_us(c.ts) // 1000) + 3600000 < wm_ms
+        |ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""".stripMargin,
     // the ingested versioned table ≡ the batch table; n_distinct = n
     // is the no-double-append witness
     "q_stream_table_ingest" ->

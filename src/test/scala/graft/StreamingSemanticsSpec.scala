@@ -255,6 +255,145 @@ class StreamingSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("TWS event-time timer closes the open session only after the watermark passes") {
+    // r9 verdict item 5: the timer surface exercised across REAL
+    // micro-batches — a key's open session must NOT emit while the
+    // watermark sits below end+gap, and MUST emit (exactly once, via
+    // handleExpiredTimer) when a later batch advances the watermark
+    // past it.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, Long)]
+    val out = mem.toDF().toDF("user_id", "ts", "event_id", "c4")
+      .withWatermark("ts", "0 seconds")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"c4")
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new streaming.StatefulOps.TimedSessionProcessor(1800L * 1000000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "start_us", "end_us", "n_events", "c4")
+    val q = out.writeStream.format("memory").queryName("tws_timer_test")
+      .outputMode("update").start()
+    try {
+      def rows() = ss.table("tws_timer_test")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().toSeq
+      // batch 1: user 1 has a 2-event session ending 10:05; watermark
+      // after the batch = 10:05 < 10:35 ⇒ no emission yet
+      mem.addData((1L, ts(0), 1L, 10L), (1L, ts(5), 2L, 20L))
+      q.processAllAvailable()
+      assert(rows().isEmpty,
+        "open session must not emit before the watermark passes end+gap")
+      // batch 2: a far-future event for ANOTHER key advances the
+      // watermark past 10:35 ⇒ user 1's timer fires, session emits once
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 12:00:00"), 3L, 5L))
+      q.processAllAvailable()
+      q.processAllAvailable() // one more no-data batch: timer evaluation
+      assert(rows().contains((1L, 2L)),
+        s"watermark-passed session must emit via the timer; got ${rows()}")
+      assert(rows().count(_._1 == 1L) === 1,
+        "the timer emission must happen exactly once")
+    } finally q.stop()
+  }
+
+  test("TWS TTL'd ValueState evicts idle keys; fresh keys restart, not resume") {
+    // r9 verdict item 5's other half: per-variable TTL. A key counted
+    // in run 1 and untouched past the TTL must read back as ABSENT
+    // in a later run — the count restarts at the new batch's size
+    // instead of resuming. TTL is processing-time, so the test sleeps
+    // for real between runs (generous margins: 1 s TTL, 3 s idle).
+    // Two poll-then-stop runs against ONE checkpoint, not one
+    // processAllAvailable query: in ProcessingTime time mode the
+    // engine schedules no-data batches forever (processing time
+    // always advances, so shouldRunAnotherBatch never settles — even
+    // under Trigger.AvailableNow, measured 600+ batches/2 min), so
+    // each run waits for its expected EMISSION and stops the query
+    // explicitly — the production lifecycle for this mode. The
+    // restart doubles as proof that TTL expiry is evaluated against
+    // the RESTORED RocksDB state.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    withTmpDir("graft_tws_ttl") { root =>
+      val mem = MemoryStream[(Long, String)]
+      val out = mem.toDF().toDF("user_id", "event_type")
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new streaming.StatefulOps.TtlCountProcessor(
+            java.time.Duration.ofSeconds(1)),
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "n")
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def snapshot(): Seq[(Long, Long)] =
+        emitted.synchronized(emitted.toVector)
+      def runUntil(pred: Seq[(Long, Long)] => Boolean): Unit = {
+        val q = out.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = df.as[(Long, Long)].collect()
+            emitted.synchronized { emitted ++= rows }
+            ()
+          }
+          .start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000000000L
+          while (!pred(snapshot()) && System.nanoTime() < deadline)
+            Thread.sleep(100)
+          assert(pred(snapshot()),
+            s"expected emission never arrived: ${snapshot()}")
+        } finally q.stop()
+      }
+      mem.addData((1L, "a"), (1L, "b"))
+      runUntil(_.contains((1L, 2L)))   // count(1) = 2, TTL clock starts
+      Thread.sleep(3000)               // idle well past the 1 s TTL
+      mem.addData((1L, "c"))
+      runUntil(_.exists(r => r._1 == 1L && r._2 != 2L))
+      assert(snapshot().contains((1L, 1L)),
+        s"TTL must evict the idle count so run 2 RESTARTS at 1, " +
+          s"not resumes at 3: ${snapshot()}")
+      assert(!snapshot().contains((1L, 3L)),
+        s"count resumed across the TTL boundary — eviction never fired: " +
+          s"${snapshot()}")
+    }
+  }
+
+  test("timer sessionize ≡ batch sessionize on proven-closed sessions") {
+    // the fourth sessionize engine agrees with the batch oracle engine
+    // on its emitted (proven-closed) set — keyed by stable start, so
+    // the comparison is on (user, start, end, n)
+    val timer = SparkEntry.queries("q_stream_sessionize_timer")(spark, sf)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .collect().toSeq
+    val batch = SparkEntry.queries("q_sessionize")(spark, sf)
+    val wmMs = Tables.t(spark, sf, "events")
+      .agg((max(unix_micros($"ts")) / 1000).cast("long") - 3600000L)
+      .as[Long].head()
+    import org.apache.spark.sql.expressions.Window
+    val closed = batch
+      .withColumn("last_idx",
+        max($"session_idx").over(Window.partitionBy($"user_id")))
+      .filter($"session_idx" < $"last_idx" ||
+        (unix_micros($"session_end") + 1800L * 1000000L) / 1000L + 1L < wmMs)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .orderBy($"user_id", $"session_start")
+      .collect().toSeq
+    assert(timer === closed)
+  }
+
   test("AvailableNow streaming aggregate equals batch aggregate") {
     val streamed = ops.Streaming.streamTumbling(spark, sf)
       .select($"hour_start".cast("string"), $"event_type", $"n")
