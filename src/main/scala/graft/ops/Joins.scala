@@ -151,6 +151,32 @@ object Joins extends OpModule {
       .orderBy($"a_key")
   }
 
+  /** The SAME price-band semantics as [[joinRangeBinned]] through the
+    * NATIVE band-join operator ([[graft.plans.BandJoinExec]] — custom
+    * logical node + strategy + exec, the engine's third whole-operator
+    * plan): identical binning and identical oracle text, but the
+    * per-bin hash join + post-BETWEEN-filter is replaced by a per-bin
+    * sort-merge band sweep whose window buffer IS the predicate — no
+    * candidate over-emission, memory O(band occupancy) instead of the
+    * hash build's O(bin). Hash-graded against the same DuckDB SQL as
+    * the composition, so the two engines pin each other. */
+  def joinRangeNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val part = Tables.t(s, dir, "part")
+    val a = part.filter($"p_partkey" < 2000)
+      .select($"p_partkey".as("a_key"), $"p_retailprice".as("a_price"))
+    val b = part
+      .select($"p_partkey".as("b_key"), $"p_retailprice".as("b_price"))
+    org.apache.spark.sql.graft.GraftFunctions
+      .bandJoin(a, "a_price", b, "b_price", 0.99, 1.01, 25.0)
+      .filter($"a_key" < $"b_key")
+      .groupBy($"a_key")
+      .agg(count(lit(1)).as("n_matches"),
+        min($"b_key").as("min_b"), max($"b_key").as("max_b"),
+        sum(Det.d12($"b_price")).cast("double").as("sum_b_price"))
+      .orderBy($"a_key")
+  }
+
   /** Day-of-month-aligned event⋈order join (events are 2024, orders
     * 1995–2001, so a pure time-interval join is empty by construction —
     * see FIXTURES.md). Composite equi key (user, day) + value range. */
@@ -556,6 +582,7 @@ object Joins extends OpModule {
     "q_join_cross" -> (joinCross _),
     "q_join_theta_range" -> (joinThetaRange _),
     "q_join_range_binned" -> (joinRangeBinned _),
+    "q_join_range_native" -> (joinRangeNative _),
     "q_join_interval" -> (joinInterval _),
     "q_join_asof" -> (joinAsof _),
     "q_join_asof_native" -> (joinAsofNative _),
@@ -707,6 +734,20 @@ object Joins extends OpModule {
         |  AND p1.p_partkey < p2.p_partkey
         |ORDER BY a_key, b_key""".stripMargin,
     "q_join_range_binned" ->
+      """SELECT p1.p_partkey AS a_key, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  MIN(p2.p_partkey) AS min_b, MAX(p2.p_partkey) AS max_b,
+        |  CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(12,4))) AS DOUBLE)
+        |    AS sum_b_price
+        |FROM (SELECT * FROM part WHERE p_partkey < 2000) p1
+        |JOIN part p2
+        |  ON p2.p_retailprice BETWEEN p1.p_retailprice * 0.99
+        |    AND p1.p_retailprice * 1.01
+        |  AND p1.p_partkey < p2.p_partkey
+        |GROUP BY p1.p_partkey
+        |ORDER BY a_key""".stripMargin,
+    // the native band-join engine grades against the SAME text as the
+    // composition — the two engines pin each other
+    "q_join_range_native" ->
       """SELECT p1.p_partkey AS a_key, CAST(COUNT(*) AS BIGINT) AS n_matches,
         |  MIN(p2.p_partkey) AS min_b, MAX(p2.p_partkey) AS max_b,
         |  CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(12,4))) AS DOUBLE)

@@ -1,0 +1,180 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
+  SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
+/** Whole-operator custom plan #3: the BAND JOIN — the inner range join
+  * `rightVal BETWEEN leftVal*loFactor AND leftVal*hiFactor`, executed
+  * as a per-bin SORT-MERGE SWEEP instead of the composed shape's
+  * per-bin hash join + post-filter (`q_join_range_binned`,
+  * `ops/Joins.scala`).
+  *
+  * Distribution contract (shared with the composition — it is the
+  * correct 100-TB shape): the caller bins both sides by value
+  * (`GraftFunctions.bandJoin` builds the bin columns — the left row
+  * replicated into every fixed-width bin its band overlaps, the right
+  * row keyed by its single home bin), and a matching pair meets exactly
+  * once, in the right row's home bin. This node then requires each side
+  * hash-clustered on its bin and sorted (bin, value) —
+  * EnsureRequirements plans the exchanges and spill-aware sorts, AQE
+  * still coalesces/splits them — and the exec replaces the hash join:
+  *
+  *  - the right cursor advances through each bin ONCE, appending rows
+  *    with value ≤ the current left's hi bound to a window buffer and
+  *    pruning rows below the current lo bound from its head (both
+  *    bounds are monotone in the left's value, which is the sort key);
+  *  - every buffered row IS a match — the BETWEEN predicate is
+  *    enforced by the buffer bounds, so there is no candidate
+  *    over-emission and no post-join filter;
+  *  - memory is O(max rows inside one band) per partition — the band
+  *    occupancy, strictly smaller than the hash join's O(rows per bin)
+  *    build side (bin width ≥ band width by construction).
+  *
+  * Contract: bin columns BIGINT, value columns DOUBLE,
+  * 0 ≤ loFactor ≤ hiFactor, values non-negative (multiplicative bands
+  * flip for negative values; such rows match nothing). NULL values on
+  * either side never match (SQL BETWEEN semantics).
+  *
+  * At 100 TB: one shuffle per side on the bin key (the range join's
+  * inherent cost — same movement as the composition), then linear merge
+  * work per partition; a skewed bin costs its own band occupancy,
+  * never |bin|² hash-probe emission.
+  */
+case class BandJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftBin: Attribute,
+    leftVal: Attribute,
+    rightBin: Attribute,
+    rightVal: Attribute,
+    loFactor: Double,
+    hiFactor: Double) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): BandJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[BandJoinPlan]] as [[BandJoinExec]]. Injected declaratively by
+  * `graft.GraftExtensions` and idempotently by the imperative builder
+  * (`org.apache.spark.sql.graft.GraftFunctions.bandJoin`). */
+object BandJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: BandJoinPlan =>
+      BandJoinExec(planLater(p.left), planLater(p.right), p.leftBin,
+        p.leftVal, p.rightBin, p.rightVal, p.loFactor, p.hiFactor) :: Nil
+    case _ => Nil
+  }
+}
+
+case class BandJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftBin: Attribute,
+    leftVal: Attribute,
+    rightBin: Attribute,
+    rightVal: Attribute,
+    loFactor: Double,
+    hiFactor: Double) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "maxBandBuffer" -> SQLMetrics.createSizeMetric(sparkContext,
+      "peak band-window buffer rows"))
+
+  /** Both children clustered on their bin: EnsureRequirements inserts
+    * the two hash exchanges AND aligns partition counts, so
+    * `zipPartitions` pairs co-binned partitions. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftBin)),
+      ClusteredDistribution(Seq(rightBin)))
+
+  /** (bin, value) ascending on both sides — the sweep's precondition;
+    * EnsureRequirements adds spill-aware SortExecs. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftBin, Ascending), SortOrder(leftVal, Ascending)),
+      Seq(SortOrder(rightBin, Ascending), SortOrder(rightVal, Ascending)))
+
+  /** Rows stream out in left order with left's clustering intact. */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BandJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    def ordinal(attrs: Seq[Attribute], a: Attribute, side: String): Int = {
+      val i = attrs.indexWhere(_.exprId == a.exprId)
+      require(i >= 0, s"band-join $side column ${a.name} not in child output")
+      i
+    }
+    val lbIdx = ordinal(left.output, leftBin, "left bin")
+    val lvIdx = ordinal(left.output, leftVal, "left value")
+    val rbIdx = ordinal(right.output, rightBin, "right bin")
+    val rvIdx = ordinal(right.output, rightVal, "right value")
+    val (loF, hiF) = (loFactor, hiFactor)
+    val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val maxBandBuffer = longMetric("maxBandBuffer")
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      // right cursor; skips rows that can never match (null bin/value)
+      def advance(): InternalRow = {
+        var n: InternalRow = null
+        while (n == null && rIter.hasNext) {
+          n = rIter.next()
+          if (n.isNullAt(rbIdx) || n.isNullAt(rvIdx)) n = null
+        }
+        n
+      }
+      var rRow: InternalRow = advance()
+      // window buffer: current bin's right rows with value inside the
+      // CURRENT left band — value-ascending, appended once per bin
+      // pass (copy() required: the child iterator reuses its buffer)
+      val buf = new java.util.ArrayDeque[InternalRow]()
+      var curBin = Long.MinValue
+      var curBinValid = false
+      var peak = 0L
+      lIter.flatMap { l =>
+        if (l.isNullAt(lbIdx) || l.isNullAt(lvIdx) ||
+            l.getDouble(lvIdx) < 0) Iterator.empty
+        else {
+          val lbin = l.getLong(lbIdx)
+          val lv = l.getDouble(lvIdx)
+          val lo = lv * loF
+          val hi = lv * hiF
+          if (!curBinValid || lbin != curBin) {
+            buf.clear(); curBin = lbin; curBinValid = true
+          }
+          while (rRow != null && rRow.getLong(rbIdx) < lbin) rRow = advance()
+          while (rRow != null && rRow.getLong(rbIdx) == lbin &&
+              rRow.getDouble(rvIdx) <= hi) {
+            buf.addLast(rRow.copy())
+            rRow = advance()
+          }
+          while (!buf.isEmpty && buf.peekFirst.getDouble(rvIdx) < lo)
+            buf.pollFirst()
+          if (buf.size > peak) { peak = buf.size; maxBandBuffer.set(peak) }
+          numOutputRows += buf.size
+          // safe to iterate the live deque: it only mutates on the NEXT
+          // outer element, after this inner iterator is exhausted
+          import scala.jdk.CollectionConverters._
+          buf.iterator.asScala.map(r => proj(joined(l, r)))
+        }
+      }
+    }
+  }
+}

@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.classic
 import graft.functions.{CosineSimF, DotProductF}
-import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy, SessionizePlan,
-  SessionizeStrategy}
+import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy, BandJoinPlan,
+  BandJoinStrategy, SessionizePlan, SessionizeStrategy}
 
 /** Imperative twin of `graft.GraftExtensions` for sessions that are
   * already built (the extensions config is only read at build time).
@@ -89,6 +89,53 @@ object GraftFunctions {
         right.withColumn(rn, -col(rightTs)),
         leftKey, ln, rightKey, rn)
       .drop(ln, rn)
+  }
+
+  /** Inner BAND JOIN through the native operator
+    * ([[graft.plans.BandJoinExec]]): every (`left`, `right`) pair with
+    * `right.rightVal BETWEEN left.leftVal*loFactor AND
+    * left.leftVal*hiFactor`. This builder constructs the bin columns —
+    * the left row exploded into every fixed-width value bin its band
+    * overlaps, the right row keyed by its home bin (a pair meets
+    * exactly once, in the right row's home bin) — and the exec replaces
+    * the composed shape's per-bin hash join + post-filter with a
+    * per-bin sort-merge band sweep (see the operator scaladoc).
+    * Value columns must be non-negative DOUBLEs;
+    * 0 ≤ loFactor ≤ hiFactor; binWidth > 0 (≥ the widest band keeps
+    * left replication ≤ 2 bins/row). */
+  def bandJoin(left: DataFrame, leftVal: String,
+      right: DataFrame, rightVal: String,
+      loFactor: Double, hiFactor: Double, binWidth: Double): DataFrame = {
+    require(loFactor >= 0 && hiFactor >= loFactor && binWidth > 0,
+      s"bandJoin requires 0 <= loFactor <= hiFactor and binWidth > 0; " +
+        s"got ($loFactor, $hiFactor, $binWidth)")
+    val spark = left.sparkSession.asInstanceOf[classic.SparkSession]
+    if (!spark.experimental.extraStrategies.contains(BandJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ BandJoinStrategy
+    }
+    import org.apache.spark.sql.functions.{col, explode, floor, sequence}
+    val lBin = "__graft_band_bin_l"
+    val rBin = "__graft_band_bin_r"
+    val lExp = left.withColumn(lBin, explode(sequence(
+      floor(col(leftVal) * loFactor / binWidth).cast("long"),
+      floor(col(leftVal) * hiFactor / binWidth).cast("long"))))
+    val rExp = right.withColumn(rBin,
+      floor(col(rightVal) / binWidth).cast("long"))
+    val lp = lExp.queryExecution.analyzed
+    val rp0 = rExp.queryExecution.analyzed
+    // self-join hygiene (see asofJoin): fresh exprIds on the right
+    val rp: LogicalPlan =
+      Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+    def attr(p: LogicalPlan, n: String, side: String) =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"bandJoin: no column '$n' on the $side side " +
+          s"(have ${p.output.map(_.name).mkString(", ")})"))
+    classic.Dataset.ofRows(spark, BandJoinPlan(lp, rp,
+      attr(lp, lBin, "left"), attr(lp, leftVal, "left"),
+      attr(rp, rBin, "right"), attr(rp, rightVal, "right"),
+      loFactor, hiFactor))
+      .drop(lBin, rBin)
   }
 
   /** Gaps-and-islands sessionization through the native operator

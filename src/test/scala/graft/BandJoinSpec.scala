@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions
+
+/** The native band-join operator (`graft.plans.BandJoinExec`):
+  * boundary semantics on synthetic data, exactly-once pairing across
+  * bin boundaries, a seeded random property check against a local
+  * brute-force reference, equality with the explode+hash-join
+  * composition on the corpus, and the plan shape. */
+class BandJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def band(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame,
+      loF: Double, hiF: Double, binW: Double) =
+    GraftFunctions.bandJoin(l, "lv", r, "rv", loF, hiF, binW)
+
+  test("band join is inclusive on both bounds and drops nulls/negatives") {
+    // lval=100, factors (0.5, 2.0): band [50, 200] with EXACT double
+    // endpoints — rights at 50 and 200 must match, 49.999/200.001 not
+    val left = Seq((Some(100.0), 1L), (None, 2L), (Some(-100.0), 3L))
+      .toDF("lv", "lid")
+    val right = Seq((Some(50.0), 10L), (Some(200.0), 11L),
+      (Some(49.999), 12L), (Some(200.001), 13L), (None, 14L))
+      .toDF("rv", "rid")
+    val got = band(left, right, 0.5, 2.0, 10.0)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L), (1L, 11L)))
+  }
+
+  test("a pair meets exactly once even when the band spans many bins") {
+    // binW=10 against band [50,200]: the left row replicates into 16
+    // bins; every matching right must appear EXACTLY once
+    val left = Seq((100.0, 1L)).toDF("lv", "lid")
+    val right = (0 until 300).map(i => (i.toDouble, i.toLong))
+      .toDF("rv", "rid")
+    val got = band(left, right, 0.5, 2.0, 10.0)
+      .select($"rid").as[Long].collect().sorted
+    assert(got.toSeq === (50L to 200L))
+  }
+
+  test("property: band join equals brute force (seeded random)") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 6) {
+      val nl = 30 + rnd.nextInt(120)
+      val nr = rnd.nextInt(300) // includes tiny/empty right rounds
+      // duplicate values on both sides exercise window-buffer ties
+      val left = (0 until nl).map(i =>
+        (rnd.nextInt(50) * 2.5, i.toLong)).toDF("lv", "lid")
+      val right = (0 until nr).map(i =>
+        (rnd.nextInt(50) * 2.5, i.toLong)).toDF("rv", "rid")
+      val (loF, hiF) = (0.8, 1.25)
+      val got = band(left, right, loF, hiF, 20.0)
+        .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+      val lRows = left.as[(Double, Long)].collect()
+      val rRows = right.as[(Double, Long)].collect()
+      val want = (for {
+        (lv, lid) <- lRows
+        (rv, rid) <- rRows
+        if rv >= lv * loF && rv <= lv * hiF
+      } yield (lid, rid)).sorted.toSeq
+      assert(got === want, s"round $round: $nl x $nr")
+    }
+  }
+
+  test("native band join equals the explode+hash-join composition on the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("q_join_range_binned")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q_join_range_native")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("plan: native exec node, both sides hash-cluster on the bin, no BNLJ") {
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q_join_range_native")(spark, dir)
+    df.count() // materialize AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BandJoin"), s"native exec missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"),
+      s"range join must never fall back to BNLJ:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the band sweep replaces the generic join:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 2,
+      s"both sides should hash-cluster on the bin:\n$p")
+  }
+}
