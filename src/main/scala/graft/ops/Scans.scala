@@ -513,6 +513,45 @@ object Scans extends OpModule {
     }.reduce(_.unionAll(_)).orderBy($"version")
   }
 
+  /** ROW-LEVEL CHANGE FEED across a mixed append + merge history — the
+    * r10-verdict top gap: file-level `readChanges` degrades to a full
+    * rescan the moment a REPLACE commit (backfill merge, compaction)
+    * lands mid-stream, because every rewritten file looks "new".
+    * History here: v1 = 1995–1996 orders (base, outside the feed
+    * range), v2 = APPEND of 1997, v3 = MERGE(cdc=true) doubling every
+    * key ≡ 0 (mod 100) of the base and inserting 1998.
+    * `readChangeFeed(v1, v3)` then yields v2's delta files as
+    * `insert` rows plus v3's O(change) sidecar (pre-image, post-image,
+    * insert) — planned from manifests only, scanning no base file.
+    * Graded rows: per (commit, change-type) count + exact decimal
+    * amount, each leg reachable independently by the oracle from the
+    * raw table. Doubling a double is exact, so the post-image sum is
+    * bit-reachable. */
+  def scanCdcMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_cdc${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+    val v1 = VersionedTable.commit(o.filter($"o_year".between(1995, 1996)),
+      root)
+    VersionedTable.commit(o.filter($"o_year" === 1997), root)
+    val updates = o
+      .filter($"o_year".between(1995, 1996) && $"o_orderkey" % 100 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" * 2)
+      .unionByName(o.filter($"o_year" === 1998))
+    val v3 = VersionedTable.merge(s, root, updates, "o_orderkey",
+      numFiles = 2, cdc = true)
+    VersionedTable.readChangeFeed(s, root, v1, v3)
+      .groupBy($"_commit_version", $"_change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(d12($"o_totalprice")).cast("double").as("amount"))
+      .orderBy($"_commit_version", $"_change_type")
+  }
+
   /** Incremental AGGREGATE maintenance over the versioned table's CDC
     * reads — the capstone of the table layer and the real 100-TB use
     * of `readChanges`: a year-grain revenue aggregate is built ONCE
@@ -658,6 +697,7 @@ object Scans extends OpModule {
     "q_scan_table_evolution" -> (scanTableEvolution _),
     "q_scan_incr_agg" -> (scanIncrAgg _),
     "q_scan_table_merge" -> (scanTableMerge _),
+    "q_scan_cdc_merge" -> (scanCdcMerge _),
     "q_scan_table_optimize" -> (scanTableOptimize _),
     "q_scan_file_skipping" -> (scanFileSkipping _),
     "q_scan_table_rollback" -> (scanTableRollback _),
@@ -732,6 +772,30 @@ object Scans extends OpModule {
         |SELECT version, CAST(n AS BIGINT) AS n_orders,
         |  CAST(rev AS DOUBLE) AS revenue
         |FROM r ORDER BY version""".stripMargin,
+    "q_scan_cdc_merge" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice, year(o_orderdate) AS y
+        |  FROM orders),
+        |r AS (
+        |  SELECT 2 AS _commit_version, 'insert' AS _change_type,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS amt
+        |  FROM b WHERE y = 1997
+        |  UNION ALL
+        |  SELECT 3, 'insert', COUNT(*),
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+        |  FROM b WHERE y = 1998
+        |  UNION ALL
+        |  SELECT 3, 'update_preimage', COUNT(*),
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+        |  FROM b WHERE y BETWEEN 1995 AND 1996 AND o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT 3, 'update_postimage', COUNT(*),
+        |    SUM(CAST(o_totalprice * 2 AS DECIMAL(12,4)))
+        |  FROM b WHERE y BETWEEN 1995 AND 1996 AND o_orderkey % 100 = 0)
+        |SELECT _commit_version, _change_type, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(amt AS DOUBLE) AS amount
+        |FROM r ORDER BY _commit_version, _change_type""".stripMargin,
     "q_scan_table_optimize" ->
       """SELECT v.version, v.n_files,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,

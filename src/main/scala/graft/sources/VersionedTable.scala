@@ -51,6 +51,22 @@ import scala.jdk.CollectionConverters._
   * formats: file-level (row-group) conflict granularity for replace
   * commits — any concurrent head move aborts them — and deletion
   * vectors (deletes are copy-on-write via [[merge]]).
+  *
+  * '''Row-level change feed (round 11).''' A [[merge]] with `cdc=true`
+  * writes a CHANGE-FEED sidecar beside its rewritten snapshot: the
+  * pre-image of every matched row, the post-image, and each inserted
+  * row, tagged `_change_type` — O(change) parquet, recorded in the
+  * manifest's `cdc` path list. [[optimize]] marks itself row-NEUTRAL
+  * (same logical rows, new layout). [[readChangeFeed]] then serves an
+  * incremental consumer ROW-LEVEL changes across any commit range:
+  * appends stream their delta files as inserts (no sidecar needed),
+  * merges stream their sidecar, neutral commits contribute nothing —
+  * so the consumer stays O(change) even when a backfill merge or a
+  * compaction lands mid-stream, which is exactly where the file-level
+  * [[readChanges]] degrades to a full rescan. A replace commit with
+  * neither sidecar nor neutral marker (rollback, or a merge written
+  * with `cdc=false`) fails the feed loudly rather than silently
+  * re-emitting the table.
   */
 object VersionedTable {
 
@@ -61,6 +77,15 @@ object VersionedTable {
 
   /** Publish attempts before an append commit gives up rebasing. */
   val MaxCommitRetries = 20
+
+  /** How many recent streaming batchIds each manifest remembers (the
+    * idempotence horizon): a retried micro-batch is recognized as
+    * already-committed even when OTHER writers appended after it —
+    * checking only the head manifest's own batchId would re-append it
+    * (lost idempotence under multi-writer OCC). 64 bounds the manifest
+    * cost at one long each; a sink whose retry arrives more than 64
+    * commits late has a dead coordinator, not a slow one. */
+  val BatchIdHorizon = 64
 
   /** One manifest entry: an immutable data file, optional min/max of
     * the table's declared stats column (absent when the commit didn't
@@ -184,7 +209,8 @@ object VersionedTable {
   private def publishAtomic(root: String, v: Int, parent: Int,
       add: Seq[FileEntry], remove: Seq[String],
       checkpoint: Option[Seq[FileEntry]], rollbackOf: Option[Int],
-      batchId: Option[Long]): Unit = {
+      batchId: Option[Long], recentBatchIds: Seq[Long],
+      cdc: Seq[String], cdcKind: Option[String]): Unit = {
     Files.createDirectories(manifestDir(root))
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val body = om.createObjectNode()
@@ -192,6 +218,17 @@ object VersionedTable {
     body.put("parent", parent)
     rollbackOf.foreach(body.put("rollbackOf", _))
     batchId.foreach(body.put("batchId", _))
+    // idempotence horizon: parent's recent ids + ours, newest last
+    val allIds = (recentBatchIds ++ batchId).takeRight(BatchIdHorizon)
+    if (allIds.nonEmpty) {
+      val ids = body.putArray("batchIds")
+      allIds.foreach(ids.add)
+    }
+    cdcKind.foreach(body.put("cdcKind", _))
+    if (cdc.nonEmpty) {
+      val c = body.putArray("cdc")
+      cdc.foreach(c.add)
+    }
     writeEntries(body.putArray("add"), add)
     if (remove.nonEmpty) {
       val r = body.putArray("remove")
@@ -214,7 +251,8 @@ object VersionedTable {
     * snapshot they rewrote is stale the moment the head moves. */
   private def publishLoop(root: String, newFiles: Seq[FileEntry],
       replace: Boolean, rollbackOf: Option[Int],
-      batchId: Option[Long]): Int = {
+      batchId: Option[Long], cdc: Seq[String] = Nil,
+      cdcKind: Option[String] = None): Int = {
     var parent = currentVersion(root)
     var attempts = 0
     while (true) {
@@ -229,7 +267,9 @@ object VersionedTable {
           add = newFiles,
           remove = if (replace) parentFiles.map(_.path) else Nil,
           checkpoint = if (checkpoint) Some(full) else None,
-          rollbackOf, batchId)
+          rollbackOf, batchId,
+          recentBatchIds = recentBatchIds(root, parent),
+          cdc = cdc, cdcKind = cdcKind)
         return v
       } catch {
         case _: FileAlreadyExistsException =>
@@ -240,17 +280,30 @@ object VersionedTable {
           require(attempts < MaxCommitRetries,
             s"append commit at $root gave up after $attempts rebases")
           // a batch retried concurrently with its own duplicate must
-          // still be idempotent: if the winning head carries our
-          // batchId, the batch is already in — return that version
+          // still be idempotent: if the winning head's recent-batchId
+          // window carries our batchId, the batch is already in —
+          // return that version (checking only the head's OWN batchId
+          // lost idempotence when another writer appended in between)
           val head = currentVersion(root)
           val alreadyIn = batchId.exists(b =>
-            Option(readNode(root, head).get("batchId"))
-              .exists(_.asLong() == b))
+            recentBatchIds(root, head).contains(b))
           if (alreadyIn) return head
           parent = head
       }
     }
     -1 // unreachable
+  }
+
+  /** The manifest's recent-batchId window (empty for v0 / pre-round-11
+    * manifests, which carried only their own `batchId` — still honored
+    * as a one-element window). */
+  private def recentBatchIds(root: String, v: Int): Seq[Long] = {
+    if (v == 0) return Nil
+    val node = readNode(root, v)
+    Option(node.get("batchIds"))
+      .map(_.elements().asScala.map(_.asLong()).toSeq)
+      .orElse(Option(node.get("batchId")).map(b => Seq(b.asLong())))
+      .getOrElse(Nil)
   }
 
   /** Idempotent streaming-batch commit (the foreachBatch → table-sink
@@ -263,8 +316,10 @@ object VersionedTable {
   def commitBatch(df: DataFrame, root: String, batchId: Long,
       statsCol: Option[String] = None): Int = {
     val cur = currentVersion(root)
-    if (cur > 0 && Option(readNode(root, cur).get("batchId"))
-        .exists(_.asLong() == batchId))
+    // the head's recent-batchId WINDOW, not just its own batchId: a
+    // retry arriving after other writers appended must still be a
+    // no-op (ADVICE r10 — the lost-idempotence case under OCC)
+    if (cur > 0 && recentBatchIds(root, cur).contains(batchId))
       return cur // retry of an already-committed batch
     commit(df, root, statsCol, Some(batchId))
   }
@@ -375,7 +430,10 @@ object VersionedTable {
       statsCol: Option[String] = None): Int =
     publishLoop(root,
       writeData(read(spark, root).repartition(numFiles), root, statsCol, Nil),
-      replace = true, rollbackOf = None, batchId = None)
+      replace = true, rollbackOf = None, batchId = None,
+      // row-NEUTRAL replace: same logical rows, new layout — the change
+      // feed skips it instead of failing or re-emitting the table
+      cdcKind = Some("neutral"))
 
   /** MERGE (upsert) as a copy-on-write REWRITE commit: rows of the
     * current snapshot whose key matches an `updates` row are replaced,
@@ -389,15 +447,52 @@ object VersionedTable {
     * versions keeps working. Returns the new version id. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
       keyCol: String, numFiles: Int = 1,
-      statsCol: Option[String] = None): Int = {
-    import org.apache.spark.sql.functions.col
+      statsCol: Option[String] = None, cdc: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
     val current = read(spark, root)
     val merged = current
       .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(updates)
+    // Row-level change-feed sidecar (cdc=true): pre-image of every
+    // matched row, post-image, and each inserted row — O(change)
+    // parquet written BESIDE the rewritten snapshot and recorded in
+    // the manifest, so an incremental consumer crosses this replace
+    // commit at O(change) instead of a full rescan. The three legs
+    // reuse the merge's own key-join shape (semi/anti over the same
+    // key partitioning — at scale AQE reuses the exchange; a bounded
+    // update batch broadcasts). Matched-but-identical rows still emit
+    // a pre/post pair, the same contract real change feeds document
+    // for COW merge.
+    val cdcPaths = if (!cdc) Nil else {
+      val keys = updates.select(col(keyCol))
+      val curKeys = current.select(col(keyCol))
+      val feed = current.join(keys, Seq(keyCol), "left_semi")
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(updates.join(curKeys, Seq(keyCol), "left_semi")
+          .withColumn("_change_type", lit("update_postimage")))
+        .unionByName(updates.join(curKeys, Seq(keyCol), "left_anti")
+          .withColumn("_change_type", lit("insert")))
+      writeCdc(feed, root)
+    }
     publishLoop(root,
       writeData(merged.repartition(numFiles), root, statsCol, Nil),
-      replace = true, rollbackOf = None, batchId = None)
+      replace = true, rollbackOf = None, batchId = None,
+      cdc = cdcPaths, cdcKind = if (cdc) Some("merge") else None)
+  }
+
+  /** Write a change-feed frame to a fresh per-commit sidecar directory
+    * and return its parquet paths (same uniqueness discipline as
+    * [[writeData]]). */
+  private def writeCdc(feed: DataFrame, root: String): Seq[String] = {
+    val dir = Paths.get(root, "cdc",
+      f"c${ProcessHandle.current().pid()}%d-${commitSeq.incrementAndGet()}%06d")
+    feed.write.mode("errorifexists").parquet(dir.toString)
+    val st = Files.walk(dir)
+    try st.iterator().asScala.map(_.toString)
+      .filter(f => f.endsWith(".parquet") &&
+        Paths.get(f).getFileName.toString.startsWith("part-"))
+      .toSeq.sorted
+    finally st.close()
   }
 
   /** VACUUM: delete data files referenced by NO manifest among the
@@ -414,10 +509,26 @@ object VersionedTable {
     val cur = currentVersion(root)
     val keepFrom = math.max(1, cur - keepLast + 1)
     def exists(v: Int): Boolean = Files.exists(manifestPath(root, v))
+    // a pre-window version whose delta chain a PRIOR vacuum broke can
+    // no longer resolve its full snapshot — but its own manifest (if
+    // it survives) still lists the files that version ADDED, which is
+    // exactly the set a broken-chain version can uniquely reference;
+    // falling back to it (ADVICE r10) stops those files leaking forever
+    def ownAdds(v: Int): Seq[String] =
+      if (!exists(v)) Nil
+      else {
+        val n = readNode(root, v)
+        Option(n.get("add")).map(parseEntries).getOrElse(Nil).map(_.path)
+      }
+    def cdcPaths(v: Int): Seq[String] =
+      if (!exists(v)) Nil
+      else Option(readNode(root, v).get("cdc"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     val keep = (keepFrom to cur).filter(exists)
-      .flatMap(v => resolveFiles(root, v).map(_.path)).toSet
+      .flatMap(v => resolveFiles(root, v).map(_.path) ++ cdcPaths(v)).toSet
     val dropped = (1 until keepFrom)
-      .flatMap(v => resolveFilesOpt(root, v).getOrElse(Nil).map(_.path))
+      .flatMap(v => resolveFilesOpt(root, v).map(_.map(_.path))
+        .getOrElse(ownAdds(v)) ++ cdcPaths(v))
       .toSet -- keep
     dropped.foreach(p => Files.deleteIfExists(Paths.get(p)))
     // manifests: keep the chain floor of every kept version
@@ -523,5 +634,57 @@ object VersionedTable {
       readFiles(spark, resolveFiles(root, toVersion).map(_.path),
         mergeSchema = false).limit(0)
     else readFiles(spark, delta, mergeSchema = false)
+  }
+
+  /** ROW-LEVEL change feed for the commit range `(fromVersion,
+    * toVersion]`: every emitted row carries the table's columns plus
+    * `_change_type` (`insert` / `update_preimage` / `update_postimage`)
+    * and `_commit_version`. Per commit:
+    *
+    *  - APPEND → its added files stream as `insert` rows (the delta
+    *    files ARE the change — no sidecar, no extra write);
+    *  - MERGE published with `cdc=true` → its O(change) sidecar;
+    *  - row-NEUTRAL replace ([[optimize]]) → contributes nothing;
+    *  - any other replace (rollback, or a merge without the sidecar) →
+    *    [[UnsupportedOperationException]] — the feed fails LOUDLY
+    *    instead of silently re-emitting the whole table as changes.
+    *
+    * Planning is O(commits in range) manifest reads; the scan touches
+    * only delta/sidecar files — the property that keeps an incremental
+    * consumer O(change) at 100 TB even across backfill merges, which is
+    * exactly where the file-level [[readChanges]] degrades to a full
+    * rescan. */
+  def readChangeFeed(spark: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion <= toVersion,
+      s"readChangeFeed: empty range ($fromVersion, $toVersion]")
+    val perCommit = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val node = readNode(root, v)
+      val kind = Option(node.get("cdcKind")).map(_.asText())
+      val cdcPaths = Option(node.get("cdc"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+      val isReplace = Option(node.get("remove")).exists(_.size() > 0)
+      if (kind.contains("neutral")) None
+      else if (cdcPaths.nonEmpty)
+        Some(readFiles(spark, cdcPaths, mergeSchema = false)
+          .withColumn("_commit_version", lit(v)))
+      else if (!isReplace) {
+        val added = Option(node.get("add")).map(parseEntries).getOrElse(Nil)
+        if (added.isEmpty) None
+        else Some(readFiles(spark, added.map(_.path), mergeSchema = false)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)))
+      } else throw new UnsupportedOperationException(
+        s"readChangeFeed: v$v of $root is a replace commit without a " +
+          "change-feed sidecar (rollback, or merge(cdc=false)) — " +
+          "row-level changes are unrecoverable; re-read the snapshot")
+    }
+    if (perCommit.isEmpty) {
+      // zero-change range: schema preserved via the target snapshot
+      read(spark, root, Some(toVersion))
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(toVersion)).limit(0)
+    } else perCommit.reduce(_.unionByName(_))
   }
 }
