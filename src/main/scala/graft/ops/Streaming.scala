@@ -587,7 +587,11 @@ object Streaming extends OpModule {
       .select($"event_id", $"user_id", $"event_type", $"value")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        graft.sources.VersionedTable.commitBatch(batch, root, id)
+        // appId = the checkpoint path: restart-stable and unique per
+        // query, so a second stream feeding this table (also counting
+        // batchIds from 0) can never collide in the idempotence window
+        graft.sources.VersionedTable.commitBatch(batch, root, id,
+          appId = s"$root/_ckpt")
         ()
       }
       .option("checkpointLocation", s"$root/_ckpt")

@@ -78,12 +78,17 @@ object VersionedTable {
   /** Publish attempts before an append commit gives up rebasing. */
   val MaxCommitRetries = 20
 
-  /** How many recent streaming batchIds each manifest remembers (the
+  /** How many recent streaming batch keys each manifest remembers (the
     * idempotence horizon): a retried micro-batch is recognized as
     * already-committed even when OTHER writers appended after it —
     * checking only the head manifest's own batchId would re-append it
-    * (lost idempotence under multi-writer OCC). 64 bounds the manifest
-    * cost at one long each; a sink whose retry arrives more than 64
+    * (lost idempotence under multi-writer OCC). Keys are
+    * `(appId, batchId)` pairs, NOT bare batchIds: two streaming queries
+    * writing the same table both start at batchId 0, and a bare-id
+    * window would silently drop one query's batches as "retries" of the
+    * other's (ADVICE r11) — the same reason real formats key idempotent
+    * writes on (txnAppId, txnVersion). 64 bounds the manifest cost at
+    * one short string each; a sink whose retry arrives more than 64
     * commits late has a dead coordinator, not a slow one. */
   val BatchIdHorizon = 64
 
@@ -209,7 +214,7 @@ object VersionedTable {
   private def publishAtomic(root: String, v: Int, parent: Int,
       add: Seq[FileEntry], remove: Seq[String],
       checkpoint: Option[Seq[FileEntry]], rollbackOf: Option[Int],
-      batchId: Option[Long], recentBatchIds: Seq[Long],
+      batchKey: Option[String], recentBatchKeys: Seq[String],
       cdc: Seq[String], cdcKind: Option[String]): Unit = {
     Files.createDirectories(manifestDir(root))
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -217,12 +222,12 @@ object VersionedTable {
     body.put("version", v)
     body.put("parent", parent)
     rollbackOf.foreach(body.put("rollbackOf", _))
-    batchId.foreach(body.put("batchId", _))
-    // idempotence horizon: parent's recent ids + ours, newest last
-    val allIds = (recentBatchIds ++ batchId).takeRight(BatchIdHorizon)
-    if (allIds.nonEmpty) {
-      val ids = body.putArray("batchIds")
-      allIds.foreach(ids.add)
+    batchKey.foreach(body.put("batchKey", _))
+    // idempotence horizon: parent's recent keys + ours, newest last
+    val allKeys = (recentBatchKeys ++ batchKey).takeRight(BatchIdHorizon)
+    if (allKeys.nonEmpty) {
+      val ids = body.putArray("batchKeys")
+      allKeys.foreach(ids.add)
     }
     cdcKind.foreach(body.put("cdcKind", _))
     if (cdc.nonEmpty) {
@@ -251,7 +256,7 @@ object VersionedTable {
     * snapshot they rewrote is stale the moment the head moves. */
   private def publishLoop(root: String, newFiles: Seq[FileEntry],
       replace: Boolean, rollbackOf: Option[Int],
-      batchId: Option[Long], cdc: Seq[String] = Nil,
+      batchKey: Option[String], cdc: Seq[String] = Nil,
       cdcKind: Option[String] = None): Int = {
     var parent = currentVersion(root)
     var attempts = 0
@@ -267,8 +272,8 @@ object VersionedTable {
           add = newFiles,
           remove = if (replace) parentFiles.map(_.path) else Nil,
           checkpoint = if (checkpoint) Some(full) else None,
-          rollbackOf, batchId,
-          recentBatchIds = recentBatchIds(root, parent),
+          rollbackOf, batchKey,
+          recentBatchKeys = recentBatchKeys(root, parent),
           cdc = cdc, cdcKind = cdcKind)
         return v
       } catch {
@@ -280,13 +285,13 @@ object VersionedTable {
           require(attempts < MaxCommitRetries,
             s"append commit at $root gave up after $attempts rebases")
           // a batch retried concurrently with its own duplicate must
-          // still be idempotent: if the winning head's recent-batchId
-          // window carries our batchId, the batch is already in —
-          // return that version (checking only the head's OWN batchId
+          // still be idempotent: if the winning head's recent-key
+          // window carries our batch key, the batch is already in —
+          // return that version (checking only the head's OWN key
           // lost idempotence when another writer appended in between)
           val head = currentVersion(root)
-          val alreadyIn = batchId.exists(b =>
-            recentBatchIds(root, head).contains(b))
+          val alreadyIn = batchKey.exists(b =>
+            recentBatchKeys(root, head).contains(b))
           if (alreadyIn) return head
           parent = head
       }
@@ -294,34 +299,49 @@ object VersionedTable {
     -1 // unreachable
   }
 
-  /** The manifest's recent-batchId window (empty for v0 / pre-round-11
-    * manifests, which carried only their own `batchId` — still honored
-    * as a one-element window). */
-  private def recentBatchIds(root: String, v: Int): Seq[Long] = {
+  private def batchKeyOf(appId: String, batchId: Long): String = {
+    require(!appId.contains("#"),
+      s"appId must not contain '#' (the batch-key separator): $appId")
+    s"$appId#$batchId"
+  }
+
+  /** The manifest's recent batch-key window (empty for v0). Pre-round-12
+    * manifests carried bare-long `batchIds` / `batchId` fields — still
+    * honored, surfaced as keys with an empty appId namespace (exactly
+    * what [[commitBatch]]'s default appId produces, so old tables keep
+    * their idempotence across the upgrade). */
+  private def recentBatchKeys(root: String, v: Int): Seq[String] = {
     if (v == 0) return Nil
     val node = readNode(root, v)
-    Option(node.get("batchIds"))
-      .map(_.elements().asScala.map(_.asLong()).toSeq)
-      .orElse(Option(node.get("batchId")).map(b => Seq(b.asLong())))
+    Option(node.get("batchKeys"))
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+      .orElse(Option(node.get("batchIds"))
+        .map(_.elements().asScala.map(b => s"#${b.asLong()}").toSeq))
+      .orElse(Option(node.get("batchId")).map(b => Seq(s"#${b.asLong()}")))
       .getOrElse(Nil)
   }
 
   /** Idempotent streaming-batch commit (the foreachBatch → table-sink
-    * contract): `batchId` is recorded in the manifest, and a commit
-    * whose batchId is ALREADY the latest manifest's is a no-op — so a
-    * micro-batch retried after a sink-side failure cannot double-
-    * append, which is exactly the exactly-once recipe every streaming
-    * table sink documents. Returns the (possibly pre-existing)
-    * version id. */
+    * contract): the `(appId, batchId)` pair is recorded in the
+    * manifest's recent-key window, and a commit whose pair is already
+    * in the window is a no-op — so a micro-batch retried after a
+    * sink-side failure cannot double-append, which is exactly the
+    * (txnAppId, txnVersion) exactly-once recipe every streaming table
+    * sink documents. `appId` namespaces the window per writer: two
+    * streaming queries (both starting at batchId 0) feeding one table
+    * must pass distinct, restart-stable appIds (e.g. the checkpoint
+    * path) or they would drop each other's batches as retries. Returns
+    * the (possibly pre-existing) version id. */
   def commitBatch(df: DataFrame, root: String, batchId: Long,
-      statsCol: Option[String] = None): Int = {
+      statsCol: Option[String] = None, appId: String = ""): Int = {
     val cur = currentVersion(root)
-    // the head's recent-batchId WINDOW, not just its own batchId: a
-    // retry arriving after other writers appended must still be a
-    // no-op (ADVICE r10 — the lost-idempotence case under OCC)
-    if (cur > 0 && recentBatchIds(root, cur).contains(batchId))
+    val key = batchKeyOf(appId, batchId)
+    // the head's recent-key WINDOW, not just its own key: a retry
+    // arriving after other writers appended must still be a no-op
+    // (ADVICE r10 — the lost-idempotence case under OCC)
+    if (cur > 0 && recentBatchKeys(root, cur).contains(key))
       return cur // retry of an already-committed batch
-    commit(df, root, statsCol, Some(batchId))
+    commit(df, root, statsCol, Some(key))
   }
 
   /** Append `df` as a new version; returns the published version id.
@@ -332,9 +352,9 @@ object VersionedTable {
     * object doc). */
   def commit(df: DataFrame, root: String,
       statsCol: Option[String] = None,
-      batchId: Option[Long] = None): Int =
+      batchKey: Option[String] = None): Int =
     publishLoop(root, writeData(df, root, statsCol, Nil), replace = false,
-      rollbackOf = None, batchId)
+      rollbackOf = None, batchKey)
 
   /** Append `df` laid out in hive-style partition directories on
     * `partCols`; each manifest entry records its partition tuple for
@@ -347,7 +367,7 @@ object VersionedTable {
   def commitPartitioned(df: DataFrame, root: String, partCols: Seq[String],
       statsCol: Option[String] = None): Int =
     publishLoop(root, writeData(df, root, statsCol, partCols),
-      replace = false, rollbackOf = None, batchId = None)
+      replace = false, rollbackOf = None, batchKey = None)
 
   /** Write `df` to a fresh per-commit directory (unique across JVMs and
     * threads — pid + sequence — so concurrent committers never share a
@@ -430,7 +450,7 @@ object VersionedTable {
       statsCol: Option[String] = None): Int =
     publishLoop(root,
       writeData(read(spark, root).repartition(numFiles), root, statsCol, Nil),
-      replace = true, rollbackOf = None, batchId = None,
+      replace = true, rollbackOf = None, batchKey = None,
       // row-NEUTRAL replace: same logical rows, new layout — the change
       // feed skips it instead of failing or re-emitting the table
       cdcKind = Some("neutral"))
@@ -474,10 +494,21 @@ object VersionedTable {
           .withColumn("_change_type", lit("insert")))
       writeCdc(feed, root)
     }
-    publishLoop(root,
-      writeData(merged.repartition(numFiles), root, statsCol, Nil),
-      replace = true, rollbackOf = None, batchId = None,
+    // data + sidecar are written BEFORE the manifest publish; if the
+    // replace commit then aborts (head moved → Concurrent-
+    // ModificationException), no manifest ever references those files
+    // and vacuum (which sweeps manifest-referenced paths) would leak
+    // them forever — delete them on the way out (ADVICE r11)
+    val newFiles = writeData(merged.repartition(numFiles), root, statsCol, Nil)
+    try publishLoop(root, newFiles,
+      replace = true, rollbackOf = None, batchKey = None,
       cdc = cdcPaths, cdcKind = if (cdc) Some("merge") else None)
+    catch {
+      case e: Throwable =>
+        (cdcPaths ++ newFiles.map(_.path))
+          .foreach(p => Files.deleteIfExists(Paths.get(p)))
+        throw e
+    }
   }
 
   /** Write a change-feed frame to a fresh per-commit sidecar directory
@@ -614,7 +645,7 @@ object VersionedTable {
     * version id. */
   def rollback(root: String, toVersion: Int): Int =
     publishLoop(root, resolveFiles(root, toVersion), replace = true,
-      rollbackOf = Some(toVersion), batchId = None)
+      rollbackOf = Some(toVersion), batchKey = None)
 
   /** Incremental (CDC-style) read: the rows ADDED between two
     * versions — exactly the files in `toVersion`'s manifest that are
@@ -643,11 +674,20 @@ object VersionedTable {
     *
     *  - APPEND → its added files stream as `insert` rows (the delta
     *    files ARE the change — no sidecar, no extra write);
-    *  - MERGE published with `cdc=true` → its O(change) sidecar;
+    *  - MERGE published with `cdc=true` → its O(change) sidecar; a
+    *    cdc-merge whose effective change set was EMPTY (every update
+    *    task wrote zero rows, so no sidecar part-file exists) is a
+    *    zero-change commit, not an error (ADVICE r11);
     *  - row-NEUTRAL replace ([[optimize]]) → contributes nothing;
     *  - any other replace (rollback, or a merge without the sidecar) →
     *    [[UnsupportedOperationException]] — the feed fails LOUDLY
     *    instead of silently re-emitting the whole table as changes.
+    *
+    * A range spanning an additive schema evolution stays readable:
+    * per-commit frames are footer-union (mergeSchema) reads and the
+    * cross-commit union pads columns a commit predates with NULL
+    * (`unionByName(allowMissingColumns)`), matching snapshot-read
+    * evolution semantics (ADVICE r11).
     *
     * Planning is O(commits in range) manifest reads; the scan touches
     * only delta/sidecar files — the property that keeps an incremental
@@ -667,12 +707,16 @@ object VersionedTable {
       val isReplace = Option(node.get("remove")).exists(_.size() > 0)
       if (kind.contains("neutral")) None
       else if (cdcPaths.nonEmpty)
-        Some(readFiles(spark, cdcPaths, mergeSchema = false)
+        Some(readFiles(spark, cdcPaths, mergeSchema = true)
           .withColumn("_commit_version", lit(v)))
+      // cdc-merge with an empty change set: published with the sidecar
+      // marker but zero sidecar part-files (empty tasks write nothing)
+      // — zero changed rows, NOT the unrecoverable-replace case below
+      else if (kind.contains("merge")) None
       else if (!isReplace) {
         val added = Option(node.get("add")).map(parseEntries).getOrElse(Nil)
         if (added.isEmpty) None
-        else Some(readFiles(spark, added.map(_.path), mergeSchema = false)
+        else Some(readFiles(spark, added.map(_.path), mergeSchema = true)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(v)))
       } else throw new UnsupportedOperationException(
@@ -685,6 +729,6 @@ object VersionedTable {
       read(spark, root, Some(toVersion))
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(toVersion)).limit(0)
-    } else perCommit.reduce(_.unionByName(_))
+    } else perCommit.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }
