@@ -87,6 +87,41 @@ object MlOps extends OpModule {
       .orderBy($"label", $"prediction")
   }
 
+  /** Gradient-boosted-tree BINARY propensity model (r10 verdict item
+    * #8) — the tree-ensemble sibling of [[mlPropensity]]'s linear
+    * model, the propensity architecture production scoring pipelines
+    * actually deploy: embedding → P(label ∈ upper half), fixed seed,
+    * full-data deterministic fit (subsamplingRate 1.0, all features —
+    * no RNG touches the trees beyond the seed). Emits the training
+    * confusion rollup. Non-oracled (boosted ensembles aren't SQL);
+    * ScalaTest pins better-than-chance accuracy AND the 0.5-threshold
+    * law — prediction ≡ [P(1) ≥ 0.5] row-for-row. Scale shape: MLlib
+    * GBT is the standard distributed boosting layout (per-iteration
+    * tree fits over the partitioned frame); scoring is map-side. */
+  def mlGbtPropensity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gbtScored(s, dir).groupBy($"label", $"prediction")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"label", $"prediction")
+  }
+
+  /** The fitted GBT's scored training frame (label, prediction,
+    * probability) — shared by the registered rollup and the
+    * threshold-law spec so the law tests the exact deployed model. */
+  private[graft] def gbtScored(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.GBTClassifier
+    import s.implicits._
+    val data = Tables.t(s, dir, "embeddings")
+      .select(toVec($"embedding").as("features"),
+        ($"label" >= 5).cast("double").as("label"))
+    val gbt = new GBTClassifier()
+      .setMaxIter(10).setMaxDepth(3).setStepSize(0.3).setSeed(42L)
+    gbt.fit(data).transform(data)
+      .select($"label", $"prediction",
+        org.apache.spark.ml.functions.vector_to_array($"probability")
+          .getItem(1).as("p1"))
+  }
+
   /** KMeans customer segmentation on RFM features, k=5, fixed seed.
     * Emits cluster sizes + centroid-distance profile. */
   def mlSegmentation(s: SparkSession, dir: String): DataFrame = {
@@ -621,6 +656,7 @@ object MlOps extends OpModule {
     "q_feat_minmax_sql" -> (featMinmaxSql _),
     "q_ml_feature_pipeline" -> (mlFeaturePipeline _),
     "q_ml_propensity" -> (mlPropensity _),
+    "q_ml_gbt_propensity" -> (mlGbtPropensity _),
     "q_ml_segmentation" -> (mlSegmentation _),
     "q_ml_recommend" -> (mlRecommend _),
     "q_feat_scale_sql" -> (featScaleSql _)

@@ -536,7 +536,213 @@ object TextOps extends OpModule {
       .orderBy($"doc_id", $"rnk")
   }
 
+  /** BPE tokenizer TRAINING — deterministic byte-pair-encoding merges
+    * learned from the corpus, the tokenizer-fitting step of an LLM data
+    * pipeline (r11 verdict item #3). Textbook BPE on the word level:
+    * words become symbol sequences (chars + a `_` end-of-word marker),
+    * each step merges the corpus-wide most frequent adjacent symbol
+    * pair (frequency-weighted by word count; ties broken
+    * lexicographically on the pair — fully deterministic), for a fixed
+    * [[BpeSteps]] steps. Output: the merge table, one row per step.
+    *
+    * Spark shape: ONE corpus-wide word count (the only O(corpus)
+    * shuffle), then the whole fixpoint runs on the cached O(vocab)
+    * word table — pair counting is an explode + group-by over vocab
+    * rows, and the per-step argmax is a collected 1-row scalar driving
+    * the next step's literal `replace` chain (the PageRank/PCA recipe:
+    * O(steps) driver scalars, never data). At 100 TB the corpus is
+    * touched once; 8 steps cost 8 tiny vocab-sized jobs.
+    *
+    * Merge application is defined as [[BpePasses]] passes of
+    * non-overlapping string `replace` on the `|`-delimited symbol
+    * string — identical, engine-portable semantics on both sides of
+    * the oracle (adjacent occurrences share a delimiter, so a single
+    * pass can miss every other one; passes ≥ ⌈max word len / 2⌉
+    * reaches the left-to-right greedy fixpoint; corpus words are ≤ 12
+    * chars, 6 passes are exhaustive). Oracle: the same 8 steps
+    * unrolled as materialized CTEs (the `q_graph_pagerank` recipe). */
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeTrain(s, dir)._1
+    s.createDataFrame(merges)
+      .toDF("step", "left_sym", "right_sym", "merged", "pair_cnt")
+      .orderBy($"step")
+  }
+
+  /** BPE ENCODE with integer token ids — the apply side of
+    * [[textBpeTrain]]: the trained merge list is applied in step order
+    * to every vocab word (merge-order application IS the BPE encode
+    * contract), then tokens get deterministic integer ids — base
+    * alphabet symbols sorted (ids `0..|alphabet|-1`), merged tokens by
+    * training step after. Output: the encoded corpus' token table
+    * (token_id, token, weighted occurrence count) — the id-space
+    * histogram a trainer's data loader consumes.
+    *
+    * Scale shape: encoding is vocabulary-level (distinct words), so
+    * the merge application never touches the corpus again; a per-doc
+    * encode is this table equi-joined back on words — O(corpus)
+    * map-side with the O(vocab) table broadcast. The one global
+    * window (id assignment) runs over the O(alphabet) distinct-symbol
+    * rollup — structurally bounded, whitelisted in PlanSpec. */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (merges, wordsN) = bpeTrain(s, dir)
+    val alphabet = bpeWords0(s, dir)
+      .select(explode(bpeSyms($"rep")).as("tok"))
+      .distinct()
+    val nAlpha = alphabet.count()
+    val base = alphabet.withColumn("token_id",
+      (row_number().over(Window.orderBy($"tok")) - 1).cast("long"))
+    val mergeIds = merges
+      .map { case (step, _, _, m, _) => (m, nAlpha + step - 1) }
+      .toDF("tok", "token_id")
+    val counts = wordsN
+      .select(explode(bpeSyms($"rep")).as("tok"), $"freq")
+      .groupBy($"tok").agg(sum($"freq").as("n"))
+    base.select($"tok", $"token_id").unionByName(mergeIds)
+      .join(counts, Seq("tok"), "left")
+      .select($"token_id", $"tok".as("token"),
+        coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"token_id")
+  }
+
+  /** Fixed BPE training steps / merge-application replace passes —
+    * mirrored literally in the unrolled oracle SQL. */
+  private val BpeSteps = 8
+  private val BpePasses = 6
+
+  /** Symbol list of a `|`-delimited rep string. */
+  private def bpeSyms(rep: Column): Column =
+    filter(split(rep, "\\|"), x => length(x) > 0)
+
+  /** O(vocab) word table: (word, freq, rep) with rep = the char-level
+    * symbol string `|c|h|a|r|s|_|`. The single corpus-wide pass. */
+  private def bpeWords0(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    OpCache.cached(s, dir, "bpe_words0") {
+      Tables.t(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("word"))
+        .filter($"word" =!= "")
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+        .withColumn("rep", concat(lit("|"),
+          regexp_replace($"word", "(.)", "$1|"), lit("_|")))
+    }
+  }
+
+  /** Adjacent-pair counts of a word table, frequency-weighted:
+    * zip(syms, syms[2:]) explodes each word's adjacent symbol pairs. */
+  private def bpePairs(words: DataFrame): DataFrame =
+    words
+      .withColumn("syms", bpeSyms(col("rep")))
+      .withColumn("syms2", slice(col("syms"), lit(2), size(col("syms"))))
+      .select(col("freq"),
+        explode(arrays_zip(col("syms"), col("syms2"))).as("pr"))
+      .filter(col("pr.syms2").isNotNull)
+      .groupBy(col("pr.syms").as("l"), col("pr.syms2").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Run the training loop; returns the merge rows and the final
+    * (fully merged) word table. */
+  private def bpeTrain(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    var words = bpeWords0(s, dir)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    (1 to BpeSteps).foreach { step =>
+      val top = bpePairs(words)
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .collect()(0)
+      val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((step, l, r, l + r, cnt))
+      val pat = lit(s"|$l|$r|")
+      val rpl = lit(s"|$l$r|")
+      words = words.withColumn("rep",
+        (1 to BpePasses).foldLeft(col("rep"))((c, _) => replace(c, pat, rpl)))
+    }
+    (merges.result(), words)
+  }
+
+  /** The unrolled-CTE oracle blocks shared by the two BPE oracles:
+    * words0 (corpus word count + char rep), then per step k the pair
+    * count, the 1-row argmax, and the merged word table — MATERIALIZED
+    * so the chain stays linear (inlining re-expands each `best_k`
+    * reference and goes exponential). */
+  private def bpeOracleBlocks: String = {
+    def repExpr(k: Int): String = {
+      val pat = s"'|' || (SELECT l FROM best$k) || '|' || " +
+        s"(SELECT r FROM best$k) || '|'"
+      val rpl = s"'|' || (SELECT l FROM best$k) || " +
+        s"(SELECT r FROM best$k) || '|'"
+      (1 to BpePasses).foldLeft("rep")((e, _) => s"replace($e, $pat, $rpl)")
+    }
+    val words0 =
+      """words0 AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |    '|' || regexp_replace(word, '(.)', '\1|', 'g') || '_|' AS rep
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY word
+        |)""".stripMargin
+    val steps = (1 to BpeSteps).map { k =>
+      s"""pairs$k AS MATERIALIZED (
+         |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(list_zip(syms, syms[2:])) AS pr
+         |        FROM (SELECT freq,
+         |                list_filter(string_split(rep, '|'), x -> x <> '')
+         |                  AS syms
+         |              FROM words${k - 1}))
+         |  WHERE pr[2] IS NOT NULL GROUP BY 1, 2
+         |),
+         |best$k AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM pairs$k ORDER BY cnt DESC, l, r LIMIT 1
+         |),
+         |words$k AS MATERIALIZED (
+         |  SELECT word, freq, ${repExpr(k)} AS rep FROM words${k - 1}
+         |)""".stripMargin
+    }
+    (words0 +: steps).mkString(",\n")
+  }
+
+  private def bpeTrainOracle: String = {
+    val union = (1 to BpeSteps).map(k =>
+      s"SELECT $k AS step, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, cnt AS pair_cnt FROM best$k")
+      .mkString(" UNION ALL ")
+    s"WITH $bpeOracleBlocks\nSELECT * FROM ($union) ORDER BY step"
+  }
+
+  private def bpeEncodeOracle: String = {
+    val mergeUnion = (1 to BpeSteps).map(k =>
+      s"SELECT $k AS step, l || r AS merged FROM best$k")
+      .mkString(" UNION ALL ")
+    s"""WITH $bpeOracleBlocks,
+       |alphabet AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(list_filter(string_split(rep, '|'),
+       |    x -> x <> '')) AS tok FROM words0
+       |),
+       |vocab AS (
+       |  SELECT tok,
+       |    CAST(row_number() OVER (ORDER BY tok) - 1 AS BIGINT) AS token_id
+       |  FROM alphabet
+       |  UNION ALL
+       |  SELECT merged, (SELECT count(*) FROM alphabet) + step - 1
+       |  FROM ($mergeUnion)
+       |),
+       |toks AS (
+       |  SELECT unnest(list_filter(string_split(rep, '|'), x -> x <> ''))
+       |    AS tok, freq
+       |  FROM words$BpeSteps
+       |),
+       |counts AS (
+       |  SELECT tok, CAST(sum(freq) AS BIGINT) AS n FROM toks GROUP BY tok)
+       |SELECT v.token_id, v.tok AS token, coalesce(c.n, 0) AS n
+       |FROM vocab v LEFT JOIN counts c USING (tok)
+       |ORDER BY v.token_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_bpe_train" -> (textBpeTrain _),
+    "q_text_bpe_encode" -> (textBpeEncode _),
     "q_text_zipf" -> (textZipf _),
     "q_text_filter_funnel" -> (textFilterFunnel _),
     "q_text_keywords" -> (textKeywords _),
@@ -561,6 +767,8 @@ object TextOps extends OpModule {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_bpe_train" -> bpeTrainOracle,
+    "q_text_bpe_encode" -> bpeEncodeOracle,
     "q_text_zipf" ->
       """WITH tf AS (
         |  SELECT term, COUNT(*) AS tf FROM (

@@ -1070,6 +1070,22 @@ class OperatorGoldenSpec extends SparkSpec {
       s"train accuracy ${correct.toDouble / total}")
   }
 
+  test("gbt propensity: beats chance and obeys the 0.5-threshold law") {
+    // the binary rollup beats the 50% base rate...
+    val cm = run("q_ml_gbt_propensity")
+      .as[(Double, Double, Long)].collect()
+    val total = cm.map(_._3).sum
+    val correct = cm.filter(r => r._1 == r._2).map(_._3).sum
+    assert(correct.toDouble / total > 0.6, // chance = 0.5
+      s"gbt train accuracy ${correct.toDouble / total}")
+    // ...and the scored frame's prediction IS the 0.5 threshold on
+    // P(1), row for row — the deployment contract a scoring pipeline
+    // relies on when it thresholds probabilities itself
+    val lawBreaks = graft.ops.MlOps.gbtScored(spark, sf)
+      .filter(($"p1" >= 0.5) =!= ($"prediction" === 1.0)).count()
+    assert(lawBreaks === 0L, s"$lawBreaks rows break prediction ≡ p1≥0.5")
+  }
+
   test("kmeans segmentation: 5 clusters, all customers assigned") {
     val seg = run("q_ml_segmentation").collect()
     assert(seg.length === 5)

@@ -599,6 +599,7 @@ class PlanSpec extends SparkSpec {
       "q_shard_manifest" -> "O(sources) per-source-total rollup",
       "q_agg_spearman" -> "O(bins) offsets rollup (Ranks cumsum) x2",
       "q_text_zipf" -> "LIMIT-100 top-token frame",
+      "q_text_bpe_encode" -> "O(alphabet) distinct-symbol rollup",
       "q_agg_changepoint" -> "O(days) daily-revenue rollup",
       "q_sketch_quantile" -> "~100 histogram register rows",
       "q_dq_anomaly" -> "O(days) daily-count rollup",
