@@ -194,19 +194,22 @@ object Bench {
         while (times.length < reps && !settled) times :+= rep(fn)
         (name, fn, times.min, idx / SentinelEvery)
       }
+    // the probe closing the sweep's LAST block runs BEFORE the recheck
+    // interlude (r10 ADVICE): measured after it, the block's bound
+    // carried the recheck reps' own machine state, not the sweep's
+    sentinels += sentinel(spark)
     // end-of-run re-measure of the most expensive entries (see object
     // doc): one rep each, min() repairs window-inflated tails
     val recheck = firstPass.sortBy(-_._3).take(RecheckTop)
       .map { case (name, fn, _, _) => name -> rep(fn) }.toMap
     // Sentinel-triggered SELF-HEAL (round 10): block b of the sweep ran
-    // between probes sentinels(b) and sentinels(b+1) (the post probe
-    // below closes the last block). If either bounding probe sat above
+    // between probes sentinels(b) and sentinels(b+1) (the probe above
+    // closes the last block). If either bounding probe sat above
     // QuietBand, every query of that block above FastCutoff (and not
     // already re-measured by the top-K recheck) gets one more rep NOW —
     // by this point the window has usually passed, and min() repairs
     // exactly the entries it inflated. Bounded cost: one rep per healed
     // query, only paid when a probe proves contention.
-    sentinels += sentinel(spark)
     def probe(i: Int): Double = sentinels(math.min(i, sentinels.length - 1))
     val healReps = firstPass
       .filter { case (name, _, t, b) =>
@@ -222,8 +225,13 @@ object Bench {
       name -> math.min(math.min(t, recheck.getOrElse(name, t)),
         healReps.getOrElse(name, t))
     }
-    val (mapLine, totalLine) =
-      renderLines(results, sfDir, sentinels.toSeq, healedNames.length)
+    // raw first-pass total travels beside the healed one (r10 verdict
+    // item 7): the artifact shows both what the sweep measured and what
+    // the recheck/heal reps repaired, so a reader can bound how much of
+    // the delta was machine noise without re-running anything
+    val firstPassTotal = firstPass.map(_._3).sum
+    val (mapLine, totalLine) = renderLines(results, sfDir,
+      sentinels.toSeq, healedNames.length, firstPassTotal)
     println(mapLine)
     println(totalLine)
     // Persist the FULL per-query map next to the repo artifacts: the
@@ -241,16 +249,18 @@ object Bench {
     }
     // per-query FIRST-REP shuffle bytes (see ShuffleMeter) — a
     // separate artifact so the driver-parsed lines above stay stable
+    // query entries nest under "queries" (r10 ADVICE): the note is
+    // metadata, not a query, and consumers iterate the map directly
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_SHUFFLE_OUT", "bench_shuffle.json")),
-      (Seq(""""_note":"deltas bracket each query's FIRST rep; a query """ +
+      """{"_note":"deltas bracket each query's FIRST rep; a query """ +
         """that is first to touch a shared OpCache artifact (copurchase """ +
         """pairs, binhash, rfmseg_base) carries that build's shuffle """ +
-        """bytes in its own delta"""") ++
+        """bytes in its own delta","queries":""" +
         shuffles.map { case (n, (w, r)) =>
           s""""$n":{"shuffle_write_bytes":$w,"shuffle_read_bytes":$r}"""
-        }).mkString("{", ",", "}") + "\n")
+        }.mkString("{", ",", "}") + "}\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] shuffle persist failed: $e")
     }
@@ -282,7 +292,8 @@ object Bench {
     * all checkpoints (a mid-run window shows up in the max even when
     * both endpoints look quiet). */
   def renderLines(results: Seq[(String, Double)], sfDir: String,
-      sentinels: Seq[Double] = Nil, healed: Int = 0): (String, String) = {
+      sentinels: Seq[Double] = Nil, healed: Int = 0,
+      firstPassTotal: Double = -1.0): (String, String) = {
     // Locale.ROOT: the default-locale f"%.3f" renders a COMMA decimal
     // separator on e.g. de_DE JVMs — malformed JSON
     def d3(v: Double): String =
@@ -295,9 +306,12 @@ object Bench {
     // above on a 294-query suite, so the total line (which always
     // survives) carries a pointer to the repo-committed full map
     // (round-8 verdict item 7).
+    val fpTotal = if (firstPassTotal >= 0) firstPassTotal
+      else results.map(_._2).sum
     (s"""{"queries":$qs,"sf":"$sfDir"}""",
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
         s""""n_queries":${results.length},""" +
+        s""""value_first_pass":${d3(fpTotal)},""" +
         s""""per_query_file":"bench_per_query.json",""" +
         s""""sentinel_pre":${d3(s.head)},"sentinel_post":${d3(s.last)},""" +
         s""""sentinel_max":${d3(s.max)},"healed":$healed}""")

@@ -124,9 +124,13 @@ object Embeddings extends OpModule {
     * half of [[embPqLearned]], shared with `Dedup.simIvfPqTopk`'s ADC
     * scoring. Memoized per (session, dir): the 8 block fits are cheap
     * but must not repeat across the ops that share the codebook (the
-    * `ivfIndex` single-fit precedent). */
+    * `ivfIndex` single-fit precedent). Scoped to the bench rep: the
+    * memo dies with `OpCache.clear` (r10 ADVICE — rep 2 must refit,
+    * not inherit rep 1's model). */
   private val cbMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Array[Array[Array[Long]]]]
+  OpCache.onClear("emb_pq_cbMemo")(s =>
+    cbMemo.keys.filter(_._1 eq s).foreach(cbMemo.remove))
 
   private[ops] def pqCodebooks(s: SparkSession,
       dir: String): Array[Array[Array[Long]]] =

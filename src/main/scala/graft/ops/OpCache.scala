@@ -46,6 +46,17 @@ object OpCache {
   private val cache = scala.collection.concurrent
     .TrieMap.empty[(SparkSession, String, String), Holder]
 
+  /** Session-scoped clear hooks: op modules holding DRIVER-side memos
+    * keyed by session (the learned-PQ codebooks) register here so
+    * [[clear]] releases them with everything else — a bench rep must
+    * not inherit the previous rep's fitted models any more than its
+    * persisted frames (r10 ADVICE: the cbMemo bench-hygiene leak). */
+  private val clearHooks = scala.collection.concurrent
+    .TrieMap.empty[String, SparkSession => Unit]
+
+  def onClear(key: String)(f: SparkSession => Unit): Unit =
+    clearHooks.putIfAbsent(key, f)
+
   def cached(s: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame =
     cache.getOrElseUpdate((s, dir, key), new Holder(() => build)).df
@@ -54,11 +65,13 @@ object OpCache {
     * Never-forced holders are dropped without building them; a holder
     * whose build is IN FLIGHT is flagged so the builder releases its
     * own persist on completion (see Holder.cleared). */
-  def clear(s: SparkSession): Unit =
+  def clear(s: SparkSession): Unit = {
     cache.keys.filter(_._1 eq s).foreach { k =>
       cache.remove(k).foreach { h =>
         h.cleared = true
         if (h.forced) h.df.unpersist(blocking = false)
       }
     }
+    clearHooks.values.foreach(_(s))
+  }
 }

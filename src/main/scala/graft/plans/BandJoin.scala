@@ -5,11 +5,13 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
-  Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution,
+  ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning,
+  UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
   SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.internal.SQLConf
 
 /** Whole-operator custom plan #3: the BAND JOIN — the inner range join
   * `rightVal BETWEEN leftVal*loFactor AND leftVal*hiFactor`, executed
@@ -63,15 +65,119 @@ case class BandJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[BandJoinPlan]] as [[BandJoinExec]]. Injected declaratively by
-  * `graft.GraftExtensions` and idempotently by the imperative builder
+/** Plans [[BandJoinPlan]] as [[BandJoinBroadcastExec]] when the right
+  * side's estimated size clears the session's broadcast threshold
+  * (`spark.sql.autoBroadcastJoinThreshold`, same knob and semantics as
+  * the built-in join selection — -1 disables), else as the shuffled
+  * sort-merge sweep [[BandJoinExec]] (r10 verdict item #5: a bounded
+  * right side paid two hash exchanges where the composed broadcast form
+  * paid none). Injected declaratively by `graft.GraftExtensions` and
+  * idempotently by the imperative builder
   * (`org.apache.spark.sql.graft.GraftFunctions.bandJoin`). */
 object BandJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: BandJoinPlan =>
-      BandJoinExec(planLater(p.left), planLater(p.right), p.leftBin,
-        p.leftVal, p.rightBin, p.rightVal, p.loFactor, p.hiFactor) :: Nil
+      val threshold = SQLConf.get.autoBroadcastJoinThreshold
+      val exec =
+        if (threshold > 0 && p.right.stats.sizeInBytes <= threshold)
+          BandJoinBroadcastExec(planLater(p.left), planLater(p.right),
+            p.leftBin, p.leftVal, p.rightBin, p.rightVal,
+            p.loFactor, p.hiFactor)
+        else
+          BandJoinExec(planLater(p.left), planLater(p.right), p.leftBin,
+            p.leftVal, p.rightBin, p.rightVal, p.loFactor, p.hiFactor)
+      exec :: Nil
     case _ => Nil
+  }
+}
+
+/** Broadcast small-side band join: the right side ships whole to every
+  * task (IdentityBroadcastMode — EnsureRequirements plans the
+  * BroadcastExchange), each task groups it by home bin with a
+  * value-sorted array per bin, and every left row binary-searches its
+  * bin for the first value ≥ its lo bound and emits until > hi. Same
+  * exactly-once contract as the sweep (a pair meets only in the right
+  * row's home bin, so the caller's left-side bin replication cannot
+  * double-emit) and the same NULL/negative semantics. The per-task
+  * index build is O(|right| log |right|) on a ≤-threshold side —
+  * the same trade every broadcast hash join makes. */
+case class BandJoinBroadcastExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftBin: Attribute,
+    leftVal: Attribute,
+    rightBin: Attribute,
+    rightVal: Attribute,
+    loFactor: Double,
+    hiFactor: Double) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
+
+  /** Left streams through untouched — partitioning and order intact. */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BandJoinBroadcastExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    def ordinal(attrs: Seq[Attribute], a: Attribute, side: String): Int = {
+      val i = attrs.indexWhere(_.exprId == a.exprId)
+      require(i >= 0, s"band-join $side column ${a.name} not in child output")
+      i
+    }
+    val lbIdx = ordinal(left.output, leftBin, "left bin")
+    val lvIdx = ordinal(left.output, leftVal, "left value")
+    val rbIdx = ordinal(right.output, rightBin, "right bin")
+    val rvIdx = ordinal(right.output, rightVal, "right value")
+    val (loF, hiF) = (loFactor, hiFactor)
+    val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val bRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      // per-task index over the broadcast side: home bin → rows
+      // value-ascending (parallel value array for the binary search)
+      val byBin = new java.util.HashMap[Long,
+        (Array[Double], Array[InternalRow])]()
+      bRows.value
+        .filterNot(r => r.isNullAt(rbIdx) || r.isNullAt(rvIdx))
+        .groupBy(_.getLong(rbIdx))
+        .foreach { case (bin, rows) =>
+          val sorted = rows.sortBy(_.getDouble(rvIdx))
+          byBin.put(bin, (sorted.map(_.getDouble(rvIdx)), sorted))
+        }
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      lIter.flatMap { l =>
+        if (l.isNullAt(lbIdx) || l.isNullAt(lvIdx) ||
+            l.getDouble(lvIdx) < 0) Iterator.empty
+        else byBin.get(l.getLong(lbIdx)) match {
+          case null => Iterator.empty
+          case (vals, rows) =>
+            val lv = l.getDouble(lvIdx)
+            val lo = lv * loF
+            val hi = lv * hiF
+            // first index with value >= lo
+            var a = 0; var b = vals.length
+            while (a < b) {
+              val m = (a + b) >>> 1
+              if (vals(m) < lo) a = m + 1 else b = m
+            }
+            val start = a
+            Iterator.range(start, vals.length)
+              .takeWhile(i => vals(i) <= hi)
+              .map { i => numOutputRows += 1; proj(joined(l, rows(i))) }
+        }
+      }
+    }
   }
 }
 

@@ -3,11 +3,16 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftFunctions
 
-/** The native band-join operator (`graft.plans.BandJoinExec`):
-  * boundary semantics on synthetic data, exactly-once pairing across
-  * bin boundaries, a seeded random property check against a local
+/** The native band-join operator (`graft.plans.BandJoinExec` and its
+  * broadcast small-side twin `BandJoinBroadcastExec`): boundary
+  * semantics on synthetic data, exactly-once pairing across bin
+  * boundaries, a seeded random property check against a local
   * brute-force reference, equality with the explode+hash-join
-  * composition on the corpus, and the plan shape. */
+  * composition on the corpus, and the plan shapes of BOTH physical
+  * paths (the strategy picks broadcast under
+  * `spark.sql.autoBroadcastJoinThreshold`, the shuffled sweep above
+  * it — r10 verdict item #5). Every semantic test runs under both
+  * paths: same operator, two executions, one truth. */
 class BandJoinSpec extends SparkSpec {
   import spark.implicits._
 
@@ -15,6 +20,18 @@ class BandJoinSpec extends SparkSpec {
       r: org.apache.spark.sql.DataFrame,
       loF: Double, hiF: Double, binW: Double) =
     GraftFunctions.bandJoin(l, "lv", r, "rv", loF, hiF, binW)
+
+  /** Run `f` once per physical path: default threshold (tiny test
+    * frames broadcast) and threshold disabled (the shuffled sweep). */
+  private def bothPaths[A](f: String => A): Unit = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      f("broadcast")
+      spark.conf.set(key, "-1")
+      f("shuffle")
+    } finally spark.conf.set(key, old)
+  }
 
   test("band join is inclusive on both bounds and drops nulls/negatives") {
     // lval=100, factors (0.5, 2.0): band [50, 200] with EXACT double
@@ -24,9 +41,11 @@ class BandJoinSpec extends SparkSpec {
     val right = Seq((Some(50.0), 10L), (Some(200.0), 11L),
       (Some(49.999), 12L), (Some(200.001), 13L), (None, 14L))
       .toDF("rv", "rid")
-    val got = band(left, right, 0.5, 2.0, 10.0)
-      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
-    assert(got === Set((1L, 10L), (1L, 11L)))
+    bothPaths { path =>
+      val got = band(left, right, 0.5, 2.0, 10.0)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 10L), (1L, 11L)), s"path $path")
+    }
   }
 
   test("a pair meets exactly once even when the band spans many bins") {
@@ -35,12 +54,14 @@ class BandJoinSpec extends SparkSpec {
     val left = Seq((100.0, 1L)).toDF("lv", "lid")
     val right = (0 until 300).map(i => (i.toDouble, i.toLong))
       .toDF("rv", "rid")
-    val got = band(left, right, 0.5, 2.0, 10.0)
-      .select($"rid").as[Long].collect().sorted
-    assert(got.toSeq === (50L to 200L))
+    bothPaths { path =>
+      val got = band(left, right, 0.5, 2.0, 10.0)
+        .select($"rid").as[Long].collect().sorted
+      assert(got.toSeq === (50L to 200L), s"path $path")
+    }
   }
 
-  test("property: band join equals brute force (seeded random)") {
+  test("property: band join equals brute force on both paths (seeded random)") {
     val rnd = new scala.util.Random(7)
     for (round <- 1 to 6) {
       val nl = 30 + rnd.nextInt(120)
@@ -51,8 +72,6 @@ class BandJoinSpec extends SparkSpec {
       val right = (0 until nr).map(i =>
         (rnd.nextInt(50) * 2.5, i.toLong)).toDF("rv", "rid")
       val (loF, hiF) = (0.8, 1.25)
-      val got = band(left, right, loF, hiF, 20.0)
-        .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
       val lRows = left.as[(Double, Long)].collect()
       val rRows = right.as[(Double, Long)].collect()
       val want = (for {
@@ -60,7 +79,11 @@ class BandJoinSpec extends SparkSpec {
         (rv, rid) <- rRows
         if rv >= lv * loF && rv <= lv * hiF
       } yield (lid, rid)).sorted.toSeq
-      assert(got === want, s"round $round: $nl x $nr")
+      bothPaths { path =>
+        val got = band(left, right, loF, hiF, 20.0)
+          .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+        assert(got === want, s"round $round ($path): $nl x $nr")
+      }
     }
   }
 
@@ -68,22 +91,42 @@ class BandJoinSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("q_join_range_binned")(spark, dir)
       .collect().map(_.toSeq).toSeq
-    val b = SparkEntry.queries("q_join_range_native")(spark, dir)
-      .collect().map(_.toSeq).toSeq
-    assert(a === b)
+    bothPaths { path =>
+      val b = SparkEntry.queries("q_join_range_native")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(a === b, s"path $path diverged from the composition")
+    }
   }
 
-  test("plan: native exec node, both sides hash-cluster on the bin, no BNLJ") {
+  test("plan: small right side takes the broadcast path, no shuffle on the join") {
     val dir = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("q_join_range_native")(spark, dir)
     df.count() // materialize AQE final plan
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BandJoin"), s"native exec missing:\n$p")
+    assert(p.contains("BandJoinBroadcast"),
+      s"sub-threshold right side must broadcast:\n$p")
+    assert(p.contains("BroadcastExchange"), s"broadcast exchange missing:\n$p")
     assert(!p.contains("BroadcastNestedLoop"),
       s"range join must never fall back to BNLJ:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"the band sweep replaces the generic join:\n$p")
-    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 2,
-      s"both sides should hash-cluster on the bin:\n$p")
+  }
+
+  test("plan: above-threshold path is the sort-merge sweep, both sides binned") {
+    val dir = "/root/testdata/sf0.001"
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = SparkEntry.queries("q_join_range_native")(spark, dir)
+      df.count() // materialize AQE final plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BandJoin") && !p.contains("BandJoinBroadcast"),
+        s"sweep exec missing:\n$p")
+      assert(!p.contains("BroadcastNestedLoop"),
+        s"range join must never fall back to BNLJ:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"the band sweep replaces the generic join:\n$p")
+      assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 2,
+        s"both sides should hash-cluster on the bin:\n$p")
+    } finally spark.conf.set(key, old)
   }
 }

@@ -31,6 +31,13 @@ class InfraSpec extends SparkSpec {
     // repo-committed full per-query map and carry the query count
     assert(t.get("n_queries").asInt() === 2)
     assert(t.get("per_query_file").asText() === "bench_per_query.json")
+    // r10 verdict item 7: raw first-pass total beside the healed value
+    // (defaults to the healed sum when the caller doesn't pass one)
+    assert(t.get("value_first_pass").asDouble() === 1.735)
+    val (_, t2) = Bench.renderLines(
+      Seq("q_a" -> 1.0), "/x", Seq(0.1), healed = 1, firstPassTotal = 2.5)
+    assert(om.readTree(t2).get("value_first_pass").asDouble() === 2.5)
+    assert(om.readTree(t2).get("healed").asInt() === 1)
   }
 
   test("versioned table: snapshot isolation, time travel, atomic manifests") {
