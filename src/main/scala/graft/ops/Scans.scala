@@ -552,6 +552,56 @@ object Scans extends OpModule {
       .orderBy($"_commit_version", $"_change_type")
   }
 
+  /** Incremental AGGREGATE maintenance ACROSS A MERGE via the row-level
+    * change feed — the update-capable capstone [[scanIncrAgg]] can't
+    * reach: append-only delta folding breaks the moment a merge lands
+    * (rewritten files make every row look new), but count/sum are
+    * ABELIAN-GROUP aggregates, so the feed's signed fold —
+    * post-image/insert rows add, pre-image rows SUBTRACT — maintains
+    * the aggregate exactly across updates. The year-grain revenue
+    * rollup is built once from v1, then ONE feed read over
+    * (v1, v3] (v2 append + v3 cdc-merge) folds both commits in:
+    * maintained ≡ full recompute, which is exactly what the oracle
+    * grades, in exact decimal arithmetic (doubling and sums are exact,
+    * so the equality is bit-level, not approximate). At 100 TB this is
+    * the materialized-view maintenance loop: O(change) per refresh,
+    * base files never re-read, merges included. */
+  def scanCdcAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_cdcagg${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+    val v1 = VersionedTable.commit(o.filter($"o_year".between(1995, 1996)),
+      root)
+    VersionedTable.commit(o.filter($"o_year" === 1997), root) // v2 append
+    val updates = o
+      .filter($"o_year".between(1995, 1996) && $"o_orderkey" % 100 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" * 2)
+      .unionByName(o.filter($"o_year" === 1998))
+    val v3 = VersionedTable.merge(s, root, updates, "o_orderkey",
+      numFiles = 2, cdc = true)
+    val base = VersionedTable.read(s, root, Some(v1))
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n0"), sum(d12($"o_totalprice")).as("rev0"))
+    val fold = VersionedTable.readChangeFeed(s, root, v1, v3)
+      .withColumn("sgn",
+        when($"_change_type" === "update_preimage", lit(-1)).otherwise(lit(1)))
+      .groupBy($"o_year")
+      .agg(sum($"sgn").cast("long").as("dn"),
+        sum(d12($"o_totalprice") * $"sgn").as("drev"))
+    base.as("a").join(fold.as("b"), Seq("o_year"), "full_outer")
+      .select($"o_year".cast("long").as("o_year"),
+        (coalesce($"n0", lit(0L)) + coalesce($"dn", lit(0L))).as("n_orders"),
+        (coalesce($"rev0", expr("CAST(0 AS DECIMAL(22,4))")) +
+          coalesce($"drev", expr("CAST(0 AS DECIMAL(22,4))")))
+          .cast("double").as("revenue"))
+      .orderBy($"o_year")
+  }
+
   /** Incremental AGGREGATE maintenance over the versioned table's CDC
     * reads — the capstone of the table layer and the real 100-TB use
     * of `readChanges`: a year-grain revenue aggregate is built ONCE
@@ -696,6 +746,7 @@ object Scans extends OpModule {
     "q_scan_partition_prune" -> (scanPartitionPrune _),
     "q_scan_table_evolution" -> (scanTableEvolution _),
     "q_scan_incr_agg" -> (scanIncrAgg _),
+    "q_scan_cdc_agg" -> (scanCdcAgg _),
     "q_scan_table_merge" -> (scanTableMerge _),
     "q_scan_cdc_merge" -> (scanCdcMerge _),
     "q_scan_table_optimize" -> (scanTableOptimize _),
@@ -772,6 +823,20 @@ object Scans extends OpModule {
         |SELECT version, CAST(n AS BIGINT) AS n_orders,
         |  CAST(rev AS DOUBLE) AS revenue
         |FROM r ORDER BY version""".stripMargin,
+    "q_scan_cdc_agg" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice, year(o_orderdate) AS y
+        |  FROM orders),
+        |f AS (
+        |  SELECT y AS o_year,
+        |    CASE WHEN y BETWEEN 1995 AND 1996 AND o_orderkey % 100 = 0
+        |      THEN CAST(o_totalprice * 2 AS DECIMAL(12,4))
+        |      ELSE CAST(o_totalprice AS DECIMAL(12,4)) END AS price
+        |  FROM b WHERE y BETWEEN 1995 AND 1998)
+        |SELECT CAST(o_year AS BIGINT) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(price) AS DOUBLE) AS revenue
+        |FROM f GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q_scan_cdc_merge" ->
       """WITH b AS (
         |  SELECT o_orderkey, o_totalprice, year(o_orderdate) AS y
