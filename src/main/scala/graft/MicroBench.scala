@@ -70,12 +70,132 @@ object MicroBench {
       .agg(sum($"c")).collect())
     arrs.unpersist()
 
+    // ---- native EXECS vs window/join compositions (r10 item #6) ----
+    // The custom execs run outside whole-stage codegen and copy rows
+    // into their buffers; these sections measure what that costs
+    // against the codegen'd composed plans on data big enough that
+    // per-row work dominates. Evidence, not a gate — the execs' win is
+    // plan shape (one pass, no Window materialization), and the
+    // numbers record what the missing codegen leaves on the table.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.GraftFunctions
+
+    // as-of: 2M left × 2M right over 10k keys
+    val aLeft = spark.range(0, 2000000L, 1L, cpus.toInt)
+      .select(($"id" % 10000).as("k"),
+        pmod(hash($"id"), lit(1000000)).cast("long").as("lts"),
+        $"id".as("lid")).persist()
+    val aRight = spark.range(0, 2000000L, 1L, cpus.toInt)
+      .select(($"id" % 10000).as("k2"),
+        pmod(hash($"id" + 7), lit(1000000)).cast("long").as("rts"),
+        ($"id" % 997).as("rv")).persist()
+    aLeft.count(); aRight.count()
+    val asofComposed = timeMin(3) {
+      // union + last(ignoreNulls) over (ts, side): right rows at equal
+      // ts sort AFTER left rows, so the (-inf, -1) frame is strict
+      val tagged = aLeft.select($"k", $"lts".as("ts"), lit(0).as("side"),
+          lit(null).cast("long").as("rv"))
+        .unionByName(aRight.select($"k2".as("k"), $"rts".as("ts"),
+          lit(1).as("side"), $"rv"))
+      val w = Window.partitionBy($"k").orderBy($"ts", $"side")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      tagged.withColumn("m", last($"rv", ignoreNulls = true).over(w))
+        .filter($"side" === 0).agg(sum($"m")).collect()
+    }
+    val asofNative = timeMin(3) {
+      GraftFunctions.asofJoin(aLeft, aRight, "k", "lts", "k2", "rts")
+        .agg(sum($"rv")).collect()
+    }
+    aLeft.unpersist(); aRight.unpersist()
+
+    // sessionize: 4M rows over 50k keys
+    val sess = spark.range(0, 4000000L, 1L, cpus.toInt)
+      .select(($"id" % 50000).as("k"),
+        pmod(hash($"id"), lit(10000000)).cast("long").as("ts"),
+        $"id".as("tie")).persist()
+    sess.count()
+    val gap = 5000L
+    val sessComposed = timeMin(3) {
+      val w = Window.partitionBy($"k").orderBy($"ts", $"tie")
+      sess.withColumn("step",
+          when($"ts" - lag($"ts", 1).over(w) > gap, 1L).otherwise(0L))
+        .withColumn("sid", sum($"step").over(w) + 1L)
+        .agg(sum($"sid"), max($"sid")).collect()
+    }
+    val sessNative = timeMin(3) {
+      GraftFunctions.sessionize(sess, "k", "ts", "tie", gap, "sid")
+        .agg(sum($"sid"), max($"sid")).collect()
+    }
+    sess.unpersist()
+
+    // band join, two honest shapes:
+    //  (a) BIG right (2M, above threshold): composed hash+filter vs
+    //      the shuffled sort-merge sweep — the at-scale path;
+    //  (b) SMALL right (100k, ~2 MB, below threshold) against a 2M
+    //      probe side: composed (Spark broadcasts the hash join
+    //      itself) vs the sweep (threshold off) vs the broadcast band
+    //      exec (auto-chosen) — the bounded-dimension path.
+    val (loF, hiF, binW) = (0.999, 1.001, 2000.0)
+    def bandComposedOf(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame) = {
+      val lExp = l.withColumn("bin", explode(sequence(
+        floor($"lv" * loF / binW).cast("long"),
+        floor($"lv" * hiF / binW).cast("long"))))
+      val rExp = r.withColumn("bin", floor($"rv" / binW).cast("long"))
+      lExp.join(rExp, lExp("bin") === rExp("bin") &&
+          $"rv" >= $"lv" * loF && $"rv" <= $"lv" * hiF)
+        .agg(count(lit(1)))
+    }
+    val bLeft = spark.range(0, 5000L, 1L, cpus.toInt)
+      .select((pmod(hash($"id"), lit(1000000)).cast("double")).as("lv"),
+        $"id".as("lid")).persist()
+    val bRight = spark.range(0, 2000000L, 1L, cpus.toInt)
+      .select((pmod(hash($"id" + 3), lit(1000000)).cast("double")).as("rv"),
+        $"id".as("rid")).persist()
+    bLeft.count(); bRight.count()
+    val bandComposed = timeMin(3)(bandComposedOf(bLeft, bRight).collect())
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bandSweep = timeMin(3) {
+      GraftFunctions.bandJoin(bLeft, "lv", bRight, "rv", loF, hiF, binW)
+        .agg(count(lit(1))).collect()
+    }
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    bLeft.unpersist(); bRight.unpersist()
+
+    val pLeft = spark.range(0, 2000000L, 1L, cpus.toInt)
+      .select((pmod(hash($"id"), lit(1000000)).cast("double")).as("lv"),
+        $"id".as("lid")).persist()
+    val sRight = spark.range(0, 100000L, 1L, cpus.toInt)
+      .select((pmod(hash($"id" + 3), lit(1000000)).cast("double")).as("rv"),
+        $"id".as("rid")).persist()
+    pLeft.count(); sRight.count()
+    val bandSmallComposed =
+      timeMin(3)(bandComposedOf(pLeft, sRight).collect())
+    def timedBandSmall() = timeMin(3) {
+      GraftFunctions.bandJoin(pLeft, "lv", sRight, "rv", loF, hiF, binW)
+        .agg(count(lit(1))).collect()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bandSmallSweep = timedBandSmall()
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    val bandSmallBroadcast = timedBandSmall() // auto-chosen under 10 MB
+    pLeft.unpersist(); sRight.unpersist()
+
     def d3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"metric":"micro","cosine_composed":${d3(composedCos)},""" +
       s""""cosine_native":${d3(nativeCos)},""" +
       s""""intersect_composed":${d3(composedIx)},""" +
-      s""""intersect_native":${d3(nativeIx)}}""")
+      s""""intersect_native":${d3(nativeIx)},""" +
+      s""""asof_composed":${d3(asofComposed)},""" +
+      s""""asof_native":${d3(asofNative)},""" +
+      s""""sessionize_composed":${d3(sessComposed)},""" +
+      s""""sessionize_native":${d3(sessNative)},""" +
+      s""""band_composed":${d3(bandComposed)},""" +
+      s""""band_sweep":${d3(bandSweep)},""" +
+      s""""band_small_composed":${d3(bandSmallComposed)},""" +
+      s""""band_small_sweep":${d3(bandSmallSweep)},""" +
+      s""""band_small_broadcast":${d3(bandSmallBroadcast)}}""")
     spark.stop()
   }
 }

