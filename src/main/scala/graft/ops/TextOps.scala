@@ -607,6 +607,29 @@ object TextOps extends OpModule {
       .orderBy($"token_id")
   }
 
+  /** Per-document BPE APPLY — the deployed shape the encode scaladoc
+    * promises: the vocabulary-level encoded table (word → token count
+    * under the trained merges) broadcast-joins back onto the exploded
+    * corpus, giving every document its token count next to its word
+    * count — the sequence-length accounting every packing/truncation
+    * stage
+    * needs. At 100 TB the per-doc work is one map-side broadcast join
+    * over the O(vocab) table: the merges never touch the corpus.
+    * Oracle: the train oracle's final word table joined through the
+    * same explode. */
+  def textBpeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wordsN = bpeTrain(s, dir)._2
+      .select($"word", size(bpeSyms($"rep")).cast("long").as("n_toks"))
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+      .join(broadcast(wordsN), Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_toks").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** Fixed BPE training steps / merge-application replace passes —
     * mirrored literally in the unrolled oracle SQL. */
   private val BpeSteps = 8
@@ -723,6 +746,23 @@ object TextOps extends OpModule {
     s"WITH $bpeOracleBlocks\nSELECT * FROM ($union) ORDER BY step"
   }
 
+  private def bpeApplyOracle: String =
+    s"""WITH $bpeOracleBlocks,
+       |wl AS MATERIALIZED (
+       |  SELECT word,
+       |    CAST(len(list_filter(string_split(rep, '|'), x -> x <> ''))
+       |      AS BIGINT) AS n_toks
+       |  FROM words$BpeSteps
+       |),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(w.n_toks) AS BIGINT) AS n_tokens
+       |FROM dw d JOIN wl w USING (word)
+       |WHERE d.word <> ''
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   private def bpeEncodeOracle: String = {
     val mergeUnion = (1 to BpeSteps).map(k =>
       s"SELECT $k AS step, l || r AS merged FROM best$k")
@@ -755,6 +795,7 @@ object TextOps extends OpModule {
   val queries: Map[String, Q] = Map(
     "q_text_bpe_train" -> (textBpeTrain _),
     "q_text_bpe_encode" -> (textBpeEncode _),
+    "q_text_bpe_apply" -> (textBpeApply _),
     "q_text_zipf" -> (textZipf _),
     "q_text_filter_funnel" -> (textFilterFunnel _),
     "q_text_keywords" -> (textKeywords _),
@@ -781,6 +822,7 @@ object TextOps extends OpModule {
   val oracle: Map[String, String] = Map(
     "q_text_bpe_train" -> bpeTrainOracle,
     "q_text_bpe_encode" -> bpeEncodeOracle,
+    "q_text_bpe_apply" -> bpeApplyOracle,
     "q_text_zipf" ->
       """WITH tf AS (
         |  SELECT term, COUNT(*) AS tf FROM (

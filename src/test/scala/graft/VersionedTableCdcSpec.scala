@@ -243,6 +243,35 @@ class VersionedTableCdcSpec extends SparkSpec {
     }
   }
 
+  test("vacuum keeps in-window cdc sidecars readable and collects out-of-window ones") {
+    // the sidecar is part of a commit's retention story: while its
+    // version is inside the keep window the feed must still serve it
+    // AFTER a vacuum; once the version ages out, the sidecar files are
+    // garbage like any other unreferenced path and must be collected.
+    withTmpDir("graft_cdc_vacuum") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(kv(1L -> "a"), root) // v1
+      val v2 = VersionedTable.merge(spark, root, kv(1L -> "a2", 2L -> "b"),
+        "k", cdc = true)
+      val sidecars = parquetFilesUnder(s"$root/cdc")
+      assert(sidecars.nonEmpty, "cdc merge must write a sidecar")
+      VersionedTable.commit(kv(3L -> "c"), root) // v3
+      // window {v2, v3}: v2's sidecar must survive and the feed serve
+      VersionedTable.vacuum(root, keepLast = 2)
+      assert(sidecars.forall(p => Files.exists(Paths.get(p))),
+        "in-window sidecar must survive vacuum")
+      assert(feedRows(VersionedTable.readChangeFeed(spark, root, 1, v2)) ===
+        Set((1L, "a", "update_preimage", v2),
+          (1L, "a2", "update_postimage", v2), (2L, "b", "insert", v2)))
+      // age v2 out (v4 optimize orphans nothing cdc-wise; window {v4, v5})
+      VersionedTable.optimize(spark, root) // v4
+      VersionedTable.commit(kv(4L -> "d"), root) // v5
+      VersionedTable.vacuum(root, keepLast = 2)
+      assert(sidecars.forall(p => !Files.exists(Paths.get(p))),
+        "out-of-window sidecar files must be collected")
+    }
+  }
+
   test("vacuum reclaims a broken-chain version's own files instead of leaking them") {
     // r11 verdict item #2: a prior vacuum (or a crash mid-vacuum) can
     // leave a delta manifest whose parent chain is gone; the re-run
