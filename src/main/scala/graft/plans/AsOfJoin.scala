@@ -4,11 +4,14 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  CodeGenerator, ExprCode, FalseLiteral, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
-  SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport,
+  SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator custom plan: backward as-of join — the §2.C stretch
@@ -73,7 +76,7 @@ case class AsOfJoinExec(
     leftKey: Attribute,
     leftTs: Attribute,
     rightKey: Attribute,
-    rightTs: Attribute) extends BinaryExecNode {
+    rightTs: Attribute) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -107,6 +110,106 @@ case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+
+  // ---- whole-stage codegen (round 12, r10 verdict item #6) --------
+  // The SortMergeJoin produce-side recipe: the two sorted children
+  // execute as this stage's input iterators (they are not fused — the
+  // merge consumes whole rows), the O(1)-state merge loop is generated
+  // Java, and the output columns flow as locals straight into the
+  // parent's consume — no JoinedRow, no per-row UnsafeProjection, no
+  // null-row sentinel. Right-side columns guard on the match flag, so
+  // the miss case never touches the retained candidate row.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // output vars reference the retained candidate row, which mutates as
+  // the loop advances — a buffering parent must copy
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    def ordinal(attrs: Seq[Attribute], a: Attribute, side: String): Int = {
+      val i = attrs.indexWhere(_.exprId == a.exprId)
+      require(i >= 0, s"as-of $side column ${a.name} not in child output")
+      i
+    }
+    val lkIdx = ordinal(left.output, leftKey, "left key")
+    val ltIdx = ordinal(left.output, leftTs, "left ts")
+    val rkIdx = ordinal(right.output, rightKey, "right key")
+    val rtIdx = ordinal(right.output, rightTs, "right ts")
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];")
+    val rRow = ctx.addMutableState("InternalRow", "asofRightRow")
+    val m = ctx.addMutableState("InternalRow", "asofCandidate")
+    val mKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofCandidateKey")
+    val initDone = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN,
+      "asofInitDone")
+    val leftRow = ctx.freshName("leftRow")
+    val lk = ctx.freshName("lk")
+    val lt = ctx.freshName("lt")
+    val rk = ctx.freshName("rk")
+    val hit = ctx.freshName("hit")
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val numMatched = metricTerm(ctx, "numMatched")
+    // eager column locals: left columns from the current left row,
+    // right columns from the candidate guarded by the hit flag
+    def colVars(rowTerm: String, attrs: Seq[Attribute],
+        guard: Option[String]): Seq[ExprCode] =
+      attrs.zipWithIndex.map { case (a, i) =>
+        val value = ctx.freshName("value")
+        val isNull = ctx.freshName("isNull")
+        val jt = CodeGenerator.javaType(a.dataType)
+        val getter = CodeGenerator.getValue(rowTerm, a.dataType, i.toString)
+        val dflt = CodeGenerator.defaultValue(a.dataType)
+        guard match {
+          case Some(g) =>
+            val src = s"boolean $isNull = !$g || $rowTerm.isNullAt($i);\n" +
+              s"$jt $value = $isNull ? $dflt : ($getter);"
+            ExprCode(code"$src", JavaCode.isNullVariable(isNull),
+              JavaCode.variable(value, a.dataType))
+          case None if a.nullable =>
+            val src = s"boolean $isNull = $rowTerm.isNullAt($i);\n" +
+              s"$jt $value = $isNull ? $dflt : ($getter);"
+            ExprCode(code"$src", JavaCode.isNullVariable(isNull),
+              JavaCode.variable(value, a.dataType))
+          case None =>
+            val src = s"$jt $value = $getter;"
+            ExprCode(code"$src", FalseLiteral,
+              JavaCode.variable(value, a.dataType))
+        }
+      }
+    val leftVars = colVars(leftRow, left.output, None)
+    val rightVars = colVars(m, output.drop(left.output.size), Some(hit))
+    val outVars = leftVars ++ rightVars
+    s"""
+       |if (!$initDone) {
+       |  $rRow = $rightInput.hasNext()
+       |    ? (InternalRow) $rightInput.next() : null;
+       |  $initDone = true;
+       |}
+       |while ($limitNotReachedCond $leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  long $lk = $leftRow.getLong($lkIdx);
+       |  long $lt = $leftRow.getLong($ltIdx);
+       |  while ($rRow != null) {
+       |    long $rk = $rRow.getLong($rkIdx);
+       |    if ($rk < $lk || ($rk == $lk && $rRow.getLong($rtIdx) < $lt)) {
+       |      if ($rk == $lk) { $m = $rRow.copy(); $mKey = $lk; }
+       |      $rRow = $rightInput.hasNext()
+       |        ? (InternalRow) $rightInput.next() : null;
+       |    } else break;
+       |  }
+       |  boolean $hit = $m != null && $mKey == $lk;
+       |  if ($hit) $numMatched.add(1);
+       |  $numOutputRows.add(1);
+       |  ${evaluateVariables(outVars)}
+       |  ${consume(ctx, outVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 
   protected override def doExecute(): RDD[InternalRow] = {
     def ordinal(attrs: Seq[Attribute], a: Attribute, side: String): Int = {

