@@ -71,12 +71,14 @@ object MicroBench {
     arrs.unpersist()
 
     // ---- native EXECS vs window/join compositions (r10 item #6) ----
-    // The custom execs run outside whole-stage codegen and copy rows
-    // into their buffers; these sections measure what that costs
-    // against the codegen'd composed plans on data big enough that
-    // per-row work dominates. Evidence, not a gate — the execs' win is
-    // plan shape (one pass, no Window materialization), and the
-    // numbers record what the missing codegen leaves on the table.
+    // As of round 12 all three custom execs implement CodegenSupport
+    // (as-of/sessionize/band-sweep fuse their merge loops into the
+    // stage; the broadcast band exec fuses probe-side like a
+    // BroadcastHashJoin), so these sections now record what fusion
+    // bought against the composed window/join plans on data big
+    // enough that per-row work dominates. Evidence, not a gate — the
+    // execs' primary win is still plan shape (one pass, no Window
+    // materialization, O(band-occupancy) memory).
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.GraftFunctions
 

@@ -5,8 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
-  CodeGenerator, ExprCode, FalseLiteral, JavaCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  CodeGenerator}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning}
@@ -155,33 +154,9 @@ case class AsOfJoinExec(
     val numMatched = metricTerm(ctx, "numMatched")
     // eager column locals: left columns from the current left row,
     // right columns from the candidate guarded by the hit flag
-    def colVars(rowTerm: String, attrs: Seq[Attribute],
-        guard: Option[String]): Seq[ExprCode] =
-      attrs.zipWithIndex.map { case (a, i) =>
-        val value = ctx.freshName("value")
-        val isNull = ctx.freshName("isNull")
-        val jt = CodeGenerator.javaType(a.dataType)
-        val getter = CodeGenerator.getValue(rowTerm, a.dataType, i.toString)
-        val dflt = CodeGenerator.defaultValue(a.dataType)
-        guard match {
-          case Some(g) =>
-            val src = s"boolean $isNull = !$g || $rowTerm.isNullAt($i);\n" +
-              s"$jt $value = $isNull ? $dflt : ($getter);"
-            ExprCode(code"$src", JavaCode.isNullVariable(isNull),
-              JavaCode.variable(value, a.dataType))
-          case None if a.nullable =>
-            val src = s"boolean $isNull = $rowTerm.isNullAt($i);\n" +
-              s"$jt $value = $isNull ? $dflt : ($getter);"
-            ExprCode(code"$src", JavaCode.isNullVariable(isNull),
-              JavaCode.variable(value, a.dataType))
-          case None =>
-            val src = s"$jt $value = $getter;"
-            ExprCode(code"$src", FalseLiteral,
-              JavaCode.variable(value, a.dataType))
-        }
-      }
-    val leftVars = colVars(leftRow, left.output, None)
-    val rightVars = colVars(m, output.drop(left.output.size), Some(hit))
+    val leftVars = ExecCodegen.colVars(ctx, leftRow, left.output)
+    val rightVars = ExecCodegen.colVars(ctx, m,
+      output.drop(left.output.size), Some(hit))
     val outVars = leftVars ++ rightVars
     s"""
        |if (!$initDone) {

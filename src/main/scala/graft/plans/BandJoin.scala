@@ -8,8 +8,10 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution,
   ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning,
   UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
-  SparkStrategy}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport,
+  SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.internal.SQLConf
 
@@ -109,6 +111,25 @@ class BandIndex(
     if (i < 0) null
     else (starts(i), if (i + 1 < bins.length) starts(i + 1) else rows.length)
   }
+
+  /** Codegen-friendly probe: the emission range for `bin` with values
+    * ≥ `lo`, packed `(start << 32) | end` — -1 when the bin is absent.
+    * The index is shared across an executor's tasks (memoized per
+    * broadcast id), so the probe carries no mutable state. */
+  def probe(bin: Long, lo: Double): Long = {
+    val i = java.util.Arrays.binarySearch(bins, bin)
+    if (i < 0) -1L
+    else {
+      val end = if (i + 1 < bins.length) starts(i + 1) else rows.length
+      // first index in the bin's range with value >= lo
+      var a = starts(i); var b = end
+      while (a < b) {
+        val m = (a + b) >>> 1
+        if (values(m) < lo) a = m + 1 else b = m
+      }
+      (a.toLong << 32) | end.toLong
+    }
+  }
 }
 
 object BandJoinBroadcastExec {
@@ -121,6 +142,13 @@ object BandJoinBroadcastExec {
       override def removeEldestEntry(
           e: java.util.Map.Entry[Long, BandIndex]): Boolean = size > 16
     }
+
+  /** Codegen entry: generated Java cannot spell a Scala by-name
+    * argument, so it passes the broadcast handle whole. */
+  def indexFor(
+      b: org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
+      binIdx: Int, valIdx: Int): BandIndex =
+    index(b.id, b.value, binIdx, valIdx)
 
   private[plans] def index(bcastId: Long, rows: => Array[InternalRow],
       binIdx: Int, valIdx: Int): BandIndex =
@@ -172,7 +200,7 @@ case class BandJoinBroadcastExec(
     rightBin: Attribute,
     rightVal: Attribute,
     loFactor: Double,
-    hiFactor: Double) extends BinaryExecNode {
+    hiFactor: Double) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -197,6 +225,62 @@ case class BandJoinBroadcastExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BandJoinBroadcastExec =
     copy(left = newLeft, right = newRight)
+
+  // ---- whole-stage codegen (round 12, r10 verdict item #6) --------
+  // The BroadcastHashJoin recipe: the probe side fuses via
+  // produce/consume (this node is map-like over the left), the
+  // broadcast index materializes once per executor through the
+  // memoized companion entry, and the probe + emission loop is
+  // generated Java reading the index arrays directly.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  // one input row fans out to many output rows whose vars alias the
+  // shared index rows — buffering parents must copy
+  override def needCopyResult: Boolean = true
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    val lbEv = input(ordinal(left.output, leftBin, "left bin"))
+    val lvEv = input(ordinal(left.output, leftVal, "left value"))
+    val rbIdx = ordinal(right.output, rightBin, "right bin")
+    val rvIdx = ordinal(right.output, rightVal, "right value")
+    val bTerm = ctx.addReferenceObj("bandBroadcast",
+      right.executeBroadcast[Array[InternalRow]](),
+      "org.apache.spark.broadcast.Broadcast")
+    val idx = ctx.addMutableState("graft.plans.BandIndex", "bandIdx",
+      v => s"$v = graft.plans.BandJoinBroadcastExec.indexFor(" +
+        s"$bTerm, $rbIdx, $rvIdx);")
+    val pe = ctx.freshName("packedRange")
+    val i = ctx.freshName("i")
+    val end = ctx.freshName("end")
+    val hi = ctx.freshName("hi")
+    val rRow = ctx.freshName("rightRow")
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val rightVars = ExecCodegen.colVars(ctx, rRow, right.output)
+    s"""
+       |${evaluateVariables(input)}
+       |if (!(${lbEv.isNull}) && !(${lvEv.isNull}) && ${lvEv.value} >= 0D) {
+       |  long $pe = $idx.probe(${lbEv.value}, ${lvEv.value} * ${loFactor}D);
+       |  if ($pe >= 0L) {
+       |    int $i = (int) ($pe >>> 32);
+       |    int $end = (int) $pe;
+       |    double $hi = ${lvEv.value} * ${hiFactor}D;
+       |    while ($i < $end && $idx.values()[$i] <= $hi) {
+       |      InternalRow $rRow = $idx.rows()[$i];
+       |      $numOutputRows.add(1);
+       |      ${evaluateVariables(rightVars)}
+       |      ${consume(ctx, input ++ rightVars)}
+       |      $i++;
+       |    }
+       |  }
+       |}
+     """.stripMargin
+  }
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lbIdx = ordinal(left.output, leftBin, "left bin")
@@ -236,6 +320,54 @@ case class BandJoinBroadcastExec(
   }
 }
 
+/** Per-partition runtime state of the sort-merge sweep, hoisted out of
+  * [[BandJoinExec.doExecute]] so the generated whole-stage loop can
+  * drive the same O(band-occupancy) cursor/buffer logic through one
+  * virtual call per LEFT row (the per-match emission stays in
+  * generated code). Single-threaded per task — no synchronization. */
+final class BandSweeper(rIter: Iterator[InternalRow], rbIdx: Int,
+    rvIdx: Int) {
+  private val buf = new java.util.ArrayDeque[InternalRow]()
+  private var curBin = Long.MinValue
+  private var curBinValid = false
+  private var peakRows = 0L
+  // right cursor; skips rows that can never match (null bin/value)
+  private def advance(): InternalRow = {
+    var n: InternalRow = null
+    while (n == null && rIter.hasNext) {
+      n = rIter.next()
+      if (n.isNullAt(rbIdx) || n.isNullAt(rvIdx)) n = null
+    }
+    n
+  }
+  private var rRow: InternalRow = advance()
+
+  /** Advances the cursor/buffer to the window for one left row
+    * (`lbin`, band [lo, hi]) and returns the buffer: every element IS
+    * a match. Monotone (bin, value) left order is the caller's sort
+    * contract; the deque only mutates on the next call, so the
+    * generated emission loop may iterate it live. */
+  def window(lbin: Long, lo: Double,
+      hi: Double): java.util.ArrayDeque[InternalRow] = {
+    if (!curBinValid || lbin != curBin) {
+      buf.clear(); curBin = lbin; curBinValid = true
+    }
+    while (rRow != null && rRow.getLong(rbIdx) < lbin) rRow = advance()
+    while (rRow != null && rRow.getLong(rbIdx) == lbin &&
+        rRow.getDouble(rvIdx) <= hi) {
+      // copy() required: the child iterator reuses its row buffer
+      buf.addLast(rRow.copy())
+      rRow = advance()
+    }
+    while (!buf.isEmpty && buf.peekFirst.getDouble(rvIdx) < lo)
+      buf.pollFirst()
+    if (buf.size > peakRows) peakRows = buf.size
+    buf
+  }
+
+  def peak: Long = peakRows
+}
+
 case class BandJoinExec(
     left: SparkPlan,
     right: SparkPlan,
@@ -244,7 +376,7 @@ case class BandJoinExec(
     rightBin: Attribute,
     rightVal: Attribute,
     loFactor: Double,
-    hiFactor: Double) extends BinaryExecNode {
+    hiFactor: Double) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -275,12 +407,73 @@ case class BandJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): BandJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // ---- whole-stage codegen (round 12, r10 verdict item #6) --------
+  // Same two-input recipe as AsOfJoinExec: the sorted children execute
+  // as this stage's input iterators, the sweep's cursor/buffer state
+  // lives in a BandSweeper driven once per LEFT row, and the per-match
+  // emission loop is generated Java — output columns flow as locals
+  // into the parent's consume, no JoinedRow, no per-row
+  // UnsafeProjection. shouldStop() is checked after a left row's
+  // matches drain (the SortMergeJoin convention), so re-entry never
+  // replays a window.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // output vars alias the reused left-child row buffer
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val lbIdx = ordinal(left.output, leftBin, "left bin")
+    val lvIdx = ordinal(left.output, leftVal, "left value")
+    val rbIdx = ordinal(right.output, rightBin, "right bin")
+    val rvIdx = ordinal(right.output, rightVal, "right value")
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "bandLeftInput", v => s"$v = inputs[0];")
+    val sweeper = ctx.addMutableState("graft.plans.BandSweeper",
+      "bandSweeper", v => s"$v = new graft.plans.BandSweeper(" +
+        s"(scala.collection.Iterator) inputs[1], $rbIdx, $rvIdx);")
+    val leftRow = ctx.freshName("leftRow")
+    val lv = ctx.freshName("lv")
+    val win = ctx.freshName("window")
+    val it = ctx.freshName("matchIter")
+    val rRow = ctx.freshName("rightRow")
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val maxBandBuffer = metricTerm(ctx, "maxBandBuffer")
+    val leftVars = ExecCodegen.colVars(ctx, leftRow, left.output)
+    val rightVars = ExecCodegen.colVars(ctx, rRow,
+      output.drop(left.output.size))
+    s"""
+       |while ($limitNotReachedCond $leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  if ($leftRow.isNullAt($lbIdx) || $leftRow.isNullAt($lvIdx)) continue;
+       |  double $lv = $leftRow.getDouble($lvIdx);
+       |  if ($lv < 0D) continue;
+       |  java.util.ArrayDeque $win = $sweeper.window(
+       |    $leftRow.getLong($lbIdx), $lv * ${loFactor}D, $lv * ${hiFactor}D);
+       |  if ($win.isEmpty()) continue;
+       |  $numOutputRows.add($win.size());
+       |  $maxBandBuffer.set($sweeper.peak());
+       |  ${evaluateVariables(leftVars)}
+       |  java.util.Iterator $it = $win.iterator();
+       |  while ($it.hasNext()) {
+       |    InternalRow $rRow = (InternalRow) $it.next();
+       |    ${evaluateVariables(rightVars)}
+       |    ${consume(ctx, leftVars ++ rightVars)}
+       |  }
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  private def ordinal(attrs: Seq[Attribute], a: Attribute,
+      side: String): Int = {
+    val i = attrs.indexWhere(_.exprId == a.exprId)
+    require(i >= 0, s"band-join $side column ${a.name} not in child output")
+    i
+  }
+
   protected override def doExecute(): RDD[InternalRow] = {
-    def ordinal(attrs: Seq[Attribute], a: Attribute, side: String): Int = {
-      val i = attrs.indexWhere(_.exprId == a.exprId)
-      require(i >= 0, s"band-join $side column ${a.name} not in child output")
-      i
-    }
     val lbIdx = ordinal(left.output, leftBin, "left bin")
     val lvIdx = ordinal(left.output, leftVal, "left value")
     val rbIdx = ordinal(right.output, rightBin, "right bin")
@@ -292,43 +485,14 @@ case class BandJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
-      // right cursor; skips rows that can never match (null bin/value)
-      def advance(): InternalRow = {
-        var n: InternalRow = null
-        while (n == null && rIter.hasNext) {
-          n = rIter.next()
-          if (n.isNullAt(rbIdx) || n.isNullAt(rvIdx)) n = null
-        }
-        n
-      }
-      var rRow: InternalRow = advance()
-      // window buffer: current bin's right rows with value inside the
-      // CURRENT left band — value-ascending, appended once per bin
-      // pass (copy() required: the child iterator reuses its buffer)
-      val buf = new java.util.ArrayDeque[InternalRow]()
-      var curBin = Long.MinValue
-      var curBinValid = false
-      var peak = 0L
+      val sweeper = new BandSweeper(rIter, rbIdx, rvIdx)
       lIter.flatMap { l =>
         if (l.isNullAt(lbIdx) || l.isNullAt(lvIdx) ||
             l.getDouble(lvIdx) < 0) Iterator.empty
         else {
-          val lbin = l.getLong(lbIdx)
           val lv = l.getDouble(lvIdx)
-          val lo = lv * loF
-          val hi = lv * hiF
-          if (!curBinValid || lbin != curBin) {
-            buf.clear(); curBin = lbin; curBinValid = true
-          }
-          while (rRow != null && rRow.getLong(rbIdx) < lbin) rRow = advance()
-          while (rRow != null && rRow.getLong(rbIdx) == lbin &&
-              rRow.getDouble(rvIdx) <= hi) {
-            buf.addLast(rRow.copy())
-            rRow = advance()
-          }
-          while (!buf.isEmpty && buf.peekFirst.getDouble(rvIdx) < lo)
-            buf.pollFirst()
-          if (buf.size > peak) { peak = buf.size; maxBandBuffer.set(peak) }
+          val buf = sweeper.window(l.getLong(lbIdx), lv * loF, lv * hiF)
+          maxBandBuffer.set(sweeper.peak)
           numOutputRows += buf.size
           // safe to iterate the live deque: it only mutates on the NEXT
           // outer element, after this inner iterator is exhausted

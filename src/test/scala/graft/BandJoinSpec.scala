@@ -129,4 +129,36 @@ class BandJoinSpec extends SparkSpec {
         s"both sides should hash-cluster on the bin:\n$p")
     } finally spark.conf.set(key, old)
   }
+
+  test("plan: BOTH paths head a whole-stage codegen span; results match") {
+    // round 12 (r10 verdict item #6): BandJoinBroadcastExec fuses the
+    // probe side via produce/consume (the BroadcastHashJoin recipe);
+    // BandJoinExec feeds its sorted children as stage inputs and
+    // generates the sweep's emission loop (the SortMergeJoin recipe).
+    // AQE's initial-plan string hides codegen spans, so pin the
+    // statically collapsed plans in an AQE-off session.
+    val dir = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("q_join_range_native")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def pinned(node: String): Unit = {
+        val df = SparkEntry.queries("q_join_range_native")(ss, dir)
+        val p = df.queryExecution.executedPlan.toString
+        val line = p.linesIterator
+          .find(l => l.contains(node) && !(node == "BandJoin" &&
+            l.contains("BandJoinBroadcast"))).get
+        assert(line.trim.takeWhile(!_.isLetter).contains("*"),
+          s"$node must sit inside a WholeStageCodegen span:\n$p")
+        assert(df.collect().map(_.toSeq).toSeq === expected,
+          s"$node codegen path diverged")
+        graft.ops.OpCache.clear(ss)
+      }
+      pinned("BandJoinBroadcast")
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      ss.conf.set(key, "-1")
+      pinned("BandJoin")
+    } finally graft.ops.OpCache.clear(ss)
+  }
 }
