@@ -301,6 +301,37 @@ object Aggregates extends OpModule {
       .orderBy($"prev_type", $"next_type")
   }
 
+  /** Sequence-MOTIF detection with an exclusion constraint — the
+    * MATCH_RECOGNIZE-shaped question neither the funnel (ordered
+    * steps, no exclusions) nor the path miner (fixed length 3) can
+    * answer: did the user complete view → … → click → … → purchase
+    * with NO error anywhere in between? Per (user, month): the
+    * month's events collapse to an event-initial string in exact
+    * (ts, event_id) order and the motif is one regex
+    * (`v[^e]*c[^e]*p`) — the classic sequence-smashing encoding that
+    * turns arbitrary pattern algebra (exclusions, gaps, alternation)
+    * into a codegen'd `rlike` instead of a window/join pyramid.
+    *
+    * Scale: state is bounded by construction — ONE month of ONE
+    * user's events per group (the session/window bound any production
+    * MATCH_RECOGNIZE imposes), one shuffle on (user, month), string
+    * build via sort_array over the collected (ts, event_id, char)
+    * structs (exact total order, no window needed). */
+  def eventRegexFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .select($"user_id", month($"ts").as("m"),
+        struct($"ts", $"event_id",
+          substring($"event_type", 1, 1).as("c")).as("e"))
+      .groupBy($"user_id", $"m")
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws("", transform(array_sort(collect_list($"e")),
+          x => x.getField("c"))).as("seq"))
+      .select($"user_id", $"m", $"n_events",
+        $"seq".rlike("v[^e]*c[^e]*p").as("has_motif"))
+      .orderBy($"user_id", $"m")
+  }
+
   /** Top 3-step journey paths — the sequence-mining readout one hop
     * deeper than [[eventTransitions]]'s Markov matrix (which, being
     * memoryless, cannot see that click→view→purchase and
@@ -467,6 +498,52 @@ object Aggregates extends OpModule {
     cc.groupBy($"rep").agg(count(lit(1)).as("csize"))
       .groupBy($"csize").agg(count(lit(1)).as("n_components"))
       .orderBy($"csize")
+  }
+
+  /** COMMUNITY detection by synchronous label propagation over the
+    * support-2 co-purchase graph (2 rounds, fixed): each vertex starts
+    * as its own label and each round adopts the MOST FREQUENT label
+    * among its neighbors (tie → smallest label). Where components
+    * answers "what is connected", LPA answers "what is densely
+    * connected" — inside one giant component it still separates the
+    * tightly co-bought cliques, which is the community structure a
+    * merchandiser actually acts on. Deterministic by construction
+    * (integer counts, total tiebreak order), so fully oracled: the
+    * DuckDB mirror unrolls the two rounds as CTEs (the
+    * [[graphPagerank]] recipe).
+    *
+    * Scale: per round one O(E) edge ⋈ label shuffle on the vertex key
+    * + a (v, lbl) count; the argmax-per-vertex rank filter compiles to
+    * WindowGroupLimit (per-partition 1-row heaps, never a full sort of
+    * the count table). Rounds are fixed and unrolled — plan growth is
+    * linear, no checkpoint needed at 2. */
+  def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val und = OpCache.cached(s, dir, "lpa_edges") {
+      val li = Tables.t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+        .filter($"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter($"n_orders" >= 2)
+        .select($"pa", $"pb")
+      e.select($"pa".as("v"), $"pb".as("u"))
+        .unionByName(e.select($"pb".as("v"), $"pa".as("u")))
+    }
+    var lbl = und.select($"v").distinct().select($"v", $"v".as("lbl"))
+    val w = Window.partitionBy($"v").orderBy($"n".desc, $"lbl".asc)
+    for (_ <- 1 to 2) {
+      lbl = und.join(lbl.select($"v".as("u"), $"lbl"), Seq("u"))
+        .groupBy($"v", $"lbl").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"v", $"lbl")
+    }
+    lbl.groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy($"n_members".desc, $"community".asc)
   }
 
   /** Edge-count ceiling for broadcasting the (vertex, sorted-neighbor)
@@ -2371,6 +2448,8 @@ object Aggregates extends OpModule {
     "q_event_transitions" -> (eventTransitions _),
     "q_graph_pagerank" -> (graphPagerank _),
     "q_graph_components" -> (graphComponents _),
+    "q_graph_label_prop" -> (graphLabelProp _),
+    "q_event_regex_funnel" -> (eventRegexFunnel _),
     "q_feat_decay_spend" -> (featDecaySpend _),
     "q_feat_survival" -> (featSurvival _),
     "q_time_autocorr" -> (timeAutocorr _),
@@ -2704,6 +2783,42 @@ object Aggregates extends OpModule {
         |  CAST(SUM(term_e4) AS BIGINT) AS entropy_e4,
         |  CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q_event_regex_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(month(ts) AS INTEGER) AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, m, n_events,
+        |  regexp_matches(seq, 'v[^e]*c[^e]*p') AS has_motif
+        |FROM s ORDER BY user_id, m""".stripMargin,
+    "q_graph_label_prop" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT pa AS v, pb AS u FROM pairs
+        |  UNION ALL SELECT pb, pa FROM pairs),
+        |l0 AS (SELECT DISTINCT v, v AS lbl FROM e),
+        |c1 AS (SELECT e.v, l.lbl, COUNT(*) AS n
+        |  FROM e JOIN l0 l ON e.u = l.v GROUP BY 1, 2),
+        |l1 AS (SELECT v, lbl FROM (
+        |    SELECT v, lbl, row_number() OVER (PARTITION BY v
+        |      ORDER BY n DESC, lbl ASC) AS rn FROM c1)
+        |  WHERE rn = 1),
+        |c2 AS (SELECT e.v, l.lbl, COUNT(*) AS n
+        |  FROM e JOIN l1 l ON e.u = l.v GROUP BY 1, 2),
+        |l2 AS (SELECT v, lbl FROM (
+        |    SELECT v, lbl, row_number() OVER (PARTITION BY v
+        |      ORDER BY n DESC, lbl ASC) AS rn FROM c2)
+        |  WHERE rn = 1)
+        |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+        |FROM l2 GROUP BY 1
+        |ORDER BY n_members DESC, community ASC""".stripMargin,
     "q_graph_components" ->
       """WITH RECURSIVE li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

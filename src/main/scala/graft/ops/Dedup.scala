@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -272,6 +273,64 @@ object Dedup extends OpModule {
       .filter($"n_docs" >= 2)
       .orderBy($"n_docs".desc, $"shingle".asc)
       .limit(30)
+  }
+
+  /** Maximal duplicated-SPAN extension: for every document, the
+    * maximal word ranges covered by 5-gram shingles that also appear
+    * in at least one OTHER document — the span-level (substring) dedup
+    * primitive: shared-phrase hits are extended and merged into the
+    * longest contiguous duplicated region, which is what a training
+    * pipeline actually cuts (a 60-word license blurb is one span to
+    * remove, not 56 independent 5-gram hits). Spans shorter than 10
+    * words are dropped (a lone 5-gram is phrase reuse, not
+    * duplication).
+    *
+    * Shape: positional shingles (doc_id, pos, gram) — positions
+    * matter, so NOT per-doc distinct — semi-joined on the shared-gram
+    * key (df ≥ 2 computed on the per-doc-distinct table, so same-doc
+    * repeats don't self-certify), then per-doc gaps-and-islands:
+    * ranges [p, p+4] merge while the next hit starts ≤ 5 words after
+    * the previous. Everything is integer word arithmetic — exact in
+    * both engines by construction.
+    *
+    * Scale: the gram join shuffles by gram (the near-dup family's
+    * proven key), the island windows partition by doc_id (bounded by
+    * document length), and df ≥ 2 reuses the session-cached distinct
+    * shingle table. No all-pairs anywhere — cost is O(total grams). */
+  def dedupSpanExtend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // positional grams: pos = 1-based word index of the gram's start
+    val pos = Tables.t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("words"))
+      .filter(size($"words") >= 5)
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), size($"words") - 5),
+        i => concat_ws(" ",
+          element_at($"words", i + 1), element_at($"words", i + 2),
+          element_at($"words", i + 3), element_at($"words", i + 4),
+          element_at($"words", i + 5)))))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
+        $"col".as("shingle"))
+    // document frequency over per-doc-DISTINCT shingles: a gram is
+    // "shared" only when ≥2 distinct docs carry it
+    val shared = shingleRows(s, dir)
+      .groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2).select($"shingle")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    pos.join(shared, Seq("shingle"))
+      .select($"doc_id", $"pos")
+      .withColumn("prev", lag($"pos", 1).over(w))
+      .withColumn("brk",
+        when($"prev".isNull || $"pos" > $"prev" + 5L, 1L).otherwise(0L))
+      .withColumn("island", sum($"brk").over(w))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") + 4L).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select($"doc_id", $"span_start", $"span_end",
+        ($"span_end" - $"span_start" + 1L).as("span_words"), $"n_grams")
+      .filter($"span_words" >= 10L)
+      .orderBy($"doc_id", $"span_start")
   }
 
   /** Directional shingle CONTAINMENT ≥ 0.9: C(a→b) = |Sa∩Sb| / |Sa| —
@@ -1069,6 +1128,7 @@ object Dedup extends OpModule {
     "q_dedup_survivors" -> (dedupSurvivors _),
     "q_dedup_near_jaccard" -> (dedupNearJaccard _),
     "q_dedup_spans" -> (dedupSpans _),
+    "q_dedup_span_extend" -> (dedupSpanExtend _),
     "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_survivors_near" -> (dedupSurvivorsNear _),
@@ -1178,6 +1238,30 @@ object Dedup extends OpModule {
          |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
          |FROM sh GROUP BY shingle HAVING COUNT(*) >= 2
          |ORDER BY n_docs DESC, shingle ASC LIMIT 30""".stripMargin,
+    "q_dedup_span_extend" ->
+      s"""WITH $shinglesCte,
+         |p AS (SELECT doc_id,
+         |    UNNEST(range(1, len(words) - 3)) AS pos,
+         |    UNNEST(list_transform(range(1, len(words) - 3),
+         |      i -> array_to_string(words[i:i+4], ' '))) AS shingle
+         |  FROM w WHERE len(words) >= 5),
+         |shared AS (SELECT shingle FROM sh
+         |  GROUP BY shingle HAVING COUNT(*) >= 2),
+         |h AS (SELECT p.doc_id, p.pos FROM p JOIN shared USING (shingle)),
+         |m AS (SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER dw IS NULL
+         |      OR pos > lag(pos) OVER dw + 5 THEN 1 ELSE 0 END AS brk
+         |  FROM h WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+         |isl AS (SELECT doc_id, pos, SUM(brk) OVER
+         |    (PARTITION BY doc_id ORDER BY pos) AS island FROM m),
+         |sp AS (SELECT doc_id, MIN(pos) AS span_start,
+         |    MAX(pos) + 4 AS span_end,
+         |    CAST(COUNT(*) AS BIGINT) AS n_grams
+         |  FROM isl GROUP BY doc_id, island)
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start + 1 AS span_words, n_grams
+         |FROM sp WHERE span_end - span_start + 1 >= 10
+         |ORDER BY doc_id, span_start""".stripMargin,
     "q_dedup_near_jaccard" ->
       s"""WITH $shinglesCte,
          |$prunedShinglesCte,

@@ -405,6 +405,32 @@ object PipelineOps extends OpModule {
       .limit(100)
   }
 
+  /** Per-GROUP deterministic reservoir: at most K=10 documents per
+    * (lang, source) cell, chosen by md5-hash order — the domain-cap /
+    * source-balancing primitive of a training-data recipe ("no single
+    * domain may contribute more than K examples"). The hash order
+    * makes each cell's sample uniform-without-replacement, stable
+    * under re-partitioning, and INCREMENTAL: adding documents can only
+    * displace the current ones hash-by-hash (the same property
+    * [[sampleConsistent]] gives the global sample, applied per cell).
+    *
+    * Scale: the rank filter right above the row_number window compiles
+    * to WindowGroupLimit — each shuffle partition keeps a K-row heap
+    * per cell instead of materializing the full cell before ranking,
+    * so per-cell skew never sorts more than it keeps. */
+  def sampleReservoir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 10
+    val w = Window.partitionBy($"lang", $"source").orderBy($"hv", $"doc_id")
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", $"lang", $"source",
+        md5int($"doc_id".cast("string")).as("hv"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= k)
+      .select($"lang", $"source", $"rn", $"doc_id", $"hv")
+      .orderBy($"lang", $"source", $"rn")
+  }
+
   /** Dataset-MIXTURE sampling — the "data recipe" step of an LLM
     * training build: tiers of sources get declared mixture weights
     * (web 50% / curated 30% / reference 20% ppm) of a global char
@@ -1221,6 +1247,7 @@ object PipelineOps extends OpModule {
     "q_scd2_asof" -> (scd2Asof _),
     "q_dq_drift" -> (dqDrift _),
     "q_sample_consistent" -> (sampleConsistent _),
+    "q_sample_reservoir" -> (sampleReservoir _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_sample_weighted" -> (sampleWeighted _),
     "q_sample_mix" -> (sampleMix _),
@@ -1805,6 +1832,20 @@ object PipelineOps extends OpModule {
         |  CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
         |    AS hv
         |FROM customer ORDER BY hv, c_custkey LIMIT 100""".stripMargin,
+    "q_sample_reservoir" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      AS hv
+        |  FROM documents),
+        |k AS (
+        |  SELECT lang, source,
+        |    CAST(row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY hv, doc_id) AS BIGINT) AS rn,
+        |    doc_id, hv
+        |  FROM r)
+        |SELECT lang, source, rn, doc_id, hv FROM k
+        |WHERE rn <= 10 ORDER BY lang, source, rn""".stripMargin,
     "q_sample_stratified" ->
       """WITH r AS (
         |  SELECT c_custkey, c_mktsegment,
