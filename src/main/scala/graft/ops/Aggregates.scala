@@ -482,18 +482,26 @@ object Aggregates extends OpModule {
     * thresholded edge list — at 100 TB the threshold is exactly what
     * keeps E' (and every fixpoint round) linear-ish instead of
     * clique-quadratic. */
-  def graphComponents(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val cc = OpCache.cached(s, dir, "graph_cc") {
+  /** Support-2 co-purchase edges (pairs bought together in ≥2 distinct
+    * orders) — the thresholded undirected edge list [[graphComponents]]
+    * and [[graphLabelProp]] both walk, built once per (session, sf). */
+  private def support2Edges(s: SparkSession, dir: String): DataFrame =
+    OpCache.cached(s, dir, "support2_edges") {
+      import s.implicits._
       val li = Tables.t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_partkey").distinct()
-      val edges = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      li.as("a").join(li.as("b"), Seq("l_orderkey"))
         .filter($"a.l_partkey" < $"b.l_partkey")
         .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
         .agg(count(lit(1)).as("n_orders"))
         .filter($"n_orders" >= 2)
         .select($"pa", $"pb")
-      Dedup.connectedComponents(edges)
+    }
+
+  def graphComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cc = OpCache.cached(s, dir, "graph_cc") {
+      Dedup.connectedComponents(support2Edges(s, dir))
     }
     cc.groupBy($"rep").agg(count(lit(1)).as("csize"))
       .groupBy($"csize").agg(count(lit(1)).as("n_components"))
@@ -521,14 +529,7 @@ object Aggregates extends OpModule {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val und = OpCache.cached(s, dir, "lpa_edges") {
-      val li = Tables.t(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_partkey").distinct()
-      val e = li.as("a").join(li.as("b"), Seq("l_orderkey"))
-        .filter($"a.l_partkey" < $"b.l_partkey")
-        .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter($"n_orders" >= 2)
-        .select($"pa", $"pb")
+      val e = support2Edges(s, dir)
       e.select($"pa".as("v"), $"pb".as("u"))
         .unionByName(e.select($"pb".as("v"), $"pa".as("u")))
     }

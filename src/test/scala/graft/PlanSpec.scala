@@ -90,6 +90,24 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_topk_per_group").contains("WindowGroupLimit"))
   }
 
+  test("per-group reservoir: two-phase group limit, pruned scan") {
+    val p = plan("q_sample_reservoir")
+    // partial heap below the exchange + final above — a skewed cell
+    // never fully sorts on either side
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"reservoir must keep K-row heaps on BOTH sides of the shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string," +
+      "source:string>"),
+      s"reservoir must scan only its three columns:\n$p")
+  }
+
+  test("LPA argmax ranks through WindowGroupLimit, never a full sort") {
+    val p = plan("q_graph_label_prop")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-vertex argmax must push a group limit:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("flagship aggregation is partial+final (map-side combine)") {
     val p = plan("q_agg_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
