@@ -513,6 +513,53 @@ object Scans extends OpModule {
     }.reduce(_.unionAll(_)).orderBy($"version")
   }
 
+  /** Key-range-TARGETED merge — grades
+    * [[graft.sources.VersionedTable.mergeTargeted]], the file-level
+    * refinement of the whole-table COW: four appends land DISJOINT
+    * o_orderkey quartile bands (per-file key stats recorded), then a
+    * merge whose update batch touches ONLY the first band (doubling
+    * every key ≡ 0 mod 100) plus brand-new keys beyond the max
+    * (inserts). The merge rewrites only band-1 files — bands 2–4 are
+    * carried verbatim in the new manifest, no data movement (the
+    * carried-paths witness is pinned in VersionedTableCdcSpec; the
+    * graded rows here are the pre/post-merge snapshot rollups, each
+    * leg independently derivable from the raw table). Doubling a
+    * double is exact, so the post-merge sum is bit-reachable. */
+  def scanTableMergeTargeted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_tmrg${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+    val mx = o.agg(max($"o_orderkey")).head.getLong(0)
+    val (q1, q2, q3) = (mx / 4, mx / 2, 3 * mx / 4)
+    VersionedTable.commit(o.filter($"o_orderkey" <= q1), root,
+      statsCol = Some("o_orderkey"))
+    VersionedTable.commit(o.filter($"o_orderkey" > q1 &&
+      $"o_orderkey" <= q2), root, statsCol = Some("o_orderkey"))
+    VersionedTable.commit(o.filter($"o_orderkey" > q2 &&
+      $"o_orderkey" <= q3), root, statsCol = Some("o_orderkey"))
+    val v4 = VersionedTable.commit(o.filter($"o_orderkey" > q3), root,
+      statsCol = Some("o_orderkey"))
+    val updates = o
+      .filter($"o_orderkey" <= q1 && $"o_orderkey" % 100 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" * 2)
+      .unionByName(o.filter($"o_year" === 1998)
+        .select(($"o_orderkey" + mx * 2).as("o_orderkey"),
+          $"o_totalprice", $"o_year"))
+    val v5 = VersionedTable.mergeTargeted(s, root, updates, "o_orderkey",
+      numFiles = 2)
+    Seq(v4, v5).map { v =>
+      VersionedTable.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(d12($"o_totalprice")).cast("double").as("revenue"))
+        .select(lit(v).as("version"), $"n_orders", $"revenue")
+    }.reduce(_.unionAll(_)).orderBy($"version")
+  }
+
   /** ROW-LEVEL CHANGE FEED across a mixed append + merge history — the
     * r10-verdict top gap: file-level `readChanges` degrades to a full
     * rescan the moment a REPLACE commit (backfill merge, compaction)
@@ -748,6 +795,7 @@ object Scans extends OpModule {
     "q_scan_incr_agg" -> (scanIncrAgg _),
     "q_scan_cdc_agg" -> (scanCdcAgg _),
     "q_scan_table_merge" -> (scanTableMerge _),
+    "q_scan_table_merge_targeted" -> (scanTableMergeTargeted _),
     "q_scan_cdc_merge" -> (scanCdcMerge _),
     "q_scan_table_optimize" -> (scanTableOptimize _),
     "q_scan_file_skipping" -> (scanFileSkipping _),
@@ -820,6 +868,28 @@ object Scans extends OpModule {
         |    + (SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 0)
         |       FROM b WHERE y BETWEEN 1995 AND 1996
         |         AND o_orderkey % 100 = 0))
+        |SELECT version, CAST(n AS BIGINT) AS n_orders,
+        |  CAST(rev AS DOUBLE) AS revenue
+        |FROM r ORDER BY version""".stripMargin,
+    "q_scan_table_merge_targeted" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice, year(o_orderdate) AS y
+        |  FROM orders),
+        |t AS (SELECT MAX(o_orderkey) AS mx FROM b),
+        |r AS (
+        |  SELECT 4 AS version,
+        |    (SELECT COUNT(*) FROM b) AS n,
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b) AS rev
+        |  UNION ALL
+        |  SELECT 5,
+        |    (SELECT COUNT(*) FROM b)
+        |      + (SELECT COUNT(*) FROM b WHERE y = 1998),
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b)
+        |    + (SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 0)
+        |       FROM b, t WHERE o_orderkey <= mx // 4
+        |         AND o_orderkey % 100 = 0)
+        |    + (SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 0)
+        |       FROM b WHERE y = 1998))
         |SELECT version, CAST(n AS BIGINT) AS n_orders,
         |  CAST(rev AS DOUBLE) AS revenue
         |FROM r ORDER BY version""".stripMargin,

@@ -511,6 +511,109 @@ object VersionedTable {
     }
   }
 
+  /** Key-range-TARGETED merge — the file-level refinement of [[merge]]
+    * (the "named refinement" the whole-table COW doc promises): only
+    * files whose manifest `[lo, hi]` stats range contains at least one
+    * update key are rewritten; every other file is CARRIED VERBATIM
+    * into the new version's manifest (same path, same stats, same
+    * partition tuple — no data movement). At 100 TB this is the
+    * difference between a merge that rewrites a million files and one
+    * that rewrites the dozen a bounded update batch actually touches.
+    *
+    * Correctness: a row can match an update key only if that key lies
+    * inside its file's min/max — so carried files provably contain no
+    * matched row, and the rewrite set alone feeds both the merge and
+    * the CDC legs (pre-image / post-image / insert are all confined to
+    * rewritten files + the update batch). Files WITHOUT stats are
+    * conservatively rewritten. The table must have been committed with
+    * `statsCol = keyCol` for targeting to bite; without stats this
+    * degrades to exactly [[merge]]'s whole-table COW.
+    *
+    * Scale shape of the PLANNING step: the O(files) range list (already
+    * driver-resident in the manifest) broadcasts to the update batch —
+    * the keys are never collected; only the O(files) set of HIT file
+    * ids comes back to the driver. Publication is a replace-style
+    * commit (remove = rewritten paths, add = new files, full list
+    * checkpointed); a head that moved under the rewrite aborts with
+    * [[java.util.ConcurrentModificationException]] like every replace.
+    * New files record `keyCol` stats so the NEXT targeted merge can
+    * skip them too. Returns the published version id. */
+  def mergeTargeted(spark: SparkSession, root: String, updates: DataFrame,
+      keyCol: String, numFiles: Int = 1, cdc: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val basis = currentVersion(root)
+    require(basis > 0, s"mergeTargeted: $root has no committed version")
+    val all = resolveFiles(root, basis)
+    // overlap plan: file ranges → broadcast → range-join the update
+    // keys; DISTINCT hit ids (bounded by O(files)) return to the driver
+    val ranged = all.zipWithIndex.collect {
+      case (f, i) if f.lo.isDefined && f.hi.isDefined =>
+        (i, f.lo.get, f.hi.get)
+    }
+    val hitIds: Set[Int] =
+      if (ranged.isEmpty) Set.empty
+      else {
+        val rangeDf = spark.createDataFrame(ranged)
+          .toDF("__i", "__lo", "__hi")
+        updates.select(col(keyCol).cast("double").as("__k"))
+          .join(broadcast(rangeDf),
+            col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+          .select("__i").distinct()
+          .collect().map(_.getInt(0)).toSet
+      }
+    val rewrite = all.zipWithIndex.collect {
+      case (f, i) if hitIds(i) || f.lo.isEmpty || f.hi.isEmpty => f
+    }
+    val rewritePaths = rewrite.map(_.path)
+    val touched =
+      if (rewritePaths.isEmpty) read(spark, root, Some(basis)).limit(0)
+      else readFiles(spark, rewritePaths, mergeSchema = false)
+    val merged = touched
+      .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(updates)
+    // CDC legs confined to the rewrite set (matches can live nowhere
+    // else — the stats argument above); same three-leg contract as
+    // [[merge]](cdc=true)
+    val cdcPaths = if (!cdc) Nil else {
+      val keys = updates.select(col(keyCol))
+      val touchedKeys = touched.select(col(keyCol))
+      val feed = touched.join(keys, Seq(keyCol), "left_semi")
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(updates.join(touchedKeys, Seq(keyCol), "left_semi")
+          .withColumn("_change_type", lit("update_postimage")))
+        .unionByName(updates.join(touchedKeys, Seq(keyCol), "left_anti")
+          .withColumn("_change_type", lit("insert")))
+      writeCdc(feed, root)
+    }
+    val newFiles = writeData(merged.repartition(numFiles), root,
+      Some(keyCol), Nil)
+    // same abort hygiene as [[merge]]: an unpublished commit's data and
+    // sidecar files must not leak past the exception
+    try {
+      onBeforePublish()
+      val v = basis + 1
+      val carried = all.filterNot(f => rewritePaths.contains(f.path))
+      try publishAtomic(root, v, basis,
+        add = newFiles, remove = rewritePaths,
+        checkpoint = Some(carried ++ newFiles),
+        rollbackOf = None, batchKey = None,
+        recentBatchKeys = recentBatchKeys(root, basis),
+        cdc = cdcPaths, cdcKind = if (cdc) Some("merge") else None)
+      catch {
+        case _: FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"targeted merge at $root lost the race for v$v: the " +
+              "snapshot it rewrote is stale — re-read and re-run")
+      }
+      v
+    } catch {
+      case e: Throwable =>
+        (cdcPaths ++ newFiles.map(_.path))
+          .foreach(p => Files.deleteIfExists(Paths.get(p)))
+        throw e
+    }
+  }
+
   /** Write a change-feed frame to a fresh per-commit sidecar directory
     * and return its parquet paths (same uniqueness discipline as
     * [[writeData]]). */

@@ -162,6 +162,104 @@ class VersionedTableCdcSpec extends SparkSpec {
     }
   }
 
+  test("targeted merge rewrites only overlapping files, carries the rest verbatim") {
+    // round 12: mergeTargeted — three single-file commits with disjoint
+    // key ranges; an update batch hitting only the first band must
+    // rewrite exactly that file, carry the other two entries verbatim
+    // (path + stats), produce the same table as the full COW merge on a
+    // twin, and serve the same change feed.
+    withTmpDir("graft_tmerge") { base =>
+      def band(lo: Long, hi: Long): DataFrame =
+        kv((lo to hi).map(k => k -> s"v$k"): _*).repartition(1)
+      def build(root: String): Int = {
+        VersionedTable.commit(band(1, 10), root, statsCol = Some("k"))
+        VersionedTable.commit(band(11, 20), root, statsCol = Some("k"))
+        VersionedTable.commit(band(21, 30), root, statsCol = Some("k"))
+      }
+      val root = s"$base/t"; val twin = s"$base/twin"
+      val v3 = build(root); build(twin)
+      val updates = kv(5L -> "x", 35L -> "new")
+      val before = VersionedTable.resolveFiles(root, v3)
+      val v4 = VersionedTable.mergeTargeted(spark, root, updates, "k",
+        cdc = true)
+      val after = VersionedTable.resolveFiles(root, v4)
+      // exactly band 1's file rewritten; bands 2-3 carried VERBATIM
+      val removed = before.map(_.path).toSet -- after.map(_.path).toSet
+      assert(removed.size === 1, s"must rewrite exactly one file: $removed")
+      assert(before.filter(f => !removed(f.path)).toSet
+        .subsetOf(after.toSet),
+        "carried entries must keep path AND stats verbatim")
+      // data identity vs the full-COW merge on the twin
+      val vt = VersionedTable.merge(spark, twin, updates, "k")
+      def rows(r: String, v: Int) =
+        VersionedTable.read(spark, r, Some(v))
+          .as[(Long, String)].collect().toSet
+      assert(rows(root, v4) === rows(twin, vt))
+      // feed across the targeted merge: same three-leg contract
+      assert(feedRows(VersionedTable.readChangeFeed(spark, root, v3, v4)) ===
+        Set((5L, "v5", "update_preimage", v4),
+          (5L, "x", "update_postimage", v4),
+          (35L, "new", "insert", v4)))
+      // new files carry key stats, so the NEXT targeted merge skips too
+      val newEntries = after.filterNot(f => before.exists(_.path == f.path))
+      assert(newEntries.forall(f => f.lo.isDefined && f.hi.isDefined),
+        "rewritten files must record key stats for future targeting")
+    }
+  }
+
+  test("targeted merge conservatively rewrites stats-less files") {
+    withTmpDir("graft_tmerge_nostats") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(
+        kv((1L to 10L).map(k => k -> s"v$k"): _*).repartition(1), root)
+      val v2 = VersionedTable.commit(
+        kv((11L to 20L).map(k => k -> s"v$k"): _*).repartition(1), root,
+        statsCol = Some("k"))
+      // the batch misses BOTH ranges — but the stats-less file cannot
+      // prove it, so it must be rewritten; the ranged file is carried
+      val before = VersionedTable.resolveFiles(root, v2)
+      val noStats = before.filter(_.lo.isEmpty).map(_.path).toSet
+      assert(noStats.size === 1)
+      val v3 = VersionedTable.mergeTargeted(spark, root,
+        kv(99L -> "ins"), "k")
+      val after = VersionedTable.resolveFiles(root, v3).map(_.path).toSet
+      assert((noStats -- after) === noStats,
+        "stats-less files must be conservatively rewritten")
+      assert(before.filter(_.lo.isDefined).map(_.path).toSet
+        .subsetOf(after), "the provably-missed file must be carried")
+      assert(VersionedTable.read(spark, root, Some(v3))
+        .as[(Long, String)].collect().toSet ===
+        ((1L to 20L).map(k => k -> s"v$k").toSet + (99L -> "ins")))
+    }
+  }
+
+  test("aborted targeted merge leaks nothing and re-runs clean") {
+    withTmpDir("graft_tmerge_abort") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(
+        kv(1L -> "a").repartition(1), root, statsCol = Some("k"))
+      val filesBefore = parquetFilesUnder(s"$root/data").toSet
+      var fired = false
+      VersionedTable.onBeforePublish = () => {
+        if (!fired) { fired = true
+          VersionedTable.commit(kv(2L -> "mid"), root) }
+      }
+      try intercept[java.util.ConcurrentModificationException] {
+        VersionedTable.mergeTargeted(spark, root, kv(1L -> "a2"), "k",
+          cdc = true)
+      } finally VersionedTable.onBeforePublish = () => ()
+      assert(parquetFilesUnder(s"$root/cdc").isEmpty)
+      val orphans = parquetFilesUnder(s"$root/data").toSet -- filesBefore --
+        VersionedTable.resolveFiles(root, 2).map(_.path).toSet
+      assert(orphans.isEmpty, s"aborted targeted merge leaked: $orphans")
+      val v3 = VersionedTable.mergeTargeted(spark, root, kv(1L -> "a2"),
+        "k", cdc = true)
+      assert(feedRows(VersionedTable.readChangeFeed(spark, root, 2, v3)) ===
+        Set((1L, "a", "update_preimage", v3),
+          (1L, "a2", "update_postimage", v3)))
+    }
+  }
+
   test("readChangeFeed survives additive schema evolution in range") {
     // ADVICE r11 (low): a feed range spanning an additive evolution
     // must union with NULL padding (like snapshot mergeSchema reads),
