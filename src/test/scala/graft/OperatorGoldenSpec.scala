@@ -763,7 +763,10 @@ class OperatorGoldenSpec extends SparkSpec {
     // widths must return byte-identical rows. 3 and 17 partitions
     // exercise both the tiny and the co-prime-to-data layouts.
     val targets = Seq("q_feat_decay_spend", "q_agg_ks", "q_ml_auc",
-      "q_agg_mannwhitney", "q_events_concurrency", "q_feat_survival")
+      "q_agg_mannwhitney", "q_events_concurrency", "q_feat_survival",
+      // round 12: the island merge, the per-cell hash reservoir, and
+      // the LPA tiebreak each claim a total order no layout can move
+      "q_dedup_span_extend", "q_sample_reservoir", "q_graph_label_prop")
     targets.foreach { name =>
       val results = Seq("3", "17").map { parts =>
         val ss = spark.newSession()
