@@ -560,6 +560,54 @@ object Scans extends OpModule {
     }.reduce(_.unionAll(_)).orderBy($"version")
   }
 
+  /** Targeted DELETE — grades [[graft.sources.VersionedTable.delete]],
+    * row erasure as a partial COW (the GDPR primitive on the table
+    * format): quartile-banded appends with key stats, then a delete of
+    * every key ≡ 0 mod 100 INSIDE the first band only — band-1 files
+    * rewrite without the matched rows, bands 2–4 carry verbatim, and
+    * the cdc sidecar tags each erased row `delete`. Graded rows:
+    * pre/post-delete snapshot rollups plus the feed's delete-leg count
+    * and exact erased amount — every leg independently derivable from
+    * the raw table. */
+  def scanTableDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_del${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+    val mx = o.agg(max($"o_orderkey")).head.getLong(0)
+    val (q1, q2, q3) = (mx / 4, mx / 2, 3 * mx / 4)
+    VersionedTable.commit(o.filter($"o_orderkey" <= q1), root,
+      statsCol = Some("o_orderkey"))
+    VersionedTable.commit(o.filter($"o_orderkey" > q1 &&
+      $"o_orderkey" <= q2), root, statsCol = Some("o_orderkey"))
+    VersionedTable.commit(o.filter($"o_orderkey" > q2 &&
+      $"o_orderkey" <= q3), root, statsCol = Some("o_orderkey"))
+    val v4 = VersionedTable.commit(o.filter($"o_orderkey" > q3), root,
+      statsCol = Some("o_orderkey"))
+    val erase = o.filter($"o_orderkey" <= q1 && $"o_orderkey" % 100 === 0)
+      .select($"o_orderkey")
+    val v5 = VersionedTable.delete(s, root, erase, "o_orderkey",
+      numFiles = 1, cdc = true)
+    val rollups = Seq(v4, v5).map { v =>
+      VersionedTable.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(d12($"o_totalprice")).cast("double").as("amount"))
+        .select(lit(v).as("version"), lit("snapshot").as("leg"),
+          $"n_rows", $"amount")
+    }.reduce(_.unionAll(_))
+    val feedLeg = VersionedTable.readChangeFeed(s, root, v4, v5)
+      .filter($"_change_type" === "delete")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(d12($"o_totalprice")).cast("double").as("amount"))
+      .select(lit(v5).as("version"), lit("feed_delete").as("leg"),
+        $"n_rows", $"amount")
+    rollups.unionAll(feedLeg).orderBy($"version", $"leg")
+  }
+
   /** ROW-LEVEL CHANGE FEED across a mixed append + merge history — the
     * r10-verdict top gap: file-level `readChanges` degrades to a full
     * rescan the moment a REPLACE commit (backfill merge, compaction)
@@ -796,6 +844,7 @@ object Scans extends OpModule {
     "q_scan_cdc_agg" -> (scanCdcAgg _),
     "q_scan_table_merge" -> (scanTableMerge _),
     "q_scan_table_merge_targeted" -> (scanTableMergeTargeted _),
+    "q_scan_table_delete" -> (scanTableDelete _),
     "q_scan_cdc_merge" -> (scanCdcMerge _),
     "q_scan_table_optimize" -> (scanTableOptimize _),
     "q_scan_file_skipping" -> (scanFileSkipping _),
@@ -893,6 +942,30 @@ object Scans extends OpModule {
         |SELECT version, CAST(n AS BIGINT) AS n_orders,
         |  CAST(rev AS DOUBLE) AS revenue
         |FROM r ORDER BY version""".stripMargin,
+    "q_scan_table_delete" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders),
+        |t AS (SELECT MAX(o_orderkey) AS mx FROM b),
+        |d AS (SELECT o_orderkey, o_totalprice FROM b, t
+        |  WHERE o_orderkey <= mx // 4 AND o_orderkey % 100 = 0),
+        |r AS (
+        |  SELECT 4 AS version, 'snapshot' AS leg,
+        |    (SELECT COUNT(*) FROM b) AS n,
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b) AS amt
+        |  UNION ALL
+        |  SELECT 5, 'feed_delete',
+        |    (SELECT COUNT(*) FROM d),
+        |    (SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 0)
+        |     FROM d)
+        |  UNION ALL
+        |  SELECT 5, 'snapshot',
+        |    (SELECT COUNT(*) FROM b) - (SELECT COUNT(*) FROM d),
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b)
+        |    - (SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 0)
+        |       FROM d))
+        |SELECT version, leg, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(amt AS DOUBLE) AS amount
+        |FROM r ORDER BY version, leg""".stripMargin,
     "q_scan_cdc_agg" ->
       """WITH b AS (
         |  SELECT o_orderkey, o_totalprice, year(o_orderdate) AS y

@@ -540,31 +540,11 @@ object VersionedTable {
     * skip them too. Returns the published version id. */
   def mergeTargeted(spark: SparkSession, root: String, updates: DataFrame,
       keyCol: String, numFiles: Int = 1, cdc: Boolean = false): Int = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import org.apache.spark.sql.functions.{col, lit}
     val basis = currentVersion(root)
     require(basis > 0, s"mergeTargeted: $root has no committed version")
     val all = resolveFiles(root, basis)
-    // overlap plan: file ranges → broadcast → range-join the update
-    // keys; DISTINCT hit ids (bounded by O(files)) return to the driver
-    val ranged = all.zipWithIndex.collect {
-      case (f, i) if f.lo.isDefined && f.hi.isDefined =>
-        (i, f.lo.get, f.hi.get)
-    }
-    val hitIds: Set[Int] =
-      if (ranged.isEmpty) Set.empty
-      else {
-        val rangeDf = spark.createDataFrame(ranged)
-          .toDF("__i", "__lo", "__hi")
-        updates.select(col(keyCol).cast("double").as("__k"))
-          .join(broadcast(rangeDf),
-            col("__k") >= col("__lo") && col("__k") <= col("__hi"))
-          .select("__i").distinct()
-          .collect().map(_.getInt(0)).toSet
-      }
-    val rewrite = all.zipWithIndex.collect {
-      case (f, i) if hitIds(i) || f.lo.isEmpty || f.hi.isEmpty => f
-    }
-    val rewritePaths = rewrite.map(_.path)
+    val rewritePaths = overlapTargets(spark, all, updates, keyCol)
     val touched =
       if (rewritePaths.isEmpty) read(spark, root, Some(basis)).limit(0)
       else readFiles(spark, rewritePaths, mergeSchema = false)
@@ -585,14 +565,86 @@ object VersionedTable {
           .withColumn("_change_type", lit("insert")))
       writeCdc(feed, root)
     }
-    val newFiles = writeData(merged.repartition(numFiles), root,
+    publishTargetedRewrite(spark, root, basis, all, rewritePaths,
+      merged, numFiles, keyCol, cdcPaths, cdc, "targeted merge")
+  }
+
+  /** Targeted DELETE — row erasure as a partial copy-on-write: files
+    * whose key stats contain a delete key are rewritten WITHOUT the
+    * matching rows, everything else is carried verbatim. The GDPR /
+    * right-to-be-forgotten primitive on the table format: O(touched
+    * files) cost, history intact (pre-delete versions stay readable —
+    * retention policy is [[vacuum]]'s job). With `cdc=true` the
+    * sidecar records each erased row tagged `_change_type = "delete"`,
+    * so an incremental consumer sees deletions as first-class feed
+    * rows. `deletes` carries the keys to erase (one column, `keyCol`).
+    * Same concurrency + no-leak contract as [[mergeTargeted]]. */
+  def delete(spark: SparkSession, root: String, deletes: DataFrame,
+      keyCol: String, numFiles: Int = 1, cdc: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val basis = currentVersion(root)
+    require(basis > 0, s"delete: $root has no committed version")
+    val all = resolveFiles(root, basis)
+    val rewritePaths = overlapTargets(spark, all, deletes, keyCol)
+    val touched =
+      if (rewritePaths.isEmpty) read(spark, root, Some(basis)).limit(0)
+      else readFiles(spark, rewritePaths, mergeSchema = false)
+    val keys = deletes.select(col(keyCol))
+    val survivors = touched.join(keys, Seq(keyCol), "left_anti")
+    val cdcPaths = if (!cdc) Nil else
+      writeCdc(touched.join(keys, Seq(keyCol), "left_semi")
+        .withColumn("_change_type", lit("delete")), root)
+    publishTargetedRewrite(spark, root, basis, all, rewritePaths,
+      survivors, numFiles, keyCol, cdcPaths, cdc, "targeted delete")
+  }
+
+  /** Overlap plan shared by [[mergeTargeted]] and [[delete]]: the
+    * O(files) range list broadcasts to the key batch (keys are never
+    * collected); only the O(files) DISTINCT hit ids return. Files
+    * without stats are conservatively targeted. Caveat shared with the
+    * stats layer itself: ranges are stored as doubles, so integer keys
+    * beyond 2^53 would not be exactly representable and could alias
+    * across a file boundary — the same agreement-zone bound
+    * [[readPruned]] documents. */
+  private def overlapTargets(spark: SparkSession, all: Seq[FileEntry],
+      keyBatch: DataFrame, keyCol: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val ranged = all.zipWithIndex.collect {
+      case (f, i) if f.lo.isDefined && f.hi.isDefined =>
+        (i, f.lo.get, f.hi.get)
+    }
+    val hitIds: Set[Int] =
+      if (ranged.isEmpty) Set.empty
+      else {
+        val rangeDf = spark.createDataFrame(ranged)
+          .toDF("__i", "__lo", "__hi")
+        keyBatch.select(col(keyCol).cast("double").as("__k"))
+          .join(broadcast(rangeDf),
+            col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+          .select("__i").distinct()
+          .collect().map(_.getInt(0)).toSet
+      }
+    all.zipWithIndex.collect {
+      case (f, i) if hitIds(i) || f.lo.isEmpty || f.hi.isEmpty => f.path
+    }
+  }
+
+  /** Publish step shared by the targeted rewrites: write the rewritten
+    * rows (key stats recorded so FUTURE targeted commits can skip the
+    * new files too), carry every untouched entry verbatim, publish as
+    * a replace-style commit (remove = rewritten paths only), abort on
+    * a moved head, and never leak unpublished data/sidecar files. */
+  private def publishTargetedRewrite(spark: SparkSession, root: String,
+      basis: Int, all: Seq[FileEntry], rewritePaths: Seq[String],
+      rewritten: DataFrame, numFiles: Int, keyCol: String,
+      cdcPaths: Seq[String], cdc: Boolean, what: String): Int = {
+    val newFiles = writeData(rewritten.repartition(numFiles), root,
       Some(keyCol), Nil)
-    // same abort hygiene as [[merge]]: an unpublished commit's data and
-    // sidecar files must not leak past the exception
     try {
       onBeforePublish()
       val v = basis + 1
-      val carried = all.filterNot(f => rewritePaths.contains(f.path))
+      val removed = rewritePaths.toSet
+      val carried = all.filterNot(f => removed(f.path))
       try publishAtomic(root, v, basis,
         add = newFiles, remove = rewritePaths,
         checkpoint = Some(carried ++ newFiles),
@@ -602,8 +654,8 @@ object VersionedTable {
       catch {
         case _: FileAlreadyExistsException =>
           throw new java.util.ConcurrentModificationException(
-            s"targeted merge at $root lost the race for v$v: the " +
-              "snapshot it rewrote is stale — re-read and re-run")
+            s"$what at $root lost the race for v$v: the snapshot it " +
+              "rewrote is stale — re-read and re-run")
       }
       v
     } catch {
@@ -772,8 +824,9 @@ object VersionedTable {
 
   /** ROW-LEVEL change feed for the commit range `(fromVersion,
     * toVersion]`: every emitted row carries the table's columns plus
-    * `_change_type` (`insert` / `update_preimage` / `update_postimage`)
-    * and `_commit_version`. Per commit:
+    * `_change_type` (`insert` / `update_preimage` / `update_postimage`
+    * / `delete` — the last from [[delete]]'s cdc sidecar) and
+    * `_commit_version`. Per commit:
     *
     *  - APPEND → its added files stream as `insert` rows (the delta
     *    files ARE the change — no sidecar, no extra write);

@@ -393,7 +393,9 @@ class CountsSnapshotSpec extends SparkSpec {
     // one row per active (user, month); both motif outcomes present
     "q_event_regex_funnel" -> 15L,
     // pre/post-targeted-merge version rollups
-    "q_scan_table_merge_targeted" -> 2L)
+    "q_scan_table_merge_targeted" -> 2L,
+    // pre/post-delete snapshot rollups + the feed's delete leg
+    "q_scan_table_delete" -> 3L)
 
   test("snapshot covers exactly the registered queries") {
     assert(expected.keySet === SparkEntry.queries.keySet)

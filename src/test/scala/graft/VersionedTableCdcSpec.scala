@@ -260,6 +260,37 @@ class VersionedTableCdcSpec extends SparkSpec {
     }
   }
 
+  test("targeted delete erases rows, carries untouched files, feeds 'delete' rows") {
+    withTmpDir("graft_tdelete") { base =>
+      val root = s"$base/t"
+      def band(lo: Long, hi: Long): DataFrame =
+        kv((lo to hi).map(k => k -> s"v$k"): _*).repartition(1)
+      VersionedTable.commit(band(1, 10), root, statsCol = Some("k"))
+      val v2 = VersionedTable.commit(band(11, 20), root,
+        statsCol = Some("k"))
+      val before = VersionedTable.resolveFiles(root, v2)
+      val v3 = VersionedTable.delete(spark, root,
+        Seq(3L, 7L).toDF("k"), "k", cdc = true)
+      val after = VersionedTable.resolveFiles(root, v3)
+      // only band 1's file rewritten; band 2 carried verbatim
+      val removed = before.map(_.path).toSet -- after.map(_.path).toSet
+      assert(removed.size === 1, s"must rewrite exactly one file: $removed")
+      assert(before.filter(f => !removed(f.path)).toSet
+        .subsetOf(after.toSet))
+      // erasure is total and confined to the named keys
+      val left = VersionedTable.read(spark, root, Some(v3))
+        .as[(Long, String)].collect().toSet
+      assert(left === ((1L to 20L).toSet -- Set(3L, 7L))
+        .map(k => k -> s"v$k"))
+      // the feed carries the erased rows as first-class delete legs
+      assert(feedRows(VersionedTable.readChangeFeed(spark, root, v2, v3)) ===
+        Set((3L, "v3", "delete", v3), (7L, "v7", "delete", v3)))
+      // pre-delete snapshots stay readable (retention is vacuum's job)
+      assert(VersionedTable.read(spark, root, Some(v2))
+        .as[(Long, String)].collect().toSet.size === 20)
+    }
+  }
+
   test("readChangeFeed survives additive schema evolution in range") {
     // ADVICE r11 (low): a feed range spanning an additive evolution
     // must union with NULL padding (like snapshot mergeSchema reads),
