@@ -49,8 +49,11 @@ import scala.jdk.CollectionConverters._
   * files) stats pass, and one tiny driver-side JSON link — no
   * table-wide rewrite, no lock. Deliberately omitted vs the real
   * formats: file-level (row-group) conflict granularity for replace
-  * commits — any concurrent head move aborts them — and deletion
-  * vectors (deletes are copy-on-write via [[merge]]).
+  * commits — any concurrent head move aborts them. Deletes come in
+  * BOTH industry shapes: copy-on-write ([[delete]], key-range
+  * targeted) and merge-on-read ([[deleteDeferred]], equality-delete
+  * sidecars masked at read — the sequence rule keeps later
+  * re-inserts visible — materialized by [[optimize]]).
   *
   * '''Row-level change feed (round 11).''' A [[merge]] with `cdc=true`
   * writes a CHANGE-FEED sidecar beside its rewritten snapshot: the
@@ -94,11 +97,20 @@ object VersionedTable {
 
   /** One manifest entry: an immutable data file, optional min/max of
     * the table's declared stats column (absent when the commit didn't
-    * compute stats — a pruned read must then keep the file), and the
+    * compute stats — a pruned read must then keep the file), the
     * file's partition tuple (empty for unpartitioned commits; values
-    * are the raw directory-name encoding). */
+    * are the raw directory-name encoding), and the SEQUENCE (the
+    * version that added the file — 0 on pre-feature manifests): an
+    * equality delete masks a row only in files with a SMALLER
+    * sequence, which is what lets a key be re-inserted after a
+    * deferred delete (the Iceberg sequence-number rule). */
   case class FileEntry(path: String, lo: Option[Double], hi: Option[Double],
-      part: Map[String, String] = Map.empty)
+      part: Map[String, String] = Map.empty, seq: Int = 0)
+
+  /** One equality-delete sidecar file: `path` holds the deleted keys
+    * (single column `keyCol`), `seq` is the commit that published it —
+    * it masks matching rows in every data file with seq < this. */
+  case class EqDelete(path: String, keyCol: String, seq: Int)
 
   /** Test-only seam: invoked at the top of every publish attempt, so a
     * spec can deterministically interleave a competing commit between
@@ -144,7 +156,15 @@ object VersionedTable {
       val part = Option(f.get("part")).map { p =>
         p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
       }.getOrElse(Map.empty[String, String])
-      FileEntry(f.get("path").asText(), num("lo"), num("hi"), part)
+      FileEntry(f.get("path").asText(), num("lo"), num("hi"), part,
+        Option(f.get("seq")).map(_.asInt()).getOrElse(0))
+    }.toSeq
+
+  private def parseEqDeletes(
+      arr: com.fasterxml.jackson.databind.JsonNode): Seq[EqDelete] =
+    arr.elements().asScala.map { d =>
+      EqDelete(d.get("path").asText(), d.get("keyCol").asText(),
+        d.get("seq").asInt())
     }.toSeq
 
   /** Resolve version `v`'s complete file list: nearest checkpoint at or
@@ -183,6 +203,21 @@ object VersionedTable {
     }
   }
 
+  /** Resolve the equality-delete list in force at version `v`:
+    * nearest checkpoint's embedded full list (absent on pre-feature
+    * manifests = empty — a replace commit embeds empty because it
+    * MATERIALIZED the masks), plus the delta chain's additions.
+    * Same O(CheckpointInterval) cost as [[resolveFiles]]. */
+  def resolveDeletes(root: String, v: Int): Seq[EqDelete] = {
+    if (v == 0) return Nil
+    val node = readNode(root, v)
+    val own = Option(node.get("eqDeleteAdd")).map(parseEqDeletes)
+      .getOrElse(Nil)
+    if (node.has("files"))
+      Option(node.get("eqDeletesFull")).map(parseEqDeletes).getOrElse(Nil)
+    else resolveDeletes(root, node.get("parent").asInt()) ++ own
+  }
+
   /** Smallest manifest version the delta chain for `v` touches (the
     * checkpoint it resolves from). */
   private def chainFloor(root: String, v: Int): Int = {
@@ -203,6 +238,17 @@ object VersionedTable {
         val p = o.putObject("part")
         f.part.foreach { case (k, x) => p.put(k, x) }
       }
+      if (f.seq > 0) o.put("seq", f.seq)
+    }
+
+  private def writeEqDeletes(
+      arr: com.fasterxml.jackson.databind.node.ArrayNode,
+      deletes: Seq[EqDelete]): Unit =
+    deletes.foreach { d =>
+      val o = arr.addObject()
+      o.put("path", d.path)
+      o.put("keyCol", d.keyCol)
+      o.put("seq", d.seq)
     }
 
   /** Atomic CREATE-NEW publish: the manifest is fully written to a
@@ -215,7 +261,9 @@ object VersionedTable {
       add: Seq[FileEntry], remove: Seq[String],
       checkpoint: Option[Seq[FileEntry]], rollbackOf: Option[Int],
       batchKey: Option[String], recentBatchKeys: Seq[String],
-      cdc: Seq[String], cdcKind: Option[String]): Unit = {
+      cdc: Seq[String], cdcKind: Option[String],
+      eqDeleteAdd: Seq[EqDelete] = Nil,
+      eqDeletesFull: Option[Seq[EqDelete]] = None): Unit = {
     Files.createDirectories(manifestDir(root))
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val body = om.createObjectNode()
@@ -234,12 +282,25 @@ object VersionedTable {
       val c = body.putArray("cdc")
       cdc.foreach(c.add)
     }
-    writeEntries(body.putArray("add"), add)
+    // sequence stamping: files born in THIS commit get seq = v; files
+    // carried through (re-adds of a rollback, checkpoint embeds of
+    // parent files) keep the seq their own commit stamped
+    val addPaths = add.map(_.path).toSet
+    def stamp(f: FileEntry): FileEntry =
+      if (f.seq == 0 && addPaths(f.path)) f.copy(seq = v) else f
+    def stampD(d: EqDelete): EqDelete =
+      if (d.seq == 0) d.copy(seq = v) else d
+    writeEntries(body.putArray("add"), add.map(stamp))
     if (remove.nonEmpty) {
       val r = body.putArray("remove")
       remove.foreach(r.add)
     }
-    checkpoint.foreach(full => writeEntries(body.putArray("files"), full))
+    checkpoint.foreach(full =>
+      writeEntries(body.putArray("files"), full.map(stamp)))
+    if (eqDeleteAdd.nonEmpty)
+      writeEqDeletes(body.putArray("eqDeleteAdd"), eqDeleteAdd.map(stampD))
+    eqDeletesFull.foreach(full =>
+      writeEqDeletes(body.putArray("eqDeletesFull"), full.map(stampD)))
     val tmp = manifestDir(root).resolve(
       f".v$v%05d-${ProcessHandle.current().pid()}%d-" +
         f"${commitSeq.incrementAndGet()}%d.json.tmp")
@@ -257,7 +318,9 @@ object VersionedTable {
   private def publishLoop(root: String, newFiles: Seq[FileEntry],
       replace: Boolean, rollbackOf: Option[Int],
       batchKey: Option[String], cdc: Seq[String] = Nil,
-      cdcKind: Option[String] = None): Int = {
+      cdcKind: Option[String] = None,
+      eqDeleteAdd: Seq[EqDelete] = Nil,
+      eqDeletesReplace: Option[Seq[EqDelete]] = None): Int = {
     var parent = currentVersion(root)
     var attempts = 0
     while (true) {
@@ -267,6 +330,15 @@ object VersionedTable {
       val parentFiles = resolveFiles(root, parent)
       val full = if (replace) newFiles else parentFiles ++ newFiles
       val checkpoint = replace || parent == 0 || v % CheckpointInterval == 0
+      // equality-delete list carried by a checkpoint: a REPLACE commit
+      // materialized the masks (empty, unless a rollback restores a
+      // version's own list); an append checkpoint carries the parent's
+      // accumulated list plus this commit's additions
+      val eqFull: Option[Seq[EqDelete]] =
+        if (replace) Some(eqDeletesReplace.getOrElse(Nil))
+        else if (checkpoint)
+          Some(resolveDeletes(root, parent) ++ eqDeleteAdd)
+        else None
       try {
         publishAtomic(root, v, parent,
           add = newFiles,
@@ -274,7 +346,8 @@ object VersionedTable {
           checkpoint = if (checkpoint) Some(full) else None,
           rollbackOf, batchKey,
           recentBatchKeys = recentBatchKeys(root, parent),
-          cdc = cdc, cdcKind = cdcKind)
+          cdc = cdc, cdcKind = cdcKind,
+          eqDeleteAdd = eqDeleteAdd, eqDeletesFull = eqFull)
         return v
       } catch {
         case _: FileAlreadyExistsException =>
@@ -543,6 +616,12 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{col, lit}
     val basis = currentVersion(root)
     require(basis > 0, s"mergeTargeted: $root has no committed version")
+    // the targeted rewrite reads ONLY touched files raw and carries the
+    // rest — pending read-time masks would be silently dropped from
+    // carried files' rows it never looks at; materialize first
+    require(resolveDeletes(root, basis).isEmpty,
+      s"mergeTargeted: $root has pending equality deletes — run " +
+        "optimize (the materialization point) first")
     val all = resolveFiles(root, basis)
     val rewritePaths = overlapTargets(spark, all, updates, keyCol)
     val touched =
@@ -584,6 +663,9 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{col, lit}
     val basis = currentVersion(root)
     require(basis > 0, s"delete: $root has no committed version")
+    require(resolveDeletes(root, basis).isEmpty,
+      s"delete: $root has pending equality deletes — run optimize " +
+        "(the materialization point) first")
     val all = resolveFiles(root, basis)
     val rewritePaths = overlapTargets(spark, all, deletes, keyCol)
     val touched =
@@ -711,7 +793,11 @@ object VersionedTable {
       else Option(readNode(root, v).get("cdc"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     val keep = (keepFrom to cur).filter(exists)
-      .flatMap(v => resolveFiles(root, v).map(_.path) ++ cdcPaths(v)).toSet
+      .flatMap(v => resolveFiles(root, v).map(_.path) ++ cdcPaths(v) ++
+        // a kept version's pending equality deletes may live in
+        // sidecars published BEFORE the keep window — they are part
+        // of that version's read path and must survive
+        resolveDeletes(root, v).map(_.path)).toSet
     val dropped = (1 until keepFrom)
       .flatMap(v => resolveFilesOpt(root, v).map(_.map(_.path))
         .getOrElse(ownAdds(v)) ++ cdcPaths(v))
@@ -740,12 +826,67 @@ object VersionedTable {
   /** Snapshot read of `version` (default: latest). `mergeSchema=true`
     * unions the per-file parquet schemas (additive evolution: files
     * written before a column existed surface NULL for it) — the
-    * footer union is O(files) at plan time, no data rewrite ever. */
+    * footer union is O(files) at plan time, no data rewrite ever.
+    * Pending equality deletes ([[deleteDeferred]]) are applied as
+    * read-time masks — see [[readMasked]]; with none pending this is
+    * exactly the plain parquet scan it always was. */
   def read(spark: SparkSession, root: String,
       version: Option[Int] = None,
       mergeSchema: Boolean = false): DataFrame = {
     val v = version.getOrElse(currentVersion(root))
-    readFiles(spark, resolveFiles(root, v).map(_.path), mergeSchema)
+    readMasked(spark, resolveFiles(root, v), resolveDeletes(root, v),
+      mergeSchema)
+  }
+
+  /** The merge-on-read scan: group data files by WHICH delete batches
+    * apply (a delete masks only files with a smaller sequence — a key
+    * re-inserted after its delete stays visible), anti-join each
+    * group against the union of its applicable delete-key files, and
+    * union the groups. Group count is bounded by the number of
+    * pending delete batches + 1 (small between OPTIMIZE runs — which
+    * is the materialization point that clears the list), the key
+    * files are tiny O(batch) parquet, and the anti-join broadcasts
+    * them in practice — so the masked scan stays one pass over the
+    * data. Zero pending deletes short-circuits to the plain scan. */
+  private def readMasked(spark: SparkSession, entries: Seq[FileEntry],
+      deletes: Seq[EqDelete], mergeSchema: Boolean): DataFrame = {
+    if (deletes.isEmpty)
+      return readFiles(spark, entries.map(_.path), mergeSchema)
+    import org.apache.spark.sql.functions.col
+    val groups = entries
+      .groupBy(f => deletes.filter(_.seq > f.seq).toSet)
+    groups.map { case (dels, fs) =>
+      val base = readFiles(spark, fs.map(_.path), mergeSchema)
+      dels.groupBy(_.keyCol).foldLeft(base) { case (df, (kc, ds)) =>
+        val keys = spark.read.parquet(ds.map(_.path).toSeq: _*)
+          .select(col(kc)).distinct()
+        df.join(keys, Seq(kc), "left_anti")
+      }
+    }.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+  }
+
+  /** DEFERRED (merge-on-read) delete — the O(batch) twin of the
+    * copy-on-write [[delete]]: the delete keys are written as a tiny
+    * EQUALITY-DELETE sidecar and published as an APPEND-style commit;
+    * NO data file is rewritten. Reads apply the mask (see
+    * [[readMasked]]); a key appended AFTER the delete is visible
+    * (sequence rule); [[optimize]] is the materialization point — it
+    * reads through the masks and publishes a replace whose manifest
+    * carries no pending deletes. The trade every real format
+    * documents: deletes become O(batch) at write for a bounded
+    * read-time anti-join until the next compaction. The change feed
+    * serves the commit as key-only `delete` rows (non-key columns
+    * NULL — the pre-image would cost a base-file scan, which is
+    * exactly what deferral avoids). Returns the version id. */
+  def deleteDeferred(spark: SparkSession, root: String, deletes: DataFrame,
+      keyCol: String): Int = {
+    import org.apache.spark.sql.functions.col
+    require(currentVersion(root) > 0,
+      s"deleteDeferred: $root has no committed version")
+    val paths = writeCdc(deletes.select(col(keyCol)).distinct(), root)
+    publishLoop(root, Nil, replace = false, rollbackOf = None,
+      batchKey = None, cdc = paths, cdcKind = Some("eqdelete"),
+      eqDeleteAdd = paths.map(p => EqDelete(p, keyCol, 0)))
   }
 
   /** Stats-pruned snapshot read for `statsCol ∈ [lo, hi]`: files whose
@@ -767,7 +908,8 @@ object VersionedTable {
     }
     val df =
       if (keep.isEmpty) read(spark, root, Some(v)).limit(0)
-      else readFiles(spark, keep.map(_.path), mergeSchema = false)
+      else readMasked(spark, keep, resolveDeletes(root, v),
+        mergeSchema = false)
     (df, keep.size, all.size)
   }
 
@@ -786,7 +928,8 @@ object VersionedTable {
     val keep = all.filter(f => f.part.isEmpty || pred(f.part))
     val df =
       if (keep.isEmpty) read(spark, root, Some(v)).limit(0)
-      else readFiles(spark, keep.map(_.path), mergeSchema = false)
+      else readMasked(spark, keep, resolveDeletes(root, v),
+        mergeSchema = false)
     (df, keep.size, all.size)
   }
 
@@ -800,7 +943,11 @@ object VersionedTable {
     * version id. */
   def rollback(root: String, toVersion: Int): Int =
     publishLoop(root, resolveFiles(root, toVersion), replace = true,
-      rollbackOf = Some(toVersion), batchKey = None)
+      rollbackOf = Some(toVersion), batchKey = None,
+      // restore the target's VISIBLE state: its pending equality
+      // deletes come back with it (a bare file-list restore would
+      // resurrect masked rows)
+      eqDeletesReplace = Some(resolveDeletes(root, toVersion)))
 
   /** Incremental (CDC-style) read: the rows ADDED between two
     * versions — exactly the files in `toVersion`'s manifest that are
@@ -862,6 +1009,15 @@ object VersionedTable {
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
       val isReplace = Option(node.get("remove")).exists(_.size() > 0)
       if (kind.contains("neutral")) None
+      // deferred (merge-on-read) delete: the sidecar holds ONLY the
+      // deleted keys — served as key-only `delete` rows, non-key
+      // columns NULL-padded by the cross-commit union (the pre-image
+      // would cost the base-file scan deferral exists to avoid)
+      else if (kind.contains("eqdelete"))
+        if (cdcPaths.isEmpty) None
+        else Some(readFiles(spark, cdcPaths, mergeSchema = true)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(v)))
       else if (cdcPaths.nonEmpty)
         Some(readFiles(spark, cdcPaths, mergeSchema = true)
           .withColumn("_commit_version", lit(v)))
@@ -880,11 +1036,15 @@ object VersionedTable {
           "change-feed sidecar (rollback, or merge(cdc=false)) — " +
           "row-level changes are unrecoverable; re-read the snapshot")
     }
-    if (perCommit.isEmpty) {
-      // zero-change range: schema preserved via the target snapshot
-      read(spark, root, Some(toVersion))
-        .withColumn("_change_type", lit("insert"))
-        .withColumn("_commit_version", lit(toVersion)).limit(0)
-    } else perCommit.reduce(_.unionByName(_, allowMissingColumns = true))
+    // zero-row schema shell of the TARGET snapshot: guarantees every
+    // feed frame carries the table's full column set (key-only
+    // eqdelete commits and pre-evolution commits NULL-pad) regardless
+    // of which commits happen to be in range
+    val shell = read(spark, root, Some(toVersion))
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(toVersion)).limit(0)
+    if (perCommit.isEmpty) shell
+    else perCommit.reduce(_.unionByName(_, allowMissingColumns = true))
+      .unionByName(shell, allowMissingColumns = true)
   }
 }

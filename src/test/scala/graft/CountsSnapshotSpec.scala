@@ -395,7 +395,9 @@ class CountsSnapshotSpec extends SparkSpec {
     // pre/post-targeted-merge version rollups
     "q_scan_table_merge_targeted" -> 2L,
     // pre/post-delete snapshot rollups + the feed's delete leg
-    "q_scan_table_delete" -> 3L)
+    "q_scan_table_delete" -> 3L,
+    // MOR legs: pre / deleted / reinserted / optimized
+    "q_scan_table_delete_mor" -> 4L)
 
   test("snapshot covers exactly the registered queries") {
     assert(expected.keySet === SparkEntry.queries.keySet)

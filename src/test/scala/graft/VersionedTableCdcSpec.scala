@@ -291,6 +291,72 @@ class VersionedTableCdcSpec extends SparkSpec {
     }
   }
 
+  test("deferred delete: O(batch) commit, read-time mask, sequence rule, materialization") {
+    withTmpDir("graft_mor") { base =>
+      val root = s"$base/t"
+      def band(lo: Long, hi: Long): DataFrame =
+        kv((lo to hi).map(k => k -> s"v$k"): _*).repartition(1)
+      VersionedTable.commit(band(1, 10), root)
+      val v2 = VersionedTable.commit(band(11, 20), root)
+      def visible(v: Int): Set[(Long, String)] =
+        VersionedTable.read(spark, root, Some(v))
+          .as[(Long, String)].collect().toSet
+      // O(batch): the delete rewrites NOTHING — same file list
+      val v3 = VersionedTable.deleteDeferred(spark, root,
+        Seq(3L, 13L).toDF("k"), "k")
+      assert(VersionedTable.resolveFiles(root, v3) ===
+        VersionedTable.resolveFiles(root, v2),
+        "deferred delete must not touch a single data file")
+      assert(visible(v3) ===
+        ((1L to 20L).toSet -- Set(3L, 13L)).map(k => k -> s"v$k"))
+      // time travel unaffected; feed serves key-only delete rows
+      assert(visible(v2).size === 20)
+      assert(feedRows(VersionedTable.readChangeFeed(spark, root, v2, v3)) ===
+        Set((3L, null, "delete", v3), (13L, null, "delete", v3)))
+      // sequence rule: a key re-inserted AFTER its delete is visible
+      val v4 = VersionedTable.commit(kv(3L -> "reborn"), root)
+      assert(visible(v4) ===
+        ((1L to 20L).toSet -- Set(3L, 13L)).map(k => k -> s"v$k")
+          + (3L -> "reborn"))
+      // a second pending batch composes
+      val v5 = VersionedTable.deleteDeferred(spark, root,
+        Seq(15L).toDF("k"), "k")
+      assert(visible(v5) ===
+        ((1L to 20L).toSet -- Set(3L, 13L, 15L)).map(k => k -> s"v$k")
+          + (3L -> "reborn"))
+      // COW ops refuse while masks are pending (they read raw files)
+      intercept[IllegalArgumentException] {
+        VersionedTable.mergeTargeted(spark, root, kv(1L -> "x"), "k")
+      }
+      // OPTIMIZE is the materialization point: masks applied, cleared
+      val v6 = VersionedTable.optimize(spark, root)
+      assert(VersionedTable.resolveDeletes(root, v6).isEmpty)
+      assert(visible(v6) === visible(v5))
+      // rollback to a masked version restores its masks with it
+      val v7 = VersionedTable.rollback(root, v5)
+      assert(VersionedTable.resolveDeletes(root, v7).nonEmpty)
+      assert(visible(v7) === visible(v5))
+    }
+  }
+
+  test("vacuum keeps equality-delete sidecars a kept version still reads through") {
+    withTmpDir("graft_mor_vac") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(kv(1L -> "a", 2L -> "b").repartition(1), root)
+      VersionedTable.deleteDeferred(spark, root, Seq(2L).toDF("k"), "k")
+      // push the delete commit OUT of the keep window
+      (1 to 3).foreach(i => VersionedTable.commit(kv(100L + i -> "x"), root))
+      val cur = VersionedTable.currentVersion(root)
+      VersionedTable.vacuum(root, keepLast = 2)
+      // the head still resolves the v2 delete sidecar — and reads clean
+      assert(VersionedTable.resolveDeletes(root, cur).nonEmpty)
+      val left = VersionedTable.read(spark, root)
+        .as[(Long, String)].collect().toMap
+      assert(!left.contains(2L) && left.contains(1L),
+        "vacuum must not collect a sidecar the kept head reads through")
+    }
+  }
+
   test("readChangeFeed survives additive schema evolution in range") {
     // ADVICE r11 (low): a feed range spanning an additive evolution
     // must union with NULL padding (like snapshot mergeSchema reads),
