@@ -29,15 +29,22 @@ class PropertiesSpec extends SparkSpec {
     case object Optimize extends Step
     case class Rollback(frac: Double) extends Step
     case class Merge(updFrac: Double, nIns: Int) extends Step
+    case class DeferDelete(frac: Double) extends Step
     var nextKey = 0L
     val genStep: Gen[Step] = Gen.frequency(
       5 -> Gen.chooseNum(1, 4).map(n => Commit(Seq.fill(n)(0L))),
       2 -> Gen.const(Optimize),
       2 -> Gen.chooseNum(0.0, 1.0).map(Rollback),
       2 -> Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0, 2))
-        .map { case (f, n) => Merge(f, n) })
-    val genHistory = Gen.listOfN(7, genStep)
-      .map(h => Commit(Seq(0L)) :: h) // history starts with a commit
+        .map { case (f, n) => Merge(f, n) },
+      2 -> Gen.chooseNum(0.0, 1.0).map(DeferDelete))
+    // history starts with a commit and always interleaves at least one
+    // deferred delete (fixed seeds would otherwise be free to never
+    // draw the MOR step)
+    val genHistory = for {
+      h <- Gen.listOfN(6, genStep)
+      f <- Gen.chooseNum(0.0, 1.0)
+    } yield Commit(Seq(0L)) :: (h.take(3) ++ (DeferDelete(f) :: h.drop(3)))
     samples(genHistory, 2).foreach { steps =>
       withTmpDir("graft_vtable_model") { base =>
         val root = s"$base/t"
@@ -79,6 +86,22 @@ class PropertiesSpec extends SparkSpec {
               assert(gotUpd === upd.map(k => s"u$k").toSet,
                 s"merge did not replace matched rows (steps: $steps)")
             }
+          case DeferDelete(frac) =>
+            // merge-on-read: the mask applies at read time, the data
+            // files must not move, and every DOWNSTREAM operation
+            // (merge materializes via its masked read, optimize
+            // clears, rollback restores) must keep agreeing with the
+            // model — that interleaving is exactly what this step
+            // buys over the pointwise MOR spec
+            val live = model.last
+            val del = live.filter(k => (k * frac).toLong % 4 == 0).distinct
+            val before = VersionedTable.resolveFiles(root,
+              VersionedTable.currentVersion(root))
+            val v = VersionedTable.deleteDeferred(spark, root,
+              del.toDF("k"), "k")
+            assert(VersionedTable.resolveFiles(root, v) === before,
+              s"deferred delete moved data files (steps: $steps)")
+            model += model.last.filterNot(del.toSet)
         }
         (1 until model.size).foreach { v =>
           val got = VersionedTable.read(spark, root, Some(v))
