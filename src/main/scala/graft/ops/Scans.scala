@@ -608,6 +608,47 @@ object Scans extends OpModule {
     rollups.unionAll(feedLeg).orderBy($"version", $"leg")
   }
 
+  /** Range-CLUSTERED compaction — grades `optimize(clusterBy=...)`:
+    * ingest-order files each span ~the whole key space (witnessed:
+    * a key-band read can skip NOTHING before clustering), then a
+    * clustered OPTIMIZE range-partitions + sorts the table on the key
+    * so each rewritten file covers a narrow band and the SAME read
+    * provably skips files (witnessed: scanned < total). The graded
+    * rollup (band count + exact decimal amount) must be identical on
+    * both layouts — clustering is row-neutral. This is the
+    * liquid-clustering/ZORDER role: the maintenance op that makes
+    * stats-based skipping and the targeted merge/delete bite after
+    * streaming ingest scrambled the keys. */
+  def scanTableCluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_clu${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    val mx = o.agg(max($"o_orderkey")).head.getLong(0)
+    val (lo, hi) = (mx / 4, mx / 2)
+    // ingest layout: 8 round-robin files — every file spans the range
+    val v1 = VersionedTable.commit(o.repartition(8), root,
+      statsCol = Some("o_orderkey"))
+    val (r1, scanned1, total1) = VersionedTable.readPruned(s, root,
+      lo.toDouble, hi.toDouble, Some(v1))
+    val v2 = VersionedTable.optimize(s, root, numFiles = 8,
+      clusterBy = Some("o_orderkey"))
+    val (r2, scanned2, total2) = VersionedTable.readPruned(s, root,
+      lo.toDouble, hi.toDouble, Some(v2))
+    def leg(step: Int, name: String, df: DataFrame, witness: Boolean) =
+      df.filter($"o_orderkey".between(lo, hi))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(d12($"o_totalprice")).cast("double").as("amount"))
+        .select(lit(step).as("step"), lit(name).as("leg"),
+          $"n_rows", $"amount", lit(witness).as("skip_witness"))
+    leg(1, "ingest", r1, scanned1 == total1)
+      .unionAll(leg(2, "clustered", r2, scanned2 < total2))
+      .orderBy($"step")
+  }
+
   /** MERGE-ON-READ deferred delete — grades
     * [[graft.sources.VersionedTable.deleteDeferred]], the O(batch)
     * twin of the copy-on-write delete: the delete commit writes ONLY a
@@ -888,6 +929,7 @@ object Scans extends OpModule {
     "q_scan_table_merge_targeted" -> (scanTableMergeTargeted _),
     "q_scan_table_delete" -> (scanTableDelete _),
     "q_scan_table_delete_mor" -> (scanTableDeleteMor _),
+    "q_scan_table_cluster" -> (scanTableCluster _),
     "q_scan_cdc_merge" -> (scanCdcMerge _),
     "q_scan_table_optimize" -> (scanTableOptimize _),
     "q_scan_file_skipping" -> (scanFileSkipping _),
@@ -985,6 +1027,24 @@ object Scans extends OpModule {
         |SELECT version, CAST(n AS BIGINT) AS n_orders,
         |  CAST(rev AS DOUBLE) AS revenue
         |FROM r ORDER BY version""".stripMargin,
+    "q_scan_table_cluster" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders),
+        |t AS (SELECT MAX(o_orderkey) AS mx FROM b),
+        |band AS (SELECT o_totalprice FROM b, t
+        |  WHERE o_orderkey BETWEEN mx // 4 AND mx // 2),
+        |r AS (
+        |  SELECT 1 AS step, 'ingest' AS leg,
+        |    (SELECT COUNT(*) FROM band) AS n,
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM band)
+        |      AS amt
+        |  UNION ALL
+        |  SELECT 2, 'clustered',
+        |    (SELECT COUNT(*) FROM band),
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM band))
+        |SELECT step, leg, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(amt AS DOUBLE) AS amount, TRUE AS skip_witness
+        |FROM r ORDER BY step""".stripMargin,
     "q_scan_table_delete_mor" ->
       """WITH b AS (
         |  SELECT o_orderkey, o_totalprice FROM orders),

@@ -520,13 +520,30 @@ object VersionedTable {
     * operational tax of streaming ingest at scale — this is its
     * table-native cure. */
   def optimize(spark: SparkSession, root: String, numFiles: Int = 1,
-      statsCol: Option[String] = None): Int =
+      statsCol: Option[String] = None,
+      clusterBy: Option[String] = None): Int = {
+    // clusterBy: range-CLUSTERED compaction — rows range-partition and
+    // sort on the cluster column, so each rewritten file covers a
+    // narrow, nearly-disjoint key band and the per-file min/max stats
+    // become TIGHT: this is what makes [[readPruned]] skipping and the
+    // targeted merge/delete actually bite after ingest scrambled the
+    // key space (the liquid-clustering/OPTIMIZE ZORDER role). Stats
+    // are recorded on the cluster column by default.
+    val base = read(spark, root)
+    val laid = clusterBy match {
+      case Some(c) =>
+        import org.apache.spark.sql.functions.col
+        base.repartitionByRange(numFiles, col(c))
+          .sortWithinPartitions(col(c))
+      case None => base.repartition(numFiles)
+    }
     publishLoop(root,
-      writeData(read(spark, root).repartition(numFiles), root, statsCol, Nil),
+      writeData(laid, root, statsCol.orElse(clusterBy), Nil),
       replace = true, rollbackOf = None, batchKey = None,
       // row-NEUTRAL replace: same logical rows, new layout — the change
       // feed skips it instead of failing or re-emitting the table
       cdcKind = Some("neutral"))
+  }
 
   /** MERGE (upsert) as a copy-on-write REWRITE commit: rows of the
     * current snapshot whose key matches an `updates` row are replaced,

@@ -397,7 +397,9 @@ class CountsSnapshotSpec extends SparkSpec {
     // pre/post-delete snapshot rollups + the feed's delete leg
     "q_scan_table_delete" -> 3L,
     // MOR legs: pre / deleted / reinserted / optimized
-    "q_scan_table_delete_mor" -> 4L)
+    "q_scan_table_delete_mor" -> 4L,
+    // band rollup on the ingest and clustered layouts
+    "q_scan_table_cluster" -> 2L)
 
   test("snapshot covers exactly the registered queries") {
     assert(expected.keySet === SparkEntry.queries.keySet)
