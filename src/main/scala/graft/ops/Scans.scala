@@ -608,6 +608,45 @@ object Scans extends OpModule {
     rollups.unionAll(feedLeg).orderBy($"version", $"leg")
   }
 
+  /** Checkpointed change-feed CONSUMPTION — grades
+    * [[graft.sources.ChangeFeedConsumer]], the crash-safe incremental
+    * pump: two polls against a growing history (append; then append +
+    * cdc-merge), each serving exactly the commits since the consumer's
+    * checkpointed offset. Graded rows: per poll, the served range and
+    * the change-row count + exact decimal change amount — each poll's
+    * content independently derivable from the raw table (poll 1 =
+    * 1995–1996 inserts; poll 2 = 1997 inserts + the merge's pre/post
+    * images and 1998 inserts). The offset-file atomicity / redelivery
+    * contract is spec-tested beside it. */
+  def scanCdcConsume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{ChangeFeedConsumer, VersionedTable}
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_cons${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"${root}_ckpt"))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+    val polls = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def handler(feed: DataFrame, from: Int, to: Int): Unit =
+      polls += feed.agg(count(lit(1)).as("n_changes"),
+          sum(d12($"o_totalprice")).cast("double").as("amount"))
+        .select(lit(polls.size + 1).as("poll"), lit(from).as("from_v"),
+          lit(to).as("to_v"), $"n_changes", $"amount")
+    VersionedTable.commit(o.filter($"o_year".between(1995, 1996)), root)
+    ChangeFeedConsumer.drain(s, root, s"${root}_ckpt")(handler)
+    VersionedTable.commit(o.filter($"o_year" === 1997), root)
+    val updates = o
+      .filter($"o_year".between(1995, 1996) && $"o_orderkey" % 100 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" * 2)
+      .unionByName(o.filter($"o_year" === 1998))
+    VersionedTable.merge(s, root, updates, "o_orderkey", cdc = true)
+    ChangeFeedConsumer.drain(s, root, s"${root}_ckpt")(handler)
+    polls.reduce(_.unionAll(_)).orderBy($"poll")
+  }
+
   /** Range-CLUSTERED compaction — grades `optimize(clusterBy=...)`:
     * ingest-order files each span ~the whole key space (witnessed:
     * a key-band read can skip NOTHING before clustering), then a
@@ -930,6 +969,7 @@ object Scans extends OpModule {
     "q_scan_table_delete" -> (scanTableDelete _),
     "q_scan_table_delete_mor" -> (scanTableDeleteMor _),
     "q_scan_table_cluster" -> (scanTableCluster _),
+    "q_scan_cdc_consume" -> (scanCdcConsume _),
     "q_scan_cdc_merge" -> (scanCdcMerge _),
     "q_scan_table_optimize" -> (scanTableOptimize _),
     "q_scan_file_skipping" -> (scanFileSkipping _),
@@ -1027,6 +1067,31 @@ object Scans extends OpModule {
         |SELECT version, CAST(n AS BIGINT) AS n_orders,
         |  CAST(rev AS DOUBLE) AS revenue
         |FROM r ORDER BY version""".stripMargin,
+    "q_scan_cdc_consume" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice, year(o_orderdate) AS y
+        |  FROM orders),
+        |m AS (SELECT o_totalprice FROM b
+        |  WHERE y BETWEEN 1995 AND 1996 AND o_orderkey % 100 = 0),
+        |r AS (
+        |  SELECT 1 AS poll, 0 AS from_v, 1 AS to_v,
+        |    (SELECT COUNT(*) FROM b WHERE y BETWEEN 1995 AND 1996) AS n,
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b
+        |       WHERE y BETWEEN 1995 AND 1996) AS amt
+        |  UNION ALL
+        |  SELECT 2, 1, 3,
+        |    (SELECT COUNT(*) FROM b WHERE y = 1997)
+        |      + 2 * (SELECT COUNT(*) FROM m)
+        |      + (SELECT COUNT(*) FROM b WHERE y = 1998),
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b
+        |       WHERE y = 1997)
+        |    + 3 * (SELECT COALESCE(SUM(CAST(o_totalprice AS
+        |        DECIMAL(12,4))), 0) FROM m)
+        |    + (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b
+        |       WHERE y = 1998))
+        |SELECT poll, from_v, to_v, CAST(n AS BIGINT) AS n_changes,
+        |  CAST(amt AS DOUBLE) AS amount
+        |FROM r ORDER BY poll""".stripMargin,
     "q_scan_table_cluster" ->
       """WITH b AS (
         |  SELECT o_orderkey, o_totalprice FROM orders),

@@ -399,7 +399,9 @@ class CountsSnapshotSpec extends SparkSpec {
     // MOR legs: pre / deleted / reinserted / optimized
     "q_scan_table_delete_mor" -> 4L,
     // band rollup on the ingest and clustered layouts
-    "q_scan_table_cluster" -> 2L)
+    "q_scan_table_cluster" -> 2L,
+    // one consumer-poll row per drain against the growing history
+    "q_scan_cdc_consume" -> 2L)
 
   test("snapshot covers exactly the registered queries") {
     assert(expected.keySet === SparkEntry.queries.keySet)

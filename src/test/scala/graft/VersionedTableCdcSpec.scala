@@ -357,6 +357,45 @@ class VersionedTableCdcSpec extends SparkSpec {
     }
   }
 
+  test("change-feed consumer: checkpointed offsets, crash redelivery, no skips") {
+    import graft.sources.ChangeFeedConsumer
+    withTmpDir("graft_consumer") { base =>
+      val root = s"$base/t"; val ckpt = s"$base/ckpt"
+      val seen = scala.collection.mutable.ArrayBuffer[(Int, Int, Set[Long])]()
+      def collect(df: DataFrame, from: Int, to: Int): Unit =
+        seen += ((from, to, df.select($"k").as[Long].collect().toSet))
+      // caught-up consumer serves nothing
+      VersionedTable.commit(kv(1L -> "a"), root)
+      assert(ChangeFeedConsumer.drain(spark, root, ckpt)(collect) ===
+        Seq((0, 1)))
+      assert(ChangeFeedConsumer.drain(spark, root, ckpt)(collect).isEmpty)
+      assert(seen.toSeq === Seq((0, 1, Set(1L))))
+      // two more commits: ONE poll covers both (range semantics)
+      VersionedTable.commit(kv(2L -> "b"), root)
+      VersionedTable.merge(spark, root, kv(1L -> "a2", 3L -> "c"), "k",
+        cdc = true)
+      assert(ChangeFeedConsumer.drain(spark, root, ckpt)(collect) ===
+        Seq((1, 3)))
+      assert(seen(1)._3 === Set(1L, 2L, 3L))
+      // crash: a throwing handler leaves the offset untouched — the
+      // SAME range redelivers on the next poll (at-least-once; the
+      // offset only advances past a successful call)
+      VersionedTable.commit(kv(4L -> "d"), root)
+      intercept[RuntimeException] {
+        ChangeFeedConsumer.poll(spark, root, ckpt)((_, _, _) =>
+          throw new RuntimeException("crash before offset advance"))
+      }
+      assert(ChangeFeedConsumer.lastServed(ckpt) === 3)
+      assert(ChangeFeedConsumer.drain(spark, root, ckpt)(collect) ===
+        Seq((3, 4)))
+      assert(seen(2)._3 === Set(4L))
+      // restart: a fresh consumer reads the persisted offset — no
+      // replay of already-served history
+      assert(ChangeFeedConsumer.lastServed(ckpt) === 4)
+      assert(ChangeFeedConsumer.drain(spark, root, ckpt)(collect).isEmpty)
+    }
+  }
+
   test("readChangeFeed survives additive schema evolution in range") {
     // ADVICE r11 (low): a feed range spanning an additive evolution
     // must union with NULL padding (like snapshot mergeSchema reads),
