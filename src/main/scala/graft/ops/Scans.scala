@@ -608,6 +608,51 @@ object Scans extends OpModule {
     rollups.unionAll(feedLeg).orderBy($"version", $"leg")
   }
 
+  /** Commit-time CONSTRAINTS — grades
+    * [[graft.sources.VersionedTable.commitChecked]], the table-format
+    * admission gate (the Delta CHECK/NOT-NULL role): a clean 1995
+    * batch commits under `o_totalprice > 0 AND o_orderkey IS NOT
+    * NULL`; a 1996 batch with every key ≡ 0 mod 100 price-negated is
+    * REJECTED (nothing published — the table still reads as v1, the
+    * witness), and the rejection's violation count is part of the
+    * graded rows; the repaired 1996 batch (violators filtered out)
+    * then commits. Every leg derivable from the raw table. */
+  def scanTableConstraints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_chk${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+    val rules = Seq("o_totalprice > 0", "o_orderkey IS NOT NULL")
+    val v1 = VersionedTable.commitChecked(
+      o.filter($"o_year" === 1995), root, rules)
+    val hit = $"o_orderkey" % 100 === 0
+    val poison = o.filter($"o_year" === 1996)
+      .withColumn("o_totalprice",
+        when(hit, -$"o_totalprice").otherwise($"o_totalprice"))
+    val violRe = "(\\d+) row\\(s\\) violate".r
+    val rejected =
+      try { VersionedTable.commitChecked(poison, root, rules); 0L }
+      catch {
+        case e: IllegalArgumentException =>
+          violRe.findFirstMatchIn(e.getMessage)
+            .map(_.group(1).toLong).getOrElse(-1L)
+      }
+    val unchanged = VersionedTable.currentVersion(root) == v1
+    VersionedTable.commitChecked(poison.filter(!hit), root, rules)
+    VersionedTable.read(s, root)
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(d12($"o_totalprice")).cast("double").as("amount"))
+      .select($"o_year", $"n_rows", $"amount",
+        lit(rejected).as("n_rejected"),
+        lit(unchanged).as("rejection_published_nothing"))
+      .orderBy($"o_year")
+  }
+
   /** Checkpointed change-feed CONSUMPTION — grades
     * [[graft.sources.ChangeFeedConsumer]], the crash-safe incremental
     * pump: two polls against a growing history (append; then append +
@@ -970,6 +1015,7 @@ object Scans extends OpModule {
     "q_scan_table_delete_mor" -> (scanTableDeleteMor _),
     "q_scan_table_cluster" -> (scanTableCluster _),
     "q_scan_cdc_consume" -> (scanCdcConsume _),
+    "q_scan_table_constraints" -> (scanTableConstraints _),
     "q_scan_cdc_merge" -> (scanCdcMerge _),
     "q_scan_table_optimize" -> (scanTableOptimize _),
     "q_scan_file_skipping" -> (scanFileSkipping _),
@@ -1067,6 +1113,28 @@ object Scans extends OpModule {
         |SELECT version, CAST(n AS BIGINT) AS n_orders,
         |  CAST(rev AS DOUBLE) AS revenue
         |FROM r ORDER BY version""".stripMargin,
+    "q_scan_table_constraints" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice, year(o_orderdate) AS y
+        |  FROM orders),
+        |rej AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b
+        |  WHERE y = 1996 AND o_orderkey % 100 = 0),
+        |r AS (
+        |  SELECT 1995 AS y2,
+        |    (SELECT COUNT(*) FROM b WHERE y = 1995) AS n,
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b
+        |       WHERE y = 1995) AS amt
+        |  UNION ALL
+        |  SELECT 1996,
+        |    (SELECT COUNT(*) FROM b
+        |       WHERE y = 1996 AND o_orderkey % 100 <> 0),
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b
+        |       WHERE y = 1996 AND o_orderkey % 100 <> 0))
+        |SELECT CAST(y2 AS INTEGER) AS o_year,
+        |  CAST(n AS BIGINT) AS n_rows, CAST(amt AS DOUBLE) AS amount,
+        |  (SELECT n FROM rej) AS n_rejected,
+        |  TRUE AS rejection_published_nothing
+        |FROM r ORDER BY o_year""".stripMargin,
     "q_scan_cdc_consume" ->
       """WITH b AS (
         |  SELECT o_orderkey, o_totalprice, year(o_orderdate) AS y

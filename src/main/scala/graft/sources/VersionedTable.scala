@@ -429,6 +429,58 @@ object VersionedTable {
     publishLoop(root, writeData(df, root, statsCol, Nil), replace = false,
       rollbackOf = None, batchKey)
 
+  /** Guarded append — COMMIT-TIME enforcement (the Delta
+    * constraints/schema-enforcement role): the batch is admitted only
+    * if (a) its schema is COMPATIBLE with the current snapshot — every
+    * existing column present with the same dataType; NEW columns are
+    * allowed (additive evolution, which the mergeSchema read path
+    * already serves) — and (b) every declared CHECK constraint (a SQL
+    * boolean expression) holds on EVERY row. A violation throws with
+    * the per-constraint violation counts and publishes nothing — both
+    * checks run before a single byte is written, so a rejected batch
+    * cannot leak files. Enforcement costs one aggregation pass over
+    * the BATCH (never the table): a conditional count per constraint,
+    * map-side combinable. NULL check results count as violations
+    * (a constraint must PROVE each row). */
+  def commitChecked(df: DataFrame, root: String,
+      constraints: Seq[String] = Nil,
+      statsCol: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.{count, expr, lit, sum, when}
+    val cur = currentVersion(root)
+    if (cur > 0) {
+      val existing = read(df.sparkSession, root, Some(cur)).schema
+      val got = df.schema.map(f => f.name -> f.dataType).toMap
+      val bad = existing.flatMap { f =>
+        got.get(f.name) match {
+          case None => Some(s"${f.name}: missing (existing ${f.dataType})")
+          case Some(dt) if dt != f.dataType =>
+            Some(s"${f.name}: ${dt} != existing ${f.dataType}")
+          case _ => None
+        }
+      }
+      require(bad.isEmpty,
+        s"commitChecked: schema incompatible with $root v$cur — " +
+          bad.mkString("; "))
+    }
+    if (constraints.nonEmpty) {
+      import org.apache.spark.sql.functions.coalesce
+      val aggs = constraints.zipWithIndex.map { case (c, i) =>
+        coalesce(sum(when(expr(c), 0L).otherwise(1L)), lit(0L))
+          .as(s"__viol_$i")
+      }
+      val row = df.agg(count(lit(1)).as("__n"), aggs: _*).head()
+      val viols = constraints.zipWithIndex
+        .map { case (c, i) => c -> row.getLong(i + 1) }
+        .filter(_._2 > 0)
+      if (viols.nonEmpty)
+        throw new IllegalArgumentException(
+          s"commitChecked: batch rejected by $root — " + viols
+            .map { case (c, n) => s"$n row(s) violate [$c]" }
+            .mkString("; "))
+    }
+    commit(df, root, statsCol)
+  }
+
   /** Append `df` laid out in hive-style partition directories on
     * `partCols`; each manifest entry records its partition tuple for
     * [[readPrunedPartitions]]. The partition columns are DUPLICATED

@@ -401,7 +401,9 @@ class CountsSnapshotSpec extends SparkSpec {
     // band rollup on the ingest and clustered layouts
     "q_scan_table_cluster" -> 2L,
     // one consumer-poll row per drain against the growing history
-    "q_scan_cdc_consume" -> 2L)
+    "q_scan_cdc_consume" -> 2L,
+    // admitted-years rollup (1995 clean + repaired 1996)
+    "q_scan_table_constraints" -> 2L)
 
   test("snapshot covers exactly the registered queries") {
     assert(expected.keySet === SparkEntry.queries.keySet)

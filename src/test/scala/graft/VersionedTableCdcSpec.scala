@@ -396,6 +396,44 @@ class VersionedTableCdcSpec extends SparkSpec {
     }
   }
 
+  test("commitChecked: constraint and schema gates reject before writing") {
+    withTmpDir("graft_checked") { base =>
+      val root = s"$base/t"
+      val rules = Seq("k > 0", "v IS NOT NULL")
+      VersionedTable.commitChecked(kv(1L -> "a"), root, rules)
+      val filesBefore = parquetFilesUnder(s"$root/data").size
+      // constraint violation: per-rule counts in the message, nothing
+      // written, head untouched
+      val e = intercept[IllegalArgumentException] {
+        VersionedTable.commitChecked(
+          Seq((0L, "z"), (2L, null), (3L, "c")).toDF("k", "v"), root, rules)
+      }
+      assert(e.getMessage.contains("1 row(s) violate [k > 0]"))
+      assert(e.getMessage.contains("1 row(s) violate [v IS NOT NULL]"))
+      assert(parquetFilesUnder(s"$root/data").size === filesBefore,
+        "a rejected batch must not write a single file")
+      assert(VersionedTable.currentVersion(root) === 1)
+      // schema drift: a retyped column is rejected; an ADDED column is
+      // additive evolution and admitted
+      val drift = intercept[IllegalArgumentException] {
+        VersionedTable.commitChecked(
+          Seq(("5", "e")).toDF("k", "v"), root, Nil)
+      }
+      assert(drift.getMessage.contains("k"))
+      VersionedTable.commitChecked(
+        Seq((5L, "e", 9L)).toDF("k", "v", "extra"), root, rules)
+      // NULL constraint results count as violations (must PROVE rows)
+      intercept[IllegalArgumentException] {
+        VersionedTable.commitChecked(
+          Seq((null.asInstanceOf[java.lang.Long], "f"))
+            .toDF("k", "v").selectExpr("CAST(k AS BIGINT) AS k", "v"),
+          root, Seq("k > 0"))
+      }
+      // an empty batch passes every constraint vacuously
+      VersionedTable.commitChecked(kv().limit(0), root, rules)
+    }
+  }
+
   test("readChangeFeed survives additive schema evolution in range") {
     // ADVICE r11 (low): a feed range spanning an additive evolution
     // must union with NULL padding (like snapshot mergeSchema reads),
