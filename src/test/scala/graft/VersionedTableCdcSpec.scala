@@ -396,6 +396,31 @@ class VersionedTableCdcSpec extends SparkSpec {
     }
   }
 
+  test("deferred delete racing an append serializes as delete-after-append") {
+    // OCC: deleteDeferred publishes through the append rebase loop, so
+    // a concurrent append landing between its basis read and publish
+    // makes the delete's sequence number HIGHER than the racer's file
+    // — the mask applies to the racer's rows too, which is exactly the
+    // delete-after-append serialization (the delete "wins the race").
+    withTmpDir("graft_mor_race") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(kv(1L -> "a", 2L -> "b"), root)
+      var fired = false
+      VersionedTable.onBeforePublish = () => {
+        if (!fired) { fired = true
+          // the racer inserts the very key being deleted
+          VersionedTable.commit(kv(2L -> "raced"), root) }
+      }
+      try VersionedTable.deleteDeferred(spark, root, Seq(2L).toDF("k"), "k")
+      finally VersionedTable.onBeforePublish = () => ()
+      val left = VersionedTable.read(spark, root)
+        .as[(Long, String)].collect().toSet
+      assert(left === Set(1L -> "a"),
+        "the rebased delete must mask the racer's row too " +
+          "(delete-after-append serialization)")
+    }
+  }
+
   test("commitChecked: constraint and schema gates reject before writing") {
     withTmpDir("graft_checked") { base =>
       val root = s"$base/t"
