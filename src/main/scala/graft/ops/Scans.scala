@@ -608,6 +608,43 @@ object Scans extends OpModule {
     rollups.unionAll(feedLeg).orderBy($"version", $"leg")
   }
 
+  /** Commit HISTORY — grades
+    * [[graft.sources.VersionedTable.history]], the DESCRIBE HISTORY
+    * audit surface: a six-commit lifecycle (two appends, cdc-merge,
+    * neutral optimize, deferred delete, rollback) read back as the
+    * operation log, each row joined with that version's LIVE row count
+    * (snapshot read) so the graded output ties the log to data the
+    * oracle derives from the raw table — not a literal transcript. */
+  def scanTableHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_hist${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+    VersionedTable.commit(o.filter($"o_year" === 1995), root)
+    VersionedTable.commit(o.filter($"o_year" === 1996), root)
+    VersionedTable.merge(s, root,
+      o.filter($"o_year" === 1997), "o_orderkey", cdc = true)
+    VersionedTable.optimize(s, root, numFiles = 2)
+    VersionedTable.deleteDeferred(s, root,
+      o.filter($"o_year" === 1996 && $"o_orderkey" % 100 === 0)
+        .select($"o_orderkey"), "o_orderkey")
+    VersionedTable.rollback(root, 3)
+    val counts = (1 to 6).map { v =>
+      VersionedTable.read(s, root, Some(v))
+        .agg(count(lit(1)).as("n_live"))
+        .select(lit(v).as("version"), $"n_live")
+    }.reduce(_.unionAll(_))
+    VersionedTable.history(s, root)
+      .join(counts, Seq("version"))
+      .select($"version", $"parent", $"kind", $"is_replace",
+        coalesce($"rollback_of", lit(-1)).as("rollback_of"), $"n_live")
+      .orderBy($"version")
+  }
+
   /** Commit-time CONSTRAINTS — grades
     * [[graft.sources.VersionedTable.commitChecked]], the table-format
     * admission gate (the Delta CHECK/NOT-NULL role): a clean 1995
@@ -1016,6 +1053,7 @@ object Scans extends OpModule {
     "q_scan_table_cluster" -> (scanTableCluster _),
     "q_scan_cdc_consume" -> (scanCdcConsume _),
     "q_scan_table_constraints" -> (scanTableConstraints _),
+    "q_scan_table_history" -> (scanTableHistory _),
     "q_scan_cdc_merge" -> (scanCdcMerge _),
     "q_scan_table_optimize" -> (scanTableOptimize _),
     "q_scan_file_skipping" -> (scanFileSkipping _),
@@ -1113,6 +1151,34 @@ object Scans extends OpModule {
         |SELECT version, CAST(n AS BIGINT) AS n_orders,
         |  CAST(rev AS DOUBLE) AS revenue
         |FROM r ORDER BY version""".stripMargin,
+    "q_scan_table_history" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, year(o_orderdate) AS y FROM orders),
+        |c AS (SELECT
+        |  (SELECT COUNT(*) FROM b WHERE y = 1995) AS n95,
+        |  (SELECT COUNT(*) FROM b WHERE y = 1996) AS n96,
+        |  (SELECT COUNT(*) FROM b WHERE y = 1997) AS n97,
+        |  (SELECT COUNT(*) FROM b
+        |     WHERE y = 1996 AND o_orderkey % 100 = 0) AS nhit)
+        |SELECT CAST(version AS INTEGER) AS version,
+        |  CAST(parent AS INTEGER) AS parent, kind, is_replace,
+        |  CAST(rollback_of AS INTEGER) AS rollback_of,
+        |  CAST(n_live AS BIGINT) AS n_live
+        |FROM (
+        |  SELECT 1 AS version, 0 AS parent, 'append' AS kind,
+        |    FALSE AS is_replace, -1 AS rollback_of,
+        |    (SELECT n95 FROM c) AS n_live
+        |  UNION ALL SELECT 2, 1, 'append', FALSE, -1,
+        |    (SELECT n95 + n96 FROM c)
+        |  UNION ALL SELECT 3, 2, 'merge', TRUE, -1,
+        |    (SELECT n95 + n96 + n97 FROM c)
+        |  UNION ALL SELECT 4, 3, 'neutral', TRUE, -1,
+        |    (SELECT n95 + n96 + n97 FROM c)
+        |  UNION ALL SELECT 5, 4, 'eqdelete', FALSE, -1,
+        |    (SELECT n95 + n96 + n97 - nhit FROM c)
+        |  UNION ALL SELECT 6, 5, 'rollback', TRUE, 3,
+        |    (SELECT n95 + n96 + n97 FROM c))
+        |ORDER BY version""".stripMargin,
     "q_scan_table_constraints" ->
       """WITH b AS (
         |  SELECT o_orderkey, o_totalprice, year(o_orderdate) AS y

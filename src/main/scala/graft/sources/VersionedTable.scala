@@ -560,6 +560,36 @@ object VersionedTable {
   def fileCount(root: String, version: Int): Int =
     resolveFiles(root, version).size
 
+  /** The commit HISTORY as a DataFrame (the DESCRIBE HISTORY role):
+    * one row per surviving manifest — version, parent, operation KIND
+    * (`append` / `merge` / `neutral` / `eqdelete` / `rollback` —
+    * derived from the manifest the same way the change feed derives
+    * it), whether it replaced its parent's snapshot, the rollback
+    * target when present, and the batch key of an idempotent
+    * streaming commit. O(manifests) driver JSON reads, zero data
+    * reads; versions a vacuum removed are simply absent. The audit
+    * surface every table format ships — who changed what shape,
+    * where a feed consumer will fail loudly, which commit a
+    * micro-batch landed as. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val rows = (1 to currentVersion(root)).flatMap { v =>
+      if (!Files.exists(manifestPath(root, v))) None
+      else {
+        val n = readNode(root, v)
+        val isReplace = Option(n.get("remove")).exists(_.size() > 0)
+        val rollbackOf = Option(n.get("rollbackOf")).map(_.asInt())
+        val kind = Option(n.get("cdcKind")).map(_.asText())
+          .getOrElse(if (rollbackOf.isDefined) "rollback"
+            else if (isReplace) "replace" else "append")
+        Some((v, n.get("parent").asInt(), kind, isReplace,
+          rollbackOf, Option(n.get("batchKey")).map(_.asText())))
+      }
+    }
+    import spark.implicits._
+    rows.toDF("version", "parent", "kind", "is_replace",
+      "rollback_of", "batch_key")
+  }
+
   /** OPTIMIZE/compaction as a REWRITE commit: the current snapshot is
     * re-written into `numFiles` compacted files and published as a new
     * version whose manifest REPLACES (not appends) the parent's file

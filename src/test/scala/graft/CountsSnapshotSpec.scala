@@ -403,7 +403,9 @@ class CountsSnapshotSpec extends SparkSpec {
     // one consumer-poll row per drain against the growing history
     "q_scan_cdc_consume" -> 2L,
     // admitted-years rollup (1995 clean + repaired 1996)
-    "q_scan_table_constraints" -> 2L)
+    "q_scan_table_constraints" -> 2L,
+    // one history row per commit of the six-step lifecycle
+    "q_scan_table_history" -> 6L)
 
   test("snapshot covers exactly the registered queries") {
     assert(expected.keySet === SparkEntry.queries.keySet)

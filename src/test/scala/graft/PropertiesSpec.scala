@@ -103,6 +103,19 @@ class PropertiesSpec extends SparkSpec {
               s"deferred delete moved data files (steps: $steps)")
             model += model.last.filterNot(del.toSet)
         }
+        // the history log must transcribe the executed steps: one row
+        // per version, kinds matching the step types in order
+        val expectedKinds = steps.map {
+          case _: Commit => "append"
+          case Optimize => "neutral"
+          case _: Rollback => "rollback"
+          case _: Merge => "replace" // cdc=false merge
+          case _: DeferDelete => "eqdelete"
+        }
+        val gotKinds = VersionedTable.history(spark, root)
+          .orderBy($"version").select($"kind").as[String].collect().toSeq
+        assert(gotKinds === expectedKinds,
+          s"history log diverged from the executed steps (steps: $steps)")
         (1 until model.size).foreach { v =>
           val got = VersionedTable.read(spark, root, Some(v))
             .select($"k").as[Long].collect().sorted.toSeq
