@@ -40,6 +40,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCountF].getName,
         "sorted_intersect_count_f"),
       binary("sorted_intersect_count_f", SortedIntersectCountF(_, _))))
+    // SQL TABLE functions over the versioned-table layer: pure-SQL
+    // users get snapshot reads, time travel, and the row-level change
+    // feed without touching the Scala API —
+    //   SELECT * FROM graft_table('/path/to/table')
+    //   SELECT * FROM graft_table('/path/to/table', 3)      -- version
+    //   SELECT * FROM graft_table_changes('/path', 1, 3)    -- feed
+    // Arguments must be literals (they determine the PLAN — the file
+    // list is resolved at analysis time, like every table reference).
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_table"),
+      new ExpressionInfo("graft.sources.VersionedTable", "graft_table"),
+      GraftExtensions.graftTableBuilder))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_table_changes"),
+      new ExpressionInfo("graft.sources.VersionedTable",
+        "graft_table_changes"),
+      GraftExtensions.graftTableChangesBuilder))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.SessionizeStrategy)
@@ -56,5 +73,50 @@ object GraftExtensions {
       ShingleGen(a, kExpr.eval().asInstanceOf[Number].intValue())
     case _ => throw new IllegalArgumentException(
       "shingle_gen requires (array<string>, integer literal k)")
+  }
+
+  private def lit(e: Expression, what: String): Any = {
+    require(e.foldable && e.eval() != null,
+      s"$what must be a non-null literal (it determines the plan)")
+    e.eval()
+  }
+
+  private def str(e: Expression, what: String): String =
+    lit(e, what).toString
+
+  private def int(e: Expression, what: String): Int =
+    lit(e, what).asInstanceOf[Number].intValue()
+
+  private def active = org.apache.spark.sql.SparkSession.active
+
+  /** `graft_table(root[, version])` — the analyzed read plan is
+    * embedded directly (the file list IS plan-time state, exactly like
+    * a catalog table reference). */
+  val graftTableBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    case Seq(root) =>
+      graft.sources.VersionedTable
+        .read(active, str(root, "graft_table root"))
+        .queryExecution.analyzed
+    case Seq(root, v) =>
+      graft.sources.VersionedTable.read(active,
+        str(root, "graft_table root"), Some(int(v, "graft_table version")))
+        .queryExecution.analyzed
+    case other => throw new IllegalArgumentException(
+      s"graft_table requires (root[, version]), got ${other.length} args")
+  }
+
+  /** `graft_table_changes(root, fromVersion, toVersion)` — the
+    * row-level change feed as a SQL table. */
+  val graftTableChangesBuilder
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    case Seq(root, from, to) =>
+      graft.sources.VersionedTable.readChangeFeed(active,
+        str(root, "graft_table_changes root"),
+        int(from, "fromVersion"), int(to, "toVersion"))
+        .queryExecution.analyzed
+    case other => throw new IllegalArgumentException(
+      "graft_table_changes requires (root, fromVersion, toVersion), " +
+        s"got ${other.length} args")
   }
 }

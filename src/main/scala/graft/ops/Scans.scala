@@ -608,6 +608,40 @@ object Scans extends OpModule {
     rollups.unionAll(feedLeg).orderBy($"version", $"leg")
   }
 
+  /** SQL TABLE-FUNCTION surface over the versioned table — grades the
+    * `graft_table` / `graft_table_changes` injections
+    * ([[graft.GraftExtensions]]): a pure-SQL user reads the head
+    * snapshot, time-travels to v1, and consumes the row-level change
+    * feed for (1, 2] without touching the Scala API — one SQL
+    * statement, three legs, each independently derivable from the raw
+    * table. The file list resolves at analysis time exactly like a
+    * catalog table reference. */
+  def scanTableSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_sql${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+    VersionedTable.commit(o.filter($"o_year".between(1995, 1996)), root)
+    VersionedTable.commit(o.filter($"o_year" === 1997), root)
+    // idempotent registration for sessions built without
+    // spark.sql.extensions (the asofJoin pattern)
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    def leg(name: String, from: String) =
+      s"""SELECT '$name' AS leg, COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+         |    AS amount
+         |FROM $from""".stripMargin
+    s.sql(Seq(
+      leg("head", s"graft_table('$root')"),
+      leg("time_travel_v1", s"graft_table('$root', 1)"),
+      leg("changes_1_2", s"graft_table_changes('$root', 1, 2)"))
+      .mkString("\nUNION ALL\n") + "\nORDER BY leg")
+  }
+
   /** Commit HISTORY — grades
     * [[graft.sources.VersionedTable.history]], the DESCRIBE HISTORY
     * audit surface: a six-commit lifecycle (two appends, cdc-merge,
@@ -1054,6 +1088,7 @@ object Scans extends OpModule {
     "q_scan_cdc_consume" -> (scanCdcConsume _),
     "q_scan_table_constraints" -> (scanTableConstraints _),
     "q_scan_table_history" -> (scanTableHistory _),
+    "q_scan_table_sql" -> (scanTableSql _),
     "q_scan_cdc_merge" -> (scanCdcMerge _),
     "q_scan_table_optimize" -> (scanTableOptimize _),
     "q_scan_file_skipping" -> (scanFileSkipping _),
@@ -1151,6 +1186,27 @@ object Scans extends OpModule {
         |SELECT version, CAST(n AS BIGINT) AS n_orders,
         |  CAST(rev AS DOUBLE) AS revenue
         |FROM r ORDER BY version""".stripMargin,
+    "q_scan_table_sql" ->
+      """WITH b AS (
+        |  SELECT o_totalprice, year(o_orderdate) AS y FROM orders),
+        |r AS (
+        |  SELECT 'changes_1_2' AS leg,
+        |    (SELECT COUNT(*) FROM b WHERE y = 1997) AS n,
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b
+        |       WHERE y = 1997) AS amt
+        |  UNION ALL
+        |  SELECT 'head',
+        |    (SELECT COUNT(*) FROM b WHERE y BETWEEN 1995 AND 1997),
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b
+        |       WHERE y BETWEEN 1995 AND 1997)
+        |  UNION ALL
+        |  SELECT 'time_travel_v1',
+        |    (SELECT COUNT(*) FROM b WHERE y BETWEEN 1995 AND 1996),
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b
+        |       WHERE y BETWEEN 1995 AND 1996))
+        |SELECT leg, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(amt AS DOUBLE) AS amount
+        |FROM r ORDER BY leg""".stripMargin,
     "q_scan_table_history" ->
       """WITH b AS (
         |  SELECT o_orderkey, year(o_orderdate) AS y FROM orders),

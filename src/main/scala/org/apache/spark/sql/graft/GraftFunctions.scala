@@ -35,6 +35,13 @@ object GraftFunctions {
           s"sorted_intersect_count_f requires exactly 2 arguments, " +
             s"got ${other.length}") },
       "scala_udf")
+    // SQL TABLE functions over the versioned table (snapshot / time
+    // travel / change feed) — same builders as the extensions path
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_table", graft.GraftExtensions.graftTableBuilder, "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_table_changes",
+      graft.GraftExtensions.graftTableChangesBuilder, "scala_udf")
   }
 
   /** Backward as-of join through the native operator

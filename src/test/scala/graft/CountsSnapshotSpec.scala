@@ -405,7 +405,9 @@ class CountsSnapshotSpec extends SparkSpec {
     // admitted-years rollup (1995 clean + repaired 1996)
     "q_scan_table_constraints" -> 2L,
     // one history row per commit of the six-step lifecycle
-    "q_scan_table_history" -> 6L)
+    "q_scan_table_history" -> 6L,
+    // SQL surface legs: head / time-travel / change feed
+    "q_scan_table_sql" -> 3L)
 
   test("snapshot covers exactly the registered queries") {
     assert(expected.keySet === SparkEntry.queries.keySet)
