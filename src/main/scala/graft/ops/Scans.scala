@@ -608,6 +608,75 @@ object Scans extends OpModule {
     rollups.unionAll(feedLeg).orderBy($"version", $"leg")
   }
 
+  /** SHALLOW CLONE — grades [[graft.sources.VersionedTable.clone]]:
+    * a zero-copy fork (witnessed: the clone's data directory contains
+    * NO parquet at clone time — its manifest references the source's
+    * immutable files) that then diverges independently: appending 1998
+    * to the clone leaves the source untouched. Both rollups derivable
+    * from the raw table. */
+  def scanTableClone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val src = Tables.sinkPath("vtable", dir,
+      s"orders_clsrc${vtableRun.incrementAndGet()}")
+    val tgt = s"${src}_fork"
+    Seq(src, tgt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+    VersionedTable.commit(o.filter($"o_year".between(1995, 1996)), src)
+    VersionedTable.commit(o.filter($"o_year" === 1997), src)
+    VersionedTable.clone(src, tgt)
+    val zeroCopy = !java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(tgt, "data"))
+    VersionedTable.commit(o.filter($"o_year" === 1998), tgt)
+    def leg(name: String, root: String) =
+      VersionedTable.read(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(d12($"o_totalprice")).cast("double").as("amount"))
+        .select(lit(name).as("leg"), $"n_rows", $"amount",
+          lit(zeroCopy).as("zero_copy"))
+    leg("clone_after_append", tgt).unionAll(leg("source", src))
+      .orderBy($"leg")
+  }
+
+  /** Dynamic partition OVERWRITE — grades
+    * [[graft.sources.VersionedTable.overwritePartitions]], the
+    * backfill primitive: a year-partitioned table gets its 1996
+    * partition re-run with doubled prices; the 1995/1997 partitions'
+    * file entries carry VERBATIM (witnessed), and the rollup shows
+    * exactly the 1996 rows changed. INSERT OVERWRITE semantics at
+    * O(partition) cost. */
+  def scanPartOverwrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_ow${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+      .filter($"o_year".between(1995, 1997))
+    val v1 = VersionedTable.commitPartitioned(o, root, Seq("o_year"))
+    val before = VersionedTable.resolveFiles(root, v1)
+    val v2 = VersionedTable.overwritePartitions(
+      o.filter($"o_year" === 1996)
+        .withColumn("o_totalprice", $"o_totalprice" * 2),
+      root, Seq("o_year"))
+    val after = VersionedTable.resolveFiles(root, v2)
+    val untouchedCarried = before
+      .filter(f => f.part.get("o_year").exists(_ != "1996"))
+      .forall(after.contains)
+    VersionedTable.read(s, root)
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(d12($"o_totalprice")).cast("double").as("amount"))
+      .select($"o_year", $"n_rows", $"amount",
+        lit(untouchedCarried).as("untouched_carried"))
+      .orderBy($"o_year")
+  }
+
   /** SQL TABLE-FUNCTION surface over the versioned table — grades the
     * `graft_table` / `graft_table_changes` injections
     * ([[graft.GraftExtensions]]): a pure-SQL user reads the head
@@ -1089,6 +1158,8 @@ object Scans extends OpModule {
     "q_scan_table_constraints" -> (scanTableConstraints _),
     "q_scan_table_history" -> (scanTableHistory _),
     "q_scan_table_sql" -> (scanTableSql _),
+    "q_scan_table_clone" -> (scanTableClone _),
+    "q_part_overwrite" -> (scanPartOverwrite _),
     "q_scan_cdc_merge" -> (scanCdcMerge _),
     "q_scan_table_optimize" -> (scanTableOptimize _),
     "q_scan_file_skipping" -> (scanFileSkipping _),
@@ -1186,6 +1257,34 @@ object Scans extends OpModule {
         |SELECT version, CAST(n AS BIGINT) AS n_orders,
         |  CAST(rev AS DOUBLE) AS revenue
         |FROM r ORDER BY version""".stripMargin,
+    "q_scan_table_clone" ->
+      """WITH b AS (
+        |  SELECT o_totalprice, year(o_orderdate) AS y FROM orders),
+        |r AS (
+        |  SELECT 'clone_after_append' AS leg,
+        |    (SELECT COUNT(*) FROM b WHERE y BETWEEN 1995 AND 1998) AS n,
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b
+        |       WHERE y BETWEEN 1995 AND 1998) AS amt
+        |  UNION ALL
+        |  SELECT 'source',
+        |    (SELECT COUNT(*) FROM b WHERE y BETWEEN 1995 AND 1997),
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b
+        |       WHERE y BETWEEN 1995 AND 1997))
+        |SELECT leg, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(amt AS DOUBLE) AS amount, TRUE AS zero_copy
+        |FROM r ORDER BY leg""".stripMargin,
+    "q_part_overwrite" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_totalprice, year(o_orderdate) AS y
+        |  FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1997)
+        |SELECT CAST(y AS INTEGER) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN y = 1996
+        |    THEN CAST(o_totalprice * 2 AS DECIMAL(12,4))
+        |    ELSE CAST(o_totalprice AS DECIMAL(12,4)) END) AS DOUBLE)
+        |    AS amount,
+        |  TRUE AS untouched_carried
+        |FROM b GROUP BY y ORDER BY o_year""".stripMargin,
     "q_scan_table_sql" ->
       """WITH b AS (
         |  SELECT o_totalprice, year(o_orderdate) AS y FROM orders),

@@ -494,6 +494,58 @@ object VersionedTable {
     publishLoop(root, writeData(df, root, statsCol, partCols),
       replace = false, rollbackOf = None, batchKey = None)
 
+  /** Dynamic partition OVERWRITE (the INSERT OVERWRITE ... PARTITION
+    * semantics): replace exactly the partition tuples PRESENT in the
+    * batch — their old files are removed from the new manifest, every
+    * other partition's files carry verbatim, and the batch lands in
+    * the same hive-style layout [[commitPartitioned]] writes. Files
+    * without a partition tuple (mixed layouts) are conservatively
+    * REPLACED too — an unpartitioned file may hold rows of the
+    * overwritten partitions, and carrying it would resurrect them;
+    * mixed-layout users should OPTIMIZE into a partitioned layout
+    * first. A replace-style commit: a head that moved under the write
+    * aborts ([[java.util.ConcurrentModificationException]]), and an
+    * abort deletes the batch's files. The backfill primitive: re-run
+    * one day/region at O(partition) cost with no table-wide rewrite. */
+  def overwritePartitions(df: DataFrame, root: String,
+      partCols: Seq[String], statsCol: Option[String] = None): Int = {
+    require(partCols.nonEmpty, "overwritePartitions needs partition columns")
+    val basis = currentVersion(root)
+    require(basis > 0,
+      s"overwritePartitions: $root has no committed version")
+    require(resolveDeletes(root, basis).isEmpty,
+      s"overwritePartitions: $root has pending equality deletes — run " +
+        "optimize (the materialization point) first")
+    val all = resolveFiles(root, basis)
+    val newFiles = writeData(df, root, statsCol, partCols)
+    val touched = newFiles.map(_.part).toSet
+    val removed = all.filter(f => f.part.isEmpty || touched(f.part))
+      .map(_.path)
+    try {
+      onBeforePublish()
+      val v = basis + 1
+      val removedSet = removed.toSet
+      val carried = all.filterNot(f => removedSet(f.path))
+      try publishAtomic(root, v, basis,
+        add = newFiles, remove = removed,
+        checkpoint = Some(carried ++ newFiles),
+        rollbackOf = None, batchKey = None,
+        recentBatchKeys = recentBatchKeys(root, basis),
+        cdc = Nil, cdcKind = None)
+      catch {
+        case _: FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"partition overwrite at $root lost the race for v$v: the " +
+              "partitions it rewrote are stale — re-read and re-run")
+      }
+      v
+    } catch {
+      case e: Throwable =>
+        newFiles.map(_.path).foreach(p => Files.deleteIfExists(Paths.get(p)))
+        throw e
+    }
+  }
+
   /** Write `df` to a fresh per-commit directory (unique across JVMs and
     * threads — pid + sequence — so concurrent committers never share a
     * path) and return its manifest entries. */
@@ -559,6 +611,42 @@ object VersionedTable {
   /** Number of data files in a version's manifest. */
   def fileCount(root: String, version: Int): Int =
     resolveFiles(root, version).size
+
+  /** SHALLOW CLONE — a zero-copy fork of `sourceRoot`'s current (or
+    * `version`-pinned) snapshot: the target's v1 manifest references
+    * the SOURCE's data files (and carries its pending equality
+    * deletes, so the clone reads identically), copying no data at all.
+    * From then on the two tables diverge independently — the clone's
+    * own commits write under its own root; the shared files are
+    * immutable. The one documented coupling every real shallow clone
+    * has: a VACUUM on the source can collect files the clone still
+    * references — clones are for dev/test forks and short-lived
+    * experiments, or run them against vacuum-quiet sources. O(manifest)
+    * driver work. Returns the clone's version id (1). */
+  def clone(sourceRoot: String, targetRoot: String,
+      version: Option[Int] = None): Int = {
+    require(currentVersion(targetRoot) == 0,
+      s"clone: target $targetRoot already has commits")
+    val v = version.getOrElse(currentVersion(sourceRoot))
+    require(v > 0, s"clone: source $sourceRoot has no committed version")
+    // sequence numbers are clone-LOCAL (they scope equality-delete
+    // masks against the clone's own version counter), so carried
+    // entries restamp as "born at clone v1" — which is only correct
+    // when no source mask is pending: materialize first
+    require(resolveDeletes(sourceRoot, v).isEmpty,
+      s"clone: $sourceRoot@v$v has pending equality deletes — run " +
+        "optimize (the materialization point) first")
+    val files = resolveFiles(sourceRoot, v).map(_.copy(seq = 0))
+    // an append-shaped v1 (no remove, no marker): a change-feed
+    // consumer starting from 0 correctly sees the cloned snapshot as
+    // its initial inserts
+    publishAtomic(targetRoot, 1, 0,
+      add = files, remove = Nil,
+      checkpoint = Some(files),
+      rollbackOf = None, batchKey = None, recentBatchKeys = Nil,
+      cdc = Nil, cdcKind = None)
+    1
+  }
 
   /** The commit HISTORY as a DataFrame (the DESCRIBE HISTORY role):
     * one row per surviving manifest — version, parent, operation KIND

@@ -407,7 +407,11 @@ class CountsSnapshotSpec extends SparkSpec {
     // one history row per commit of the six-step lifecycle
     "q_scan_table_history" -> 6L,
     // SQL surface legs: head / time-travel / change feed
-    "q_scan_table_sql" -> 3L)
+    "q_scan_table_sql" -> 3L,
+    // source + diverged-clone rollups
+    "q_scan_table_clone" -> 2L,
+    // per-year rollup after the 1996 partition re-run
+    "q_part_overwrite" -> 3L)
 
   test("snapshot covers exactly the registered queries") {
     assert(expected.keySet === SparkEntry.queries.keySet)

@@ -421,6 +421,57 @@ class VersionedTableCdcSpec extends SparkSpec {
     }
   }
 
+  test("shallow clone: zero-copy, independent divergence, pending-mask guard") {
+    withTmpDir("graft_clone") { base =>
+      val src = s"$base/src"; val tgt = s"$base/tgt"
+      VersionedTable.commit(kv(1L -> "a", 2L -> "b"), src)
+      VersionedTable.clone(src, tgt)
+      assert(parquetFilesUnder(s"$tgt/data").isEmpty,
+        "a shallow clone must copy no data")
+      def rows(r: String) = VersionedTable.read(spark, r)
+        .as[(Long, String)].collect().toSet
+      assert(rows(tgt) === rows(src))
+      // divergence is independent in BOTH directions
+      VersionedTable.commit(kv(3L -> "clone-only"), tgt)
+      VersionedTable.commit(kv(4L -> "src-only"), src)
+      assert(rows(tgt) === Set(1L -> "a", 2L -> "b", 3L -> "clone-only"))
+      assert(rows(src) === Set(1L -> "a", 2L -> "b", 4L -> "src-only"))
+      // a deferred delete on the CLONE masks the shared file's row
+      // without touching the source (sequence restamped clone-local)
+      VersionedTable.deleteDeferred(spark, tgt, Seq(1L).toDF("k"), "k")
+      assert(rows(tgt) === Set(2L -> "b", 3L -> "clone-only"))
+      assert(rows(src).contains(1L -> "a"))
+      // a source with pending masks refuses to clone (materialize
+      // first — clone-local sequences cannot carry them)
+      VersionedTable.deleteDeferred(spark, src, Seq(2L).toDF("k"), "k")
+      intercept[IllegalArgumentException] {
+        VersionedTable.clone(src, s"$base/tgt2")
+      }
+    }
+  }
+
+  test("partition overwrite replaces exactly the batch's tuples") {
+    withTmpDir("graft_ow") { base =>
+      val root = s"$base/t"
+      val df = Seq((1L, "p1", "x"), (2L, "p1", "y"), (3L, "p2", "z"))
+        .toDF("k", "p", "v")
+      val v1 = VersionedTable.commitPartitioned(df, root, Seq("p"))
+      val before = VersionedTable.resolveFiles(root, v1)
+      val v2 = VersionedTable.overwritePartitions(
+        Seq((9L, "p1", "NEW")).toDF("k", "p", "v"), root, Seq("p"))
+      val after = VersionedTable.resolveFiles(root, v2)
+      // p2's entries carried verbatim; p1's replaced wholesale
+      assert(before.filter(_.part.get("p").contains("p2")).toSet
+        .subsetOf(after.toSet))
+      assert(after.map(_.part("p")).toSet === Set("p1", "p2"))
+      assert(VersionedTable.read(spark, root)
+        .select($"k", $"p", $"v").as[(Long, String, String)]
+        .collect().toSet === Set((9L, "p1", "NEW"), (3L, "p2", "z")))
+      // pre-overwrite snapshot untouched (time travel)
+      assert(VersionedTable.read(spark, root, Some(v1)).count() === 3)
+    }
+  }
+
   test("commitChecked: constraint and schema gates reject before writing") {
     withTmpDir("graft_checked") { base =>
       val root = s"$base/t"
