@@ -985,10 +985,15 @@ object VersionedTable {
         // sidecars published BEFORE the keep window — they are part
         // of that version's read path and must survive
         resolveDeletes(root, v).map(_.path)).toSet
-    val dropped = (1 until keepFrom)
+    // OWN-ROOT guard: a shallow CLONE's manifests reference the
+    // SOURCE's files — vacuum must never delete a path outside its own
+    // root (the same rule real formats apply to cloned/foreign files);
+    // foreign references simply age out of the clone's manifests
+    val ownPrefix = Paths.get(root).toString + java.io.File.separator
+    val dropped = ((1 until keepFrom)
       .flatMap(v => resolveFilesOpt(root, v).map(_.map(_.path))
         .getOrElse(ownAdds(v)) ++ cdcPaths(v))
-      .toSet -- keep
+      .toSet -- keep).filter(_.startsWith(ownPrefix))
     dropped.foreach(p => Files.deleteIfExists(Paths.get(p)))
     // manifests: keep the chain floor of every kept version
     val floor = (keepFrom to cur).filter(exists)

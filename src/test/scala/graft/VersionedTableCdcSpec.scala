@@ -450,6 +450,22 @@ class VersionedTableCdcSpec extends SparkSpec {
     }
   }
 
+  test("vacuum on a clone never deletes the source's files") {
+    withTmpDir("graft_clone_vac") { base =>
+      val src = s"$base/src"; val tgt = s"$base/tgt"
+      VersionedTable.commit(kv(1L -> "a"), src)
+      VersionedTable.clone(src, tgt)
+      // push the cloned v1 out of the clone's keep window, then vacuum
+      (1 to 3).foreach(i => VersionedTable.commit(kv(10L + i -> "x"), tgt))
+      VersionedTable.optimize(spark, tgt) // clone no longer needs src files
+      VersionedTable.vacuum(tgt, keepLast = 1)
+      // the SOURCE is untouched and fully readable
+      assert(VersionedTable.read(spark, src)
+        .as[(Long, String)].collect().toSet === Set(1L -> "a"),
+        "clone vacuum must never reach outside its own root")
+    }
+  }
+
   test("partition overwrite replaces exactly the batch's tuples") {
     withTmpDir("graft_ow") { base =>
       val root = s"$base/t"
