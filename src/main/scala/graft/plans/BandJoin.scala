@@ -133,15 +133,28 @@ class BandIndex(
 }
 
 object BandJoinBroadcastExec {
-  /** Per-JVM LRU of built indexes keyed by broadcast id: the first
-    * task of an executor builds, the other ~core-count tasks reuse.
-    * Bounded so long sessions running many broadcast band joins don't
-    * pin dead broadcasts' indexes. */
+  /** Per-JVM LRU of built indexes keyed by (application id, broadcast
+    * id): the first task of an executor builds, the other ~core-count
+    * tasks reuse. Broadcast ids restart at 0 per SparkContext, so the
+    * bare id would let a JVM that stops one context and starts another
+    * (test suites, notebook restarts) hit a STALE index built from a
+    * different table and emit silently wrong rows (ADVICE r12) — the
+    * app id scopes the key to its context. Bounded so long sessions
+    * running many broadcast band joins don't pin dead broadcasts'
+    * indexes. */
   private val idxCache =
-    new java.util.LinkedHashMap[Long, BandIndex](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long), BandIndex](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, BandIndex]): Boolean = size > 16
+          e: java.util.Map.Entry[(String, Long), BandIndex]): Boolean =
+        size > 16
     }
+
+  /** The running context's application id — resolvable on both driver
+    * and executor via SparkEnv (empty only in exotic test harnesses,
+    * where the LRU bound still limits the blast radius). */
+  private def appId: String =
+    Option(org.apache.spark.SparkEnv.get)
+      .map(_.conf.get("spark.app.id", "")).getOrElse("")
 
   /** Codegen entry: generated Java cannot spell a Scala by-name
     * argument, so it passes the broadcast handle whole. */
@@ -151,19 +164,21 @@ object BandJoinBroadcastExec {
     index(b.id, b.value, binIdx, valIdx)
 
   private[plans] def index(bcastId: Long, rows: => Array[InternalRow],
-      binIdx: Int, valIdx: Int): BandIndex =
+      binIdx: Int, valIdx: Int): BandIndex = {
+    val key = (appId, bcastId)
     // SINGLE-FLIGHT: the build runs inside the lock so an executor's
     // worth of concurrently-starting tasks (all missing the same
     // fresh key) wait for ONE sort instead of racing ~core-count
     // duplicate sorts — measured 7.8 s vs 1.0 s on a deliberately
     // oversized side at local[32]
     idxCache.synchronized {
-      Option(idxCache.get(bcastId)).getOrElse {
+      Option(idxCache.get(key)).getOrElse {
         val built = build(rows, binIdx, valIdx)
-        idxCache.put(bcastId, built)
+        idxCache.put(key, built)
         built
       }
     }
+  }
 
   private def build(rs: Array[InternalRow], binIdx: Int,
       valIdx: Int): BandIndex = {

@@ -96,16 +96,23 @@ object VersionedTable {
   val BatchIdHorizon = 64
 
   /** One manifest entry: an immutable data file, optional min/max of
-    * the table's declared stats column (absent when the commit didn't
-    * compute stats — a pruned read must then keep the file), the
-    * file's partition tuple (empty for unpartitioned commits; values
-    * are the raw directory-name encoding), and the SEQUENCE (the
-    * version that added the file — 0 on pre-feature manifests): an
-    * equality delete masks a row only in files with a SMALLER
-    * sequence, which is what lets a key be re-inserted after a
-    * deferred delete (the Iceberg sequence-number rule). */
+    * the file's stats column (absent when the commit didn't compute
+    * stats — a pruned read must then keep the file) plus WHICH column
+    * those stats were collected on (`statsBy` — real formats key
+    * per-column stats by name; without the identity, a targeted
+    * delete/merge whose key differs from the stats column would treat
+    * another column's range as key bounds and silently carry files
+    * that DO contain matching rows, ADVICE r12; `None` on pre-feature
+    * manifests, which consumers must treat as stat-less), the file's
+    * partition tuple (empty for unpartitioned commits; values are the
+    * raw directory-name encoding), and the SEQUENCE (the version that
+    * added the file — 0 on pre-feature manifests): an equality delete
+    * masks a row only in files with a SMALLER sequence, which is what
+    * lets a key be re-inserted after a deferred delete (the Iceberg
+    * sequence-number rule). */
   case class FileEntry(path: String, lo: Option[Double], hi: Option[Double],
-      part: Map[String, String] = Map.empty, seq: Int = 0)
+      part: Map[String, String] = Map.empty, seq: Int = 0,
+      statsBy: Option[String] = None)
 
   /** One equality-delete sidecar file: `path` holds the deleted keys
     * (single column `keyCol`), `seq` is the commit that published it —
@@ -157,7 +164,8 @@ object VersionedTable {
         p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
       }.getOrElse(Map.empty[String, String])
       FileEntry(f.get("path").asText(), num("lo"), num("hi"), part,
-        Option(f.get("seq")).map(_.asInt()).getOrElse(0))
+        Option(f.get("seq")).map(_.asInt()).getOrElse(0),
+        Option(f.get("statsBy")).filterNot(_.isNull).map(_.asText()))
     }.toSeq
 
   private def parseEqDeletes(
@@ -234,6 +242,7 @@ object VersionedTable {
       o.put("path", f.path)
       f.lo.foreach(o.put("lo", _))
       f.hi.foreach(o.put("hi", _))
+      f.statsBy.foreach(o.put("statsBy", _))
       if (f.part.nonEmpty) {
         val p = o.putObject("part")
         f.part.foreach { case (k, x) => p.put(k, x) }
@@ -283,11 +292,16 @@ object VersionedTable {
       cdc.foreach(c.add)
     }
     // sequence stamping: files born in THIS commit get seq = v; files
-    // carried through (re-adds of a rollback, checkpoint embeds of
-    // parent files) keep the seq their own commit stamped
+    // carried through (checkpoint embeds of parent files) keep the seq
+    // their own commit stamped. A ROLLBACK carries its entries
+    // VERBATIM: its "add" list is the restored version's file list,
+    // and restamping a pre-feature (seq 0) entry above the restored
+    // equality deletes' sequence would stop their masks applying and
+    // resurrect deleted rows (ADVICE r12)
     val addPaths = add.map(_.path).toSet
     def stamp(f: FileEntry): FileEntry =
-      if (f.seq == 0 && addPaths(f.path)) f.copy(seq = v) else f
+      if (rollbackOf.isEmpty && f.seq == 0 && addPaths(f.path))
+        f.copy(seq = v) else f
     def stampD(d: EqDelete): EqDelete =
       if (d.seq == 0) d.copy(seq = v) else d
     writeEntries(body.putArray("add"), add.map(stamp))
@@ -517,6 +531,21 @@ object VersionedTable {
       s"overwritePartitions: $root has pending equality deletes — run " +
         "optimize (the materialization point) first")
     val all = resolveFiles(root, basis)
+    // layout guard: a carried file is safe ONLY if its partition tuple
+    // is keyed on exactly this overwrite's partCols — a file committed
+    // under a finer/renamed layout never tuple-matches `touched`, would
+    // carry verbatim, and silently duplicate the overwritten
+    // partitions' rows (ADVICE r12). Empty tuples (mixed layouts) are
+    // already conservatively replaced below; a different KEY SET is an
+    // abort, checked before a byte is written.
+    val badLayout = all.filter(f =>
+      f.part.nonEmpty && f.part.keySet != partCols.toSet)
+    require(badLayout.isEmpty,
+      s"overwritePartitions: ${badLayout.size} file(s) in $root v$basis " +
+        s"were committed with partition columns " +
+        s"[${badLayout.head.part.keySet.toSeq.sorted.mkString(",")}] != " +
+        s"[${partCols.sorted.mkString(",")}] — carrying them could " +
+        "duplicate overwritten rows; OPTIMIZE into one layout first")
     val newFiles = writeData(df, root, statsCol, partCols)
     val touched = newFiles.map(_.part).toSet
     val removed = all.filter(f => f.part.isEmpty || touched(f.part))
@@ -602,7 +631,8 @@ object VersionedTable {
         // the manifest: an empty file carries no data and would
         // otherwise be conservatively un-prunable forever
         newPaths.flatMap { p =>
-          stats.get(p).map { case (lo, hi) => FileEntry(p, lo, hi, partOf(p)) }
+          stats.get(p).map { case (lo, hi) =>
+            FileEntry(p, lo, hi, partOf(p), statsBy = Some(c)) }
         }
       case None => newPaths.map(p => FileEntry(p, None, None, partOf(p)))
     }
@@ -870,16 +900,22 @@ object VersionedTable {
   /** Overlap plan shared by [[mergeTargeted]] and [[delete]]: the
     * O(files) range list broadcasts to the key batch (keys are never
     * collected); only the O(files) DISTINCT hit ids return. Files
-    * without stats are conservatively targeted. Caveat shared with the
-    * stats layer itself: ranges are stored as doubles, so integer keys
-    * beyond 2^53 would not be exactly representable and could alias
-    * across a file boundary — the same agreement-zone bound
-    * [[readPruned]] documents. */
+    * without stats — or whose stats were collected on a DIFFERENT
+    * column than `keyCol` (e.g. after `optimize(clusterBy=otherCol)`),
+    * or on a pre-feature manifest that never recorded the column
+    * identity — are conservatively targeted: another column's range
+    * says nothing about key containment, and trusting it would let
+    * rows silently survive a targeted DELETE (ADVICE r12). Caveat
+    * shared with the stats layer itself: ranges are stored as doubles,
+    * so integer keys beyond 2^53 would not be exactly representable
+    * and could alias across a file boundary — the same agreement-zone
+    * bound [[readPruned]] documents. */
   private def overlapTargets(spark: SparkSession, all: Seq[FileEntry],
       keyBatch: DataFrame, keyCol: String): Seq[String] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val ranged = all.zipWithIndex.collect {
-      case (f, i) if f.lo.isDefined && f.hi.isDefined =>
+      case (f, i) if f.lo.isDefined && f.hi.isDefined &&
+          f.statsBy.contains(keyCol) =>
         (i, f.lo.get, f.hi.get)
     }
     val hitIds: Set[Int] =
@@ -894,7 +930,8 @@ object VersionedTable {
           .collect().map(_.getInt(0)).toSet
       }
     all.zipWithIndex.collect {
-      case (f, i) if hitIds(i) || f.lo.isEmpty || f.hi.isEmpty => f.path
+      case (f, i) if hitIds(i) || f.lo.isEmpty || f.hi.isEmpty ||
+          !f.statsBy.contains(keyCol) => f.path
     }
   }
 
@@ -1042,7 +1079,12 @@ object VersionedTable {
     * data. Zero pending deletes short-circuits to the plain scan. */
   private def readMasked(spark: SparkSession, entries: Seq[FileEntry],
       deletes: Seq[EqDelete], mergeSchema: Boolean): DataFrame = {
-    if (deletes.isEmpty)
+    // zero data files (a snapshot holding only pending deletes — e.g.
+    // a commit of an empty frame writes no files): fall through to the
+    // plain-scan path rather than groupBy(...).reduce on an empty
+    // collection (UnsupportedOperationException, ADVICE r12) — the
+    // failure mode then matches the no-deletes empty-table read
+    if (deletes.isEmpty || entries.isEmpty)
       return readFiles(spark, entries.map(_.path), mergeSchema)
     import org.apache.spark.sql.functions.col
     val groups = entries
@@ -1081,20 +1123,29 @@ object VersionedTable {
       eqDeleteAdd = paths.map(p => EqDelete(p, keyCol, 0)))
   }
 
-  /** Stats-pruned snapshot read for `statsCol ∈ [lo, hi]`: files whose
-    * manifest range provably misses the query range are never handed
-    * to Spark at all — pruning is O(manifest) driver work, and the
-    * surviving files still get row-group pushdown on top. Files
-    * without stats are conservatively kept. Returns the pruned frame
-    * and the (scanned, total) file counts so callers can assert the
-    * skip actually happened. */
+  /** Stats-pruned snapshot read for the stats column ∈ [lo, hi]: files
+    * whose manifest range provably misses the query range are never
+    * handed to Spark at all — pruning is O(manifest) driver work, and
+    * the surviving files still get row-group pushdown on top. Files
+    * without stats are conservatively kept. With `statsCol` set, so is
+    * any file whose recorded stats column differs (mixed-stats tables,
+    * e.g. after `optimize(clusterBy=otherCol)` — another column's
+    * range must not prune this one, the same identity rule the
+    * targeted rewrites apply); omitted, the caller asserts every
+    * ranged file's stats are on the query column (the single-stats-
+    * column table this layer historically assumed). Returns the
+    * pruned frame and the (scanned, total) file counts so callers can
+    * assert the skip actually happened. */
   def readPruned(spark: SparkSession, root: String, lo: Double, hi: Double,
-      version: Option[Int] = None): (DataFrame, Int, Int) = {
+      version: Option[Int] = None,
+      statsCol: Option[String] = None): (DataFrame, Int, Int) = {
     val v = version.getOrElse(currentVersion(root))
     val all = resolveFiles(root, v)
     val keep = all.filter { f =>
       (f.lo, f.hi) match {
-        case (Some(flo), Some(fhi)) => fhi >= lo && flo <= hi
+        case (Some(flo), Some(fhi))
+            if statsCol.forall(c => f.statsBy.contains(c)) =>
+          fhi >= lo && flo <= hi
         case _ => true
       }
     }

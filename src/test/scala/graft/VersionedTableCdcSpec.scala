@@ -664,4 +664,148 @@ class VersionedTableCdcSpec extends SparkSpec {
       assert(VersionedTable.read(spark, root).count() === 6)
     }
   }
+
+  test("targeted delete ignores stats collected on a DIFFERENT column") {
+    // ADVICE r12 (medium): manifest stats carried no column identity,
+    // so a delete whose keyCol differed from the stats column treated
+    // another column's [lo, hi] as key bounds — files that DO contain
+    // matching rows were carried verbatim and the rows silently
+    // survived the DELETE (the GDPR primitive). Stats on x ∈
+    // [1001, 1010] while deleting k=5: the k-range interpretation says
+    // "5 ∉ [1001, 1010], skip the file".
+    withTmpDir("graft_statsby") { base =>
+      val root = s"$base/t"
+      val df = (1L to 10L).map(k => (k, k + 1000L)).toDF("k", "x")
+        .repartition(1)
+      VersionedTable.commit(df, root, statsCol = Some("x"))
+      VersionedTable.delete(spark, root, Seq(5L).toDF("k"), "k")
+      val got = VersionedTable.read(spark, root)
+        .select($"k").as[Long].collect().toSet
+      assert(got === ((1L to 10L).toSet - 5L),
+        "rows matching a targeted DELETE must never survive because " +
+          "another column's stats were mistaken for key bounds")
+      // and readPruned with the column identity declared must not
+      // prune on the mismatched stats either: every file scans
+      val (_, scanned, total) =
+        VersionedTable.readPruned(spark, root, 1.0, 2.0,
+          statsCol = Some("k"))
+      assert(scanned === total,
+        "stats on x must not prune a k-range read when the caller " +
+          "declares the column")
+    }
+  }
+
+  test("stats column identity round-trips through the manifest") {
+    withTmpDir("graft_statsby_rt") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(kv(1L -> "a").repartition(1), root,
+        statsCol = Some("k"))
+      val entries = VersionedTable.resolveFiles(root, 1)
+      assert(entries.forall(_.statsBy.contains("k")))
+      // and a matching-column targeted delete still targets (the fix
+      // must not degrade the stats-matched fast path to full COW)
+      VersionedTable.commit(kv(100L -> "z").repartition(1), root,
+        statsCol = Some("k"))
+      val before = VersionedTable.resolveFiles(root, 2)
+      VersionedTable.delete(spark, root, Seq(100L).toDF("k"), "k")
+      val after = VersionedTable.resolveFiles(root, 3)
+      val carried = before.map(_.path).toSet & after.map(_.path).toSet
+      assert(carried.size === 1,
+        "the non-overlapping file must carry verbatim when stats ARE " +
+          "on the key column")
+    }
+  }
+
+  test("zero-data-file snapshot with pending deletes fails like the plain empty read") {
+    // ADVICE r12 (low): entries.isEmpty made readMasked's
+    // groups.reduce throw UnsupportedOperationException; the masked
+    // path must mirror the no-deletes path (same failure mode — an
+    // empty table has no schema source either way).
+    withTmpDir("graft_empty_mask") { base =>
+      val root = s"$base/t"
+      // a commit of an empty frame with stats writes no manifest
+      // entries (zero-row files are dropped) but publishes a version
+      VersionedTable.commit(
+        Seq.empty[(Long, String)].toDF("k", "v"), root,
+        statsCol = Some("k"))
+      val plain = intercept[Exception] {
+        VersionedTable.read(spark, root).collect()
+      }
+      VersionedTable.deleteDeferred(spark, root, Seq(1L).toDF("k"), "k")
+      val masked = intercept[Exception] {
+        VersionedTable.read(spark, root).collect()
+      }
+      assert(!masked.isInstanceOf[UnsupportedOperationException],
+        "pending deletes over zero data files must not crash the " +
+          "group-reduce")
+      assert(masked.getClass === plain.getClass,
+        "masked and plain empty-table reads must fail identically")
+    }
+  }
+
+  test("rollback carries pre-feature (seq 0) entries verbatim — masks keep applying") {
+    // ADVICE r12 (low): publishAtomic restamped any seq==0 entry in
+    // `add` to the rollback's own version; on an upgraded table whose
+    // files predate sequence stamping, that pushed them ABOVE the
+    // restored equality deletes' sequence, the masks stopped applying,
+    // and deleted rows resurrected.
+    withTmpDir("graft_rollback_seq") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(
+        kv((1L to 10L).map(k => k -> s"v$k"): _*).repartition(1), root)
+      // simulate a pre-feature table: strip the seq fields from v1
+      val mPath = Paths.get(root, "_manifests", "v00001.json")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(Files.readString(mPath))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      Seq("add", "files").foreach { fld =>
+        Option(node.get(fld)).foreach(_.elements().asScala.foreach(e =>
+          e.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .remove("seq")))
+      }
+      Files.writeString(mPath, om.writeValueAsString(node))
+      // v2: deferred delete of k=3 (mask seq 2, applies to seq-0 files)
+      val v2 = VersionedTable.deleteDeferred(spark, root,
+        Seq(3L).toDF("k"), "k")
+      assert(!VersionedTable.read(spark, root).select($"k").as[Long]
+        .collect().contains(3L))
+      VersionedTable.commit(kv(99L -> "later"), root) // v3
+      VersionedTable.rollback(root, v2) // v4 restores v2's visible state
+      val got = VersionedTable.read(spark, root)
+        .select($"k").as[Long].collect().toSet
+      assert(got === ((1L to 10L).toSet - 3L),
+        "rollback must not restamp carried legacy entries above the " +
+          "restored masks' sequence (k=3 resurrected)")
+    }
+  }
+
+  test("partition overwrite aborts on a mismatched partition-column layout") {
+    // ADVICE r12 (low): files committed under a different partCols set
+    // never tuple-match the overwrite's `touched` set, carried
+    // verbatim, and silently duplicated the overwritten rows.
+    withTmpDir("graft_ow_layout") { base =>
+      val root = s"$base/t"
+      val df = Seq((1L, "2024", "eu", "a"), (2L, "2024", "us", "b"))
+        .toDF("k", "y", "r", "v")
+      VersionedTable.commitPartitioned(df, root, Seq("y", "r"))
+      val e = intercept[IllegalArgumentException] {
+        VersionedTable.overwritePartitions(
+          Seq((3L, "2024", "eu", "a2")).toDF("k", "y", "r", "v"),
+          root, Seq("y"))
+      }
+      assert(e.getMessage.contains("partition columns"),
+        s"wrong failure: ${e.getMessage}")
+      // nothing was published, nothing duplicated
+      assert(VersionedTable.currentVersion(root) === 1)
+      assert(VersionedTable.read(spark, root).count() === 2)
+      // the matching layout still works
+      val v2 = VersionedTable.overwritePartitions(
+        Seq((3L, "2024", "eu", "a2")).toDF("k", "y", "r", "v"),
+        root, Seq("y", "r"))
+      assert(v2 === 2)
+      val got = VersionedTable.read(spark, root)
+        .select($"k", $"v").as[(Long, String)].collect().toSet
+      assert(got === Set((3L, "a2"), (2L, "b")))
+    }
+  }
 }
