@@ -682,6 +682,125 @@ object Aggregates extends OpModule {
       .orderBy($"pa", $"pb")
   }
 
+  /** K-CORE peel (K=2, three synchronous rounds, unrolled): each round
+    * drops every vertex whose degree in the CURRENT surviving subgraph
+    * is < K, then restricts the edge list to surviving endpoints — the
+    * cascade that separates a graph's dense core from its dangling
+    * periphery (coreness is the standard robustness/influence readout
+    * next to degree and PageRank, and the pre-filter that shrinks a
+    * co-occurrence graph before community detection bothers running).
+    * Reported per round as the surviving (vertex, edge) counts, so the
+    * result IS the peel's convergence trace. Fully integer →
+    * hash-oracled against the same three rounds unrolled as CTEs.
+    *
+    * Scale: each round is one O(E) degree aggregate (map-combinable)
+    * plus two semi-joins of the edge list against the O(V) survivor
+    * set — V is a catalog dimension here, so the survivor side
+    * broadcasts; rounds are FIXED and unrolled exactly like
+    * [[graphLabelProp]], so plan growth is linear and no checkpoint is
+    * needed at 3. A run-to-fixpoint variant would persist each round's
+    * edge list and stop on a monotone count, the
+    * [[graft.ops.Dedup.connectedComponents]] recipe. */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var edges = support2Edges(s, dir)
+    val rounds = (1 to 3).map { r =>
+      val deg = edges.select($"pa".as("v"))
+        .unionByName(edges.select($"pb".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("d"))
+      val keep = deg.filter($"d" >= 2).select($"v")
+      edges = edges
+        .join(keep.select($"v".as("pa")), Seq("pa"), "left_semi")
+        .join(keep.select($"v".as("pb")), Seq("pb"), "left_semi")
+      keep.agg(count(lit(1)).as("n_vertices"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r).as("round"), $"n_vertices", $"n_edges")
+    }
+    rounds.reduce(_.unionByName(_)).orderBy($"round")
+  }
+
+  /** Multi-source BFS (3 hops, unrolled): start from the 5 highest-
+    * degree hubs of the support-2 co-purchase graph (ties → smallest
+    * part id) and expand one hop per round, reporting how many NEW
+    * vertices each hop reaches — the reachability profile ("how much
+    * of the graph is within k hops of the hubs") that prices
+    * neighborhood-expansion features and spam-propagation blast radius
+    * before anyone runs them. Frontier semantics are exact BFS: a
+    * vertex counts at its FIRST reaching hop only (each frontier
+    * anti-joins the visited set). Fully integer → hash-oracled against
+    * the same unrolled expansion.
+    *
+    * Scale: per hop one semi-join of the O(E) directed edge list
+    * against the O(frontier) set + a distinct + an anti-join against
+    * O(visited) — the visited set is vertex-bounded (catalog
+    * dimension), so both small sides broadcast; hops fixed and
+    * unrolled, same plan-growth argument as [[graphKcore]]. */
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = support2Edges(s, dir)
+    val und = e.select($"pa".as("src"), $"pb".as("dst"))
+      .unionByName(e.select($"pb".as("src"), $"pa".as("dst")))
+    val deg = und.groupBy($"src".as("v")).agg(count(lit(1)).as("d"))
+    val sources = deg.orderBy($"d".desc, $"v".asc).limit(5).select($"v")
+    var visited = sources
+    var frontier = sources
+    val levels = scala.collection.mutable.ArrayBuffer(
+      sources.agg(count(lit(1)).as("n_vertices"))
+        .select(lit(0).as("dist"), $"n_vertices"))
+    for (h <- 1 to 3) {
+      val next = und
+        .join(frontier.select($"v".as("src")), Seq("src"), "left_semi")
+        .select($"dst".as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+      frontier = next
+      visited = visited.unionByName(next)
+      levels += next.agg(count(lit(1)).as("n_vertices"))
+        .select(lit(h).as("dist"), $"n_vertices")
+    }
+    levels.reduce(_.unionByName(_)).orderBy($"dist")
+  }
+
+  /** Per-group Tukey BOX-PLOT profile over order totals (by order
+    * priority): five-number summary (min / q1 / median / q3 / max) plus
+    * the IQR-fence outlier count — the distributional health check
+    * behind every data-quality dashboard, and the principled outlier
+    * gate (1.5·IQR) that [[aggWinsorize]]'s fixed percentiles
+    * approximate. EXACT cross-engine despite interpolated quartiles:
+    * totals are integer cents, quartile positions p·(n−1) for
+    * p ∈ {¼,½,¾} have fractional parts in {0,.25,.5,.75}, and
+    * a + f·(b−a) with integer a,b and dyadic f is exactly
+    * representable in binary doubles — both engines compute the
+    * identical type-7 (linear-interpolation) quantile, so the hashes
+    * match bit-for-bit with no rounding step.
+    *
+    * Scale: quartiles are one sort-based aggregate per group (5
+    * bounded groups); the fence pass re-scans with the 5-row fence
+    * table BROADCAST, so the whole op is two linear passes and one
+    * 5-row exchange — no per-group sort ever leaves an executor. */
+  def aggBoxplot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderpriority".as("priority"),
+        round($"o_totalprice" * 100).cast("long").as("c"))
+    val q = o.groupBy($"priority").agg(
+      count(lit(1)).as("n"),
+      min($"c").as("min_c"), max($"c").as("max_c"),
+      percentile($"c", lit(0.25)).as("q1_c"),
+      percentile($"c", lit(0.5)).as("med_c"),
+      percentile($"c", lit(0.75)).as("q3_c"))
+    val fenced = q.select($"priority",
+      ($"q1_c" - ($"q3_c" - $"q1_c") * 1.5).as("lo_fence"),
+      ($"q3_c" + ($"q3_c" - $"q1_c") * 1.5).as("hi_fence"))
+    val outliers = o.join(broadcast(fenced), Seq("priority"))
+      .groupBy($"priority")
+      .agg(sum(when($"c" < $"lo_fence" || $"c" > $"hi_fence", 1L)
+        .otherwise(0L)).as("n_outliers"))
+    q.join(outliers, Seq("priority"))
+      .select($"priority", $"n", $"min_c", $"q1_c", $"med_c", $"q3_c",
+        $"max_c", $"n_outliers")
+      .orderBy($"priority")
+  }
+
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
   /** Reference signature op: per-user event-type counts & value sums as a
@@ -2471,6 +2590,9 @@ object Aggregates extends OpModule {
     "q_agg_price_index" -> (aggPriceIndex _),
     "q_graph_triangles" -> (graphTriangles _),
     "q_graph_sparsify" -> (graphSparsify _),
+    "q_graph_kcore" -> (graphKcore _),
+    "q_graph_bfs" -> (graphBfs _),
+    "q_agg_boxplot" -> (aggBoxplot _),
     "q_agg_bool" -> (aggBool _),
     "q_feat_unpivot" -> (featUnpivot _),
     "q_agg_argmax" -> (aggArgmax _),
@@ -2839,6 +2961,96 @@ object Aggregates extends OpModule {
         |  FROM cc GROUP BY rep)
         |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components
         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
+    "q_graph_kcore" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |d1 AS (SELECT v, COUNT(*) AS d FROM (
+        |    SELECT pa AS v FROM e0 UNION ALL SELECT pb FROM e0) GROUP BY v),
+        |k1 AS (SELECT v FROM d1 WHERE d >= 2),
+        |e1 AS (SELECT pa, pb FROM e0
+        |  WHERE pa IN (SELECT v FROM k1) AND pb IN (SELECT v FROM k1)),
+        |d2 AS (SELECT v, COUNT(*) AS d FROM (
+        |    SELECT pa AS v FROM e1 UNION ALL SELECT pb FROM e1) GROUP BY v),
+        |k2 AS (SELECT v FROM d2 WHERE d >= 2),
+        |e2 AS (SELECT pa, pb FROM e1
+        |  WHERE pa IN (SELECT v FROM k2) AND pb IN (SELECT v FROM k2)),
+        |d3 AS (SELECT v, COUNT(*) AS d FROM (
+        |    SELECT pa AS v FROM e2 UNION ALL SELECT pb FROM e2) GROUP BY v),
+        |k3 AS (SELECT v FROM d3 WHERE d >= 2),
+        |e3 AS (SELECT pa, pb FROM e2
+        |  WHERE pa IN (SELECT v FROM k3) AND pb IN (SELECT v FROM k3))
+        |SELECT CAST(1 AS INTEGER) AS round,
+        |  CAST((SELECT COUNT(*) FROM k1) AS BIGINT) AS n_vertices,
+        |  CAST((SELECT COUNT(*) FROM e1) AS BIGINT) AS n_edges
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER),
+        |  CAST((SELECT COUNT(*) FROM k2) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM e2) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER),
+        |  CAST((SELECT COUNT(*) FROM k3) AS BIGINT),
+        |  CAST((SELECT COUNT(*) FROM e3) AS BIGINT)
+        |ORDER BY round""".stripMargin,
+    "q_graph_bfs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM p
+        |  UNION ALL SELECT pb, pa FROM p),
+        |deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1),
+        |s0 AS (SELECT v FROM deg ORDER BY d DESC, v ASC LIMIT 5),
+        |f1 AS (SELECT DISTINCT e.dst AS v FROM e JOIN s0 ON e.src = s0.v
+        |  WHERE e.dst NOT IN (SELECT v FROM s0)),
+        |v1 AS (SELECT v FROM s0 UNION ALL SELECT v FROM f1),
+        |f2 AS (SELECT DISTINCT e.dst AS v FROM e JOIN f1 ON e.src = f1.v
+        |  WHERE e.dst NOT IN (SELECT v FROM v1)),
+        |v2 AS (SELECT v FROM v1 UNION ALL SELECT v FROM f2),
+        |f3 AS (SELECT DISTINCT e.dst AS v FROM e JOIN f2 ON e.src = f2.v
+        |  WHERE e.dst NOT IN (SELECT v FROM v2))
+        |SELECT CAST(0 AS INTEGER) AS dist,
+        |  CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_vertices
+        |UNION ALL SELECT CAST(1 AS INTEGER),
+        |  CAST((SELECT COUNT(*) FROM f1) AS BIGINT)
+        |UNION ALL SELECT CAST(2 AS INTEGER),
+        |  CAST((SELECT COUNT(*) FROM f2) AS BIGINT)
+        |UNION ALL SELECT CAST(3 AS INTEGER),
+        |  CAST((SELECT COUNT(*) FROM f3) AS BIGINT)
+        |ORDER BY dist""".stripMargin,
+    "q_agg_boxplot" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |q AS (
+        |  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(MIN(c) AS BIGINT) AS min_c,
+        |    CAST(MAX(c) AS BIGINT) AS max_c,
+        |    quantile_cont(c, 0.25) AS q1_c,
+        |    quantile_cont(c, 0.5) AS med_c,
+        |    quantile_cont(c, 0.75) AS q3_c
+        |  FROM o GROUP BY 1),
+        |f AS (
+        |  SELECT priority, q1_c - 1.5 * (q3_c - q1_c) AS lo_fence,
+        |    q3_c + 1.5 * (q3_c - q1_c) AS hi_fence
+        |  FROM q),
+        |outl AS (
+        |  SELECT o.priority,
+        |    CAST(SUM(CASE WHEN o.c < f.lo_fence OR o.c > f.hi_fence
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM o JOIN f ON o.priority = f.priority GROUP BY 1)
+        |SELECT q.priority, q.n, q.min_c, q.q1_c, q.med_c, q.q3_c,
+        |  q.max_c, outl.n_outliers
+        |FROM q JOIN outl ON q.priority = outl.priority
+        |ORDER BY q.priority""".stripMargin,
     "q_agg_price_index" ->
       """WITH b AS (
         |  SELECT l.l_partkey AS pk,

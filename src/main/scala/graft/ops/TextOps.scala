@@ -792,6 +792,35 @@ object TextOps extends OpModule {
        |ORDER BY v.token_id""".stripMargin
   }
 
+  /** Per-document LEXICAL-DIVERSITY profile: token count, distinct
+    * types, type-token ratio and hapax-legomenon share (both in ppm,
+    * integer floor-division — float-free). TTR and hapax rate are the
+    * cheap proxies for "template spam vs natural prose" every corpus
+    * quality pipeline thresholds on: machine-generated boilerplate
+    * repeats a tiny vocabulary (low TTR, near-zero hapax), natural
+    * text keeps introducing words it never reuses. Complements
+    * [[textRepetition]] (which looks at n-gram repeats) with a
+    * vocabulary-level signal.
+    *
+    * Scale: explode → two map-combinable aggregations keyed by
+    * (doc, term) then doc — the same one-shuffle-per-level shape as
+    * every TF pipeline here; no collect, no per-doc quadratic
+    * higher-order scan. */
+  def textLexical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"lang", $"term").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select($"doc_id", $"lang", $"n_tokens", $"n_types", $"n_hapax",
+        expr("1000000 * n_types div n_tokens").as("ttr_ppm"),
+        expr("1000000 * n_hapax div n_tokens").as("hapax_ppm"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_bpe_train" -> (textBpeTrain _),
     "q_text_bpe_encode" -> (textBpeEncode _),
@@ -814,12 +843,32 @@ object TextOps extends OpModule {
     "q_text_fingerprint" -> (textFingerprint _),
     "q_text_langid" -> (textLangid _),
     "q_text_redact" -> (textRedact _),
-    "q_text_collocations" -> (textCollocations _)
+    "q_text_collocations" -> (textCollocations _),
+    "q_text_lexical" -> (textLexical _)
   )
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_text_lexical" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    UNNEST(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |per AS (
+        |  SELECT doc_id, lang, term, COUNT(*) AS c
+        |  FROM tok GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT doc_id, lang,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax
+        |  FROM per GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_tokens, n_types, n_hapax,
+        |  CAST(1000000 * n_types // n_tokens AS BIGINT) AS ttr_ppm,
+        |  CAST(1000000 * n_hapax // n_tokens AS BIGINT) AS hapax_ppm
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q_text_bpe_train" -> bpeTrainOracle,
     "q_text_bpe_encode" -> bpeEncodeOracle,
     "q_text_bpe_apply" -> bpeApplyOracle,

@@ -59,6 +59,45 @@ object Windows extends OpModule {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** INTEGER-EXACT rolling Z-SCORE anomaly flags — the per-entity
+    * "is this event wildly off this user's own recent baseline?"
+    * monitor that backs fraud/abuse triage and metric alerting: each
+    * event is compared against the mean and population variance of the
+    * SAME user's previous 10 event values (current row excluded — the
+    * baseline must not contain the point it judges; ≥5 prior points
+    * required, else no verdict). Flagged when |v − μ| > 2σ.
+    *
+    * The whole predicate is INT64: with cent-values v, frame sum S,
+    * frame sum-of-squares SS and frame count n,
+    * |v − S/n| > 2·sqrt((n·SS − S²)/n²)  ⟺  (n·v − S)² > 4·(n·SS − S²)
+    * — multiply through by n² and square both sides (both are
+    * non-negative). No division, no sqrt, no float ever crosses the
+    * engine boundary, so the flag is bit-exact against the oracle's
+    * identical integer algebra (bounds: cents ≤ 10⁵ ⇒ n·SS ≤ 10¹²,
+    * far inside int64).
+    *
+    * One shuffle on user_id; the three frame aggregates share one
+    * window sort (same spec → one Window node); the flag itself is a
+    * codegen'd scalar expression. */
+  def winZscore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-10, -1)
+    Tables.t(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts",
+        round($"value" * 100).cast("long").as("v_c"))
+      .select($"event_id", $"user_id", $"v_c",
+        count($"v_c").over(w).as("n_w"),
+        sum($"v_c").over(w).as("s_w"),
+        sum($"v_c" * $"v_c").over(w).as("ss_w"))
+      .select($"event_id", $"user_id", $"v_c", $"n_w",
+        ($"n_w" >= 5 &&
+          ($"n_w" * $"v_c" - $"s_w") * ($"n_w" * $"v_c" - $"s_w") >
+            lit(4L) * ($"n_w" * $"ss_w" - $"s_w" * $"s_w"))
+          .as("is_anomaly"))
+      .orderBy($"event_id")
+  }
+
   /** INTEGER-EXACT EWMA trend feature — the exponential smoothing the
     * moving average can't give (recent points dominate): per-nation
     * daily quantity smoothed with DYADIC weights 2⁷…2⁰ over the last 8
@@ -427,6 +466,7 @@ object Windows extends OpModule {
     "q_win_running" -> (winRunning _),
     "q_win_moving_avg" -> (winMovingAvg _),
     "q_win_ewma" -> (winEwma _),
+    "q_win_zscore" -> (winZscore _),
     "q_win_range_frame" -> (winRangeFrame _),
     "q_win_lead_lag" -> (winLeadLag _),
     "q_win_first_last" -> (winFirstLast _),
@@ -460,6 +500,24 @@ object Windows extends OpModule {
       |ORDER BY user_id, session_idx""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_win_zscore" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v_c
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, v_c,
+        |    CAST(COUNT(v_c) OVER win AS BIGINT) AS n_w,
+        |    CAST(SUM(v_c) OVER win AS BIGINT) AS s_w,
+        |    CAST(SUM(v_c * v_c) OVER win AS BIGINT) AS ss_w
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, v_c, n_w,
+        |  (n_w >= 5 AND
+        |    (n_w * v_c - s_w) * (n_w * v_c - s_w) >
+        |      4 * (n_w * ss_w - s_w * s_w)) AS is_anomaly
+        |FROM w ORDER BY event_id""".stripMargin,
     "q_win_rolling_median" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -2353,4 +2353,99 @@ class OperatorGoldenSpec extends SparkSpec {
       .filter($"cs0" =!= $"cs").count()
     assert(cdiff === 0L)
   }
+
+  test("kcore peel trace is monotone non-increasing (round 13)") {
+    val rows = run("q_graph_kcore").collect()
+    assert(rows.length === 3)
+    val vs = rows.map(_.getAs[Long]("n_vertices"))
+    val es = rows.map(_.getAs[Long]("n_edges"))
+    assert(vs.zip(vs.tail).forall { case (a, b) => b <= a },
+      s"vertex counts must shrink or hold: ${vs.mkString(",")}")
+    assert(es.zip(es.tail).forall { case (a, b) => b <= a },
+      s"edge counts must shrink or hold: ${es.mkString(",")}")
+    // a 2-core survivor set can never out-count its own edge support:
+    // every survivor has degree ≥ 2 ⇒ E ≥ V (handshake ≥ 2V / 2)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_edges") >= r.getAs[Long]("n_vertices") ||
+        r.getAs[Long]("n_vertices") == 0))
+  }
+
+  test("bfs levels are disjoint first-reach counts (round 13)") {
+    val rows = run("q_graph_bfs").collect()
+    assert(rows.map(_.getAs[Int]("dist")).toSeq === Seq(0, 1, 2, 3))
+    assert(rows.head.getAs[Long]("n_vertices") === 5L, "5 hub sources")
+    // levels partition reached vertices — their sum cannot exceed the
+    // graph's vertex population (parts appearing in any lineitem)
+    val total = Tables.t(spark, sf, "lineitem")
+      .select($"l_partkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_vertices")).sum <= total)
+  }
+
+  test("boxplot quartiles bracket correctly and median matches brute force (round 13)") {
+    val rows = run("q_agg_boxplot").collect()
+    rows.foreach { r =>
+      val (mn, q1, med, q3, mx) = (r.getAs[Long]("min_c").toDouble,
+        r.getAs[Double]("q1_c"), r.getAs[Double]("med_c"),
+        r.getAs[Double]("q3_c"), r.getAs[Long]("max_c").toDouble)
+      assert(mn <= q1 && q1 <= med && med <= q3 && q3 <= mx)
+      assert(r.getAs[Long]("n_outliers") < r.getAs[Long]("n"))
+    }
+    // brute-force the median of one group (type-7: position p·(n−1))
+    val g = rows.head.getAs[String]("priority")
+    val cs = Tables.t(spark, sf, "orders")
+      .filter($"o_orderpriority" === g)
+      .select(round($"o_totalprice" * 100).cast("long").as("c"))
+      .as[Long].collect().sorted
+    val pos = 0.5 * (cs.length - 1)
+    val (lo, hi) = (cs(pos.toInt), cs(math.ceil(pos).toInt))
+    val expected = lo + (pos - pos.toInt) * (hi - lo)
+    assert(rows.head.getAs[Double]("med_c") === expected)
+  }
+
+  test("rolling z-score flags match a brute-force recompute (round 13)") {
+    val got = run("q_win_zscore")
+      .select($"event_id", $"v_c", $"n_w", $"is_anomaly")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_w"),
+          Option(r.get(3)).map(_.asInstanceOf[Boolean]))).toMap
+    val events = Tables.t(spark, sf, "events")
+      .select($"user_id", $"ts", $"event_id",
+        round($"value" * 100).cast("long").as("v_c"))
+      .as[(Long, java.sql.Timestamp, Long, Long)].collect()
+      .groupBy(_._1)
+    events.values.foreach { es =>
+      val sorted = es.sortBy(e => (e._2.getTime, e._3))
+      sorted.indices.foreach { i =>
+        val frame = sorted.slice(math.max(0, i - 10), i).map(_._4)
+        val (id, v) = (sorted(i)._3, sorted(i)._4)
+        val n = frame.length.toLong
+        val (s, ss) = (frame.sum, frame.map(x => x * x).sum)
+        val expect = Some(n >= 5 &&
+          (n * v - s) * (n * v - s) > 4 * (n * ss - s * s))
+        val (gn, gflag) = got(id)
+        assert(gn === n, s"event $id frame count")
+        assert(gflag === expect, s"event $id flag")
+      }
+    }
+  }
+
+  test("lexical diversity bounds and one-doc brute force (round 13)") {
+    val rows = run("q_text_lexical").collect()
+    rows.foreach { r =>
+      val (tok, typ, hap) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_types"), r.getAs[Long]("n_hapax"))
+      assert(typ <= tok && hap <= typ)
+      assert(r.getAs[Long]("ttr_ppm") <= 1000000L)
+      assert(r.getAs[Long]("hapax_ppm") <= r.getAs[Long]("ttr_ppm"),
+        "every hapax is its own type, so hapax share ≤ type share")
+    }
+    val doc0 = Tables.t(spark, sf, "documents")
+      .filter($"doc_id" === rows.head.getAs[Long]("doc_id"))
+      .select($"text").as[String].first().split(" ", -1)
+    val counts = doc0.groupBy(identity).view.mapValues(_.length)
+    assert(rows.head.getAs[Long]("n_tokens") === doc0.length.toLong)
+    assert(rows.head.getAs[Long]("n_types") === counts.size.toLong)
+    assert(rows.head.getAs[Long]("n_hapax") ===
+      counts.count(_._2 == 1).toLong)
+  }
 }
