@@ -703,15 +703,25 @@ object Aggregates extends OpModule {
     * [[graft.ops.Dedup.connectedComponents]] recipe. */
   def graphKcore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // each round's survivor set and edge list PERSIST (OpCache): the
+    // result frame reads every round's counts, and without the round
+    // checkpoints each count branch would re-derive the whole nested
+    // semi-join lineage — the per-round persist is the same
+    // plan-growth discipline the components fixpoint applies
     var edges = support2Edges(s, dir)
     val rounds = (1 to 3).map { r =>
-      val deg = edges.select($"pa".as("v"))
-        .unionByName(edges.select($"pb".as("v")))
-        .groupBy($"v").agg(count(lit(1)).as("d"))
-      val keep = deg.filter($"d" >= 2).select($"v")
-      edges = edges
-        .join(keep.select($"v".as("pa")), Seq("pa"), "left_semi")
-        .join(keep.select($"v".as("pb")), Seq("pb"), "left_semi")
+      val prev = edges
+      val keep = OpCache.cached(s, dir, s"kcore_keep_$r") {
+        prev.select($"pa".as("v"))
+          .unionByName(prev.select($"pb".as("v")))
+          .groupBy($"v").agg(count(lit(1)).as("d"))
+          .filter($"d" >= 2).select($"v")
+      }
+      edges = OpCache.cached(s, dir, s"kcore_edges_$r") {
+        prev
+          .join(keep.select($"v".as("pa")), Seq("pa"), "left_semi")
+          .join(keep.select($"v".as("pb")), Seq("pb"), "left_semi")
+      }
       keep.agg(count(lit(1)).as("n_vertices"))
         .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
         .select(lit(r).as("round"), $"n_vertices", $"n_edges")
@@ -737,24 +747,35 @@ object Aggregates extends OpModule {
     * unrolled, same plan-growth argument as [[graphKcore]]. */
   def graphBfs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = support2Edges(s, dir)
-    val und = e.select($"pa".as("src"), $"pb".as("dst"))
-      .unionByName(e.select($"pb".as("src"), $"pa".as("dst")))
-    val deg = und.groupBy($"src".as("v")).agg(count(lit(1)).as("d"))
-    val sources = deg.orderBy($"d".desc, $"v".asc).limit(5).select($"v")
+    val und = OpCache.cached(s, dir, "bfs_und") {
+      val e = support2Edges(s, dir)
+      e.select($"pa".as("src"), $"pb".as("dst"))
+        .unionByName(e.select($"pb".as("src"), $"pa".as("dst")))
+    }
+    // per-hop frontier/visited PERSIST (OpCache): each hop references
+    // the previous two, and the four count branches would otherwise
+    // re-derive the whole expansion chain — same per-round checkpoint
+    // discipline as [[graphKcore]]
+    val sources = OpCache.cached(s, dir, "bfs_src") {
+      und.groupBy($"src".as("v")).agg(count(lit(1)).as("d"))
+        .orderBy($"d".desc, $"v".asc).limit(5).select($"v")
+    }
     var visited = sources
     var frontier = sources
     val levels = scala.collection.mutable.ArrayBuffer(
       sources.agg(count(lit(1)).as("n_vertices"))
         .select(lit(0).as("dist"), $"n_vertices"))
     for (h <- 1 to 3) {
-      val next = und
-        .join(frontier.select($"v".as("src")), Seq("src"), "left_semi")
-        .select($"dst".as("v")).distinct()
-        .join(visited, Seq("v"), "left_anti")
-      frontier = next
-      visited = visited.unionByName(next)
-      levels += next.agg(count(lit(1)).as("n_vertices"))
+      val (pf, pv) = (frontier, visited)
+      frontier = OpCache.cached(s, dir, s"bfs_f$h") {
+        und.join(pf.select($"v".as("src")), Seq("src"), "left_semi")
+          .select($"dst".as("v")).distinct()
+          .join(pv, Seq("v"), "left_anti")
+      }
+      visited = OpCache.cached(s, dir, s"bfs_v$h") {
+        pv.unionByName(frontier)
+      }
+      levels += frontier.agg(count(lit(1)).as("n_vertices"))
         .select(lit(h).as("dist"), $"n_vertices")
     }
     levels.reduce(_.unionByName(_)).orderBy($"dist")
