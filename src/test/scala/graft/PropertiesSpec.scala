@@ -132,6 +132,74 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("targeted rewrites under MIXED stats columns match the model (ADVICE r12)") {
+    // The statsBy-identity regression surface, model-based: commits
+    // randomly record file stats on the KEY column or on an unrelated
+    // column x (= k + 1000, so x-ranges never contain the keys), and
+    // optimize(clusterBy) randomly re-records stats on either — then
+    // every targeted delete/merge on k must still produce exactly the
+    // model's row set. Before the fix a file with x-stats was treated
+    // as having k-range [lo,hi] ∌ key and silently carried its
+    // matching rows through a DELETE.
+    import graft.sources.VersionedTable
+    sealed trait Step
+    case class CommitS(n: Int, statsOnX: Boolean) extends Step
+    case class DeleteT(frac: Double) extends Step
+    case class MergeT(frac: Double, nIns: Int) extends Step
+    case class OptimizeC(onX: Boolean) extends Step
+    val genStep: Gen[Step] = Gen.frequency(
+      4 -> Gen.zip(Gen.chooseNum(1, 3), Gen.oneOf(true, false))
+        .map { case (n, b) => CommitS(n, b) },
+      3 -> Gen.chooseNum(0.0, 1.0).map(DeleteT),
+      2 -> Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0, 2))
+        .map { case (f, n) => MergeT(f, n) },
+      1 -> Gen.oneOf(true, false).map(OptimizeC))
+    val genHistory = Gen.listOfN(7, genStep)
+      .map(h => (CommitS(2, statsOnX = true) :: h) :+ DeleteT(0.7))
+    var nextKey = 0L
+    samples(genHistory, 2).foreach { steps =>
+      withTmpDir("graft_statsby_model") { base =>
+        val root = s"$base/t"
+        val model = scala.collection.mutable.Map[Long, String]()
+        def frame(rows: Seq[(Long, String)]) =
+          rows.map { case (k, v) => (k, k + 1000L, v) }
+            .toDF("k", "x", "v").repartition(1)
+        steps.foreach {
+          case CommitS(n, onX) =>
+            val rows = Seq.fill(n) { nextKey += 1; nextKey }
+              .map(k => (k, s"r$k"))
+            VersionedTable.commit(frame(rows), root,
+              statsCol = Some(if (onX) "x" else "k"))
+            rows.foreach { case (k, v) => model(k) = v }
+          case DeleteT(frac) =>
+            val del = model.keys.toSeq.sorted
+              .filter(k => (k * frac).toLong % 3 == 0)
+            if (del.nonEmpty) {
+              VersionedTable.delete(spark, root, del.toDF("k"), "k")
+              del.foreach(model.remove)
+            }
+          case MergeT(frac, nIns) =>
+            val upd = model.keys.toSeq.sorted
+              .filter(k => (k * frac).toLong % 4 == 0)
+            val ins = Seq.fill(nIns) { nextKey += 1; nextKey }
+            val rows = upd.map(k => (k, s"u$k")) ++
+              ins.map(k => (k, s"r$k"))
+            if (rows.nonEmpty) {
+              VersionedTable.mergeTargeted(spark, root, frame(rows), "k")
+              rows.foreach { case (k, v) => model(k) = v }
+            }
+          case OptimizeC(onX) =>
+            VersionedTable.optimize(spark, root, numFiles = 2,
+              clusterBy = Some(if (onX) "x" else "k"))
+        }
+        val got = VersionedTable.read(spark, root)
+          .select($"k", $"v").as[(Long, String)].collect().toMap
+        assert(got === model.toMap,
+          s"targeted rewrites diverged from the model (steps: $steps)")
+      }
+    }
+  }
+
   test("delta manifests: a 55-commit history resolves every version; checkpoints only every K") {
     // r9 verdict item 2: manifests record add/remove vs parent with a
     // periodic full checkpoint, and resolve(deltas) must equal the old
