@@ -1086,6 +1086,48 @@ object PipelineOps extends OpModule {
     * Scale shape: one map-side-combinable count per key column set,
     * then an O(1) conditional rollup per table; feeds union of
     * O(tables) rows. */
+  /** SEQUENCE-GAP detection over the lineitem order-id line — the
+    * "which id ranges are missing" audit that catches dropped ingest
+    * batches and partial backfills (a contiguous missing run is a
+    * lost file; isolated gaps are orders that genuinely have no
+    * lines — this corpus has ~1.7% of them, so the audit reads real
+    * holes): the 10 LARGEST gaps between consecutive present
+    * l_orderkey values, as [gap_start, gap_end] ranges with lengths.
+    * Fully integer.
+    *
+    * Scale shape — the naive global `lead` is a single-partition
+    * window (banned here since round 8); instead the id space BUCKETS
+    * by `k div 8192`: within-bucket gaps come from a bucket-partitioned
+    * window (fully parallel), cross-bucket gaps from a second window
+    * over the O(buckets) per-bucket (min, max) rollup — runs of wholly
+    * empty buckets collapse into one boundary gap between consecutive
+    * non-empty buckets. The two sets tile the id line disjointly, so
+    * their union IS the global gap list; the only serial step is the
+    * O(buckets) rollup window. Top-10 compiles to
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  def dqGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keys = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey".as("k")).distinct()
+      .withColumn("b", expr("k div 8192"))
+    val wIn = Window.partitionBy($"b").orderBy($"k")
+    val inner = keys
+      .withColumn("nk", lead($"k", 1).over(wIn))
+      .filter($"nk" - $"k" > 1)
+      .select(($"k" + 1).as("gap_start"), ($"nk" - 1).as("gap_end"))
+    val bounds = keys.groupBy($"b")
+      .agg(min($"k").as("lo"), max($"k").as("hi"))
+    val wB = Window.orderBy($"b")
+    val boundary = bounds
+      .withColumn("next_lo", lead($"lo", 1).over(wB))
+      .filter($"next_lo" - $"hi" > 1)
+      .select(($"hi" + 1).as("gap_start"), ($"next_lo" - 1).as("gap_end"))
+    inner.unionByName(boundary)
+      .select($"gap_start", $"gap_end",
+        ($"gap_end" - $"gap_start" + 1).as("gap_len"))
+      .orderBy($"gap_len".desc, $"gap_start").limit(10)
+  }
+
   def dqUniqueness(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def audit(table: String, keyName: String, df: DataFrame,
@@ -1231,6 +1273,7 @@ object PipelineOps extends OpModule {
     "q_dq_skew" -> (dqSkew _),
     "q_dq_referential" -> (dqReferential _),
     "q_dq_freshness" -> (dqFreshness _),
+    "q_dq_gaps" -> (dqGaps _),
     "q_dq_psi" -> (dqPsi _),
     "q_dq_burstiness" -> (dqBurstiness _),
     "q_dq_uniqueness" -> (dqUniqueness _),
@@ -1361,6 +1404,14 @@ object PipelineOps extends OpModule {
         |SELECT table_name, rows_before, rows_deleted,
         |  rows_before - rows_deleted AS rows_after, orphans_after
         |FROM u CROSS JOIN orph ORDER BY table_name""".stripMargin,
+    "q_dq_gaps" ->
+      """WITH k AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        |g AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k)
+        |SELECT CAST(k + 1 AS BIGINT) AS gap_start,
+        |  CAST(nk - 1 AS BIGINT) AS gap_end,
+        |  CAST(nk - k - 1 AS BIGINT) AS gap_len
+        |FROM g WHERE nk - k > 1
+        |ORDER BY gap_len DESC, gap_start LIMIT 10""".stripMargin,
     "q_dq_uniqueness" ->
       """WITH c AS (
         |  SELECT 'customer' AS table_name, 'c_custkey' AS key, m
