@@ -621,7 +621,10 @@ class PlanSpec extends SparkSpec {
       "q_agg_changepoint" -> "O(days) daily-revenue rollup",
       "q_sketch_quantile" -> "~100 histogram register rows",
       "q_dq_anomaly" -> "O(days) daily-count rollup",
-      "q_feat_survival" -> "O(months) tenure rollup")
+      "q_feat_survival" -> "O(months) tenure rollup",
+      "q_agg_lorenz" -> "O(bins) offsets rollup (Ranks) + O(10) decile cumsum",
+      "q_agg_decile_lift" -> "O(bins) offsets rollup (Ranks) + O(10) decile cumsum",
+      "q_dq_gaps" -> "O(id-space div 8192) per-bucket min/max rollup")
     val offenders = scala.collection.mutable.Map[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val lp = fn(spark, sf).queryExecution.optimizedPlan
