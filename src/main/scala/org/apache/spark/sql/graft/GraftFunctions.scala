@@ -112,7 +112,35 @@ object GraftFunctions {
     * left replication ≤ 2 bins/row). */
   def bandJoin(left: DataFrame, leftVal: String,
       right: DataFrame, rightVal: String,
-      loFactor: Double, hiFactor: Double, binWidth: Double): DataFrame = {
+      loFactor: Double, hiFactor: Double, binWidth: Double): DataFrame =
+    bandJoinAffine(left, leftVal, right, rightVal,
+      loFactor, hiFactor, 0.0, 0.0, binWidth)
+
+  /** ADDITIVE band join — the true temporal interval join: every
+    * (`left`, `right`) pair with `right.rightVal BETWEEN
+    * left.leftVal+loOffset AND left.leftVal+hiOffset` (offsets in the
+    * value's own unit — e.g. µs on packed time keys, with
+    * `loOffset = −Δ, hiOffset = +Δ` for a symmetric ±Δ window). A
+    * multiplicative band cannot express this constant-width window
+    * (the factor would have to vary per row); the affine exec runs it
+    * natively with factors 1. Values must be non-negative and the
+    * whole band non-negative-reachable (binning floors at the shifted
+    * bound); binWidth ≥ hiOffset−loOffset keeps left replication ≤ 2
+    * bins per row. */
+  def bandJoinOffset(left: DataFrame, leftVal: String,
+      right: DataFrame, rightVal: String,
+      loOffset: Double, hiOffset: Double, binWidth: Double): DataFrame = {
+    require(hiOffset >= loOffset,
+      s"bandJoinOffset requires loOffset <= hiOffset; " +
+        s"got ($loOffset, $hiOffset)")
+    bandJoinAffine(left, leftVal, right, rightVal,
+      1.0, 1.0, loOffset, hiOffset, binWidth)
+  }
+
+  private def bandJoinAffine(left: DataFrame, leftVal: String,
+      right: DataFrame, rightVal: String,
+      loFactor: Double, hiFactor: Double,
+      loOffset: Double, hiOffset: Double, binWidth: Double): DataFrame = {
     require(loFactor >= 0 && hiFactor >= loFactor && binWidth > 0,
       s"bandJoin requires 0 <= loFactor <= hiFactor and binWidth > 0; " +
         s"got ($loFactor, $hiFactor, $binWidth)")
@@ -125,8 +153,8 @@ object GraftFunctions {
     val lBin = "__graft_band_bin_l"
     val rBin = "__graft_band_bin_r"
     val lExp = left.withColumn(lBin, explode(sequence(
-      floor(col(leftVal) * loFactor / binWidth).cast("long"),
-      floor(col(leftVal) * hiFactor / binWidth).cast("long"))))
+      floor((col(leftVal) * loFactor + loOffset) / binWidth).cast("long"),
+      floor((col(leftVal) * hiFactor + hiOffset) / binWidth).cast("long"))))
     val rExp = right.withColumn(rBin,
       floor(col(rightVal) / binWidth).cast("long"))
     val lp = lExp.queryExecution.analyzed
@@ -141,7 +169,7 @@ object GraftFunctions {
     classic.Dataset.ofRows(spark, BandJoinPlan(lp, rp,
       attr(lp, lBin, "left"), attr(lp, leftVal, "left"),
       attr(rp, rBin, "right"), attr(rp, rightVal, "right"),
-      loFactor, hiFactor))
+      loFactor, hiFactor, loOffset, hiOffset))
       .drop(lBin, rBin)
   }
 

@@ -98,6 +98,62 @@ class BandJoinSpec extends SparkSpec {
     }
   }
 
+  test("additive band (offsets, factors 1) equals brute force on both paths") {
+    // The round-13 affine generalization: constant-width windows a
+    // multiplicative band cannot express. Seeded random, including
+    // values near 0 where the shifted lower bound goes negative
+    // (negative candidate bins must be harmless empty probes).
+    val rnd = new scala.util.Random(13)
+    for (round <- 1 to 4) {
+      val nl = 30 + rnd.nextInt(80)
+      val nr = rnd.nextInt(250)
+      val left = (0 until nl).map(i =>
+        (rnd.nextInt(80) * 1.5, i.toLong)).toDF("lv", "lid")
+      val right = (0 until nr).map(i =>
+        (rnd.nextInt(80) * 1.5, i.toLong)).toDF("rv", "rid")
+      val (loO, hiO) = (-12.0, 12.0)
+      val lRows = left.as[(Double, Long)].collect()
+      val rRows = right.as[(Double, Long)].collect()
+      val want = (for {
+        (lv, lid) <- lRows
+        (rv, rid) <- rRows
+        if rv >= lv + loO && rv <= lv + hiO
+      } yield (lid, rid)).sorted.toSeq
+      bothPaths { path =>
+        val got = GraftFunctions
+          .bandJoinOffset(left, "lv", right, "rv", loO, hiO, 24.0)
+          .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+        assert(got === want, s"round $round ($path): $nl x $nr")
+      }
+    }
+  }
+
+  test("interval-events join: band exec, no BNLJ, equals brute force") {
+    val dir = "/root/testdata/sf0.001"
+    // brute-force reference via a plain (cross-shaped) join in Spark
+    val e = graft.Tables.t(spark, dir, "events")
+    val err = e.filter($"event_type" === "error")
+      .select($"event_id".as("err_id"), $"ts".as("err_ts"))
+    val pur = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"ts".as("p_ts"))
+    val want = err.join(pur,
+        unix_micros($"p_ts").between(
+          unix_micros($"err_ts") - 3600000000L,
+          unix_micros($"err_ts") + 3600000000L))
+      .groupBy($"err_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        min($"p_id").as("min_p"), max($"p_id").as("max_p"))
+      .orderBy($"err_id").collect().map(_.toSeq).toSeq
+    bothPaths { path =>
+      val df = SparkEntry.queries("q_join_interval_events")(spark, dir)
+      assert(df.collect().map(_.toSeq).toSeq === want, s"path $path")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BandJoin"), s"must run the band exec:\n$p")
+      assert(!p.contains("BroadcastNestedLoop"),
+        s"the interval join must never fall back to BNLJ:\n$p")
+    }
+  }
+
   test("plan: small right side takes the broadcast path, no shuffle on the join") {
     val dir = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("q_join_range_native")(spark, dir)

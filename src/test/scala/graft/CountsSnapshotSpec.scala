@@ -411,7 +411,19 @@ class CountsSnapshotSpec extends SparkSpec {
     // source + diverged-clone rollups
     "q_scan_table_clone" -> 2L,
     // per-year rollup after the 1996 partition re-run
-    "q_part_overwrite" -> 3L)
+    "q_part_overwrite" -> 3L,
+    // round-13 additions (each oracle-exact at sf0.01 + sf0.1 first)
+    "q_graph_kcore" -> 3L,       // one peel-trace row per round
+    "q_graph_bfs" -> 4L,         // hop-distance histogram 0..3
+    "q_agg_boxplot" -> 5L,       // one five-number row per priority
+    "q_agg_lorenz" -> 10L,       // one row per spend decile
+    "q_agg_decile_lift" -> 10L,  // one row per propensity decile
+    "q_win_zscore" -> 1000L,     // one flag row per event
+    "q_stream_anomaly" -> 1000L, // streaming twin: same grain
+    "q_text_lexical" -> 500L,    // one profile row per document
+    "q_dq_gaps" -> 10L,          // top-10 largest id gaps
+    // errors with ≥1 purchase inside their ±1 h window (true interval join)
+    "q_join_interval_events" -> 81L)
 
   test("snapshot covers exactly the registered queries") {
     assert(expected.keySet === SparkEntry.queries.keySet)

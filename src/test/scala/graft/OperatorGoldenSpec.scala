@@ -2326,6 +2326,25 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(sm === sb, "sparsified edges diverged between join strategies")
   }
 
+  test("copurchaseEdgeBound is a sound, cheap stand-in for the edge count") {
+    // The r13 gate replacement: broadcast-vs-merge is decided by the
+    // Σ k(k−1)/2 pre-distinct bound, never by materializing the edge
+    // list. Soundness = bound ≥ exact distinct count; equivalence =
+    // on this corpus both sides of the gate agree (sf0.001 is far
+    // below the 4M ceiling, so both verdicts must be `true`).
+    val bound = Aggregates.copurchaseEdgeBound(spark, sf)
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey")
+    val exact = li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .filter($"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey", $"b.l_partkey").distinct().count()
+    assert(bound >= exact, s"bound $bound < exact edge count $exact")
+    assert((bound <= Aggregates.BroadcastAdjMaxEdges) ===
+      (exact <= Aggregates.BroadcastAdjMaxEdges),
+      "gate verdict diverged between bound and exact count at this SF")
+  }
+
   test("withGlobalRn ≡ single-partition row_number (randomized)") {
     // The exactness contract Ranks' six round-8 refactors rest on:
     // the two-level rank is bit-identical to the unpartitioned-window
