@@ -423,7 +423,9 @@ class CountsSnapshotSpec extends SparkSpec {
     "q_text_lexical" -> 500L,    // one profile row per document
     "q_dq_gaps" -> 10L,          // top-10 largest id gaps
     // errors with ≥1 purchase inside their ±1 h window (true interval join)
-    "q_join_interval_events" -> 81L)
+    "q_join_interval_events" -> 81L,
+    // pre-rename / head / feed legs of the schema-evolution query
+    "q_scan_table_rename" -> 3L)
 
   test("snapshot covers exactly the registered queries") {
     assert(expected.keySet === SparkEntry.queries.keySet)

@@ -30,6 +30,7 @@ class PropertiesSpec extends SparkSpec {
     case class Rollback(frac: Double) extends Step
     case class Merge(updFrac: Double, nIns: Int) extends Step
     case class DeferDelete(frac: Double) extends Step
+    case object Rename extends Step // flips the value column's name
     var nextKey = 0L
     val genStep: Gen[Step] = Gen.frequency(
       5 -> Gen.chooseNum(1, 4).map(n => Commit(Seq.fill(n)(0L))),
@@ -37,25 +38,33 @@ class PropertiesSpec extends SparkSpec {
       2 -> Gen.chooseNum(0.0, 1.0).map(Rollback),
       2 -> Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0, 2))
         .map { case (f, n) => Merge(f, n) },
-      2 -> Gen.chooseNum(0.0, 1.0).map(DeferDelete))
+      2 -> Gen.chooseNum(0.0, 1.0).map(DeferDelete),
+      1 -> Gen.const(Rename))
     // history starts with a commit and always interleaves at least one
-    // deferred delete (fixed seeds would otherwise be free to never
-    // draw the MOR step)
+    // deferred delete AND one rename (round 13 — every later step must
+    // keep agreeing with the model across a schema evolution; fixed
+    // seeds would otherwise be free to never draw either step)
     val genHistory = for {
       h <- Gen.listOfN(6, genStep)
       f <- Gen.chooseNum(0.0, 1.0)
-    } yield Commit(Seq(0L)) :: (h.take(3) ++ (DeferDelete(f) :: h.drop(3)))
+    } yield Commit(Seq(0L)) ::
+      (h.take(2) ++ (Rename :: h.slice(2, 3)) ++
+        (DeferDelete(f) :: h.drop(3)))
     samples(genHistory, 2).foreach { steps =>
       withTmpDir("graft_vtable_model") { base =>
         val root = s"$base/t"
         // model(v) = the key multiset version v must read back
         val model = scala.collection.mutable.ArrayBuffer[Seq[Long]](Nil)
         val added = scala.collection.mutable.Map[Int, Seq[Long]]()
+        // the value column's LOGICAL name in force (flipped by Rename);
+        // nameAt(v) = name each version must read back under
+        var vCol = "v"
+        val nameAt = scala.collection.mutable.ArrayBuffer[String]("v")
         steps.foreach {
           case Commit(ks) =>
             val keys = ks.map { _ => nextKey += 1; nextKey }
             val v = VersionedTable.commit(
-              keys.map(k => (k, s"r$k")).toDF("k", "v"), root)
+              keys.map(k => (k, s"r$k")).toDF("k", vCol), root)
             model += (model.last ++ keys)
             added(v) = keys
             assert(v === model.size - 1)
@@ -75,13 +84,13 @@ class PropertiesSpec extends SparkSpec {
             val upd = live.filter(k => (k * updFrac).toLong % 3 == 0)
             val ins = Seq.fill(nIns) { nextKey += 1; nextKey }
             val updates = (upd.map(k => (k, s"u$k")) ++
-              ins.map(k => (k, s"r$k"))).toDF("k", "v")
+              ins.map(k => (k, s"r$k"))).toDF("k", vCol)
             VersionedTable.merge(spark, root, updates, "k")
             model += (live ++ ins) // replace-commit: no delta law entry
             // updated rows must read back with the merged values
             if (upd.nonEmpty) {
               val gotUpd = VersionedTable.read(spark, root)
-                .filter($"k".isin(upd: _*)).select($"v").as[String]
+                .filter($"k".isin(upd: _*)).select(col(vCol)).as[String]
                 .collect().toSet
               assert(gotUpd === upd.map(k => s"u$k").toSet,
                 s"merge did not replace matched rows (steps: $steps)")
@@ -102,6 +111,20 @@ class PropertiesSpec extends SparkSpec {
             assert(VersionedTable.resolveFiles(root, v) === before,
               s"deferred delete moved data files (steps: $steps)")
             model += model.last.filterNot(del.toSet)
+          case Rename =>
+            // metadata-only: flips the value column's logical name;
+            // rows, files, and masks must all be untouched
+            val to = if (vCol == "v") "val2" else "v"
+            VersionedTable.renameColumn(spark, root, vCol, to)
+            vCol = to
+            model += model.last
+        }
+        steps.foldLeft("v") { (n, s) =>
+          val next = s match {
+            case Rename => if (n == "v") "val2" else "v"
+            case _ => n
+          }
+          nameAt += next; next
         }
         // the history log must transcribe the executed steps: one row
         // per version, kinds matching the step types in order
@@ -111,13 +134,19 @@ class PropertiesSpec extends SparkSpec {
           case _: Rollback => "rollback"
           case _: Merge => "replace" // cdc=false merge
           case _: DeferDelete => "eqdelete"
+          case Rename => "schema"
         }
         val gotKinds = VersionedTable.history(spark, root)
           .orderBy($"version").select($"kind").as[String].collect().toSeq
         assert(gotKinds === expectedKinds,
           s"history log diverged from the executed steps (steps: $steps)")
         (1 until model.size).foreach { v =>
-          val got = VersionedTable.read(spark, root, Some(v))
+          val frame = VersionedTable.read(spark, root, Some(v))
+          // each version reads under the logical names in force AT v
+          // (pre-activation versions keep their raw written names)
+          assert(frame.columns.toSet === Set("k", nameAt(v)),
+            s"version $v columns != (k, ${nameAt(v)}) (steps: $steps)")
+          val got = frame
             .select($"k").as[Long].collect().sorted.toSeq
           assert(got === model(v).sorted,
             s"version $v diverged from the model (steps: $steps)")

@@ -1,0 +1,229 @@
+package graft
+
+import graft.sources.VersionedTable
+import org.apache.spark.sql.DataFrame
+
+/** Column-mapping schema evolution (round 13 — the r12 verdict's top
+  * item): rename/drop/add/widen as metadata-only commits that never
+  * sever history, the change feed, targeted rewrites, deferred-delete
+  * masks, clones, or partition overwrites. Physical names are the
+  * stable identity; every public API speaks the version's LOGICAL
+  * names. */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kv(rows: (Long, String)*): DataFrame = rows.toDF("k", "v")
+
+  test("rename keeps every version readable under its own names") {
+    withTmpDir("graft_evo_rename") { base =>
+      val root = s"$base/t"
+      val v1 = VersionedTable.commit(kv(1L -> "a"), root)
+      val v2 = VersionedTable.commit(kv(2L -> "b"), root)
+      val v3 = VersionedTable.renameColumn(spark, root, "v", "label")
+      // new commits speak the NEW logical name
+      val v4 = VersionedTable.commit(
+        Seq((3L, "c")).toDF("k", "label"), root)
+      // time travel: pre-rename versions show the original name
+      assert(VersionedTable.read(spark, root, Some(v2)).columns.toSeq ===
+        Seq("k", "v"))
+      // head: renamed, with EVERY row (old files readable, no rewrite)
+      val head = VersionedTable.read(spark, root)
+      assert(head.columns.toSeq === Seq("k", "label"))
+      assert(head.as[(Long, String)].collect().toSet ===
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // the rename itself is a zero-row commit in history
+      assert(v3 === v2 + 1 && v4 === v3 + 1)
+      val hist = VersionedTable.history(spark, root)
+        .select($"version", $"kind").as[(Int, String)].collect().toMap
+      assert(hist(v3) === "schema")
+    }
+  }
+
+  test("change feed crosses a rename, unified under the target's names") {
+    withTmpDir("graft_evo_feed") { base =>
+      val root = s"$base/t"
+      val v1 = VersionedTable.commit(kv(1L -> "a"), root)
+      VersionedTable.renameColumn(spark, root, "v", "label")
+      val v3 = VersionedTable.commit(
+        Seq((2L, "b")).toDF("k", "label"), root)
+      val feed = VersionedTable.readChangeFeed(spark, root, 0, v3)
+      assert(feed.columns.toSet ===
+        Set("k", "label", "_change_type", "_commit_version"))
+      assert(feed.select($"k", $"label", $"_change_type", $"_commit_version")
+        .as[(Long, String, String, Int)].collect().toSet ===
+        Set((1L, "a", "insert", v1), (2L, "b", "insert", v3)))
+    }
+  }
+
+  test("cdc-merge sidecar written pre-rename serves under the new name") {
+    withTmpDir("graft_evo_cdcmerge") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(kv(1L -> "a"), root)
+      val v2 = VersionedTable.merge(spark, root, kv(1L -> "a2"), "k",
+        cdc = true)
+      val v3 = VersionedTable.renameColumn(spark, root, "v", "label")
+      val feed = VersionedTable.readChangeFeed(spark, root, 1, v3)
+      assert(feed.select($"k", $"label", $"_change_type")
+        .as[(Long, String, String)].collect().toSet ===
+        Set((1L, "a", "update_preimage"), (1L, "a2", "update_postimage")))
+    }
+  }
+
+  test("drop then re-add: old bytes never bleed into the new column") {
+    withTmpDir("graft_evo_dropadd") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(kv(1L -> "secret"), root)
+      VersionedTable.dropColumn(spark, root, "v")
+      assert(VersionedTable.read(spark, root).columns.toSeq === Seq("k"))
+      // re-add the same LOGICAL name: fresh physical identity
+      VersionedTable.addColumn(spark, root, "v", "string")
+      val rows = VersionedTable.read(spark, root)
+        .as[(Long, Option[String])].collect().toSet
+      assert(rows === Set((1L, None)),
+        "dropped column's data must NOT resurrect under the re-added name")
+      VersionedTable.commit(kv(2L -> "fresh"), root)
+      assert(VersionedTable.read(spark, root)
+        .as[(Long, Option[String])].collect().toSet ===
+        Set((1L, None), (2L, Some("fresh"))))
+    }
+  }
+
+  test("widen int→bigint: old narrow files up-cast, new wide rows land") {
+    withTmpDir("graft_evo_widen") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(Seq((1, "a")).toDF("n", "v"), root)
+      VersionedTable.widenColumn(spark, root, "n", "bigint")
+      VersionedTable.commit(
+        Seq((5000000000L, "b")).toDF("n", "v"), root)
+      val head = VersionedTable.read(spark, root)
+      assert(head.schema("n").dataType ===
+        org.apache.spark.sql.types.LongType)
+      assert(head.as[(Long, String)].collect().toSet ===
+        Set((1L, "a"), (5000000000L, "b")))
+      // narrowing refused
+      intercept[IllegalArgumentException] {
+        VersionedTable.widenColumn(spark, root, "n", "int")
+      }
+    }
+  }
+
+  test("targeted delete keys on the RENAMED column via physical stats") {
+    withTmpDir("graft_evo_target") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(kv(1L -> "a", 2L -> "b"), root,
+        statsCol = Some("k"))
+      VersionedTable.commit(kv(10L -> "x", 11L -> "y"), root,
+        statsCol = Some("k"))
+      VersionedTable.renameColumn(spark, root, "k", "id")
+      // delete under the NEW logical name; stats recorded under the
+      // (unchanged) physical name must still target correctly
+      VersionedTable.delete(spark, root, Seq(10L).toDF("id"), "id")
+      assert(VersionedTable.read(spark, root)
+        .select($"id").as[Long].collect().toSet === Set(1L, 2L, 11L))
+    }
+  }
+
+  test("deferred-delete mask survives a rename of its key column") {
+    withTmpDir("graft_evo_defer") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(kv(1L -> "a", 2L -> "b"), root)
+      VersionedTable.deleteDeferred(spark, root, Seq(1L).toDF("k"), "k")
+      VersionedTable.renameColumn(spark, root, "k", "id")
+      assert(VersionedTable.read(spark, root)
+        .as[(Long, String)].collect().toSet === Set((2L, "b")))
+      // and a deferred delete issued AFTER the rename speaks logical
+      VersionedTable.commit(Seq((3L, "c")).toDF("id", "v"), root)
+      VersionedTable.deleteDeferred(spark, root, Seq(2L).toDF("id"), "id")
+      assert(VersionedTable.read(spark, root)
+        .as[(Long, String)].collect().toSet === Set((3L, "c")))
+    }
+  }
+
+  test("clone carries the column mapping; divergent renames stay local") {
+    withTmpDir("graft_evo_clone") { base =>
+      val src = s"$base/src"; val tgt = s"$base/tgt"
+      VersionedTable.commit(kv(1L -> "a"), src)
+      VersionedTable.renameColumn(spark, src, "v", "label")
+      VersionedTable.clone(src, tgt)
+      assert(VersionedTable.read(spark, tgt).columns.toSeq ===
+        Seq("k", "label"))
+      // clone renames independently; source unaffected
+      VersionedTable.renameColumn(spark, tgt, "label", "tag")
+      assert(VersionedTable.read(spark, tgt).columns.toSeq ===
+        Seq("k", "tag"))
+      assert(VersionedTable.read(spark, src).columns.toSeq ===
+        Seq("k", "label"))
+    }
+  }
+
+  test("evolution is OCC-safe: a concurrent commit aborts the rename") {
+    withTmpDir("graft_evo_occ") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(kv(1L -> "a"), root)
+      VersionedTable.onBeforePublish = () => {
+        VersionedTable.onBeforePublish = () => ()
+        VersionedTable.commit(kv(9L -> "z"), root)
+      }
+      try intercept[java.util.ConcurrentModificationException] {
+        VersionedTable.renameColumn(spark, root, "v", "label")
+      } finally VersionedTable.onBeforePublish = () => ()
+      // table intact, un-renamed, with the interloper's row
+      assert(VersionedTable.read(spark, root).columns.toSeq === Seq("k", "v"))
+      assert(VersionedTable.read(spark, root).count() === 2L)
+    }
+  }
+
+  test("commits with unknown columns are rejected once mapping is active") {
+    withTmpDir("graft_evo_strict") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(kv(1L -> "a"), root)
+      VersionedTable.renameColumn(spark, root, "v", "label")
+      // the OLD name is now unknown — explicit evolution required
+      intercept[IllegalArgumentException] {
+        VersionedTable.commit(kv(2L -> "b"), root)
+      }
+    }
+  }
+
+  test("partitioned overwrite + prune work across a partition-col rename") {
+    withTmpDir("graft_evo_part") { base =>
+      val root = s"$base/t"
+      val df = Seq((1L, "eu", 10.0), (2L, "us", 20.0), (3L, "eu", 30.0))
+        .toDF("k", "region", "amt")
+      VersionedTable.commitPartitioned(df, root, Seq("region"))
+      VersionedTable.renameColumn(spark, root, "region", "geo")
+      // pruned read speaks the NEW logical name in the predicate
+      val (pruned, kept, total) = VersionedTable
+        .readPrunedPartitions(spark, root)(p => p.get("geo").contains("eu"))
+      assert(kept < total, "prune must actually skip files")
+      assert(pruned.select($"k").as[Long].collect().toSet === Set(1L, 3L))
+      // dynamic overwrite of one partition under the new name
+      val over = Seq((9L, "eu", 90.0)).toDF("k", "geo", "amt")
+      VersionedTable.overwritePartitions(over, root, Seq("geo"))
+      assert(VersionedTable.read(spark, root)
+        .select($"k").as[Long].collect().toSet === Set(2L, 9L))
+    }
+  }
+
+  test("optimize and rollback preserve the mapping") {
+    withTmpDir("graft_evo_opt") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(kv(1L -> "a"), root)
+      VersionedTable.commit(kv(2L -> "b"), root)
+      val vRen = VersionedTable.renameColumn(spark, root, "v", "label")
+      val vOpt = VersionedTable.optimize(spark, root)
+      assert(VersionedTable.read(spark, root).columns.toSeq ===
+        Seq("k", "label"))
+      assert(VersionedTable.read(spark, root).count() === 2L)
+      // rollback to a PRE-rename version: the mapping is manifest
+      // metadata carried forward — the rollback restores the FILE
+      // list; the schema in force stays the head's (rename is not
+      // undone by restoring old files, matching real formats where
+      // RESTORE keeps the current protocol/metadata)
+      val vBack = VersionedTable.rollback(root, 1)
+      val back = VersionedTable.read(spark, root)
+      assert(back.columns.toSeq === Seq("k", "label"))
+      assert(back.as[(Long, String)].collect().toSet === Set((1L, "a")))
+    }
+  }
+}
