@@ -1131,7 +1131,17 @@ object Scans extends OpModule {
     * SNAPSHOT CONTENT is not: the final version is always 3 and the
     * head rollup is base ∪ both appends (append commits commute). The
     * deterministic forced-collision path (and the replace-commit abort)
-    * is pinned in InfraSpec via the onBeforePublish seam. */
+    * is pinned in InfraSpec via the onBeforePublish seam.
+    *
+    * Second leg (round 13 — disjointness-aware OCC): two concurrent
+    * TARGETED DELETES on provably disjoint key halves of a
+    * stats-banded table. Under the old abort-on-any-moved-head rule
+    * the loser would throw; with the rebase rule both land (each
+    * one's rewrite files stay present in the winner's head and the
+    * winner's new files' key stats are clear of the loser's keys) —
+    * concurrent table maintenance, serializable content: the final
+    * snapshot equals "both deletes applied" regardless of order, and
+    * the version counter witnesses two landed replace commits. */
   def scanConcurrentCommit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.sources.VersionedTable
@@ -1152,11 +1162,39 @@ object Scans extends OpModule {
       }
       fs.foreach(_.get())
     } finally pool.shutdown()
-    VersionedTable.read(s, root)
+    val appendLeg = VersionedTable.read(s, root)
       .agg(count(lit(1)).as("n_orders"),
         sum(d12($"o_totalprice")).cast("double").as("revenue"))
-      .select(lit(VersionedTable.currentVersion(root)).as("n_versions"),
+      .select(lit("append_race").as("leg"),
+        lit(VersionedTable.currentVersion(root)).as("n_versions"),
         $"n_orders", $"revenue")
+    // ---- disjoint targeted-delete race on a second, banded table ----
+    val root2 = s"${root}_tgt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root2))
+    val mx = o.agg(max($"o_orderkey")).head.getLong(0)
+    val mid = mx / 2
+    VersionedTable.commit(o.filter($"o_orderkey" <= mid), root2,
+      statsCol = Some("o_orderkey"))
+    VersionedTable.commit(o.filter($"o_orderkey" > mid), root2,
+      statsCol = Some("o_orderkey"))
+    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = Seq(($"o_orderkey" <= mid), ($"o_orderkey" > mid)).map { p =>
+        pool2.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = VersionedTable.delete(s, root2,
+            o.filter(p && $"o_orderkey" % 100 === 0)
+              .select($"o_orderkey"), "o_orderkey")
+        })
+      }
+      fs.foreach(_.get())
+    } finally pool2.shutdown()
+    val disjointLeg = VersionedTable.read(s, root2)
+      .agg(count(lit(1)).as("n_orders"),
+        sum(d12($"o_totalprice")).cast("double").as("revenue"))
+      .select(lit("disjoint_delete_race").as("leg"),
+        lit(VersionedTable.currentVersion(root2)).as("n_versions"),
+        $"n_orders", $"revenue")
+    appendLeg.unionAll(disjointLeg).orderBy($"leg")
   }
 
   /** PARTITION PRUNING on the versioned table — the layer real formats
@@ -1237,11 +1275,19 @@ object Scans extends OpModule {
 
   val oracle: Map[String, String] = Map(
     "q_scan_concurrent_commit" ->
-      """SELECT 3 AS n_versions, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      """SELECT 'append_race' AS leg, 3 AS n_versions,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
         |    AS revenue
         |FROM orders
-        |WHERE year(o_orderdate) BETWEEN 1995 AND 1997""".stripMargin,
+        |WHERE year(o_orderdate) BETWEEN 1995 AND 1997
+        |UNION ALL
+        |SELECT 'disjoint_delete_race', 4,
+        |  CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |FROM orders
+        |WHERE o_orderkey % 100 <> 0
+        |ORDER BY leg""".stripMargin,
     "q_scan_partition_prune" ->
       """SELECT 2 AS n_files_scanned, 4 AS n_files_total,
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -61,7 +61,8 @@ class CountsSnapshotSpec extends SparkSpec {
     // round-10 additions (q_sim_ivfpq_topk recall-law-tested in
     // OperatorGoldenSpec; the two scan ops oracle-exact at sf0.01)
     "q_sim_ivfpq_topk" -> 100L,
-    "q_scan_concurrent_commit" -> 1L,
+    // append race + disjoint targeted-delete race legs (round 13)
+    "q_scan_concurrent_commit" -> 2L,
     "q_scan_partition_prune" -> 1L,
     // round-8 additions (GK quartiles: one row per returnflag;
     // learned PQ: one row per embedding vector)

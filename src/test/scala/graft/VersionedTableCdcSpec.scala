@@ -260,6 +260,113 @@ class VersionedTableCdcSpec extends SparkSpec {
     }
   }
 
+  test("disjoint targeted rewrites REBASE and both land (round-13 OCC)") {
+    // The r12 verdict item: abort-on-any-moved-head serialized ALL
+    // table maintenance. Two targeted merges touching provably
+    // disjoint key ranges (disjoint rewrite files, interleaved files
+    // stats-clear of our keys) must BOTH land; a genuinely
+    // conflicting pair must still abort.
+    def band(lo: Long, hi: Long): DataFrame =
+      kv((lo to hi).map(k => k -> s"v$k"): _*).repartition(1)
+    withTmpDir("graft_occ_disjoint") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(band(1, 10), root, statsCol = Some("k"))
+      VersionedTable.commit(band(11, 20), root, statsCol = Some("k"))
+      VersionedTable.commit(band(21, 30), root, statsCol = Some("k"))
+      // interleave a band-3 targeted merge inside the band-1 merge's
+      // publish window — deterministic collision, disjoint ranges
+      VersionedTable.onBeforePublish = () => {
+        VersionedTable.onBeforePublish = () => ()
+        VersionedTable.mergeTargeted(spark, root, kv(25L -> "u25"), "k")
+      }
+      try {
+        val v = VersionedTable.mergeTargeted(spark, root,
+          kv(5L -> "u5"), "k")
+        assert(v === 5, s"band-1 merge must rebase onto the band-3 head")
+      } finally VersionedTable.onBeforePublish = () => ()
+      val got = VersionedTable.read(spark, root)
+        .as[(Long, String)].collect().toMap
+      assert(got(5L) === "u5" && got(25L) === "u25",
+        "both disjoint merges' updates must survive")
+      assert(got.size === 30)
+    }
+  }
+
+  test("overlapping targeted rewrites still serialize (abort)") {
+    def band(lo: Long, hi: Long): DataFrame =
+      kv((lo to hi).map(k => k -> s"v$k"): _*).repartition(1)
+    withTmpDir("graft_occ_conflict") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(band(1, 10), root, statsCol = Some("k"))
+      // same-band interleave: the winner rewrote OUR input file
+      VersionedTable.onBeforePublish = () => {
+        VersionedTable.onBeforePublish = () => ()
+        VersionedTable.mergeTargeted(spark, root, kv(3L -> "w3"), "k")
+      }
+      try intercept[java.util.ConcurrentModificationException] {
+        VersionedTable.mergeTargeted(spark, root, kv(5L -> "l5"), "k")
+      } finally VersionedTable.onBeforePublish = () => ()
+      val got = VersionedTable.read(spark, root)
+        .as[(Long, String)].collect().toMap
+      assert(got(3L) === "w3" && got(5L) === "v5",
+        "only the winner's update may land")
+    }
+  }
+
+  test("rebase aborts on key-overlapping appends, schema changes, pending masks") {
+    def band(lo: Long, hi: Long): DataFrame =
+      kv((lo to hi).map(k => k -> s"v$k"): _*).repartition(1)
+    // (a) interleaved append whose key range CONTAINS an update key
+    withTmpDir("graft_occ_append") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(band(1, 10), root, statsCol = Some("k"))
+      VersionedTable.onBeforePublish = () => {
+        VersionedTable.onBeforePublish = () => ()
+        VersionedTable.commit(band(5, 6), root, statsCol = Some("k"))
+      }
+      try intercept[java.util.ConcurrentModificationException] {
+        VersionedTable.mergeTargeted(spark, root, kv(5L -> "u5"), "k")
+      } finally VersionedTable.onBeforePublish = () => ()
+    }
+    // (b) interleaved append clear of the keys → rebase lands
+    withTmpDir("graft_occ_append_ok") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(band(1, 10), root, statsCol = Some("k"))
+      VersionedTable.onBeforePublish = () => {
+        VersionedTable.onBeforePublish = () => ()
+        VersionedTable.commit(band(100, 110), root, statsCol = Some("k"))
+      }
+      try assert(VersionedTable.mergeTargeted(spark, root,
+        kv(5L -> "u5"), "k") === 3)
+      finally VersionedTable.onBeforePublish = () => ()
+      assert(VersionedTable.read(spark, root).count() === 21)
+    }
+    // (c) concurrent schema change → abort
+    withTmpDir("graft_occ_schema") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(band(1, 10), root, statsCol = Some("k"))
+      VersionedTable.onBeforePublish = () => {
+        VersionedTable.onBeforePublish = () => ()
+        VersionedTable.renameColumn(spark, root, "v", "label")
+      }
+      try intercept[java.util.ConcurrentModificationException] {
+        VersionedTable.mergeTargeted(spark, root, kv(5L -> "u5"), "k")
+      } finally VersionedTable.onBeforePublish = () => ()
+    }
+    // (d) concurrent deferred delete → abort (masked-read precondition)
+    withTmpDir("graft_occ_mask") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(band(1, 10), root, statsCol = Some("k"))
+      VersionedTable.onBeforePublish = () => {
+        VersionedTable.onBeforePublish = () => ()
+        VersionedTable.deleteDeferred(spark, root, Seq(9L).toDF("k"), "k")
+      }
+      try intercept[java.util.ConcurrentModificationException] {
+        VersionedTable.mergeTargeted(spark, root, kv(5L -> "u5"), "k")
+      } finally VersionedTable.onBeforePublish = () => ()
+    }
+  }
+
   test("targeted delete erases rows, carries untouched files, feeds 'delete' rows") {
     withTmpDir("graft_tdelete") { base =>
       val root = s"$base/t"
