@@ -388,6 +388,10 @@ object VersionedTable {
     val body = om.createObjectNode()
     body.put("version", v)
     body.put("parent", parent)
+    // wall-clock commit time: the basis for time-based vacuum
+    // retention and the history audit column (advisory metadata — no
+    // read-path correctness ever keys on it)
+    body.put("ts", System.currentTimeMillis())
     // column mapping: an evolution commit SETS the schema; every other
     // commit copies its parent's forward (so resolution stays O(1) once
     // mapping is active and a rollback/vacuum can't orphan it)
@@ -841,12 +845,22 @@ object VersionedTable {
           .getOrElse(if (rollbackOf.isDefined) "rollback"
             else if (isReplace) "replace" else "append")
         Some((v, n.get("parent").asInt(), kind, isReplace,
-          rollbackOf, Option(n.get("batchKey")).map(_.asText())))
+          rollbackOf, Option(n.get("batchKey")).map(_.asText()),
+          commitTs(root, v)))
       }
     }
     import spark.implicits._
     rows.toDF("version", "parent", "kind", "is_replace",
-      "rollback_of", "batch_key")
+      "rollback_of", "batch_key", "ts")
+  }
+
+  /** Wall-clock commit time of version `v` (epoch ms) — the manifest's
+    * `ts` field, falling back to the manifest file's mtime on
+    * pre-feature manifests (same clock, coarser provenance). */
+  def commitTs(root: String, v: Int): Long = {
+    val n = readNode(root, v)
+    Option(n.get("ts")).map(_.asLong()).getOrElse(
+      Files.getLastModifiedTime(manifestPath(root, v)).toMillis)
   }
 
   /** OPTIMIZE/compaction as a REWRITE commit: the current snapshot is
@@ -1220,9 +1234,33 @@ object VersionedTable {
     * whose delta chain it broke — are skipped, not an error. Returns
     * the number of data files deleted. O(manifests + files) driver
     * work, no data reads. */
-  def vacuum(root: String, keepLast: Int): Int = {
+  def vacuum(root: String, keepLast: Int): Int =
+    vacuumFrom(root, math.max(1, currentVersion(root) - keepLast + 1))
+
+  /** TIME-based vacuum retention (round 13 — `retainHours` beside
+    * keep-last-N): keeps every version COMMITTED within the last
+    * `retainHours` (manifest `ts`, mtime fallback on pre-feature
+    * manifests) and always the head, then collects exactly like
+    * [[vacuum]] — same own-root clone guard, same chain-floor manifest
+    * rule, same re-runnability. This is the retention contract real
+    * formats expose (time, not count, is what a compliance policy
+    * states); `nowMillis` is injectable so policies are testable
+    * without waiting. Returns the number of data files deleted. */
+  def vacuumRetain(root: String, retainHours: Double,
+      nowMillis: Long = System.currentTimeMillis()): Int = {
     val cur = currentVersion(root)
-    val keepFrom = math.max(1, cur - keepLast + 1)
+    if (cur == 0) return 0
+    val cutoff = nowMillis - (retainHours * 3600 * 1000).toLong
+    val keepFrom = (1 to cur)
+      .filter(v => Files.exists(manifestPath(root, v)))
+      .find(v => commitTs(root, v) >= cutoff)
+      .getOrElse(cur)
+    vacuumFrom(root, keepFrom)
+  }
+
+  private def vacuumFrom(root: String, keepFromRaw: Int): Int = {
+    val cur = currentVersion(root)
+    val keepFrom = math.min(math.max(1, keepFromRaw), cur)
     def exists(v: Int): Boolean = Files.exists(manifestPath(root, v))
     // a pre-window version whose delta chain a PRIOR vacuum broke can
     // no longer resolve its full snapshot — but its own manifest (if

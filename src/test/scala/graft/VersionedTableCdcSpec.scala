@@ -260,6 +260,45 @@ class VersionedTableCdcSpec extends SparkSpec {
     }
   }
 
+  test("time-based vacuum retention keeps the window, the head, and clone safety") {
+    withTmpDir("graft_vacuum_time") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(kv(1L -> "r1"), root); Thread.sleep(15)
+      VersionedTable.commit(kv(2L -> "r2"), root); Thread.sleep(15)
+      // v3 compacts: v1–v2's files are now referenced ONLY pre-window
+      val v3 = VersionedTable.optimize(spark, root); Thread.sleep(15)
+      val v4 = VersionedTable.commit(kv(3L -> "r3"), root)
+      val ts3 = VersionedTable.commitTs(root, v3)
+      // retain exactly from v3's commit instant: v1–v2's files go
+      val dropped = VersionedTable.vacuumRetain(root, retainHours = 0.0,
+        nowMillis = ts3)
+      assert(dropped > 0, "pre-window files must be collected")
+      // kept versions still read perfectly
+      assert(VersionedTable.read(spark, root, Some(v3)).count() === 2)
+      assert(VersionedTable.read(spark, root).count() === 3)
+      // head always survives even when the window is empty
+      val dropped2 = VersionedTable.vacuumRetain(root, retainHours = 0.0,
+        nowMillis = System.currentTimeMillis() + 3600_000L)
+      assert(VersionedTable.read(spark, root).count() === 3,
+        s"head must survive an empty retention window (dropped $dropped2)")
+      // history surfaces the commit timestamps (monotone)
+      val hts = VersionedTable.history(spark, root)
+        .orderBy($"version").select($"ts").as[Long].collect()
+      assert(hts.sorted.toSeq === hts.toSeq)
+    }
+    // clone guard: time-based vacuum on a clone never touches the source
+    withTmpDir("graft_vacuum_time_clone") { base =>
+      val src = s"$base/src"; val tgt = s"$base/tgt"
+      VersionedTable.commit(kv(1L -> "a"), src)
+      VersionedTable.clone(src, tgt)
+      VersionedTable.commit(kv(2L -> "b"), tgt)
+      VersionedTable.vacuumRetain(tgt, retainHours = 0.0,
+        nowMillis = System.currentTimeMillis() + 3600_000L)
+      assert(VersionedTable.read(spark, src).count() === 1,
+        "the source's files must survive a clone's vacuum")
+    }
+  }
+
   test("disjoint targeted rewrites REBASE and both land (round-13 OCC)") {
     // The r12 verdict item: abort-on-any-moved-head serialized ALL
     // table maintenance. Two targeted merges touching provably
