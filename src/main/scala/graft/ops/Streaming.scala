@@ -606,6 +606,64 @@ object Streaming extends OpModule {
       .orderBy($"event_type")
   }
 
+  /** EXTERNAL-LOG ingest (round 13) — grades
+    * [[graft.sources.LogSegmentSource]], the offsets-based Kafka shape
+    * without a broker: a producer publishes the corpus events as three
+    * atomic JSONL segments into an append-only log directory; the
+    * `graft-log` MicroBatchStream consumes them with "segments
+    * consumed" as its replayable checkpointed offset, landing in the
+    * versioned table through the `(appId, batchId)` idempotence
+    * window. The graded cycle exercises all three exactly-once legs:
+    * (1) first run ingests segments 1–2; (2) a third segment is
+    * published and a SAME-CHECKPOINT restart consumes ONLY it (offset
+    * resume — nothing re-read, nothing skipped); (3) a FRESH-checkpoint
+    * re-run with the same appId redelivers from offset 0 and the
+    * idempotence window makes every redelivered batch a no-op. The
+    * rollup's `n = n_distinct` witness proves no duplication survived
+    * any leg; the oracle is the raw events table. */
+  def streamLogIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val logDir = graft.Tables.sinkPath("vtable", dir,
+      s"seglog${runId.incrementAndGet()}")
+    val root = s"${logDir}_tbl"
+    Seq(logDir, root, s"$root/_ckpt1", s"$root/_ckpt2").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val e = graft.Tables.t(s, dir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val mx = e.agg(max($"event_id")).head.getLong(0)
+    val (t1, t2) = (mx / 3, 2 * mx / 3)
+    graft.sources.LogSegments.append(e.filter($"event_id" <= t1), logDir)
+    graft.sources.LogSegments.append(
+      e.filter($"event_id" > t1 && $"event_id" <= t2), logDir)
+    def run(ckpt: String): Unit = {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = ss.readStream.format("graft-log").option("path", logDir).load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          // appId = the TABLE root (restart-stable across checkpoints —
+          // the fresh-checkpoint redelivery leg depends on it)
+          graft.sources.VersionedTable.commitBatch(batch, root, id,
+            appId = root)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run(s"$root/_ckpt1") // leg 1: segments 1–2
+    graft.sources.LogSegments.append(e.filter($"event_id" > t2), logDir)
+    run(s"$root/_ckpt1") // leg 2: offset resume — only segment 3
+    run(s"$root/_ckpt2") // leg 3: fresh checkpoint, same appId — no-ops
+    graft.sources.VersionedTable.read(s, root)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        count_distinct($"event_id").as("n_distinct"),
+        sumMoney($"value").as("val_sum"))
+      .orderBy($"event_type")
+  }
+
   /** Streaming rolling z-score anomaly flags — the custom-ring-buffer
     * stateful twin of the batch `q_win_zscore`: see
     * [[graft.streaming.StatefulOps.anomalyFlags]]. Each event emits
@@ -626,6 +684,7 @@ object Streaming extends OpModule {
     "q_stream_join_full" -> (streamJoinFull _),
     "q_stream_join_right" -> (streamJoinRight _),
     "q_stream_table_ingest" -> (streamTableIngest _),
+    "q_stream_log_ingest" -> (streamLogIngest _),
     "q_stream_state_audit" -> (streamStateAudit _),
     "q_stream_tws_sessionize" -> (streamTwsSessionize _),
     "q_stream_tws_profile" -> (streamTwsProfile _),
@@ -749,6 +808,11 @@ object Streaming extends OpModule {
     // the ingested versioned table ≡ the batch table; n_distinct = n
     // is the no-double-append witness
     "q_stream_table_ingest" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_log_ingest" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
         |  CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS val_sum

@@ -426,7 +426,9 @@ class CountsSnapshotSpec extends SparkSpec {
     // errors with ≥1 purchase inside their ±1 h window (true interval join)
     "q_join_interval_events" -> 81L,
     // pre-rename / head / feed legs of the schema-evolution query
-    "q_scan_table_rename" -> 3L)
+    "q_scan_table_rename" -> 3L,
+    // external-log ingest rollup: one row per event type
+    "q_stream_log_ingest" -> 5L)
 
   test("snapshot covers exactly the registered queries") {
     assert(expected.keySet === SparkEntry.queries.keySet)

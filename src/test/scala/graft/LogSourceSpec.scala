@@ -1,0 +1,129 @@
+package graft
+
+import graft.sources.{LogSegments, VersionedTable}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+/** The offsets-based external-log source (`graft-log`,
+  * [[graft.sources.LogSegmentSource]]): atomic segment publication,
+  * batch/stream read equality, checkpointed offset resume, and the
+  * end-to-end exactly-once pairing with the versioned table's
+  * `(appId, batchId)` idempotence window — including the crashed-sink
+  * redelivery leg. */
+class LogSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(lo: Long, hi: Long): DataFrame =
+    (lo to hi).map(i => (i, new java.sql.Timestamp(1704067200000L + i * 1000),
+      i % 7, if (i % 2 == 0) "click" else "purchase", i / 100.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  private def ingest(logDir: String, root: String, ckpt: String): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = ss.readStream.format("graft-log").option("path", logDir).load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        VersionedTable.commitBatch(b, root, id, appId = root); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("append publishes numbered atomic segments; batch read equals the rows") {
+    withTmpDir("graft_log_batch") { base =>
+      val dir = s"$base/log"
+      assert(LogSegments.append(rows(1, 50), dir) === 0)
+      assert(LogSegments.append(rows(51, 80), dir) === 1)
+      assert(LogSegments.segments(dir).map(_.getFileName.toString) ===
+        Seq("seg-000000.jsonl", "seg-000001.jsonl"))
+      val got = spark.read.format("graft-log").option("path", dir).load()
+      assert(got.schema === LogSegments.Schema)
+      assert(got.select($"event_id").as[Long].collect().sorted.toSeq ===
+        (1L to 80L))
+      // values and timestamps survive the line format exactly
+      val r7 = got.filter($"event_id" === 7L).head()
+      assert(r7.getTimestamp(1).getTime === 1704067200000L + 7000)
+      assert(r7.getDouble(4) === 0.07)
+    }
+  }
+
+  test("offset resume: a restarted stream reads only newly published segments") {
+    withTmpDir("graft_log_resume") { base =>
+      val dir = s"$base/log"; val root = s"$base/t"; val ckpt = s"$base/ck"
+      LogSegments.append(rows(1, 40), dir)
+      ingest(dir, root, ckpt)
+      val v1 = VersionedTable.currentVersion(root)
+      assert(VersionedTable.read(spark, root).count() === 40L)
+      // nothing new: a re-run commits no version
+      ingest(dir, root, ckpt)
+      assert(VersionedTable.currentVersion(root) === v1,
+        "an up-to-date restart must publish nothing")
+      // publish more, restart: ONLY the new segment lands
+      LogSegments.append(rows(41, 60), dir)
+      ingest(dir, root, ckpt)
+      assert(VersionedTable.read(spark, root)
+        .select($"event_id").as[Long].collect().sorted.toSeq === (1L to 60L))
+    }
+  }
+
+  test("fresh-checkpoint redelivery is absorbed by the idempotence window") {
+    withTmpDir("graft_log_redeliver") { base =>
+      val dir = s"$base/log"; val root = s"$base/t"
+      LogSegments.append(rows(1, 30), dir)
+      ingest(dir, root, s"$base/ck1")
+      // a FULL re-run from a fresh checkpoint redelivers batch 0 with
+      // the same (appId, batchId) — the table must not double-append
+      ingest(dir, root, s"$base/ck2")
+      val got = VersionedTable.read(spark, root)
+      assert(got.count() === 30L)
+      assert(got.select($"event_id").distinct().count() === 30L)
+    }
+  }
+
+  test("crashed sink: the redelivered batch lands exactly once") {
+    withTmpDir("graft_log_crash") { base =>
+      val dir = s"$base/log"; val root = s"$base/t"; val ckpt = s"$base/ck"
+      LogSegments.append(rows(1, 20), dir)
+      // first attempt: the sink commits the table, then "crashes"
+      // BEFORE the streaming checkpoint advances — the classic
+      // at-least-once window foreachBatch documents
+      var crashed = false
+      val ss = spark.newSession()
+      val q = ss.readStream.format("graft-log").option("path", dir).load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          VersionedTable.commitBatch(b, root, id, appId = root)
+          crashed = true
+          throw new RuntimeException("sink crash after commit")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination()
+      }
+      assert(crashed)
+      // restart: batch 0 is REDELIVERED; commitBatch sees its key in
+      // the window and no-ops — exactly-once end to end
+      ingest(dir, root, ckpt)
+      val got = VersionedTable.read(spark, root)
+      assert(got.count() === 20L)
+      assert(got.select($"event_id").distinct().count() === 20L)
+    }
+  }
+
+  test("an empty frame publishes an empty segment; readers skip it cleanly") {
+    withTmpDir("graft_log_empty") { base =>
+      val dir = s"$base/log"
+      LogSegments.append(rows(1, 5), dir)
+      LogSegments.append(rows(1, 0), dir) // empty
+      LogSegments.append(rows(6, 8), dir)
+      assert(LogSegments.segments(dir).size === 3)
+      assert(spark.read.format("graft-log").option("path", dir).load()
+        .count() === 8L)
+    }
+  }
+}
