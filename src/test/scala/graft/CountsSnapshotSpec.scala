@@ -428,7 +428,12 @@ class CountsSnapshotSpec extends SparkSpec {
     // pre-rename / head / feed legs of the schema-evolution query
     "q_scan_table_rename" -> 3L,
     // external-log ingest rollup: one row per event type
-    "q_stream_log_ingest" -> 5L)
+    "q_stream_log_ingest" -> 5L,
+    // loaded-artifact scoring: same (label, prediction) rollup grain
+    // as q_ml_propensity (it IS that model, served from disk)
+    "q_ml_score_saved" -> 98L,
+    // one row per CV grid point
+    "q_ml_cv_select" -> 2L)
 
   test("snapshot covers exactly the registered queries") {
     assert(expected.keySet === SparkEntry.queries.keySet)

@@ -1089,6 +1089,56 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(lawBreaks === 0L, s"$lawBreaks rows break prediction ≡ p1≥0.5")
   }
 
+  test("saved model scores ≡ in-session scores in a fresh session") {
+    // The deployment law behind q_ml_score_saved: training and serving
+    // are different jobs — the persisted artifact must reproduce the
+    // in-session model's scores row for row, loaded in a session that
+    // never saw the fit.
+    import org.apache.spark.ml.classification.{LogisticRegression,
+      LogisticRegressionModel}
+    import org.apache.spark.ml.functions.vector_to_array
+    val data = Tables.t(spark, sf, "embeddings")
+      .select($"vec_id",
+        org.apache.spark.ml.functions.array_to_vector(
+          $"embedding".cast("array<double>")).as("features"),
+        $"label".cast("double").as("label"))
+    val model = new LogisticRegression()
+      .setMaxIter(30).setRegParam(0.01).setTol(1e-7).fit(data)
+    val want = model.transform(data)
+      .select($"vec_id", $"prediction",
+        vector_to_array($"probability").getItem(0).as("p0"))
+      .as[(Long, Double, Double)].collect().toSet
+    withTmpDir("graft_ml_saved") { base =>
+      model.write.overwrite().save(s"$base/m")
+      val fresh = spark.newSession()
+      val got = LogisticRegressionModel.load(s"$base/m")
+        .transform(Tables.t(fresh, sf, "embeddings")
+          .select(col("vec_id"),
+            org.apache.spark.ml.functions.array_to_vector(
+              col("embedding")).as("features")))
+        .select(col("vec_id"), col("prediction"),
+          vector_to_array(col("probability")).getItem(0).as("p0"))
+        .as[(Long, Double, Double)].collect().toSet
+      assert(got === want,
+        "loaded-artifact scores diverged from the in-session model")
+    }
+  }
+
+  test("cross-validated selection: stable winner, exactly one, better metric") {
+    val rows = run("q_ml_cv_select")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(rows.length === 2)
+    assert(rows.count(_._3) === 1, "exactly one grid point wins")
+    val winner = rows.find(_._3).get
+    val loser = rows.find(!_._3).get
+    assert(winner._2 >= loser._2,
+      "the winner must carry the best cross-validated metric")
+    // seeded determinism: a refit picks the same winner
+    val again = run("q_ml_cv_select")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(again.toSeq === rows.toSeq, "CV selection must be seed-stable")
+  }
+
   test("kmeans segmentation: 5 clusters, all customers assigned") {
     val seg = run("q_ml_segmentation").collect()
     assert(seg.length === 5)
