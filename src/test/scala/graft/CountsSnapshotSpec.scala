@@ -433,7 +433,10 @@ class CountsSnapshotSpec extends SparkSpec {
     // as q_ml_propensity (it IS that model, served from disk)
     "q_ml_score_saved" -> 98L,
     // one row per CV grid point
-    "q_ml_cv_select" -> 2L)
+    "q_ml_cv_select" -> 2L,
+    // graph-ANN: 10 probes × top-10; sweep = one row per beam width
+    "q_sim_hnsw_topk" -> 100L,
+    "q_sim_hnsw_sweep" -> 3L)
 
   test("snapshot covers exactly the registered queries") {
     assert(expected.keySet === SparkEntry.queries.keySet)

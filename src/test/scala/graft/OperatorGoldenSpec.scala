@@ -2100,6 +2100,35 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(r.last._2 === 1000000L)
   }
 
+  test("graph-ANN: recall monotone in beam width, ≥ IVF at ≤-budget points") {
+    // the round-13 HNSW-family laws: (1) more beam ⇒ no less recall;
+    // (2) at the graded beam the graph search beats every IVF sweep
+    // point that spent NO MORE scored candidates — the equal-budget
+    // comparison, on the honest budget both sweeps now carry
+    val hnsw = run("q_sim_hnsw_sweep")
+      .select($"beam", $"n_scored", $"recall_ppm")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(hnsw.map(_._1) === Array(2, 4, 8))
+    assert(hnsw.map(_._3).sameElements(hnsw.map(_._3).sorted),
+      s"recall must be monotone in beam width: ${hnsw.mkString(", ")}")
+    val (beam8Budget, beam8Recall) = (hnsw.last._2, hnsw.last._3)
+    val ivf = run("q_sim_ivf_sweep")
+      .select($"nprobe", $"n_scored", $"recall_ppm")
+      .as[(Int, Long, Long)].collect()
+    val comparable = ivf.filter(_._2 <= beam8Budget)
+    assert(comparable.nonEmpty, "at least one IVF point must be cheaper")
+    comparable.foreach { case (np, b, r) =>
+      assert(beam8Recall >= r,
+        s"graph search (recall $beam8Recall @ $beam8Budget scored) must " +
+          s"beat IVF nprobe=$np (recall $r @ $b scored)")
+    }
+    // and the graded top-k itself is well-formed: 10 probes × ranks 1..10
+    val topk = run("q_sim_hnsw_topk")
+      .select($"probe_id", $"rank").as[(Long, Int)].collect()
+    assert(topk.length === 100)
+    assert(topk.groupBy(_._1).forall(_._2.map(_._2).sorted.sameElements(1 to 10)))
+  }
+
   test("erasure cascade: zero orphans, deletes consistent per table") {
     val r = run("q_privacy_erasure")
       .select($"table_name", $"rows_before", $"rows_deleted",
