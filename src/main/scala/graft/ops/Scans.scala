@@ -691,6 +691,41 @@ object Scans extends OpModule {
       .orderBy($"leg")
   }
 
+  /** TYPE-WIDENING schema evolution — grades
+    * [[graft.sources.VersionedTable.widenColumn]], the other
+    * column-mapping face beside [[scanTableRename]]: v1 commits a
+    * 32-bit `qty` column, v2 widens it to BIGINT as metadata (no file
+    * rewritten), v3 commits values that genuinely exceed int range —
+    * the head scan up-casts the old narrow files and reads the new
+    * wide ones natively, one schema, one rollup. `widen_ok` witnesses
+    * the logical types on both sides of the evolution. */
+  def scanTableWiden(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_wd${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", year($"o_orderdate").as("o_year"))
+    val v1 = VersionedTable.commit(
+      o.filter($"o_year".between(1995, 1996))
+        .withColumn("qty", ($"o_orderkey" % 1000).cast("int")), root)
+    VersionedTable.widenColumn(s, root, "qty", "bigint")
+    VersionedTable.commit(
+      o.filter($"o_year" === 1997)
+        .withColumn("qty", ($"o_orderkey" % 1000) * 10000000L), root)
+    val widenOk =
+      VersionedTable.read(s, root, Some(v1)).schema("qty").dataType ==
+        org.apache.spark.sql.types.IntegerType &&
+      VersionedTable.read(s, root).schema("qty").dataType ==
+        org.apache.spark.sql.types.LongType
+    VersionedTable.read(s, root)
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n_rows"), sum($"qty").as("qty_sum"))
+      .withColumn("widen_ok", lit(widenOk))
+      .orderBy($"o_year")
+  }
+
   /** Dynamic partition OVERWRITE — grades
     * [[graft.sources.VersionedTable.overwritePartitions]], the
     * backfill primitive: a year-partitioned table gets its 1996
@@ -1248,6 +1283,7 @@ object Scans extends OpModule {
     "q_scan_table_sql" -> (scanTableSql _),
     "q_scan_table_clone" -> (scanTableClone _),
     "q_scan_table_rename" -> (scanTableRename _),
+    "q_scan_table_widen" -> (scanTableWiden _),
     "q_part_overwrite" -> (scanPartOverwrite _),
     "q_scan_cdc_merge" -> (scanCdcMerge _),
     "q_scan_table_optimize" -> (scanTableOptimize _),
@@ -1391,6 +1427,16 @@ object Scans extends OpModule {
         |SELECT leg, CAST(n AS BIGINT) AS n_rows,
         |  CAST(amt AS DOUBLE) AS amount, TRUE AS rename_ok
         |FROM r ORDER BY leg""".stripMargin,
+    "q_scan_table_widen" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, year(o_orderdate) AS y FROM orders
+        |  WHERE year(o_orderdate) BETWEEN 1995 AND 1997)
+        |SELECT CAST(y AS INTEGER) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN y <= 1996 THEN o_orderkey % 1000
+        |    ELSE (o_orderkey % 1000) * 10000000 END) AS BIGINT) AS qty_sum,
+        |  TRUE AS widen_ok
+        |FROM b GROUP BY y ORDER BY o_year""".stripMargin,
     "q_part_overwrite" ->
       """WITH b AS (
         |  SELECT o_orderkey, o_totalprice, year(o_orderdate) AS y

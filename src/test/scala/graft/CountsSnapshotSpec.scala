@@ -436,7 +436,9 @@ class CountsSnapshotSpec extends SparkSpec {
     "q_ml_cv_select" -> 2L,
     // graph-ANN: 10 probes × top-10; sweep = one row per beam width
     "q_sim_hnsw_topk" -> 100L,
-    "q_sim_hnsw_sweep" -> 3L)
+    "q_sim_hnsw_sweep" -> 3L,
+    // one row per year across the int→bigint widening
+    "q_scan_table_widen" -> 3L)
 
   test("snapshot covers exactly the registered queries") {
     assert(expected.keySet === SparkEntry.queries.keySet)
