@@ -1291,8 +1291,12 @@ object Dedup extends OpModule {
           Seq("probe_id", "nbr_id"), "left_anti")
       val fresh = scoreOf(cand).localCheckpoint(true)
       budget += fresh.count()
-      expanded = expanded.unionByName(toExpand).localCheckpoint(true)
-      visited = visited.unionByName(fresh).localCheckpoint(true)
+      // the accumulators stay PLAIN unions of the checkpointed pieces:
+      // a union of k LogicalRDDs is a linear plan however often it is
+      // referenced, so only the per-round NEW frames need truncation
+      // (2 fewer eager jobs per round than checkpointing these too)
+      expanded = expanded.unionByName(toExpand)
+      visited = visited.unionByName(fresh)
     }
     (visited, budget)
   }
