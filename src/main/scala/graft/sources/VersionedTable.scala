@@ -607,6 +607,19 @@ object VersionedTable {
       require(bad.isEmpty,
         s"commitChecked: schema incompatible with $root v$cur — " +
           bad.mkString("; "))
+      // column mapping active: implicit additive evolution is off —
+      // new columns enter via addColumn (an explicit, OCC-safe
+      // metadata commit), so reject them HERE with the real reason
+      // instead of letting the write-time translation throw a generic
+      // unknown-column error after the constraint scan ran
+      resolveSchema(root, cur).foreach { sch =>
+        val known = sch.cols.map(_.name).toSet
+        val extra = df.columns.filterNot(known)
+        require(extra.isEmpty,
+          s"commitChecked: column mapping is active on $root — new " +
+            s"column(s) ${extra.mkString(", ")} must be added with " +
+            "addColumn before committing")
+      }
     }
     if (constraints.nonEmpty) {
       import org.apache.spark.sql.functions.coalesce

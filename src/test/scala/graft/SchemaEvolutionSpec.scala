@@ -120,6 +120,31 @@ class SchemaEvolutionSpec extends SparkSpec {
       VersionedTable.delete(spark, root, Seq(10L).toDF("id"), "id")
       assert(VersionedTable.read(spark, root)
         .select($"id").as[Long].collect().toSet === Set(1L, 2L, 11L))
+      // stats-based file skipping keys on the renamed column too
+      val (pruned, kept, total) = VersionedTable.readPruned(spark, root,
+        lo = 1.0, hi = 2.0, statsCol = Some("id"))
+      assert(kept < total, "pruned read must skip the other band's file")
+      assert(pruned.select($"id").as[Long].collect().toSet === Set(1L, 2L))
+    }
+  }
+
+  test("commitChecked rejects implicit new columns once mapping is active") {
+    withTmpDir("graft_evo_checked") { base =>
+      val root = s"$base/t"
+      VersionedTable.commit(kv(1L -> "a"), root)
+      VersionedTable.renameColumn(spark, root, "v", "label")
+      val withExtra = Seq((2L, "b", 7.0)).toDF("k", "label", "score")
+      val e = intercept[IllegalArgumentException] {
+        VersionedTable.commitChecked(withExtra, root,
+          constraints = Seq("k IS NOT NULL"))
+      }
+      assert(e.getMessage.contains("addColumn"),
+        s"gate must name the explicit-evolution path: ${e.getMessage}")
+      // the explicit path then works end to end
+      VersionedTable.addColumn(spark, root, "score", "double")
+      VersionedTable.commitChecked(withExtra, root,
+        constraints = Seq("k IS NOT NULL"))
+      assert(VersionedTable.read(spark, root).count() === 2L)
     }
   }
 
