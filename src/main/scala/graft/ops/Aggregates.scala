@@ -902,8 +902,13 @@ object Aggregates extends OpModule {
         .over(Window.orderBy($"decile")
           .rowsBetween(Window.unboundedPreceding, 0)))
       .select($"decile", $"n_customers", $"decile_c",
-        expr("1000000 * decile_c div total_c").as("share_ppm"),
-        expr("1000000 * cum_c div total_c").as("cum_share_ppm"))
+        // 128-bit cross-multiplication (DECIMAL(38,0) ↔ DuckDB
+        // HUGEINT): 10⁶·cum_c overflows int64 once total spend cents
+        // pass ~9.2e12 (≈ sf0.4) — the q_privacy_tcloseness recipe
+        expr("CAST((CAST(decile_c AS DECIMAL(38,0)) * 1000000)" +
+          " div total_c AS BIGINT)").as("share_ppm"),
+        expr("CAST((CAST(cum_c AS DECIMAL(38,0)) * 1000000)" +
+          " div total_c AS BIGINT)").as("cum_share_ppm"))
       .orderBy($"decile")
   }
 
@@ -913,10 +918,12 @@ object Aggregates extends OpModule {
     * actual "bought in 1998" label; per decile the positive rate's
     * LIFT over the base rate and the cumulative capture share, both
     * integer ppm — exactly the "top decile captures N× random" table
-    * every targeting campaign is judged by. The ratio-of-ratios stays
-    * int64: lift = 10⁶·pos·N div (n·P) (multiply through, never
-    * divide early). Same scale shape as [[aggLorenz]] (combinable
-    * label join + O(customers) ntile → O(10)). */
+    * every targeting campaign is judged by. The ratio-of-ratios
+    * lift = 10⁶·pos·N div (n·P) multiplies through 128-bit-wide
+    * arithmetic (DECIMAL(38,0) ↔ HUGEINT — int64 wraps at a few
+    * million customers) and divides ONCE. Same scale shape as
+    * [[aggLorenz]] (combinable label join + O(customers) ntile →
+    * O(10)). */
   def aggDecileLift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -943,8 +950,14 @@ object Aggregates extends OpModule {
         .over(Window.orderBy($"decile")
           .rowsBetween(Window.unboundedPreceding, 0)))
       .select($"decile", $"n", $"n_pos",
-        expr("1000000 * n_pos * tot_n div (n * tot_pos)").as("lift_ppm"),
-        expr("1000000 * cum_pos div tot_pos").as("capture_ppm"))
+        // 128-bit cross-multiplication: 10⁶·n_pos·tot_n (and the
+        // n·tot_pos divisor) wrap int64 silently at a few million
+        // customers — widen both sides, divide once, back to BIGINT
+        expr("CAST((CAST(n_pos AS DECIMAL(38,0)) * tot_n * 1000000)" +
+          " div (CAST(n AS DECIMAL(38,0)) * tot_pos) AS BIGINT)")
+          .as("lift_ppm"),
+        expr("CAST((CAST(cum_pos AS DECIMAL(38,0)) * 1000000)" +
+          " div tot_pos AS BIGINT)").as("capture_ppm"))
       .orderBy($"decile")
   }
 
@@ -3195,10 +3208,10 @@ object Aggregates extends OpModule {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
         |  FROM g)
         |SELECT c.decile, c.n_customers, c.decile_c,
-        |  CAST(1000000 * c.decile_c // tot.total_c AS BIGINT)
-        |    AS share_ppm,
-        |  CAST(1000000 * c.cum_c // tot.total_c AS BIGINT)
-        |    AS cum_share_ppm
+        |  CAST(CAST(c.decile_c AS HUGEINT) * 1000000 // tot.total_c
+        |    AS BIGINT) AS share_ppm,
+        |  CAST(CAST(c.cum_c AS HUGEINT) * 1000000 // tot.total_c
+        |    AS BIGINT) AS cum_share_ppm
         |FROM c CROSS JOIN tot ORDER BY c.decile""".stripMargin,
     "q_agg_decile_lift" ->
       """WITH buyers AS (
@@ -3225,10 +3238,11 @@ object Aggregates extends OpModule {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
         |  FROM g)
         |SELECT c.decile, c.n, c.n_pos,
-        |  CAST(1000000 * c.n_pos * tot.tot_n
-        |    // (c.n * tot.tot_pos) AS BIGINT) AS lift_ppm,
-        |  CAST(1000000 * c.cum_pos // tot.tot_pos AS BIGINT)
-        |    AS capture_ppm
+        |  CAST(CAST(c.n_pos AS HUGEINT) * tot.tot_n * 1000000
+        |    // (CAST(c.n AS HUGEINT) * tot.tot_pos) AS BIGINT)
+        |    AS lift_ppm,
+        |  CAST(CAST(c.cum_pos AS HUGEINT) * 1000000 // tot.tot_pos
+        |    AS BIGINT) AS capture_ppm
         |FROM c CROSS JOIN tot ORDER BY c.decile""".stripMargin,
     "q_agg_boxplot" ->
       """WITH o AS (

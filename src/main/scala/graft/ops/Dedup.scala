@@ -998,9 +998,15 @@ object Dedup extends OpModule {
   }
 
   private def ivfSearch(s: SparkSession, centers: Array[Array[Double]],
-      corpus: DataFrame, nprobe: Int): DataFrame = {
+      corpus: DataFrame, nprobe: Int): DataFrame =
+    ivfSearchFrom(s, ivfCandidates(s, centers, corpus, nprobe))
+
+  /** The ranking stage over an (optionally pre-persisted) candidate
+    * frame — split out so the sweep can count its budget and score
+    * from ONE materialization instead of rebuilding the join. */
+  private def ivfSearchFrom(s: SparkSession, cand: DataFrame): DataFrame = {
     import s.implicits._
-    val scored = ivfCandidates(s, centers, corpus, nprobe)
+    val scored = cand
       .select($"probe_id", $"vec_id".as("nbr_id"),
         round(graft.functions.CosineSimF.cosine($"pe", $"embedding"), 4)
           .as("sim4"))
@@ -1034,12 +1040,14 @@ object Dedup extends OpModule {
     // one index build; only the probe stage varies per nprobe
     val (centers, corpus) = ivfIndex(s, dir)
     val rows = Seq(1, 2, 4, 8, 16).map { np =>
-      val got = ivfSearch(s, centers, corpus, np)
-        .select($"probe_id", $"nbr_id")
+      // ONE candidate materialization per point: the budget count
+      // (round 13 — the equal-budget axis the graph-ANN laws compare
+      // against) and the scoring both read the persisted frame
+      val cand = ivfCandidates(s, centers, corpus, np).persist()
+      val budget = cand.count()
+      val got = ivfSearchFrom(s, cand).select($"probe_id", $"nbr_id")
       val matched = got.join(truth, Seq("probe_id", "nbr_id")).count()
-      // scored-candidate budget (round 13): the equal-budget axis the
-      // graph-ANN sweep's laws compare against
-      val budget = ivfCandidates(s, centers, corpus, np).count()
+      cand.unpersist(blocking = false)
       (np, budget, matched, nTruth, matched * 1000000L / nTruth)
     }
     rows.toDF("nprobe", "n_scored", "n_matched", "n_expected", "recall_ppm")
@@ -1160,6 +1168,9 @@ object Dedup extends OpModule {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val (centers, corpus) = ivfIndex(s, dir)
+      // build-scoped persist, released before the cached graph returns
+      // (a leaked persist would outlive OpCache.clear and quietly
+      // carry across bench reps)
       val vecs = corpus.select($"vec_id", $"embedding").persist()
       def topM(scored: DataFrame): DataFrame = {
         val w = Window.partitionBy($"src").orderBy($"sim4".desc, $"dst".asc)
@@ -1174,8 +1185,8 @@ object Dedup extends OpModule {
         .select($"src", $"dst",
           round(graft.functions.CosineSimF.cosine($"se", $"de"), 4)
             .as("sim4"))
-      // seed graph: cell-bounded candidates (node × its two nearest
-      // cells' members — the runner-up cell stitches across borders)
+      // seed graph: cell-bounded candidates (node × its THREE nearest
+      // cells' members — the runner-up cells stitch across borders)
       val nodes = corpus
         .select($"vec_id", $"embedding",
           explode(nearestCellsExpr(centers, $"embedding", 3)).as("gcell"))
@@ -1190,7 +1201,7 @@ object Dedup extends OpModule {
       // sample — uncapped, a hub's in-degree² pair blow-up is exactly
       // the heap bomb the cap exists for); every pair sharing a pivot
       // v is proposed, scored exactly, and each node keeps the top-M
-      // of old ∪ new. O(n·(2M)²) proposals per round, hub-proof. Two
+      // of old ∪ new. O(n·(2M)²) proposals per round, hub-proof. THREE
       // rounds lift the cell-seeded graph to near-exact edges — edge
       // QUALITY is what makes best-first search concentrate its
       // budget near the probe (and build quality is FREE at search
@@ -1213,6 +1224,8 @@ object Dedup extends OpModule {
         g = topM(scorePairs(proposals).unionByName(g))
           .localCheckpoint(true)
       }
+      // g is eagerly checkpointed, so the build-scoped persist can go
+      vecs.unpersist(blocking = false)
       g.select($"src", $"dst")
     }
 

@@ -618,7 +618,10 @@ object Streaming extends OpModule {
     * published and a SAME-CHECKPOINT restart consumes ONLY it (offset
     * resume — nothing re-read, nothing skipped); (3) a FRESH-checkpoint
     * re-run with the same appId redelivers from offset 0 and the
-    * idempotence window makes every redelivered batch a no-op. The
+    * idempotence window makes every redelivered batch a no-op — a
+    * DETERMINISTIC replay, valid here because the log has not grown
+    * since leg 2 (the txn-version contract the source scaladoc
+    * states; growth always resumes from the existing checkpoint). The
     * rollup's `n = n_distinct` witness proves no duplication survived
     * any leg; the oracle is the raw events table. */
   def streamLogIngest(s: SparkSession, dir: String): DataFrame = {

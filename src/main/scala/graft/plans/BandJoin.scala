@@ -56,7 +56,11 @@ import org.apache.spark.sql.internal.SQLConf
   * where a multiplicative band cannot express a constant-width
   * window. Monotonicity of both bounds in `leftVal` — the sweep's
   * correctness precondition — is preserved: an affine map with
-  * non-negative factor is monotone.
+  * non-negative factor is monotone. The non-negative-values contract
+  * applies only to FLIPPING (loFactor < hiFactor) bands; an
+  * equal-factor band has constant width for any value, so negative
+  * values are legitimate on both sides (both execs guard
+  * accordingly — round-13 review fix).
   *
   * At 100 TB: one shuffle per side on the bin key (the range join's
   * inherent cost — same movement as the composition), then linear merge
@@ -293,9 +297,15 @@ case class BandJoinBroadcastExec(
     val rRow = ctx.freshName("rightRow")
     val numOutputRows = metricTerm(ctx, "numOutputRows")
     val rightVars = ExecCodegen.colVars(ctx, rRow, right.output)
+    // negative left values: a MULTIPLICATIVE band (loFactor < hiFactor)
+    // flips to empty on them — dropped, per the documented contract; an
+    // equal-factor AFFINE band keeps constant width for any value, so
+    // negatives are legitimate probes (round-13 review fix)
+    val negGuard =
+      if (loFactor == hiFactor) "" else s" && ${lvEv.value} >= 0D"
     s"""
        |${evaluateVariables(input)}
-       |if (!(${lbEv.isNull}) && !(${lvEv.isNull}) && ${lvEv.value} >= 0D) {
+       |if (!(${lbEv.isNull}) && !(${lvEv.isNull})$negGuard) {
        |  long $pe = $idx.probe(${lbEv.value},
        |    ${lvEv.value} * ${loFactor}D + ${loOffset}D);
        |  if ($pe >= 0L) {
@@ -329,9 +339,10 @@ case class BandJoinBroadcastExec(
         rbIdx, rvIdx)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
+      val dropNegatives = loF != hiF // see the codegen note
       lIter.flatMap { l =>
         if (l.isNullAt(lbIdx) || l.isNullAt(lvIdx) ||
-            l.getDouble(lvIdx) < 0) Iterator.empty
+            (dropNegatives && l.getDouble(lvIdx) < 0)) Iterator.empty
         else idx.lookup(l.getLong(lbIdx)) match {
           case null => Iterator.empty
           case (start, end) =>
@@ -478,12 +489,16 @@ case class BandJoinExec(
     val leftVars = ExecCodegen.colVars(ctx, leftRow, left.output)
     val rightVars = ExecCodegen.colVars(ctx, rRow,
       output.drop(left.output.size))
+    // negative drop only for flipping (multiplicative) bands — see
+    // the broadcast exec's codegen note
+    val negGuard =
+      if (loFactor == hiFactor) "" else s"if ($lv < 0D) continue;"
     s"""
        |while ($limitNotReachedCond $leftInput.hasNext()) {
        |  InternalRow $leftRow = (InternalRow) $leftInput.next();
        |  if ($leftRow.isNullAt($lbIdx) || $leftRow.isNullAt($lvIdx)) continue;
        |  double $lv = $leftRow.getDouble($lvIdx);
-       |  if ($lv < 0D) continue;
+       |  $negGuard
        |  java.util.ArrayDeque $win = $sweeper.window(
        |    $leftRow.getLong($lbIdx),
        |    $lv * ${loFactor}D + ${loOffset}D,
@@ -524,9 +539,10 @@ case class BandJoinExec(
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val sweeper = new BandSweeper(rIter, rbIdx, rvIdx)
+      val dropNegatives = loF != hiF // see the codegen note
       lIter.flatMap { l =>
         if (l.isNullAt(lbIdx) || l.isNullAt(lvIdx) ||
-            l.getDouble(lvIdx) < 0) Iterator.empty
+            (dropNegatives && l.getDouble(lvIdx) < 0)) Iterator.empty
         else {
           val lv = l.getDouble(lvIdx)
           val buf = sweeper.window(l.getLong(lbIdx),

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import java.util
 
 import org.apache.spark.sql.DataFrame
@@ -35,6 +35,16 @@ import scala.jdk.CollectionConverters._
   * window inside `foreachBatch` — a redelivered micro-batch (crash
   * between sink commit and checkpoint advance, or a full re-run from a
   * fresh checkpoint with the same appId) lands exactly once.
+  * CONTRACT (the same one real formats document for txnAppId/
+  * txnVersion): batch-id idempotence assumes DETERMINISTIC batch
+  * contents — valid for retries/restarts within one checkpoint
+  * lineage (offsets are checkpointed), and for a fresh-checkpoint
+  * re-run only while the log has not grown since the original run
+  * (the replayed batch 0 then covers the same-or-already-committed
+  * segments). A fresh checkpoint + same appId over a log that GAINED
+  * segments would plan a superset batch 0 and no-op it — resume
+  * growth from the existing checkpoint, or use a new appId for a
+  * genuine re-ingest.
   *
   * Producer API: [[LogSegments.append]] publishes one new segment
   * ATOMICALLY (fully-written temp file, then atomic move to the next
@@ -111,11 +121,16 @@ object LogSegments {
       finally st.close()
     }
     try {
+      // CREATE-NEW publish via hard link (the manifest recipe):
+      // Files.move(ATOMIC_MOVE) maps to rename(2) on POSIX, which
+      // SILENTLY REPLACES an existing target — a racing producer would
+      // overwrite the winner's published segment with no error. A hard
+      // link fails with FileAlreadyExistsException instead, which is
+      // the collision signal the retry loop needs.
       var idx = segments(dir).size
       while (true) {
         try {
-          Files.move(part, Paths.get(dir, f"seg-$idx%06d.jsonl"),
-            StandardCopyOption.ATOMIC_MOVE)
+          Files.createLink(Paths.get(dir, f"seg-$idx%06d.jsonl"), part)
           return idx
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => idx += 1

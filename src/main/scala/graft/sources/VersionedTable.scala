@@ -1582,12 +1582,30 @@ object VersionedTable {
     * physical name retires permanently — a later [[addColumn]] of the
     * same logical name gets a FRESH physical identity, so the dropped
     * column's bytes can never bleed into it. */
-  def dropColumn(spark: SparkSession, root: String, name: String): Int =
+  def dropColumn(spark: SparkSession, root: String, name: String): Int = {
+    // pending-mask guard: an equality-delete mask keyed on this
+    // column's physical name anti-joins it on every read — dropping
+    // the column would make EVERY subsequent read (and optimize, the
+    // only repair point) crash on a missing key column, permanently
+    // wedging the table. Materialize first, like clone and the
+    // targeted rewrites.
+    val cur = currentVersion(root)
+    require(cur > 0, s"dropColumn: $root has no committed version")
+    resolveSchema(root, cur).orElse(Some(schemaOrActivate(spark, root, cur)))
+      .foreach { sch =>
+        val phys = sch.logical(name).phys
+        val masked = resolveDeletes(root, cur).filter(_.keyCol == phys)
+        require(masked.isEmpty,
+          s"dropColumn: $root has ${masked.size} pending equality-delete " +
+            s"mask(s) keyed on '$name' — run optimize (the " +
+            "materialization point) first")
+      }
     evolve(spark, root, "dropColumn") { s =>
       val c = s.logical(name)
       s.copy(cols = s.cols.filterNot(_.id == c.id),
         retired = s.retired :+ c.phys)
     }
+  }
 
   /** ADD a column as metadata: files that pre-date it NULL-fill at
     * scan time (the additive evolution the mergeSchema path always

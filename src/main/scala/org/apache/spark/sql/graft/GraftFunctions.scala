@@ -123,10 +123,10 @@ object GraftFunctions {
     * `loOffset = −Δ, hiOffset = +Δ` for a symmetric ±Δ window). A
     * multiplicative band cannot express this constant-width window
     * (the factor would have to vary per row); the affine exec runs it
-    * natively with factors 1. Values must be non-negative and the
-    * whole band non-negative-reachable (binning floors at the shifted
-    * bound); binWidth ≥ hiOffset−loOffset keeps left replication ≤ 2
-    * bins per row. */
+    * natively with factors 1. Values may be ANY doubles including
+    * negatives (an equal-factor band never flips — both execs and the
+    * binning handle negative values/bins); binWidth ≥
+    * hiOffset−loOffset keeps left replication ≤ 2 bins per row. */
   def bandJoinOffset(left: DataFrame, leftVal: String,
       right: DataFrame, rightVal: String,
       loOffset: Double, hiOffset: Double, binWidth: Double): DataFrame = {

@@ -100,17 +100,19 @@ class BandJoinSpec extends SparkSpec {
 
   test("additive band (offsets, factors 1) equals brute force on both paths") {
     // The round-13 affine generalization: constant-width windows a
-    // multiplicative band cannot express. Seeded random, including
-    // values near 0 where the shifted lower bound goes negative
-    // (negative candidate bins must be harmless empty probes).
+    // multiplicative band cannot express. Seeded random over a range
+    // STRADDLING ZERO: equal-factor bands never flip, so negative
+    // values are legitimate probes/candidates (review fix — the
+    // multiplicative drop guard must not apply), and negative bins
+    // must bin/join correctly.
     val rnd = new scala.util.Random(13)
     for (round <- 1 to 4) {
       val nl = 30 + rnd.nextInt(80)
       val nr = rnd.nextInt(250)
       val left = (0 until nl).map(i =>
-        (rnd.nextInt(80) * 1.5, i.toLong)).toDF("lv", "lid")
+        ((rnd.nextInt(80) - 40) * 1.5, i.toLong)).toDF("lv", "lid")
       val right = (0 until nr).map(i =>
-        (rnd.nextInt(80) * 1.5, i.toLong)).toDF("rv", "rid")
+        ((rnd.nextInt(80) - 40) * 1.5, i.toLong)).toDF("rv", "rid")
       val (loO, hiO) = (-12.0, 12.0)
       val lRows = left.as[(Double, Long)].collect()
       val rRows = right.as[(Double, Long)].collect()

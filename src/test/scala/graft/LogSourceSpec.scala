@@ -75,7 +75,11 @@ class LogSourceSpec extends SparkSpec {
       LogSegments.append(rows(1, 30), dir)
       ingest(dir, root, s"$base/ck1")
       // a FULL re-run from a fresh checkpoint redelivers batch 0 with
-      // the same (appId, batchId) — the table must not double-append
+      // the same (appId, batchId) — the table must not double-append.
+      // (Contract boundary, per the source scaladoc: this replay is
+      // exactly-once because the log did NOT grow since the original
+      // run; growth must resume from the EXISTING checkpoint — the
+      // offset-resume test — or re-ingest under a new appId.)
       ingest(dir, root, s"$base/ck2")
       val got = VersionedTable.read(spark, root)
       assert(got.count() === 30L)
