@@ -183,6 +183,38 @@ object MicroBench {
     val bandSmallBroadcast = timedBandSmall() // auto-chosen under 10 MB
     pLeft.unpersist(); sRight.unpersist()
 
+    // ADDITIVE (affine, round 13) band — the true-interval-join shape:
+    // rv ∈ [lv−Δ, lv+Δ] on packed time-like keys. BOTH sides 2M (the
+    // at-scale case — neither side broadcastable, both plans shuffle
+    // on the bin), values sparse enough (~2 matches per left) that
+    // output volume doesn't drown the join cost being measured;
+    // composed explode+hash-join+filter vs the affine sweep.
+    val delta = 500.0
+    val abinW = 1000.0
+    val ivLeft = spark.range(0, 2000000L, 1L, cpus.toInt)
+      .select((pmod(hash($"id"), lit(1000000000)).cast("double")).as("lv"),
+        $"id".as("lid")).persist()
+    val ivRight = spark.range(0, 2000000L, 1L, cpus.toInt)
+      .select((pmod(hash($"id" + 7), lit(1000000000)).cast("double"))
+        .as("rv"), $"id".as("rid")).persist()
+    ivLeft.count(); ivRight.count()
+    val intervalComposed = timeMin(3) {
+      val lExp = ivLeft.withColumn("bin", explode(sequence(
+        floor(($"lv" - delta) / abinW).cast("long"),
+        floor(($"lv" + delta) / abinW).cast("long"))))
+      val rExp = ivRight.withColumn("bin", floor($"rv" / abinW).cast("long"))
+      lExp.join(rExp, lExp("bin") === rExp("bin") &&
+          $"rv" >= $"lv" - delta && $"rv" <= $"lv" + delta)
+        .agg(count(lit(1))).collect()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val intervalSweep = timeMin(3) {
+      GraftFunctions.bandJoinOffset(ivLeft, "lv", ivRight, "rv",
+        -delta, delta, abinW).agg(count(lit(1))).collect()
+    }
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    ivLeft.unpersist(); ivRight.unpersist()
+
     def d3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"metric":"micro","cosine_composed":${d3(composedCos)},""" +
@@ -197,7 +229,9 @@ object MicroBench {
       s""""band_sweep":${d3(bandSweep)},""" +
       s""""band_small_composed":${d3(bandSmallComposed)},""" +
       s""""band_small_sweep":${d3(bandSmallSweep)},""" +
-      s""""band_small_broadcast":${d3(bandSmallBroadcast)}}""")
+      s""""band_small_broadcast":${d3(bandSmallBroadcast)},""" +
+      s""""interval_composed":${d3(intervalComposed)},""" +
+      s""""interval_sweep":${d3(intervalSweep)}}""")
     spark.stop()
   }
 }
