@@ -1150,14 +1150,15 @@ object Dedup extends OpModule {
   /** NSW NEIGHBOR GRAPH (round 13 — the HNSW family beside IVF/PQ/LSH,
     * r12 verdict item #8): each corpus vector keeps directed edges to
     * its [[NswM]] most-cosine-similar neighbors, found among nodes
-    * sharing one of its TWO nearest coarse cells (home + runner-up —
-    * the runner-up stitches the graph across cell borders, so beam
-    * search can leave a bad entry cell). This is the flat-graph tier
-    * of HNSW; the hierarchy's one job — a good entry point — is done
-    * by the IVF coarse layer instead (the hybrid every disk-resident
-    * graph index documents: quantizer entry + graph refinement).
+    * sharing one of its THREE nearest coarse cells (home + two
+    * runners-up — the runner-up cells stitch the graph across cell
+    * borders, so beam search can leave a bad entry cell). This is the
+    * flat-graph tier of HNSW; the hierarchy's one job — a good entry
+    * point — is done by the IVF coarse layer instead (the hybrid every
+    * disk-resident graph index documents: quantizer entry + graph
+    * refinement).
     *
-    * Scale shape: build candidates are CELL-BOUNDED (node × its two
+    * Scale shape: build candidates are CELL-BOUNDED (node × its three
     * cells' members — the same join budget as an IVF probe, never the
     * n² all-pairs), the per-node top-M compiles to WindowGroupLimit,
     * and the finished graph is O(n·M) rows keyed by source — the

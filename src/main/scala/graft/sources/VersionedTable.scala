@@ -112,7 +112,19 @@ object VersionedTable {
     * sequence-number rule). */
   case class FileEntry(path: String, lo: Option[Double], hi: Option[Double],
       part: Map[String, String] = Map.empty, seq: Int = 0,
-      statsBy: Option[String] = None)
+      statsBy: Option[String] = None,
+      stats: Map[String, (Double, Double)] = Map.empty) {
+    /** The file's [min, max] for PHYSICAL column `c`, consulting the
+      * per-column map (round 14) first and falling back to the legacy
+      * single-column lo/hi when `statsBy` names exactly `c`. None means
+      * "no evidence" — every consumer must then treat the file
+      * conservatively (keep / rewrite / scan). */
+    def statsRange(c: String): Option[(Double, Double)] =
+      stats.get(c).orElse(
+        if (statsBy.contains(c)) lo.zip(hi) else None)
+    /** Every physical column this entry carries a range for. */
+    def statsCols: Set[String] = stats.keySet ++ statsBy
+  }
 
   /** One equality-delete sidecar file: `path` holds the deleted keys
     * (single column `keyCol` — PHYSICAL name once column mapping is
@@ -198,9 +210,16 @@ object VersionedTable {
       val part = Option(f.get("part")).map { p =>
         p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
       }.getOrElse(Map.empty[String, String])
+      val stats = Option(f.get("stats")).map { sn =>
+        sn.properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get(0).asDouble(),
+            e.getValue.get(1).asDouble())
+        }.toMap
+      }.getOrElse(Map.empty[String, (Double, Double)])
       FileEntry(f.get("path").asText(), num("lo"), num("hi"), part,
         Option(f.get("seq")).map(_.asInt()).getOrElse(0),
-        Option(f.get("statsBy")).filterNot(_.isNull).map(_.asText()))
+        Option(f.get("statsBy")).filterNot(_.isNull).map(_.asText()),
+        stats)
     }.toSeq
 
   private def parseEqDeletes(
@@ -352,6 +371,12 @@ object VersionedTable {
       f.lo.foreach(o.put("lo", _))
       f.hi.foreach(o.put("hi", _))
       f.statsBy.foreach(o.put("statsBy", _))
+      if (f.stats.nonEmpty) {
+        val sn = o.putObject("stats")
+        f.stats.toSeq.sortBy(_._1).foreach { case (c, (clo, chi)) =>
+          val a = sn.putArray(c); a.add(clo); a.add(chi)
+        }
+      }
       if (f.part.nonEmpty) {
         val p = o.putObject("part")
         f.part.foreach { case (k, x) => p.put(k, x) }
@@ -571,9 +596,10 @@ object VersionedTable {
     * object doc). */
   def commit(df: DataFrame, root: String,
       statsCol: Option[String] = None,
-      batchKey: Option[String] = None): Int =
-    publishLoop(root, writeData(df, root, statsCol, Nil), replace = false,
-      rollbackOf = None, batchKey)
+      batchKey: Option[String] = None,
+      statsCols: Seq[String] = Nil): Int =
+    publishLoop(root, writeData(df, root, statsCol, Nil, statsCols),
+      replace = false, rollbackOf = None, batchKey)
 
   /** Guarded append — COMMIT-TIME enforcement (the Delta
     * constraints/schema-enforcement role): the batch is admitted only
@@ -649,8 +675,9 @@ object VersionedTable {
     * `statsCol` (partition prune, then stats skip, then row-group
     * pushdown). */
   def commitPartitioned(df: DataFrame, root: String, partCols: Seq[String],
-      statsCol: Option[String] = None): Int =
-    publishLoop(root, writeData(df, root, statsCol, partCols),
+      statsCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Int =
+    publishLoop(root, writeData(df, root, statsCol, partCols, statsCols),
       replace = false, rollbackOf = None, batchKey = None)
 
   /** Dynamic partition OVERWRITE (the INSERT OVERWRITE ... PARTITION
@@ -730,10 +757,17 @@ object VersionedTable {
     * partition tuple recorded) under PHYSICAL names — the one
     * translation point every commit path shares. */
   private def writeData(ldf: DataFrame, root: String,
-      lStatsCol: Option[String], lPartCols: Seq[String]): Seq[FileEntry] = {
+      lStatsCol: Option[String], lPartCols: Seq[String],
+      lStatsCols: Seq[String] = Nil): Seq[FileEntry] = {
     val schema = resolveSchema(root, currentVersion(root))
     val df = toPhysical(ldf, schema)
-    val statsCol = lStatsCol.map(c => schema.fold(c)(_.physOf(c)))
+    // per-column stats (round 14): lStatsCols generalizes the single
+    // lStatsCol — the union is collected in ONE read-back pass, the
+    // first column doubling as the legacy lo/hi/statsBy entry so every
+    // pre-feature consumer keeps working
+    val statsCols = (lStatsCol.toSeq ++ lStatsCols).distinct
+      .map(c => schema.fold(c)(_.physOf(c)))
+    val statsCol = statsCols.headOption
     val partCols = lPartCols.map(c => schema.fold(c)(_.physOf(c)))
     val dataDir = Paths.get(root, "data",
       f"c${ProcessHandle.current().pid()}%d-${commitSeq.incrementAndGet()}%06d")
@@ -765,10 +799,12 @@ object VersionedTable {
     statsCol match {
       case Some(c) =>
         import org.apache.spark.sql.functions._
+        val aggs = statsCols.flatMap(sc => Seq(
+          min(col(sc).cast("double")).as(s"__lo_$sc"),
+          max(col(sc).cast("double")).as(s"__hi_$sc")))
         val stats = spark.read.parquet(newPaths: _*)
           .groupBy(col("_metadata.file_path").as("__f"))
-          .agg(min(col(c).cast("double")).as("__lo"),
-            max(col(c).cast("double")).as("__hi"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
             // _metadata.file_path renders with a scheme (file:/… or
@@ -777,8 +813,14 @@ object VersionedTable {
             val raw = r.getString(0)
             val p = if (raw.startsWith("file:"))
               new java.net.URI(raw).getPath else raw
-            p -> (Option(r.get(1)).map(_.asInstanceOf[Double]),
-              Option(r.get(2)).map(_.asInstanceOf[Double]))
+            val perCol = statsCols.zipWithIndex.flatMap { case (sc, i) =>
+              (Option(r.get(1 + 2 * i)), Option(r.get(2 + 2 * i))) match {
+                case (Some(lo), Some(hi)) => Some(sc ->
+                  (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
+                case _ => None // all-NULL column in this file: no range
+              }
+            }.toMap
+            p -> perCol
           }
           .toMap
         // a path absent from the stats pass has ZERO rows (every
@@ -786,8 +828,9 @@ object VersionedTable {
         // the manifest: an empty file carries no data and would
         // otherwise be conservatively un-prunable forever
         newPaths.flatMap { p =>
-          stats.get(p).map { case (lo, hi) =>
-            FileEntry(p, lo, hi, partOf(p), statsBy = Some(c)) }
+          stats.get(p).map { perCol =>
+            FileEntry(p, perCol.get(c).map(_._1), perCol.get(c).map(_._2),
+              partOf(p), statsBy = Some(c), stats = perCol) }
         }
       case None => newPaths.map(p => FileEntry(p, None, None, partOf(p)))
     }
@@ -857,9 +900,13 @@ object VersionedTable {
         val kind = Option(n.get("cdcKind")).map(_.asText())
           .getOrElse(if (rollbackOf.isDefined) "rollback"
             else if (isReplace) "replace" else "append")
+        // ts straight from the node readNode already parsed — calling
+        // commitTs here re-read and re-parsed the same manifest JSON,
+        // doubling history()'s manifest I/O on long tables (ADVICE r13)
+        val ts = Option(n.get("ts")).map(_.asLong()).getOrElse(
+          Files.getLastModifiedTime(manifestPath(root, v)).toMillis)
         Some((v, n.get("parent").asInt(), kind, isReplace,
-          rollbackOf, Option(n.get("batchKey")).map(_.asText()),
-          commitTs(root, v)))
+          rollbackOf, Option(n.get("batchKey")).map(_.asText()), ts))
       }
     }
     import spark.implicits._
@@ -889,7 +936,8 @@ object VersionedTable {
     * table-native cure. */
   def optimize(spark: SparkSession, root: String, numFiles: Int = 1,
       statsCol: Option[String] = None,
-      clusterBy: Option[String] = None): Int = {
+      clusterBy: Option[String] = None,
+      statsCols: Seq[String] = Nil): Int = {
     // clusterBy: range-CLUSTERED compaction — rows range-partition and
     // sort on the cluster column, so each rewritten file covers a
     // narrow, nearly-disjoint key band and the per-file min/max stats
@@ -906,7 +954,7 @@ object VersionedTable {
       case None => base.repartition(numFiles)
     }
     publishLoop(root,
-      writeData(laid, root, statsCol.orElse(clusterBy), Nil),
+      writeData(laid, root, statsCol.orElse(clusterBy), Nil, statsCols),
       replace = true, rollbackOf = None, batchKey = None,
       // row-NEUTRAL replace: same logical rows, new layout — the change
       // feed skips it instead of failing or re-emitting the table
@@ -1089,10 +1137,11 @@ object VersionedTable {
       keyBatch: DataFrame, keyCol: String,
       physKey: String): Seq[String] = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val ranged = all.zipWithIndex.collect {
-      case (f, i) if f.lo.isDefined && f.hi.isDefined &&
-          f.statsBy.contains(physKey) =>
-        (i, f.lo.get, f.hi.get)
+    // statsRange consults the per-column map (round 14) before the
+    // legacy single-column fallback — a table committed with
+    // statsCols covering several keys stays O(touched files) on each
+    val ranged = all.zipWithIndex.flatMap { case (f, i) =>
+      f.statsRange(physKey).map { case (lo, hi) => (i, lo, hi) }
     }
     val hitIds: Set[Int] =
       if (ranged.isEmpty) Set.empty
@@ -1106,8 +1155,7 @@ object VersionedTable {
           .collect().map(_.getInt(0)).toSet
       }
     all.zipWithIndex.collect {
-      case (f, i) if hitIds(i) || f.lo.isEmpty || f.hi.isEmpty ||
-          !f.statsBy.contains(physKey) => f.path
+      case (f, i) if hitIds(i) || f.statsRange(physKey).isEmpty => f.path
     }
   }
 
@@ -1146,8 +1194,21 @@ object VersionedTable {
       rewritten: DataFrame, numFiles: Int, keyCol: String,
       cdcPaths: Seq[String], cdc: Boolean, what: String,
       keyBatch: DataFrame): Int = {
+    // rewritten files keep the key's stats AND every other column the
+    // basis snapshot tracked ranges for (round 14): without the union,
+    // one targeted delete keyed on column A would silently strip the
+    // files' column-B stats and the NEXT rewrite keyed on B degrades
+    // to a conservative full rewrite. Basis stats keys are physical —
+    // translate back to the logical names writeData speaks.
+    val basisStats = {
+      val schema = resolveSchema(root, basis)
+      val live = rewritten.columns.toSet // dropped columns have no data
+      all.flatMap(_.statsCols).distinct
+        .map(p => schema.fold(p)(_.nameOfPhys(p)))
+        .filter(live)
+    }
     val newFiles = writeData(rewritten.repartition(numFiles), root,
-      Some(keyCol), Nil)
+      Some(keyCol), Nil, basisStats.filterNot(_ == keyCol))
     val removed = rewritePaths.toSet
     val basisPaths = all.map(_.path).toSet
     val schemaAtBasis = resolveSchema(root, basis)
@@ -1447,11 +1508,16 @@ object VersionedTable {
     // logical — translate before the identity check
     val physStats = statsCol.map(c => schema.fold(c)(_.physOf(c)))
     val keep = all.filter { f =>
-      (f.lo, f.hi) match {
-        case (Some(flo), Some(fhi))
-            if physStats.forall(c => f.statsBy.contains(c)) =>
-          fhi >= lo && flo <= hi
-        case _ => true
+      // per-column map first (round 14), legacy lo/hi fallback via
+      // statsRange; with statsCol omitted the historical single-stats
+      // contract applies (lo/hi asserted to be on the query column)
+      val range = physStats match {
+        case Some(c) => f.statsRange(c)
+        case None => f.lo.zip(f.hi)
+      }
+      range match {
+        case Some((flo, fhi)) => fhi >= lo && flo <= hi
+        case None => true
       }
     }
     val df =
@@ -1619,7 +1685,16 @@ object VersionedTable {
       canonType(dt) // validates the DDL string
       val id = s.lastId + 1
       val taken = s.cols.map(_.phys).toSet ++ s.retired
-      val phys = if (!taken(name)) name else s"${name}__c$id"
+      // the fallback suffix itself must clear `taken` too: a physical
+      // name literally equal to `name__c$id` may already be live or
+      // retired, and a colliding candidate would make evolve()'s
+      // duplicate-physical require throw the SAME way on every retry
+      // (the id never advances past a failed attempt) — walk candidates
+      // until one is free (ADVICE r13)
+      val phys = (Iterator(name) ++
+        Iterator.from(0).map(k =>
+          if (k == 0) s"${name}__c$id" else s"${name}__c${id}_$k"))
+        .find(!taken(_)).get
       s.copy(cols = s.cols :+ ColDef(id, name, phys, dt), lastId = id)
     }
 

