@@ -726,6 +726,54 @@ object Scans extends OpModule {
       .orderBy($"o_year")
   }
 
+  /** DROP + RE-ADD column lifecycle — grades
+    * [[graft.sources.VersionedTable.dropColumn]] /
+    * [[graft.sources.VersionedTable.addColumn]], the half of column
+    * mapping that guards physical-identity retirement (r13 verdict
+    * item #3): v1–v2 commit orders WITH a `note` column, v3 DROPS it
+    * (metadata only), v4 RE-ADDS the same logical name (fresh physical
+    * identity — the retired name can never be reused), v5 commits new
+    * rows carrying notes. Graded legs: the head read must NOT
+    * resurrect the dropped bytes under the re-added name (`n_notes`
+    * counts only v5's rows — any bleed-through from the v1–v2 files'
+    * retired physical column would inflate it), pre-drop time travel
+    * still sees the original column intact, and the change feed
+    * crossing the drop/re-add serves every insert under the head
+    * schema with pre-drop notes NULL-padded. `drop_ok` witnesses the
+    * logical schemas immediately after the drop and at head. */
+  def scanTableDrop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_dr${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+      .withColumn("note",
+        concat(lit("n"), ($"o_orderkey" % 7).cast("string")))
+    VersionedTable.commit(o.filter($"o_year".between(1995, 1996)), root)
+    val v2 = VersionedTable.commit(o.filter($"o_year" === 1997), root)
+    val v3 = VersionedTable.dropColumn(s, root, "note")
+    VersionedTable.addColumn(s, root, "note", "string")
+    val v5 = VersionedTable.commit(o.filter($"o_year" === 1998), root)
+    val dropOk =
+      !VersionedTable.read(s, root, Some(v3)).columns.contains("note") &&
+        VersionedTable.read(s, root).columns.contains("note")
+    def legOf(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        count($"note").as("n_notes"),
+        sum(d12($"o_totalprice")).cast("double").as("amount"))
+        .select(lit(name).as("leg"), $"n_rows", $"n_notes", $"amount")
+    legOf("head_after_readd", VersionedTable.read(s, root))
+      .unionAll(legOf("pre_drop_v2", VersionedTable.read(s, root, Some(v2))))
+      .unionAll(legOf("feed_across_drop",
+        VersionedTable.readChangeFeed(s, root, 0, v5)
+          .filter($"_change_type" === "insert")))
+      .withColumn("drop_ok", lit(dropOk))
+      .orderBy($"leg")
+  }
+
   /** Dynamic partition OVERWRITE — grades
     * [[graft.sources.VersionedTable.overwritePartitions]], the
     * backfill primitive: a year-partitioned table gets its 1996
@@ -1284,6 +1332,7 @@ object Scans extends OpModule {
     "q_scan_table_clone" -> (scanTableClone _),
     "q_scan_table_rename" -> (scanTableRename _),
     "q_scan_table_widen" -> (scanTableWiden _),
+    "q_scan_table_drop" -> (scanTableDrop _),
     "q_part_overwrite" -> (scanPartOverwrite _),
     "q_scan_cdc_merge" -> (scanCdcMerge _),
     "q_scan_table_optimize" -> (scanTableOptimize _),
@@ -1426,6 +1475,31 @@ object Scans extends OpModule {
         |       WHERE y BETWEEN 1995 AND 1997))
         |SELECT leg, CAST(n AS BIGINT) AS n_rows,
         |  CAST(amt AS DOUBLE) AS amount, TRUE AS rename_ok
+        |FROM r ORDER BY leg""".stripMargin,
+    "q_scan_table_drop" ->
+      """WITH b AS (
+        |  SELECT o_totalprice, year(o_orderdate) AS y FROM orders),
+        |r AS (
+        |  SELECT 'feed_across_drop' AS leg,
+        |    (SELECT COUNT(*) FROM b WHERE y BETWEEN 1995 AND 1998) AS n,
+        |    (SELECT COUNT(*) FROM b WHERE y = 1998) AS nn,
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b
+        |       WHERE y BETWEEN 1995 AND 1998) AS amt
+        |  UNION ALL
+        |  SELECT 'head_after_readd',
+        |    (SELECT COUNT(*) FROM b WHERE y BETWEEN 1995 AND 1998),
+        |    (SELECT COUNT(*) FROM b WHERE y = 1998),
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b
+        |       WHERE y BETWEEN 1995 AND 1998)
+        |  UNION ALL
+        |  SELECT 'pre_drop_v2',
+        |    (SELECT COUNT(*) FROM b WHERE y BETWEEN 1995 AND 1997),
+        |    (SELECT COUNT(*) FROM b WHERE y BETWEEN 1995 AND 1997),
+        |    (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,4))) FROM b
+        |       WHERE y BETWEEN 1995 AND 1997))
+        |SELECT leg, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(nn AS BIGINT) AS n_notes,
+        |  CAST(amt AS DOUBLE) AS amount, TRUE AS drop_ok
         |FROM r ORDER BY leg""".stripMargin,
     "q_scan_table_widen" ->
       """WITH b AS (
