@@ -774,6 +774,49 @@ object Scans extends OpModule {
       .orderBy($"leg")
   }
 
+  /** PER-COLUMN manifest stats — grades the round-14 generalization of
+    * the single `statsBy` range to a per-column map (r13 verdict item
+    * #4): four period batches commit with `statsCols = (o_orderkey,
+    * o_year)` — id monotone within a batch, period constant per batch,
+    * the batch-per-period ingest shape — then (1) a targeted DELETE
+    * keyed on the SECOND column (o_year = 1996) rewrites exactly the
+    * matching period's file and carries the other three verbatim
+    * (`carried_files` witness — without per-column stats this key
+    * degraded to a conservative full rewrite), and (2) a stats-pruned
+    * read on o_year skips every provably-missed file
+    * (`files_scanned`/`files_total` witness). Rollup independently
+    * derivable from the raw table. */
+  def scanStatsMulticol(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val root = Tables.sinkPath("vtable", dir,
+      s"orders_ms${vtableRun.incrementAndGet()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").as("o_year"))
+    (1995 to 1998).foreach(y =>
+      VersionedTable.commit(o.filter($"o_year" === y).repartition(1), root,
+        statsCol = Some("o_orderkey"), statsCols = Seq("o_year")))
+    val before = VersionedTable.resolveFiles(root,
+      VersionedTable.currentVersion(root))
+    val vDel = VersionedTable.delete(s, root,
+      Seq(1996).toDF("o_year"), "o_year")
+    val after = VersionedTable.resolveFiles(root, vDel)
+    val carried = before.map(_.path).toSet
+      .intersect(after.map(_.path).toSet).size
+    val (_, scanned, total) = VersionedTable.readPruned(s, root,
+      1997, 1997, statsCol = Some("o_year"))
+    VersionedTable.read(s, root)
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(d12($"o_totalprice")).cast("double").as("amount"))
+      .withColumn("carried_files", lit(carried))
+      .withColumn("files_scanned", lit(scanned))
+      .withColumn("files_total", lit(total))
+      .orderBy($"o_year")
+  }
+
   /** Dynamic partition OVERWRITE — grades
     * [[graft.sources.VersionedTable.overwritePartitions]], the
     * backfill primitive: a year-partitioned table gets its 1996
@@ -1333,6 +1376,7 @@ object Scans extends OpModule {
     "q_scan_table_rename" -> (scanTableRename _),
     "q_scan_table_widen" -> (scanTableWiden _),
     "q_scan_table_drop" -> (scanTableDrop _),
+    "q_scan_stats_multicol" -> (scanStatsMulticol _),
     "q_part_overwrite" -> (scanPartOverwrite _),
     "q_scan_cdc_merge" -> (scanCdcMerge _),
     "q_scan_table_optimize" -> (scanTableOptimize _),
@@ -1476,6 +1520,15 @@ object Scans extends OpModule {
         |SELECT leg, CAST(n AS BIGINT) AS n_rows,
         |  CAST(amt AS DOUBLE) AS amount, TRUE AS rename_ok
         |FROM r ORDER BY leg""".stripMargin,
+    "q_scan_stats_multicol" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE)
+        |    AS amount,
+        |  3 AS carried_files, 1 AS files_scanned, 3 AS files_total
+        |FROM orders
+        |WHERE year(o_orderdate) IN (1995, 1997, 1998)
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q_scan_table_drop" ->
       """WITH b AS (
         |  SELECT o_totalprice, year(o_orderdate) AS y FROM orders),

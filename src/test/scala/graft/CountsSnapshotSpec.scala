@@ -428,6 +428,7 @@ class CountsSnapshotSpec extends SparkSpec {
     // pre-rename / head / feed legs of the schema-evolution query
     "q_scan_table_rename" -> 3L,
     "q_scan_table_drop" -> 3L,
+    "q_scan_stats_multicol" -> 3L,
     // external-log ingest rollup: one row per event type
     "q_stream_log_ingest" -> 5L,
     // loaded-artifact scoring: same (label, prediction) rollup grain
