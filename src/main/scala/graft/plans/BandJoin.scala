@@ -368,45 +368,81 @@ case class BandJoinBroadcastExec(
   * [[BandJoinExec.doExecute]] so the generated whole-stage loop can
   * drive the same O(band-occupancy) cursor/buffer logic through one
   * virtual call per LEFT row (the per-match emission stays in
-  * generated code). Single-threaded per task — no synchronization. */
+  * generated code). Single-threaded per task — no synchronization.
+  *
+  * SPARSE-OCCUPANCY fixes (round 14, r13 verdict item #6 — the sweep
+  * measured 1.4× behind the composed hash form when few right rows
+  * match each band):
+  *  - SKIP-AHEAD: a right row whose value is already below the current
+  *    left's `lo` is never buffered — `lo` is monotone non-decreasing
+  *    in the left sort key (non-negative factor, the exec contract)
+  *    and a pair meets only in the right row's home bin, so such a row
+  *    can match neither this nor any later left row. The old code
+  *    copied EVERY in-bin row ≤ hi and pruned it one call later —
+  *    at sparse occupancy that is one heap allocation per
+  *    never-matching right row, the dominant cost.
+  *  - RING BUFFER instead of ArrayDeque: the window is exposed as
+  *    (size, indexed get) so the generated emission loop reads matches
+  *    by index — no per-window Iterator allocation, no deque node
+  *    churn. */
 final class BandSweeper(rIter: Iterator[InternalRow], rbIdx: Int,
     rvIdx: Int) {
-  private val buf = new java.util.ArrayDeque[InternalRow]()
+  private var ring = new Array[InternalRow](16) // capacity stays 2^k
+  private var head = 0 // ring index of the oldest buffered row
+  private var n = 0 // live rows
   private var curBin = Long.MinValue
   private var curBinValid = false
   private var peakRows = 0L
   // right cursor; skips rows that can never match (null bin/value)
   private def advance(): InternalRow = {
-    var n: InternalRow = null
-    while (n == null && rIter.hasNext) {
-      n = rIter.next()
-      if (n.isNullAt(rbIdx) || n.isNullAt(rvIdx)) n = null
+    var r: InternalRow = null
+    while (r == null && rIter.hasNext) {
+      r = rIter.next()
+      if (r.isNullAt(rbIdx) || r.isNullAt(rvIdx)) r = null
     }
-    n
+    r
   }
   private var rRow: InternalRow = advance()
 
+  private def grow(): Unit = {
+    val bigger = new Array[InternalRow](ring.length << 1)
+    var i = 0
+    while (i < n) { bigger(i) = get(i); i += 1 }
+    ring = bigger; head = 0
+  }
+
+  /** The i-th (0-based, oldest-first) row of the current window. Valid
+    * until the next [[window]] call. */
+  def get(i: Int): InternalRow = ring((head + i) & (ring.length - 1))
+
   /** Advances the cursor/buffer to the window for one left row
-    * (`lbin`, band [lo, hi]) and returns the buffer: every element IS
-    * a match. Monotone (bin, value) left order is the caller's sort
-    * contract; the deque only mutates on the next call, so the
-    * generated emission loop may iterate it live. */
-  def window(lbin: Long, lo: Double,
-      hi: Double): java.util.ArrayDeque[InternalRow] = {
+    * (`lbin`, band [lo, hi]) and returns its SIZE: every buffered row
+    * IS a match, read back via [[get]]. Monotone (bin, value) left
+    * order is the caller's sort contract; the ring only mutates on the
+    * next call, so the generated emission loop may read it live. */
+  def window(lbin: Long, lo: Double, hi: Double): Int = {
     if (!curBinValid || lbin != curBin) {
-      buf.clear(); curBin = lbin; curBinValid = true
+      // drop the previous bin's window (its rows live only in `ring`;
+      // the cursor never re-visits a bin)
+      head = 0; n = 0; curBin = lbin; curBinValid = true
     }
     while (rRow != null && rRow.getLong(rbIdx) < lbin) rRow = advance()
     while (rRow != null && rRow.getLong(rbIdx) == lbin &&
         rRow.getDouble(rvIdx) <= hi) {
-      // copy() required: the child iterator reuses its row buffer
-      buf.addLast(rRow.copy())
+      if (rRow.getDouble(rvIdx) >= lo) { // skip-ahead: < lo never matches
+        if (n == ring.length) grow()
+        // copy() required: the child iterator reuses its row buffer
+        ring((head + n) & (ring.length - 1)) = rRow.copy()
+        n += 1
+      }
       rRow = advance()
     }
-    while (!buf.isEmpty && buf.peekFirst.getDouble(rvIdx) < lo)
-      buf.pollFirst()
-    if (buf.size > peakRows) peakRows = buf.size
-    buf
+    while (n > 0 && get(0).getDouble(rvIdx) < lo) {
+      ring(head) = null // release the row for GC
+      head = (head + 1) & (ring.length - 1); n -= 1
+    }
+    if (n > peakRows) peakRows = n
+    n
   }
 
   def peak: Long = peakRows
@@ -481,8 +517,8 @@ case class BandJoinExec(
         s"(scala.collection.Iterator) inputs[1], $rbIdx, $rvIdx);")
     val leftRow = ctx.freshName("leftRow")
     val lv = ctx.freshName("lv")
-    val win = ctx.freshName("window")
-    val it = ctx.freshName("matchIter")
+    val winN = ctx.freshName("windowSize")
+    val k = ctx.freshName("k")
     val rRow = ctx.freshName("rightRow")
     val numOutputRows = metricTerm(ctx, "numOutputRows")
     val maxBandBuffer = metricTerm(ctx, "maxBandBuffer")
@@ -499,17 +535,16 @@ case class BandJoinExec(
        |  if ($leftRow.isNullAt($lbIdx) || $leftRow.isNullAt($lvIdx)) continue;
        |  double $lv = $leftRow.getDouble($lvIdx);
        |  $negGuard
-       |  java.util.ArrayDeque $win = $sweeper.window(
+       |  int $winN = $sweeper.window(
        |    $leftRow.getLong($lbIdx),
        |    $lv * ${loFactor}D + ${loOffset}D,
        |    $lv * ${hiFactor}D + ${hiOffset}D);
-       |  if ($win.isEmpty()) continue;
-       |  $numOutputRows.add($win.size());
+       |  if ($winN == 0) continue;
+       |  $numOutputRows.add($winN);
        |  $maxBandBuffer.set($sweeper.peak());
        |  ${evaluateVariables(leftVars)}
-       |  java.util.Iterator $it = $win.iterator();
-       |  while ($it.hasNext()) {
-       |    InternalRow $rRow = (InternalRow) $it.next();
+       |  for (int $k = 0; $k < $winN; $k++) {
+       |    InternalRow $rRow = $sweeper.get($k);
        |    ${evaluateVariables(rightVars)}
        |    ${consume(ctx, leftVars ++ rightVars)}
        |  }
@@ -545,14 +580,13 @@ case class BandJoinExec(
             (dropNegatives && l.getDouble(lvIdx) < 0)) Iterator.empty
         else {
           val lv = l.getDouble(lvIdx)
-          val buf = sweeper.window(l.getLong(lbIdx),
+          val m = sweeper.window(l.getLong(lbIdx),
             lv * loF + loO, lv * hiF + hiO)
           maxBandBuffer.set(sweeper.peak)
-          numOutputRows += buf.size
-          // safe to iterate the live deque: it only mutates on the NEXT
+          numOutputRows += m
+          // safe to read the live ring: it only mutates on the NEXT
           // outer element, after this inner iterator is exhausted
-          import scala.jdk.CollectionConverters._
-          buf.iterator.asScala.map(r => proj(joined(l, r)))
+          Iterator.range(0, m).map(i => proj(joined(l, sweeper.get(i))))
         }
       }
     }
