@@ -438,6 +438,9 @@ class CountsSnapshotSpec extends SparkSpec {
     "q_ml_cv_select" -> 2L,
     // graph-ANN: 10 probes × top-10; sweep = one row per beam width
     "q_sim_hnsw_topk" -> 100L,
+    // the persisted-index search reproduces the in-session top-k
+    // (equality law in OperatorGoldenSpec), so the same 100 rows
+    "q_sim_hnsw_saved" -> 100L,
     "q_sim_hnsw_sweep" -> 3L,
     // one row per year across the int→bigint widening
     "q_scan_table_widen" -> 3L)

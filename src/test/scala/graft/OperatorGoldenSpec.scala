@@ -2129,6 +2129,25 @@ class OperatorGoldenSpec extends SparkSpec {
     assert(topk.groupBy(_._1).forall(_._2.map(_._2).sorted.sameElements(1 to 10)))
   }
 
+  test("persisted ANN index: saved search ≡ in-session build, artifacts committed") {
+    // round 14 (r13 verdict item #7), the q_ml_score_saved recipe for
+    // ANN: the saved search reads centroids/cells/adjacency from
+    // committed ArtifactStore VersionedTables and must reproduce the
+    // in-session build's graded top-k bit-for-bit (both plans end in a
+    // deterministic orderBy, so row-order comparison is exact)
+    val inSession = run("q_sim_hnsw_topk").collect().toSeq
+    val saved = run("q_sim_hnsw_saved").collect().toSeq
+    assert(saved === inSession)
+    // provenance: all three index pieces exist as committed versioned
+    // tables for the current corpus fingerprint
+    for (a <- Seq("ann_centers@1", "ann_corpus@1", "ann_graph@1")) {
+      val root = graft.sources.ArtifactStore.rootFor(sf, a,
+        Seq("embeddings"))
+      assert(graft.sources.VersionedTable.currentVersion(root) >= 1,
+        s"ANN artifact $a must be committed at $root")
+    }
+  }
+
   test("erasure cascade: zero orphans, deletes consistent per table") {
     val r = run("q_privacy_erasure")
       .select($"table_name", $"rows_before", $"rows_deleted",
