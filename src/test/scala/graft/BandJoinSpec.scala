@@ -22,15 +22,25 @@ class BandJoinSpec extends SparkSpec {
     GraftFunctions.bandJoin(l, "lv", r, "rv", loF, hiF, binW)
 
   /** Run `f` once per physical path: default threshold (tiny test
-    * frames broadcast) and threshold disabled (the shuffled sweep). */
+    * frames broadcast), threshold disabled under the default PROBE
+    * shuffled exec, and threshold disabled under the SWEEP exec
+    * (`spark.graft.bandJoin.shuffledExec=sweep`) — same operator,
+    * three executions, one truth (the round-14 probe/sweep
+    * bit-equality law rides every semantic test here). */
   private def bothPaths[A](f: String => A): Unit = {
     val key = "spark.sql.autoBroadcastJoinThreshold"
+    val mode = "spark.graft.bandJoin.shuffledExec"
     val old = spark.conf.get(key)
     try {
       f("broadcast")
       spark.conf.set(key, "-1")
-      f("shuffle")
-    } finally spark.conf.set(key, old)
+      f("shuffle-probe")
+      spark.conf.set(mode, "sweep")
+      f("shuffle-sweep")
+    } finally {
+      spark.conf.set(key, old)
+      spark.conf.unset(mode)
+    }
   }
 
   test("band join is inclusive on both bounds and drops nulls/negatives") {
@@ -168,7 +178,7 @@ class BandJoinSpec extends SparkSpec {
       s"range join must never fall back to BNLJ:\n$p")
   }
 
-  test("plan: above-threshold path is the sort-merge sweep, both sides binned") {
+  test("plan: above-threshold default is the PROBE exec — bin-only radix sorts") {
     val dir = "/root/testdata/sf0.001"
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)
@@ -177,15 +187,43 @@ class BandJoinSpec extends SparkSpec {
       val df = SparkEntry.queries("q_join_range_native")(spark, dir)
       df.count() // materialize AQE final plan
       val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("BandJoin") && !p.contains("BandJoinBroadcast"),
-        s"sweep exec missing:\n$p")
+      assert(p.contains("BandJoinProbe"), s"probe exec missing:\n$p")
       assert(!p.contains("BroadcastNestedLoop"),
         s"range join must never fall back to BNLJ:\n$p")
       assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-        s"the band sweep replaces the generic join:\n$p")
+        s"the band exec replaces the generic join:\n$p")
       assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 2,
         s"both sides should hash-cluster on the bin:\n$p")
+      // the probe form's reason to exist: every Sort feeding it orders
+      // by the SINGLE bin key (radix-eligible), never (bin, value)
+      val sortLines = p.linesIterator
+        .filter(l => l.trim.matches(".*Sort \\[.*__graft_band_bin.*")).toSeq
+      assert(sortLines.nonEmpty, s"band-bin sorts missing:\n$p")
+      sortLines.foreach { l =>
+        val keys = l.substring(l.indexOf("Sort [") + 6, l.indexOf("]"))
+        assert(!keys.contains(","),
+          s"probe-form sort must be single-key (radix path):\n$l")
+      }
     } finally spark.conf.set(key, old)
+  }
+
+  test("plan: shuffledExec=sweep picks the two-key sort-merge sweep") {
+    val dir = "/root/testdata/sf0.001"
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val mode = "spark.graft.bandJoin.shuffledExec"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      spark.conf.set(mode, "sweep")
+      val df = SparkEntry.queries("q_join_range_native")(spark, dir)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BandJoin") && !p.contains("BandJoinProbe") &&
+        !p.contains("BandJoinBroadcast"), s"sweep exec missing:\n$p")
+    } finally {
+      spark.conf.set(key, old)
+      spark.conf.unset(mode)
+    }
   }
 
   test("plan: BOTH paths head a whole-stage codegen span; results match") {
@@ -206,7 +244,8 @@ class BandJoinSpec extends SparkSpec {
         val p = df.queryExecution.executedPlan.toString
         val line = p.linesIterator
           .find(l => l.contains(node) && !(node == "BandJoin" &&
-            l.contains("BandJoinBroadcast"))).get
+            (l.contains("BandJoinBroadcast") ||
+              l.contains("BandJoinProbe")))).get
         assert(line.trim.takeWhile(!_.isLetter).contains("*"),
           s"$node must sit inside a WholeStageCodegen span:\n$p")
         assert(df.collect().map(_.toSeq).toSeq === expected,
@@ -216,6 +255,8 @@ class BandJoinSpec extends SparkSpec {
       pinned("BandJoinBroadcast")
       val key = "spark.sql.autoBroadcastJoinThreshold"
       ss.conf.set(key, "-1")
+      pinned("BandJoinProbe")
+      ss.conf.set("spark.graft.bandJoin.shuffledExec", "sweep")
       pinned("BandJoin")
     } finally graft.ops.OpCache.clear(ss)
   }
