@@ -1320,6 +1320,37 @@ object VersionedTable {
     * formats expose (time, not count, is what a compliance policy
     * states); `nowMillis` is injectable so policies are testable
     * without waiting. Returns the number of data files deleted. */
+  /** RELOCATE the table to a new root (the catalog's RENAME TABLE,
+    * round 14): moves the directory, then restamps the ABSOLUTE
+    * data/delete/cdc file paths inside every manifest from the old
+    * root prefix to the new one (manifests record full paths; a bare
+    * directory move would leave every version pointing at the old
+    * location). Metadata-only — zero data bytes move beyond the
+    * directory rename itself. Single-writer op by contract: run it
+    * when no reader/writer holds the old root (the same caveat real
+    * path-addressed formats place on physically relocating a table).
+    * The JSON rewrite is a quoted-prefix replace (`"oldRoot/…`), which
+    * only ever matches path strings — batch keys and operation fields
+    * never start with a quoted absolute root. */
+  def relocate(oldRoot: String, newRoot: String): Unit = {
+    require(currentVersion(oldRoot) > 0, s"relocate: no table at $oldRoot")
+    require(currentVersion(newRoot) == 0,
+      s"relocate: target $newRoot already has a table")
+    val target = Paths.get(newRoot)
+    Option(target.getParent).foreach(Files.createDirectories(_))
+    Files.move(Paths.get(oldRoot), target)
+    val dir = manifestDir(newRoot)
+    val st = Files.list(dir)
+    val manifests =
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d{5}\\.json")).toList
+      finally st.close()
+    manifests.foreach { m =>
+      Files.writeString(m,
+        Files.readString(m).replace("\"" + oldRoot, "\"" + newRoot))
+    }
+  }
+
   def vacuumRetain(root: String, retainHours: Double,
       nowMillis: Long = System.currentTimeMillis()): Int = {
     val cur = currentVersion(root)

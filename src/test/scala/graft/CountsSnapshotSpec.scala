@@ -443,7 +443,9 @@ class CountsSnapshotSpec extends SparkSpec {
     "q_sim_hnsw_saved" -> 100L,
     "q_sim_hnsw_sweep" -> 3L,
     // one row per year across the int→bigint widening
-    "q_scan_table_widen" -> 3L)
+    "q_scan_table_widen" -> 3L,
+    // catalog lifecycle: head / pushdown / time-travel legs
+    "q_scan_catalog_sql" -> 3L)
 
   test("snapshot covers exactly the registered queries") {
     assert(expected.keySet === SparkEntry.queries.keySet)

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources
+
+/** The name-based catalog (round 14): DDL lifecycle, identifier
+  * resolution, VERSION AS OF, INSERT INTO appends as OCC versions,
+  * namespace surface, and the scan builder's filter translation. The
+  * graded end-to-end leg is `q_scan_catalog_sql` (oracled). Each test
+  * registers its own catalog NAME — catalog instances are cached per
+  * name in the session, so a fresh name gets a fresh warehouse. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshCatalog(wh: String): String = {
+    n += 1
+    val cat = s"gcat$n"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    cat
+  }
+
+  test("catalog lifecycle: DDL, inserts as versions, time travel, drop") {
+    withTmpDir("graft_cat") { wh =>
+      val c = freshCatalog(wh)
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (k BIGINT, v DOUBLE)")
+      spark.sql(s"INSERT INTO $c.db.t VALUES (1, 1.5), (2, 2.5)")
+      spark.sql(s"INSERT INTO $c.db.t VALUES (3, 3.5)")
+      // head sees both appends
+      assert(spark.sql(s"SELECT SUM(k) FROM $c.db.t").as[Long].head() === 6L)
+      // v1 = the empty CREATE commit, v2 = first insert
+      assert(spark.sql(s"SELECT COUNT(*) FROM $c.db.t VERSION AS OF 1")
+        .as[Long].head() === 0L)
+      assert(spark.sql(s"SELECT SUM(k) FROM $c.db.t VERSION AS OF 2")
+        .as[Long].head() === 3L)
+      // the identifier and the path API address the SAME storage
+      val root = s"$wh/db/t"
+      assert(graft.sources.VersionedTable.currentVersion(root) === 3)
+      assert(graft.sources.VersionedTable.read(spark, root, Some(2))
+        .agg(sum($"k")).as[Long].head() === 3L)
+      // metadata surface
+      assert(spark.sql(s"SHOW TABLES IN $c.db").collect()
+        .map(_.getString(1)).toSet === Set("t"))
+      spark.sql(s"DROP TABLE $c.db.t")
+      assert(spark.sql(s"SHOW TABLES IN $c.db").isEmpty)
+    }
+  }
+
+  test("identifier reads prune and filter through to the native plan") {
+    withTmpDir("graft_cat_scan") { wh =>
+      val c = freshCatalog(wh)
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.w (k BIGINT, grp STRING, v DOUBLE)")
+      (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd",
+        i * 0.5)).toDF("k", "grp", "v")
+        .createOrReplaceTempView("w_src")
+      spark.sql(s"INSERT INTO $c.db.w SELECT * FROM w_src")
+      // filtered + pruned identifier read ≡ the same query on the view
+      val got = spark.sql(
+        s"SELECT grp, SUM(v) AS sv FROM $c.db.w WHERE k > 90 GROUP BY grp")
+        .orderBy($"grp").as[(String, Double)].collect().toSeq
+      val want = spark.sql(
+        "SELECT grp, SUM(v) AS sv FROM w_src WHERE k > 90 GROUP BY grp")
+        .orderBy($"grp").as[(String, Double)].collect().toSeq
+      assert(got === want)
+      // COUNT(*) (empty required schema) keeps row multiplicity
+      assert(spark.sql(s"SELECT COUNT(*) FROM $c.db.w").as[Long].head()
+        === 100L)
+    }
+  }
+
+  test("renameTable moves storage; writes to a time-travel pin refuse") {
+    withTmpDir("graft_cat_ren") { wh =>
+      val c = freshCatalog(wh)
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.a (k BIGINT)")
+      spark.sql(s"INSERT INTO $c.db.a VALUES (7)")
+      spark.sql(s"ALTER TABLE $c.db.a RENAME TO db.b")
+      assert(spark.sql(s"SELECT k FROM $c.db.b").as[Long].head() === 7L)
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $c.db.b VERSION AS OF 1 VALUES (8)")
+      }
+      assert(e != null) // the parser/analyzer refuses writes to pins
+      // out-of-range version names the valid range
+      val e2 = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $c.db.b VERSION AS OF 99").collect()
+      }
+      assert(e2.getMessage.contains("versions 1..2"),
+        s"got: ${e2.getMessage}")
+    }
+  }
+
+  test("filter translation covers the pushdown set and mirrors SQL semantics") {
+    def translates(f: sources.Filter): Boolean =
+      graft.sources.GraftScanBuilder.toColumn(f).isDefined
+    assert(translates(sources.EqualTo("a", 1)))
+    assert(translates(sources.EqualNullSafe("a", 1)))
+    assert(translates(sources.In("a", Array(1, 2, 3))))
+    assert(translates(sources.And(sources.GreaterThan("a", 1),
+      sources.IsNotNull("b"))))
+    assert(translates(sources.Or(sources.LessThanOrEqual("a", 1),
+      sources.IsNull("b"))))
+    assert(translates(sources.Not(sources.StringStartsWith("s", "x"))))
+    // applied semantics: the translated predicate selects exactly the
+    // SQL rows (null handling included)
+    val df = Seq((Some(1), "x"), (None, "y"), (Some(3), "z"))
+      .toDF("a", "s")
+    val c = graft.sources.GraftScanBuilder.toColumn(
+      sources.Or(sources.EqualTo("a", 3), sources.IsNull("a"))).get
+    assert(df.filter(c).select($"s").as[String].collect().toSet
+      === Set("y", "z"))
+  }
+}
