@@ -1351,6 +1351,107 @@ object VersionedTable {
     }
   }
 
+  // ---- named refs: branches and tags (round 14, r13 verdict #9) ----
+  // A ref is a named pointer into the version chain: a TAG never moves
+  // (audit pins, release snapshots); a BRANCH advances explicitly
+  // (`advanceBranch`) — the dev/prod promotion workflow: readers follow
+  // `prod` while the head keeps committing, promotion = one atomic ref
+  // move, rollback of the POINTER (not the data) = advance to an older
+  // version. Refs live as one tiny JSON file each under `_refs/`;
+  // creation is CREATE_NEW (two racing creators: one wins, one gets
+  // the file-exists error), advance is ATOMIC_MOVE replace. Vacuum is
+  // ref-aware: the keep floor drops to the oldest referenced version,
+  // so a pinned version's files never get collected out from under it.
+
+  private def refsDir(root: String): Path = Paths.get(root, "_refs")
+
+  private def refPath(root: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid ref name '$name'")
+    refsDir(root).resolve(s"$name.json")
+  }
+
+  private def writeRefJson(kind: String, version: Int): String =
+    s"""{"kind":"$kind","version":$version}"""
+
+  private def createRef(root: String, name: String, kind: String,
+      version: Int): Unit = {
+    val cur = currentVersion(root)
+    require(version >= 1 && version <= cur,
+      s"ref '$name': version $version outside 1..$cur")
+    Files.createDirectories(refsDir(root))
+    Files.write(refPath(root, name),
+      writeRefJson(kind, version).getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+  }
+
+  /** Immutable named pointer to `version` (default: the head). */
+  def createTag(root: String, name: String, version: Int = -1): Unit =
+    createRef(root, name, "tag",
+      if (version == -1) currentVersion(root) else version)
+
+  /** Movable named head starting at `version` (default: the head). */
+  def createBranch(root: String, name: String, version: Int = -1): Unit =
+    createRef(root, name, "branch",
+      if (version == -1) currentVersion(root) else version)
+
+  /** Resolve a ref to (kind, version). */
+  def resolveRef(root: String, name: String): (String, Int) = {
+    val p = refPath(root, name)
+    require(Files.exists(p), s"no ref '$name' under $root")
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(p))
+    (n.get("kind").asText(), n.get("version").asInt())
+  }
+
+  /** Move a BRANCH to `toVersion` (any committed version — promotion
+    * moves forward, pointer-rollback moves back). Tags refuse. */
+  def advanceBranch(root: String, name: String, toVersion: Int): Unit = {
+    val (kind, _) = resolveRef(root, name)
+    require(kind == "branch", s"ref '$name' is a $kind — tags never move")
+    val cur = currentVersion(root)
+    require(toVersion >= 1 && toVersion <= cur,
+      s"ref '$name': version $toVersion outside 1..$cur")
+    val tmp = refsDir(root).resolve(s".$name.tmp${ProcessHandle.current().pid()}")
+    Files.write(tmp, writeRefJson("branch", toVersion).getBytes("UTF-8"))
+    Files.move(tmp, refPath(root, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def dropRef(root: String, name: String): Boolean =
+    Files.deleteIfExists(refPath(root, name))
+
+  /** All refs as (ref, kind, version) rows. */
+  def refs(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    listRefNames(root).map { n =>
+      val (kind, v) = resolveRef(root, n); (n, kind, v)
+    }.toDF("ref", "kind", "version")
+  }
+
+  /** Snapshot read AT a ref — `read(root, version)` with the version
+    * resolved by name. */
+  def readRef(spark: SparkSession, root: String,
+      name: String): DataFrame =
+    read(spark, root, Some(resolveRef(root, name)._2))
+
+  private def listRefNames(root: String): Seq[String] = {
+    val d = refsDir(root)
+    if (!Files.isDirectory(d)) Nil
+    else {
+      val st = Files.list(d)
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".json")).map(_.stripSuffix(".json")).toSeq
+      finally st.close()
+    }
+  }
+
+  /** Oldest version any ref points at — vacuum's extra keep floor. */
+  private def minRefVersion(root: String): Option[Int] = {
+    val vs = listRefNames(root).map(n => resolveRef(root, n)._2)
+    if (vs.isEmpty) None else Some(vs.min)
+  }
+
   def vacuumRetain(root: String, retainHours: Double,
       nowMillis: Long = System.currentTimeMillis()): Int = {
     val cur = currentVersion(root)
@@ -1365,7 +1466,11 @@ object VersionedTable {
 
   private def vacuumFrom(root: String, keepFromRaw: Int): Int = {
     val cur = currentVersion(root)
-    val keepFrom = math.min(math.max(1, keepFromRaw), cur)
+    // ref-aware floor: a tagged/branched version (and everything after
+    // it — the keep window is a contiguous suffix) stays resolvable
+    val keepFrom = math.min(
+      math.min(math.max(1, keepFromRaw), cur),
+      minRefVersion(root).getOrElse(Int.MaxValue))
     def exists(v: Int): Boolean = Files.exists(manifestPath(root, v))
     // a pre-window version whose delta chain a PRIOR vacuum broke can
     // no longer resolve its full snapshot — but its own manifest (if

@@ -445,7 +445,9 @@ class CountsSnapshotSpec extends SparkSpec {
     // one row per year across the int→bigint widening
     "q_scan_table_widen" -> 3L,
     // catalog lifecycle: head / pushdown / time-travel legs
-    "q_scan_catalog_sql" -> 3L)
+    "q_scan_catalog_sql" -> 3L,
+    // refs: tag, branch pre/post promotion, head
+    "q_scan_table_refs" -> 4L)
 
   test("snapshot covers exactly the registered queries") {
     assert(expected.keySet === SparkEntry.queries.keySet)
