@@ -207,11 +207,21 @@ object MicroBench {
           $"rv" >= $"lv" - delta && $"rv" <= $"lv" + delta)
         .agg(count(lit(1))).collect()
     }
+    // "interval_sweep" keys the NATIVE shuffled band exec for
+    // cross-round comparability — since round 14 that is the PROBE
+    // form (bin-only radix sorts + per-bin value index); the original
+    // two-key sort-merge sweep stays measurable under its conf and is
+    // reported as interval_sweep_twokey (the occupancy-choice evidence:
+    // probe wins on sort cost, sweep wins on window memory)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val intervalSweep = timeMin(3) {
+    def timedInterval() = timeMin(3) {
       GraftFunctions.bandJoinOffset(ivLeft, "lv", ivRight, "rv",
         -delta, delta, abinW).agg(count(lit(1))).collect()
     }
+    val intervalSweep = timedInterval()
+    spark.conf.set("spark.graft.bandJoin.shuffledExec", "sweep")
+    val intervalSweepTwoKey = timedInterval()
+    spark.conf.unset("spark.graft.bandJoin.shuffledExec")
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     ivLeft.unpersist(); ivRight.unpersist()
 
@@ -231,7 +241,8 @@ object MicroBench {
       s""""band_small_sweep":${d3(bandSmallSweep)},""" +
       s""""band_small_broadcast":${d3(bandSmallBroadcast)},""" +
       s""""interval_composed":${d3(intervalComposed)},""" +
-      s""""interval_sweep":${d3(intervalSweep)}}""")
+      s""""interval_sweep":${d3(intervalSweep)},""" +
+      s""""interval_sweep_twokey":${d3(intervalSweepTwoKey)}}""")
     spark.stop()
   }
 }
