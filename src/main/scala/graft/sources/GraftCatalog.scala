@@ -123,6 +123,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftCatalogTable(root, s"$ident@v$v", Some(v))
   }
 
+  /** `TIMESTAMP AS OF t` — the analyzer hands epoch MICROseconds;
+    * resolves to the latest version committed at or before `t` (the
+    * manifest-stamped commit clock `commitTs`). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val root = rootOf(ident)
+    val tsMillis = timestampMicros / 1000L
+    val head = VersionedTable.currentVersion(root)
+    val v = (1 to head)
+      .filter { v =>
+        // vacuumed (pre-floor) manifests no longer resolve — skip them
+        try VersionedTable.commitTs(root, v) <= tsMillis
+        catch { case _: IllegalArgumentException => false }
+      }
+      .lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"$ident has no version committed at or before " +
+          s"${java.time.Instant.ofEpochMilli(tsMillis)}"))
+    GraftCatalogTable(root, s"$ident@v$v", Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {

@@ -35,6 +35,55 @@ class ArtifactStoreSpec extends SparkSpec {
     }
   }
 
+  test("incremental refresh: feed → changed keys → mergeTargeted ≡ full rebuild") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    // The LAW behind the ArtifactStore scaladoc's maintenance contract
+    // (round 14): a derived artifact keyed by a source entity refreshes
+    // from the source's row-level change feed by recomputing the
+    // derivation for EXACTLY the changed keys and merge-targeting the
+    // slice in (plus a delete leg for keys whose derivation shrank to
+    // empty) — and the result is bit-identical to a full rebuild.
+    withTmpDir("graft_artifact_incr") { base =>
+      val src = s"$base/src"
+      // the co-purchase shape: per-order part pairs
+      def pairsOf(df: DataFrame): DataFrame =
+        df.as("a").join(df.as("b"), Seq("o"))
+          .filter(col("a.p") < col("b.p"))
+          .select($"o", col("a.p").as("pa"), col("b.p").as("pb"))
+          .distinct()
+      val v1 = (1L to 20L).flatMap(o =>
+        Seq((o, o % 5), (o, o % 5 + 1), (o, o % 5 + 2))).toDF("o", "p")
+      VersionedTable.commit(v1, src)
+      val art = s"$base/art"
+      VersionedTable.commit(pairsOf(VersionedTable.read(spark, src)),
+        art, statsCol = Some("o")) // key stats so targeting bites
+      // source change: orders 3 and 7 get new line sets; order 11
+      // SHRINKS to a single part (its pairs must vanish downstream)
+      val updates = Seq((3L, 100L), (3L, 101L), (7L, 200L), (7L, 201L),
+        (7L, 202L), (11L, 300L)).toDF("o", "p")
+      VersionedTable.merge(spark, src, updates, "o", cdc = true)
+      // refresh: O(change) — the feed names the touched keys, the
+      // derivation reruns over ONLY those orders' current rows
+      val changedKeys = VersionedTable.readChangeFeed(spark, src, 1, 2)
+        .select($"o").distinct()
+      assert(changedKeys.count() === 3) // exactly the merged orders
+      val head = VersionedTable.read(spark, src)
+      val slice = pairsOf(head.join(changedKeys, Seq("o"), "left_semi"))
+      VersionedTable.mergeTargeted(spark, art, slice, "o")
+      val emptied = changedKeys
+        .join(slice.select($"o").distinct(), Seq("o"), "left_anti")
+      VersionedTable.delete(spark, art, emptied, "o")
+      // the law: incremental ≡ full rebuild, as sets of rows
+      val incr = VersionedTable.read(spark, art)
+        .as[(Long, Long, Long)].collect().toSet
+      val rebuilt = pairsOf(head).as[(Long, Long, Long)].collect().toSet
+      assert(incr === rebuilt)
+      assert(!incr.exists(_._1 == 11L), "shrunk order's pairs must vanish")
+      assert(incr.exists(_._1 == 3L) && incr.exists(_._1 == 7L))
+    }
+  }
+
   test("a changed source fingerprint rebuilds; the stale sibling is swept") {
     withTmpDir("graft_artifact_stale") { base =>
       val dir = s"$base/sf"

@@ -93,6 +93,38 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF resolves the latest commit at or before t") {
+    withTmpDir("graft_cat_ts") { wh =>
+      val c = freshCatalog(wh)
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.ts (k BIGINT)")      // v1 (empty)
+      spark.sql(s"INSERT INTO $c.db.ts VALUES (1)")        // v2
+      // literals render in UTC — the session timezone every spec runs
+      def tsLit(i: java.time.Instant): String =
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC).format(i)
+      val between = java.time.Instant.now()
+      Thread.sleep(1100) // commit clock is millis; make t2 > between
+      spark.sql(s"INSERT INTO $c.db.ts VALUES (2)")        // v3
+      // a timestamp between the inserts sees only the first
+      assert(spark.sql(s"SELECT SUM(k) FROM $c.db.ts " +
+        s"TIMESTAMP AS OF '${tsLit(between)}'")
+        .as[Long].head() === 1L)
+      // now() sees everything
+      assert(spark.sql(s"SELECT SUM(k) FROM $c.db.ts " +
+        s"TIMESTAMP AS OF '${tsLit(java.time.Instant.now())}'")
+        .as[Long].head() === 3L)
+      // pre-creation timestamps refuse with the clock in the message
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $c.db.ts " +
+          "TIMESTAMP AS OF '2000-01-01 00:00:00'").collect()
+      }
+      assert(e.getMessage.contains("no version committed"),
+        s"got: ${e.getMessage}")
+    }
+  }
+
   test("filter translation covers the pushdown set and mirrors SQL semantics") {
     def translates(f: sources.Filter): Boolean =
       graft.sources.GraftScanBuilder.toColumn(f).isDefined
