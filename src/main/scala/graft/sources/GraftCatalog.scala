@@ -256,7 +256,7 @@ private[sources] case class GraftCatalogTable(root: String,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -265,16 +265,20 @@ private[sources] case class GraftCatalogTable(root: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot write to the time-travel pin $displayName")
-    new WriteBuilder {
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replaceAll = false
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame,
-                overwrite: Boolean): Unit = {
-              require(!overwrite, "INSERT OVERWRITE is not supported; " +
-                "use VersionedTable.overwritePartitions / rollback")
-              VersionedTable.commit(data, root)
-            }
+                overwrite: Boolean): Unit =
+              // INSERT INTO = one OCC append; INSERT OVERWRITE = one
+              // replace commit (history + time travel intact)
+              if (replaceAll || overwrite)
+                VersionedTable.overwriteAll(data, root)
+              else VersionedTable.commit(data, root)
           }
       }
     }

@@ -601,6 +601,17 @@ object VersionedTable {
     publishLoop(root, writeData(df, root, statsCol, Nil, statsCols),
       replace = false, rollbackOf = None, batchKey)
 
+  /** INSERT OVERWRITE semantics (round 14, the catalog's truncate
+    * write path): ONE replace commit swapping the entire snapshot for
+    * `df`. History stays — time travel reaches every pre-overwrite
+    * version — and the change feed treats it like any other
+    * un-sidecar'd replace: a consumer whose window crosses it fails
+    * loudly instead of silently re-emitting the table. */
+  def overwriteAll(df: DataFrame, root: String,
+      statsCol: Option[String] = None): Int =
+    publishLoop(root, writeData(df, root, statsCol, Nil),
+      replace = true, rollbackOf = None, batchKey = None)
+
   /** Guarded append — COMMIT-TIME enforcement (the Delta
     * constraints/schema-enforcement role): the batch is admitted only
     * if (a) its schema is COMPATIBLE with the current snapshot — every

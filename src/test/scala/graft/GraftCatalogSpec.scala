@@ -93,6 +93,21 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("INSERT OVERWRITE replaces the snapshot, history stays") {
+    withTmpDir("graft_cat_ow") { wh =>
+      val c = freshCatalog(wh)
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.o (k BIGINT)")        // v1
+      spark.sql(s"INSERT INTO $c.db.o VALUES (1), (2)")    // v2
+      spark.sql(s"INSERT OVERWRITE $c.db.o VALUES (10)")   // v3 replace
+      assert(spark.sql(s"SELECT SUM(k) FROM $c.db.o").as[Long].head()
+        === 10L)
+      // pre-overwrite snapshot still time-travels
+      assert(spark.sql(s"SELECT SUM(k) FROM $c.db.o VERSION AS OF 2")
+        .as[Long].head() === 3L)
+    }
+  }
+
   test("TIMESTAMP AS OF resolves the latest commit at or before t") {
     withTmpDir("graft_cat_ts") { wh =>
       val c = freshCatalog(wh)
