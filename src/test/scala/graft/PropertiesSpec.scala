@@ -31,6 +31,7 @@ class PropertiesSpec extends SparkSpec {
     case class Merge(updFrac: Double, nIns: Int) extends Step
     case class DeferDelete(frac: Double) extends Step
     case object Rename extends Step // flips the value column's name
+    case class OverwriteAll(n: Int) extends Step // INSERT OVERWRITE
     var nextKey = 0L
     val genStep: Gen[Step] = Gen.frequency(
       5 -> Gen.chooseNum(1, 4).map(n => Commit(Seq.fill(n)(0L))),
@@ -39,7 +40,11 @@ class PropertiesSpec extends SparkSpec {
       2 -> Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0, 2))
         .map { case (f, n) => Merge(f, n) },
       2 -> Gen.chooseNum(0.0, 1.0).map(DeferDelete),
-      1 -> Gen.const(Rename))
+      1 -> Gen.const(Rename),
+      // round 14: the catalog's INSERT OVERWRITE path — a full-snapshot
+      // replace must keep agreeing with the model across every
+      // interleaving (rollback over it, masks before it, renames)
+      2 -> Gen.chooseNum(1, 3).map(OverwriteAll))
     // history starts with a commit and always interleaves at least one
     // deferred delete AND one rename (round 13 — every later step must
     // keep agreeing with the model across a schema evolution; fixed
@@ -111,6 +116,14 @@ class PropertiesSpec extends SparkSpec {
             assert(VersionedTable.resolveFiles(root, v) === before,
               s"deferred delete moved data files (steps: $steps)")
             model += model.last.filterNot(del.toSet)
+          case OverwriteAll(n) =>
+            // the whole snapshot swaps for n fresh rows; pending masks
+            // can't touch the new files (their sequence is newer than
+            // every recorded delete)
+            val keys = Seq.fill(n) { nextKey += 1; nextKey }
+            VersionedTable.overwriteAll(
+              keys.map(k => (k, s"r$k")).toDF("k", vCol), root)
+            model += keys
           case Rename =>
             // metadata-only: flips the value column's logical name;
             // rows, files, and masks must all be untouched
@@ -135,6 +148,7 @@ class PropertiesSpec extends SparkSpec {
           case _: Merge => "replace" // cdc=false merge
           case _: DeferDelete => "eqdelete"
           case Rename => "schema"
+          case _: OverwriteAll => "replace"
         }
         val gotKinds = VersionedTable.history(spark, root)
           .orderBy($"version").select($"kind").as[String].collect().toSeq
