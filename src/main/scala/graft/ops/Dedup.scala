@@ -936,20 +936,27 @@ object Dedup extends OpModule {
     kmMemo.keys.filter(_._1 eq s).foreach(kmMemo.remove))
 
   private def ivfIndex(s: SparkSession, dir: String)
-      : (Array[Array[Double]], DataFrame) = {
+      : (Array[Array[Double]], DataFrame) =
+    ivfIndexOn(s, dir, "", Tables.t(s, dir, "embeddings"))
+
+  /** The IVF fit/assign over an EXPLICIT corpus frame — `tag` scopes
+    * the model memo and the cell-assignment cache so a SUBSET index
+    * (the delta-serving base, round 14) coexists with the full one. */
+  private def ivfIndexOn(s: SparkSession, dir: String, tag: String,
+      rows: DataFrame): (Array[Array[Double]], DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import s.implicits._
-    val e = Tables.t(s, dir, "embeddings")
+    val e = rows
       .select($"vec_id", $"embedding",
         org.apache.spark.ml.functions.array_to_vector($"embedding")
           .as("features"))
-    val model = kmMemo.getOrElseUpdate((s, dir), {
+    val model = kmMemo.getOrElseUpdate((s, s"$dir#$tag"), {
       val km = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
         .setInitMode("random").setFeaturesCol("features")
         .setPredictionCol("cell")
       km.fit(e)
     })
-    val corpus = OpCache.cached(s, dir, "ivf_corpus")(
+    val corpus = OpCache.cached(s, dir, s"ivf_corpus$tag")(
       model.transform(e).select($"vec_id", $"embedding", $"cell"))
     (model.clusterCenters.map(_.toArray), corpus)
   }
@@ -1164,11 +1171,19 @@ object Dedup extends OpModule {
     * and the finished graph is O(n·M) rows keyed by source — the
     * shuffle-free adjacency a distributed beam search walks. Fully
     * deterministic (seeded cells, exact distances, id tiebreaks). */
-  private def nswGraph(s: SparkSession, dir: String): DataFrame =
-    OpCache.cached(s, dir, "nsw_graph") {
+  private def nswGraph(s: SparkSession, dir: String): DataFrame = {
+    val (centers, corpus) = ivfIndex(s, dir)
+    nswGraphOn(s, dir, "", centers, corpus)
+  }
+
+  /** The NSW build over an EXPLICIT (centers, corpus) — `tag` scopes
+    * the cache like [[ivfIndexOn]] (round 14: the delta-serving BASE
+    * graph is a subset build). */
+  private def nswGraphOn(s: SparkSession, dir: String, tag: String,
+      centers: Array[Array[Double]], corpus: DataFrame): DataFrame =
+    OpCache.cached(s, dir, s"nsw_graph$tag") {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val (centers, corpus) = ivfIndex(s, dir)
       // build-scoped persist, released before the cached graph returns
       // (a leaked persist would outlive OpCache.clear and quietly
       // carry across bench reps)
@@ -1392,6 +1407,79 @@ object Dedup extends OpModule {
         rounds = 3)._1)
   }
 
+  /** DELTA-SEGMENT serving (round 14 — the production pattern behind
+    * every disk-resident ANN deployment: the graph index is rebuilt
+    * periodically, yet vectors ingested SINCE the last build must be
+    * searchable immediately): the BASE index (IVF centroids + cells +
+    * NSW adjacency over the older ~90% of the corpus by id) persists
+    * once via [[graft.sources.ArtifactStore]], and a search fans out
+    * to (a) the beam walk over the persisted base graph and (b) an
+    * EXACT cosine pass over the small unindexed delta — probes
+    * broadcast, O(|delta|·probes) map-side work, no shuffle — then the
+    * two candidate sets merge into one top-10. Exactness on the delta
+    * leg guarantees no fresh vector can be missed (law-tested: every
+    * full-corpus truth neighbor living in the delta lands in the
+    * merged top-10; merged recall ≥ base-only recall). */
+  private def annBaseArtifacts(s: SparkSession, dir: String)
+      : (Array[Array[Double]], DataFrame, DataFrame, Long) = {
+    import s.implicits._
+    val store = graft.sources.ArtifactStore
+    val all = Tables.t(s, dir, "embeddings")
+    // deterministic build horizon: the oldest 90% of ids are "indexed",
+    // the newest 10% arrived after the last index build. O(1) driver
+    // scalar — at scale this is the indexed snapshot's max ingest id.
+    val cut = all.agg(max($"vec_id")).as[Long].head() * 9L / 10L
+    def base = all.filter($"vec_id" <= cut)
+    val centersDf = store.table(s, dir, "ann_base_centers@1",
+      Seq("embeddings")) {
+      val (centers, _) = ivfIndexOn(s, dir, "base", base)
+      s.createDataFrame(centers.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }).toDF("cell", "center")
+    }
+    val corpus = store.table(s, dir, "ann_base_corpus@1",
+      Seq("embeddings")) {
+      ivfIndexOn(s, dir, "base", base)._2
+    }
+    val graph = store.table(s, dir, "ann_base_graph@1",
+      Seq("embeddings")) {
+      val (centers, c) = ivfIndexOn(s, dir, "base", base)
+      nswGraphOn(s, dir, "base", centers, c)
+    }
+    val centers = centersDf.orderBy($"cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    (centers, corpus, graph, cut)
+  }
+
+  /** The merged base-graph + exact-delta search, beam 8, 3 rounds —
+    * same output shape as [[simHnswTopk]]. Non-oracled (trained
+    * index); delta-exactness and recall-monotonicity laws in
+    * ScalaTest. */
+  def simHnswDelta(s: SparkSession, dir: String): DataFrame =
+    hnswTopkOf(s, hnswDeltaVisited(s, dir))
+
+  private[graft] def hnswDeltaVisited(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val (centers, baseCorpus, graph, cut) = annBaseArtifacts(s, dir)
+    val (visitedBase, _) =
+      nswVisitedFrom(s, centers, baseCorpus, graph, beamWidth = 8,
+        rounds = 3)
+    // the probe set is the graded 10-probe convention (ids 0..9 — all
+    // in the base segment); the delta leg scores EVERY fresh vector
+    // exactly, so nothing ingested since the index build can be missed
+    val probes = Tables.t(s, dir, "embeddings").filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+    val deltaScored = Tables.t(s, dir, "embeddings")
+      .filter($"vec_id" > cut)
+      .select($"vec_id".as("nbr_id"), $"embedding".as("ne"))
+      .crossJoin(broadcast(probes))
+      .filter($"probe_id" =!= $"nbr_id")
+      .select($"probe_id", $"nbr_id",
+        round(graft.functions.CosineSimF.cosine($"pe", $"ne"), 4)
+          .as("sim4"))
+    visitedBase.unionByName(deltaScored)
+  }
+
   /** Graph-ANN recall curve over beam width ∈ {2, 4, 8} vs the
     * brute-force truth — the [[simIvfSweep]] twin for the graph index,
     * carrying each sweep point's SCORED-CANDIDATE budget so the
@@ -1465,6 +1553,7 @@ object Dedup extends OpModule {
     "q_sim_ivf_sweep" -> (simIvfSweep _),
     "q_sim_hnsw_topk" -> (simHnswTopk _),
     "q_sim_hnsw_saved" -> (simHnswSaved _),
+    "q_sim_hnsw_delta" -> (simHnswDelta _),
     "q_sim_hnsw_sweep" -> (simHnswSweep _),
     "q_sim_lsh_knn" -> (simLshKnn _)
   )

@@ -97,6 +97,31 @@ class BandJoinSpec extends SparkSpec {
     }
   }
 
+  test("a single mega-bin exceeds the initial buffers and still matches brute force") {
+    // every right row lands in ONE bin (values within one binW): the
+    // probe's bin index and the sweep's ring both outgrow their initial
+    // 16-slot capacity — the grow() paths must preserve order/content
+    val left = (0 until 40).map(i => (100.0 + i * 0.5, i.toLong))
+      .toDF("lv", "lid")
+    val right = (0 until 500).map(i => (100.0 + (i % 120) * 0.25, i.toLong))
+      .toDF("rv", "rid")
+    val (loO, hiO) = (-3.0, 3.0)
+    val lRows = left.as[(Double, Long)].collect()
+    val rRows = right.as[(Double, Long)].collect()
+    val want = (for {
+      (lv, lid) <- lRows
+      (rv, rid) <- rRows
+      if rv >= lv + loO && rv <= lv + hiO
+    } yield (lid, rid)).sorted.toSeq
+    assert(want.size > 2000) // the windows genuinely exceed 16 rows
+    bothPaths { path =>
+      val got = GraftFunctions
+        .bandJoinOffset(left, "lv", right, "rv", loO, hiO, 1000.0)
+        .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got === want, s"path $path")
+    }
+  }
+
   test("native band join equals the explode+hash-join composition on the corpus") {
     val dir = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("q_join_range_binned")(spark, dir)

@@ -441,6 +441,8 @@ class CountsSnapshotSpec extends SparkSpec {
     // the persisted-index search reproduces the in-session top-k
     // (equality law in OperatorGoldenSpec), so the same 100 rows
     "q_sim_hnsw_saved" -> 100L,
+    // merged base-graph + exact-delta search: same 10×10 shape
+    "q_sim_hnsw_delta" -> 100L,
     "q_sim_hnsw_sweep" -> 3L,
     // one row per year across the int→bigint widening
     "q_scan_table_widen" -> 3L,

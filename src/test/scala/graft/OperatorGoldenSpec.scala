@@ -2148,6 +2148,64 @@ class OperatorGoldenSpec extends SparkSpec {
     }
   }
 
+  test("delta-segment ANN: fresh vectors always searchable, never below base-only") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{max => smax, row_number}
+    // round 14: persisted base index + exact scan of the post-build
+    // delta. Laws: (1) every delta vector is scored for every probe
+    // (exactness — nothing fresh can be missed); (2) any full-corpus
+    // truth neighbor living in the delta whose similarity strictly
+    // beats the merged 10th lands in the merged top-10; (3) merged
+    // recall vs the full truth ≥ the base-graph-only recall.
+    val emb = graft.Tables.t(spark, sf, "embeddings")
+    val cut = emb.agg(smax($"vec_id")).as[Long].head() * 9L / 10L
+    val nDelta = emb.filter($"vec_id" > cut).count()
+    assert(nDelta > 0)
+    val visited = graft.ops.Dedup.hnswDeltaVisited(spark, sf)
+      .select($"probe_id", $"nbr_id", $"sim4").persist()
+    // (1) exactness: 10 probes × |delta| scored rows on the delta side
+    assert(visited.filter($"nbr_id" > cut).count() === 10L * nDelta)
+    def topkOf(v: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy($"probe_id")
+        .orderBy($"sim4".desc, $"nbr_id".asc)
+      v.withColumn("r", row_number().over(w)).filter($"r" <= 10)
+        .select($"probe_id", $"nbr_id", $"sim4")
+        .as[(Long, Long, Double)].collect()
+    }
+    val merged = topkOf(visited)
+    val baseOnly = topkOf(visited.filter($"nbr_id" <= cut))
+    visited.unpersist()
+    // the graded query IS the merged top-k
+    val graded = run("q_sim_hnsw_delta")
+      .select($"probe_id", $"nbr_id", $"sim4")
+      .as[(Long, Long, Double)].collect()
+    assert(graded.sorted.toSeq === merged.sorted.toSeq)
+    val truth = run("q_sim_topk_cosine")
+      .select($"probe_id", $"nbr_id", $"sim4")
+      .as[(Long, Long, Double)].collect()
+    // (2) no strictly-qualifying delta truth neighbor may be missing
+    val floor10 = merged.groupBy(_._1).map { case (p, rs) =>
+      p -> rs.map(_._3).min }
+    val mergedPairs = merged.map(t => (t._1, t._2)).toSet
+    val missed = truth.filter(t => t._2 > cut &&
+      t._3 > floor10.getOrElse(t._1, Double.MinValue) &&
+      !mergedPairs(t._1, t._2))
+    assert(missed.isEmpty,
+      s"delta truth neighbors above the merged floor went missing: " +
+        missed.take(5).mkString(", "))
+    // (3) recall monotone: merging exact delta candidates never hurts
+    val truthPairs = truth.map(t => (t._1, t._2)).toSet
+    val basePairs = baseOnly.map(t => (t._1, t._2)).toSet
+    assert(mergedPairs.count(truthPairs) >= basePairs.count(truthPairs))
+    // and the base artifacts are committed versioned tables
+    for (a <- Seq("ann_base_centers@1", "ann_base_corpus@1",
+        "ann_base_graph@1")) {
+      val root = graft.sources.ArtifactStore.rootFor(sf, a,
+        Seq("embeddings"))
+      assert(graft.sources.VersionedTable.currentVersion(root) >= 1)
+    }
+  }
+
   test("erasure cascade: zero orphans, deletes consistent per table") {
     val r = run("q_privacy_erasure")
       .select($"table_name", $"rows_before", $"rows_deleted",
