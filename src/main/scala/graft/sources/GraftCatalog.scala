@@ -104,7 +104,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     isTable(Paths.get(rootOf(ident)))
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      // METADATA TABLES (the Iceberg-style nested-name convention):
+      // `SELECT * FROM graft.db.t.history` / `….t.refs` resolve when
+      // `db.t` is a table and the trailing name is a known audit face
+      // — the commit log and the named-ref listing as read-only tables
+      if (ident.namespace.nonEmpty &&
+          GraftMetaTable.kinds(ident.name)) {
+        val parent = Identifier.of(ident.namespace.dropRight(1),
+          ident.namespace.last)
+        if (tableExists(parent))
+          return GraftMetaTable(rootOf(parent), ident.toString, ident.name)
+      }
+      throw new NoSuchTableException(ident)
+    }
     GraftCatalogTable(rootOf(ident), ident.toString, None)
   }
 
@@ -283,6 +296,49 @@ private[sources] case class GraftCatalogTable(root: String,
       }
     }
   }
+}
+
+/** Read-only METADATA table (round 14): the commit log (`history`) or
+  * the named-ref listing (`refs`) of a versioned table, resolvable by
+  * nested name (`graft.db.t.history`). Both are O(versions)/O(refs)
+  * driver-derived frames — tiny by construction — served over the same
+  * V1 bridge as data reads. */
+private[sources] case class GraftMetaTable(root: String,
+    displayName: String, kind: String)
+    extends Table with SupportsRead {
+
+  private def frame(s: SparkSession): DataFrame = kind match {
+    case "history" => VersionedTable.history(s, root)
+    case "refs" => VersionedTable.refs(s, root)
+  }
+
+  override def name(): String = displayName
+  override def schema(): StructType = frame(SparkSession.active).schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new V1Scan {
+      override def readSchema(): StructType = schema()
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T = {
+        val relation = new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType =
+            frame(context.sparkSession).schema
+          override def buildScan(): RDD[Row] =
+            frame(context.sparkSession).rdd
+        }
+        relation.asInstanceOf[T]
+      }
+      override def description(): String = s"GraftMeta $kind $root"
+    }
+  }
+}
+
+object GraftMetaTable {
+  val kinds: Set[String] = Set("history", "refs")
 }
 
 /** DSv2 scan with pruning + pushdown applied to the NATIVE read plan:

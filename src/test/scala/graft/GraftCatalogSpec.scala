@@ -93,6 +93,28 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("metadata tables: history and refs resolve by nested name") {
+    withTmpDir("graft_cat_meta") { wh =>
+      val c = freshCatalog(wh)
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.m (k BIGINT)")      // v1
+      spark.sql(s"INSERT INTO $c.db.m VALUES (1)")        // v2
+      spark.sql(s"INSERT INTO $c.db.m VALUES (2)")        // v3
+      graft.sources.VersionedTable.createTag(s"$wh/db/m", "rel", 2)
+      val hist = spark.sql(
+        s"SELECT version, kind FROM $c.db.m.history ORDER BY version")
+        .as[(Int, String)].collect().toSeq
+      assert(hist === Seq((1, "append"), (2, "append"), (3, "append")))
+      val refs = spark.sql(s"SELECT ref, kind, version FROM $c.db.m.refs")
+        .as[(String, String, Int)].collect().toSeq
+      assert(refs === Seq(("rel", "tag", 2)))
+      // an unknown metadata face still errors as a missing table
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $c.db.m.bogus").collect()
+      }
+    }
+  }
+
   test("INSERT OVERWRITE replaces the snapshot, history stays") {
     withTmpDir("graft_cat_ow") { wh =>
       val c = freshCatalog(wh)
