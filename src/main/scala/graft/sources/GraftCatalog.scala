@@ -118,7 +118,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
       throw new NoSuchTableException(ident)
     }
-    GraftCatalogTable(rootOf(ident), ident.toString, None)
+    val root = rootOf(ident)
+    // pin the head NOW: the resolved table is a stable snapshot
+    GraftCatalogTable(root, ident.toString, None,
+      Some(VersionedTable.currentVersion(root)))
   }
 
   /** `VERSION AS OF n` — the analyzer hands the literal through as a
@@ -255,15 +258,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * OF` pin. Schema comes from the engine's read path, so column
   * mapping (renames, drop + re-add) is already applied. */
 private[sources] case class GraftCatalogTable(root: String,
-    displayName: String, pinnedVersion: Option[Int])
+    displayName: String, pinnedVersion: Option[Int],
+    snapshotAt: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = displayName
 
+  // READS pin a version: the explicit time-travel pin, else the head
+  // version RESOLVED AT loadTable TIME (`snapshotAt`) — so a resolved
+  // DataFrame is a stable snapshot and a commit racing the query
+  // cannot change (or worse, re-shape) the data under an
+  // already-analyzed plan. Writes always address the live head; the
+  // snapshot pin only scopes the scan — the read-your-own-pre-write
+  // semantics every snapshot-isolated table documents.
+  private def readVersion: Option[Int] = pinnedVersion.orElse(snapshotAt)
+
   // resolved once per loadTable — analysis asks for the schema many
   // times and each resolution is an O(manifest) driver read
   private lazy val resolvedSchema: StructType =
-    VersionedTable.read(SparkSession.active, root, pinnedVersion).schema
+    VersionedTable.read(SparkSession.active, root, readVersion).schema
 
   override def schema(): StructType = resolvedSchema
 
@@ -273,7 +286,7 @@ private[sources] case class GraftCatalogTable(root: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, pinnedVersion, schema())
+    new GraftScanBuilder(root, readVersion, schema())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,

@@ -93,6 +93,22 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("a resolved DataFrame is a stable snapshot under concurrent commits") {
+    withTmpDir("graft_cat_snap") { wh =>
+      val c = freshCatalog(wh)
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.s (k BIGINT)")
+      spark.sql(s"INSERT INTO $c.db.s VALUES (1), (2)")
+      // resolution pins the head version; later commits must not
+      // change the data under the already-analyzed plan
+      val df = spark.table(s"$c.db.s")
+      spark.sql(s"INSERT INTO $c.db.s VALUES (3)")
+      assert(df.count() === 2L, "resolved plan must keep its snapshot")
+      // a FRESH resolution sees the new head
+      assert(spark.table(s"$c.db.s").count() === 3L)
+    }
+  }
+
   test("metadata tables: history and refs resolve by nested name") {
     withTmpDir("graft_cat_meta") { wh =>
       val c = freshCatalog(wh)
