@@ -627,7 +627,7 @@ case class BandJoinExec(
   * bin, so no window monotonicity is needed; the cursor never
   * re-visits a bin. Single-threaded per task. */
 final class BinProber(rIter: Iterator[InternalRow], rbIdx: Int,
-    rvIdx: Int) {
+    rvIdx: Int, maxRows: Int = BinProber.DefaultMaxBinRows) {
   private var vals = new Array[Double](16)
   private var rows = new Array[InternalRow](16)
   private var n = 0
@@ -659,7 +659,18 @@ final class BinProber(rIter: Iterator[InternalRow], rbIdx: Int,
     n = 0; curBin = lbin; curBinValid = true
     while (rRow != null && rRow.getLong(rbIdx) < lbin) rRow = advance()
     while (rRow != null && rRow.getLong(rbIdx) == lbin) {
-      if (n == vals.length) grow()
+      if (n == vals.length) {
+        // fail ACTIONABLY instead of taking the executor down with an
+        // opaque OOM: a bin this occupied is the documented case for
+        // the sweep form's O(band-occupancy) window
+        require(n < maxRows,
+          s"band-join probe: bin $lbin holds over $maxRows right rows " +
+            "— this workload's bin occupancy outgrows the probe form's " +
+            "in-memory index; set spark.graft.bandJoin.shuffledExec=" +
+            "sweep (window memory bounded by BAND occupancy) or raise " +
+            "spark.graft.bandJoin.probe.maxBinRows")
+        grow()
+      }
       // copy() required: the child iterator reuses its row buffer
       rows(n) = rRow.copy(); vals(n) = rows(n).getDouble(rvIdx); n += 1
       rRow = advance()
@@ -724,6 +735,15 @@ final class BinProber(rIter: Iterator[InternalRow], rbIdx: Int,
   }
 }
 
+object BinProber {
+  /** Default per-bin buffer cap — far above any sane occupancy (an
+    * InternalRow copy is ~100 B, so the cap sits near the point an
+    * executor dies anyway); exists so the failure is a named,
+    * actionable error, tunable via
+    * `spark.graft.bandJoin.probe.maxBinRows`. */
+  val DefaultMaxBinRows: Int = 1 << 26
+}
+
 /** The PROBE form of the shuffled band join (round 14, r13 verdict
   * item #6 — see [[BandJoinStrategy]] for the probe/sweep tradeoff):
   * children hash-clustered on their bin and sorted by BIN ONLY — one
@@ -740,6 +760,14 @@ final class BinProber(rIter: Iterator[InternalRow], rbIdx: Int,
   * per-left-row work O(log bin + matches), never the generic join's
   * O(bin) post-filter scan. A pathologically skewed bin that outgrows
   * task memory is the case the `sweep` conf value exists for. */
+object BandJoinProbeExec {
+  /** The session's per-bin buffer cap, read at planning time on the
+    * driver (see [[BinProber.DefaultMaxBinRows]]). */
+  private[plans] def maxBinRows: Int =
+    SQLConf.get.getConfString("spark.graft.bandJoin.probe.maxBinRows",
+      BinProber.DefaultMaxBinRows.toString).toInt
+}
+
 case class BandJoinProbeExec(
     left: SparkPlan,
     right: SparkPlan,
@@ -800,9 +828,10 @@ case class BandJoinProbeExec(
     val rvIdx = ordinal(right.output, rightVal, "right value")
     val leftInput = ctx.addMutableState("scala.collection.Iterator",
       "bandLeftInput", v => s"$v = inputs[0];")
+    val maxBin = BandJoinProbeExec.maxBinRows
     val prober = ctx.addMutableState("graft.plans.BinProber",
       "binProber", v => s"$v = new graft.plans.BinProber(" +
-        s"(scala.collection.Iterator) inputs[1], $rbIdx, $rvIdx);")
+        s"(scala.collection.Iterator) inputs[1], $rbIdx, $rvIdx, $maxBin);")
     val leftRow = ctx.freshName("leftRow")
     val lv = ctx.freshName("lv")
     val binN = ctx.freshName("binSize")
@@ -856,10 +885,11 @@ case class BandJoinProbeExec(
     val outAttrs = output
     val numOutputRows = longMetric("numOutputRows")
     val maxBandBuffer = longMetric("maxBandBuffer")
+    val maxBin = BandJoinProbeExec.maxBinRows
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
-      val prober = new BinProber(rIter, rbIdx, rvIdx)
+      val prober = new BinProber(rIter, rbIdx, rvIdx, maxBin)
       val dropNegatives = loF != hiF // see the codegen note
       lIter.flatMap { l =>
         if (l.isNullAt(lbIdx) || l.isNullAt(lvIdx) ||

@@ -382,23 +382,28 @@ private[sources] class GraftScanBuilder(root: String, version: Option[Int],
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new V1Scan {
-    override def readSchema(): StructType = required
+    // snapshot the negotiated state — the Scan must stay immutable
+    // even if the builder were mutated after build()
+    private val scanFilters = pushed
+    private val scanSchema = required
+
+    override def readSchema(): StructType = scanSchema
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T = {
       val relation = new BaseRelation with TableScan {
         override def sqlContext: SQLContext = context
-        override def schema: StructType = required
+        override def schema: StructType = scanSchema
         override def buildScan(): RDD[Row] = {
           var df = VersionedTable.read(
             context.sparkSession, root, version)
-          pushed.foreach(f =>
+          scanFilters.foreach(f =>
             df = df.filter(GraftScanBuilder.toColumn(f).get))
-          if (required.isEmpty)
+          if (scanSchema.isEmpty)
             // COUNT(*)-style scans: no columns survive pruning; keep
             // row multiplicity with an empty projection
             df.select().rdd
-          else df.select(required.fieldNames.toIndexedSeq
+          else df.select(scanSchema.fieldNames.toIndexedSeq
             .map(n => col(s"`$n`")): _*).rdd
         }
       }
@@ -407,8 +412,8 @@ private[sources] class GraftScanBuilder(root: String, version: Option[Int],
 
     override def description(): String =
       s"GraftTable $root" + version.map(v => s" v$v").getOrElse("") +
-        s" PushedFilters: [${pushed.mkString(", ")}], " +
-        s"ReadSchema: ${required.simpleString}"
+        s" PushedFilters: [${scanFilters.mkString(", ")}], " +
+        s"ReadSchema: ${scanSchema.simpleString}"
   }
 }
 

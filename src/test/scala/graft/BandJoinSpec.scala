@@ -122,6 +122,33 @@ class BandJoinSpec extends SparkSpec {
     }
   }
 
+  test("probe form fails actionably when a bin exceeds the buffer cap") {
+    // a pathological mega-bin must name the knob and the sweep escape
+    // hatch instead of taking the executor down with an opaque OOM
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val cap = "spark.graft.bandJoin.probe.maxBinRows"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      spark.conf.set(cap, "8")
+      val left = Seq((100.0, 1L)).toDF("lv", "lid")
+      val right = (0 until 64).map(i => (100.0 + i * 0.01, i.toLong))
+        .toDF("rv", "rid")
+      val e = intercept[Exception] {
+        GraftFunctions.bandJoinOffset(left, "lv", right, "rv",
+          -1.0, 1.0, 1000.0).collect()
+      }
+      val texts = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString("\n")
+      assert(texts.contains("maxBinRows") && texts.contains("sweep"),
+        s"expected the actionable cap message, got:\n$texts")
+    } finally {
+      spark.conf.set(key, old)
+      spark.conf.unset(cap)
+    }
+  }
+
   test("native band join equals the explode+hash-join composition on the corpus") {
     val dir = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("q_join_range_binned")(spark, dir)
