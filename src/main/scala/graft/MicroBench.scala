@@ -130,13 +130,17 @@ object MicroBench {
     }
     sess.unpersist()
 
-    // band join, two honest shapes:
+    // band join, two honest shapes (the *_sweep keys measure the
+    // NATIVE shuffled band exec under its default form — since round
+    // 14 that is the radix-sorted PROBE; key names kept for
+    // cross-round comparability):
     //  (a) BIG right (2M, above threshold): composed hash+filter vs
-    //      the shuffled sort-merge sweep — the at-scale path;
+    //      the native shuffled exec — the at-scale path;
     //  (b) SMALL right (100k, ~2 MB, below threshold) against a 2M
     //      probe side: composed (Spark broadcasts the hash join
-    //      itself) vs the sweep (threshold off) vs the broadcast band
-    //      exec (auto-chosen) — the bounded-dimension path.
+    //      itself) vs the shuffled exec (threshold off) vs the
+    //      broadcast band exec (auto-chosen) — the bounded-dimension
+    //      path.
     val (loF, hiF, binW) = (0.999, 1.001, 2000.0)
     def bandComposedOf(l: org.apache.spark.sql.DataFrame,
         r: org.apache.spark.sql.DataFrame) = {

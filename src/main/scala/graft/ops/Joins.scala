@@ -152,14 +152,17 @@ object Joins extends OpModule {
   }
 
   /** The SAME price-band semantics as [[joinRangeBinned]] through the
-    * NATIVE band-join operator ([[graft.plans.BandJoinExec]] — custom
-    * logical node + strategy + exec, the engine's third whole-operator
-    * plan): identical binning and identical oracle text, but the
-    * per-bin hash join + post-BETWEEN-filter is replaced by a per-bin
-    * sort-merge band sweep whose window buffer IS the predicate — no
-    * candidate over-emission, memory O(band occupancy) instead of the
-    * hash build's O(bin). Hash-graded against the same DuckDB SQL as
-    * the composition, so the two engines pin each other. */
+    * NATIVE band-join operator ([[graft.plans.BandJoinStrategy]] —
+    * custom logical node + strategy + execs, the engine's third
+    * whole-operator plan): identical binning and identical oracle
+    * text, but the per-bin generic join + post-BETWEEN-filter is
+    * replaced by a native band exec — since round 14 the default
+    * shuffled form is the radix-sorted per-bin PROBE (binary search
+    * per left row, no candidate over-emission); the O(band-occupancy)
+    * sort-merge sweep stays conf-selectable for skewed bins, and a
+    * bounded right side broadcasts. Hash-graded against the same
+    * DuckDB SQL as the composition, so the two engines pin each
+    * other. */
   def joinRangeNative(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val part = Tables.t(s, dir, "part")
@@ -200,10 +203,10 @@ object Joins extends OpModule {
     * ("what was bought around each failure") with NO equi key at all,
     * the shape that turns into a full cartesian BNLJ if written
     * naively. Answered by the native affine band join on packed µs
-    * time keys ([[graft.plans.BandJoinExec]] with factors 1 and
+    * time keys ([[graft.plans.BandJoinStrategy]] with factors 1 and
     * offsets ∓3.6e9 µs): both sides bin by 2 h of time — bin width =
-    * band width, so each error lands in ≤ 2 bins — and the per-bin
-    * sort-merge sweep's buffer IS the ±1 h predicate. Candidates =
+    * band width, so each error lands in ≤ 2 bins — and the native
+    * exec's per-bin index/window IS the ±1 h predicate. Candidates =
     * band occupancy, never |errors|×|purchases|; at 100 TB the only
     * movement is one time-binned shuffle per side (or a broadcast
     * when one side is bounded), and a hot bin costs its own band

@@ -17,19 +17,22 @@ import org.apache.spark.sql.internal.SQLConf
 
 /** Whole-operator custom plan #3: the BAND JOIN — the inner range join
   * `rightVal BETWEEN leftVal*loFactor AND leftVal*hiFactor`, executed
-  * as a per-bin SORT-MERGE SWEEP instead of the composed shape's
-  * per-bin hash join + post-filter (`q_join_range_binned`,
-  * `ops/Joins.scala`).
+  * natively instead of the composed shape's per-bin generic join +
+  * post-filter (`q_join_range_binned`, `ops/Joins.scala`). Three
+  * physical forms — broadcast, PROBE (the round-14 shuffled default:
+  * bin-only radix sorts + a per-bin value index), and the SORT-MERGE
+  * SWEEP (two-key sort, O(band-occupancy) window memory) — selected by
+  * [[BandJoinStrategy]]; the tradeoff lives on the strategy's scaladoc.
   *
   * Distribution contract (shared with the composition — it is the
   * correct 100-TB shape): the caller bins both sides by value
   * (`GraftFunctions.bandJoin` builds the bin columns — the left row
   * replicated into every fixed-width bin its band overlaps, the right
   * row keyed by its single home bin), and a matching pair meets exactly
-  * once, in the right row's home bin. This node then requires each side
-  * hash-clustered on its bin and sorted (bin, value) —
-  * EnsureRequirements plans the exchanges and spill-aware sorts, AQE
-  * still coalesces/splits them — and the exec replaces the hash join:
+  * once, in the right row's home bin. Both shuffled forms require each
+  * side hash-clustered on its bin (EnsureRequirements plans the
+  * exchanges and spill-aware sorts, AQE still coalesces/splits them).
+  * The SWEEP form additionally requires (bin, value) order and then:
   *
   *  - the right cursor advances through each bin ONCE, appending rows
   *    with value ≤ the current left's hi bound to a window buffer and
@@ -39,8 +42,8 @@ import org.apache.spark.sql.internal.SQLConf
   *    enforced by the buffer bounds, so there is no candidate
   *    over-emission and no post-join filter;
   *  - memory is O(max rows inside one band) per partition — the band
-  *    occupancy, strictly smaller than the hash join's O(rows per bin)
-  *    build side (bin width ≥ band width by construction).
+  *    occupancy, strictly smaller than the probe/hash forms' O(rows
+  *    per bin) buffer (bin width ≥ band width by construction).
   *
   * Contract: bin columns BIGINT, value columns DOUBLE,
   * 0 ≤ loFactor ≤ hiFactor, values non-negative (multiplicative bands
