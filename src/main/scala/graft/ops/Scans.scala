@@ -362,6 +362,21 @@ object Scans extends OpModule {
     * O(new data) at 100 TB. */
   private val vtableRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Register (idempotently) and return the graft catalog serving
+    * `dir`'s warehouse. Spark's CatalogManager caches the INITIALIZED
+    * catalog instance per name — re-setting the warehouse conf for an
+    * already-used name is silently ignored (ADVICE r14) — so the sf
+    * dir is encoded in the catalog NAME: each dir gets its own
+    * initialized catalog and a session crossing sf dirs can never read
+    * one dir's tables out of another's warehouse. */
+  private[ops] def catalogFor(s: SparkSession, dir: String): String = {
+    val name = "graft_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$name.warehouse",
+      Tables.sinkPath("catalogwh", dir, "wh"))
+    name
+  }
+
   def scanTimetravel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.sources.VersionedTable
@@ -902,11 +917,9 @@ object Scans extends OpModule {
     * lifecycle instead of reading a warm table. */
   def scanCatalogSql(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wh = Tables.sinkPath("catalogwh", dir, "wh")
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-    val t = s"graft.sales.orders_cat${vtableRun.incrementAndGet()}"
-    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sales")
+    val cat = catalogFor(s, dir)
+    val t = s"$cat.sales.orders_cat${vtableRun.incrementAndGet()}"
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sales")
     s.sql(s"CREATE TABLE $t " +
       "(o_orderkey BIGINT, o_totalprice DOUBLE, o_year INT)")
     Tables.t(s, dir, "orders")

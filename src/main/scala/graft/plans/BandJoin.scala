@@ -637,12 +637,20 @@ final class BinProber(rIter: Iterator[InternalRow], rbIdx: Int,
   private var curBin = Long.MinValue
   private var curBinValid = false
   private var peakRows = 0L
-  // right cursor; skips rows that can never match (null bin/value)
+  // right cursor; skips rows that can never match: null bin/value, and
+  // NaN values — NaN satisfies no lo<=v<=hi band (every comparison is
+  // false, exactly why the sweep form never emits it either), and
+  // letting one into the bin index would break the quicksort's total
+  // order (NaN compares false both ways), silently unsorting the bin
+  // and losing VALID matches to a misdirected binary search (the probe
+  // input is sorted by bin only, so unlike the sweep there is no
+  // SortExec ordering NaN last for us — ADVICE r14)
   private def advance(): InternalRow = {
     var r: InternalRow = null
     while (r == null && rIter.hasNext) {
       r = rIter.next()
-      if (r.isNullAt(rbIdx) || r.isNullAt(rvIdx)) r = null
+      if (r.isNullAt(rbIdx) || r.isNullAt(rvIdx) ||
+        java.lang.Double.isNaN(r.getDouble(rvIdx))) r = null
     }
     r
   }

@@ -92,19 +92,45 @@ object ArtifactStore {
     VersionedTable.read(s, root)
   }
 
+  /** Grace window an old-fingerprint sibling survives after its LAST
+    * write activity (newest mtime under the artifact root) before
+    * [[sweepStale]] may delete it. A session still on the previous
+    * corpus view that already PLANNED a scan of the old artifact would
+    * fail with missing files if the sweep ran under it (a planned scan
+    * does NOT re-trigger the build — the file list is plan-time state,
+    * ADVICE r14); the window lets such in-flight readers finish.
+    * Test seam: specs shrink it to exercise the sweep itself. */
+  private[graft] var sweepGraceMs: Long = 20 * 60 * 1000L
+
+  /** Newest mtime anywhere under `p` — the artifact's last write
+    * activity (commits touch manifests; the build touches data). */
+  private def newestMtime(p: Path): Long = {
+    val st = Files.walk(p)
+    try st.iterator().asScala
+      .map(f => Files.getLastModifiedTime(f).toMillis)
+      .foldLeft(0L)(math.max)
+    finally st.close()
+  }
+
   /** Drop siblings of the same artifact built from OLD source
-    * fingerprints — the corpus changed wholesale, nothing reads them
-    * again. Best-effort hygiene (a racing reader of a stale artifact
-    * re-triggers its build); bounds the store at one live version per
-    * artifact. */
+    * fingerprints — the corpus changed wholesale, nothing builds them
+    * again. Deletion is DEFERRED by [[sweepGraceMs]] since the
+    * sibling's last write: an already-planned scan in another session
+    * fails (not rebuilds) if its files vanish mid-flight, so only
+    * siblings quiet past the window are collected — a straggler is
+    * swept by whichever later build runs after the window closes.
+    * Best-effort hygiene; bounds the store at one live version per
+    * artifact (plus grace-window stragglers). */
   private def sweepStale(base: Path, name: String, keep: String): Unit =
     try {
       if (Files.isDirectory(base)) {
+        val now = System.currentTimeMillis()
         val st = Files.list(base)
         try st.iterator().asScala
           .filter { p =>
             val n = p.getFileName.toString
-            n.startsWith(s"$name-") && n != keep
+            n.startsWith(s"$name-") && n != keep &&
+              now - newestMtime(p) >= sweepGraceMs
           }
           .foreach(p =>
             org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))

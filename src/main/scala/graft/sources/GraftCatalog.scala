@@ -326,7 +326,14 @@ private[sources] case class GraftMetaTable(root: String,
   }
 
   override def name(): String = displayName
-  override def schema(): StructType = frame(SparkSession.active).schema
+  // resolved once per loadTable: the analyzer asks for the schema
+  // repeatedly and each history()/refs() build is an O(versions)/
+  // O(refs) driver manifest walk (ADVICE r14 — same reason
+  // GraftCatalogTable caches resolvedSchema). The DATA still
+  // re-derives per scan; only the column shape is pinned.
+  private lazy val resolvedSchema: StructType =
+    frame(SparkSession.active).schema
+  override def schema(): StructType = resolvedSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 

@@ -1340,9 +1340,16 @@ object VersionedTable {
     * directory rename itself. Single-writer op by contract: run it
     * when no reader/writer holds the old root (the same caveat real
     * path-addressed formats place on physically relocating a table).
-    * The JSON rewrite is a quoted-prefix replace (`"oldRoot/…`), which
-    * only ever matches path strings — batch keys and operation fields
-    * never start with a quoted absolute root. */
+    *
+    * The rewrite is a JSON-parsed edit of exactly the PATH-BEARING
+    * fields (`files`/`add` entry paths, `remove`, `cdc`,
+    * `eqDeleteAdd`/`eqDeletesFull` paths) — never `batchKey`/
+    * `batchKeys` or any other string field. A blanket quoted-prefix
+    * string replace would also restamp a batch key that happens to
+    * start with the old root (commitBatch's scaladoc RECOMMENDS the
+    * checkpoint path as appId), silently changing idempotence keys so
+    * a post-rename retry of a pre-rename batch re-commits (ADVICE
+    * r14). */
   def relocate(oldRoot: String, newRoot: String): Unit = {
     require(currentVersion(oldRoot) > 0, s"relocate: no table at $oldRoot")
     require(currentVersion(newRoot) == 0,
@@ -1356,9 +1363,32 @@ object VersionedTable {
       try st.iterator().asScala
         .filter(_.getFileName.toString.matches("v\\d{5}\\.json")).toList
       finally st.close()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val prefix = oldRoot + "/"
+    def moved(p: String): String =
+      if (p.startsWith(prefix)) newRoot + p.substring(oldRoot.length) else p
     manifests.foreach { m =>
-      Files.writeString(m,
-        Files.readString(m).replace("\"" + oldRoot, "\"" + newRoot))
+      val node = om.readTree(Files.readString(m))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      // entry arrays: objects with a `path` field
+      Seq("files", "add", "eqDeleteAdd", "eqDeletesFull").foreach { k =>
+        Option(node.get(k)).foreach(_.elements().asScala.foreach { e =>
+          val o = e.asInstanceOf[
+            com.fasterxml.jackson.databind.node.ObjectNode]
+          o.put("path", moved(o.get("path").asText()))
+        })
+      }
+      // bare string-path arrays
+      Seq("remove", "cdc").foreach { k =>
+        Option(node.get(k)).foreach { arr =>
+          val a = arr.asInstanceOf[
+            com.fasterxml.jackson.databind.node.ArrayNode]
+          val vs = a.elements().asScala.map(_.asText()).toSeq
+          a.removeAll()
+          vs.foreach(v => a.add(moved(v)))
+        }
+      }
+      Files.writeString(m, om.writeValueAsString(node))
     }
   }
 

@@ -98,17 +98,51 @@ class ArtifactStoreSpec extends SparkSpec {
       assert(readIt().as[Long].head() === 55L)
       val oldRoot = ArtifactStore.rootFor(dir, "sums@1", Seq("lineitem"))
       // corpus changes wholesale → new fingerprint, one rebuild, and
-      // the previous artifact root is gone after the new build
+      // (grace window elapsed — forced to zero here) the previous
+      // artifact root is gone after the new build
       (1L to 20L).toDF("k").write.mode("overwrite")
         .parquet(s"$dir/lineitem.parquet")
       val newRoot = ArtifactStore.rootFor(dir, "sums@1", Seq("lineitem"))
       assert(newRoot !== oldRoot)
-      assert(readIt().as[Long].head() === 210L)
+      val saved = ArtifactStore.sweepGraceMs
+      try {
+        ArtifactStore.sweepGraceMs = 0L
+        assert(readIt().as[Long].head() === 210L)
+      } finally ArtifactStore.sweepGraceMs = saved
       assert(builds === 2)
       assert(!Files.exists(Paths.get(oldRoot)),
         "the stale-fingerprint sibling must be swept")
       assert(readIt().as[Long].head() === 210L)
       assert(builds === 2)
+    }
+  }
+
+  test("a stale sibling younger than the grace window survives a sweep") {
+    // r14 verdict item #8 / ADVICE r14: an already-planned scan of the
+    // previous artifact fails (not rebuilds) if its files vanish — so
+    // the sweep defers deletion until the sibling has been quiet for
+    // the grace window, letting in-flight readers of the just-
+    // superseded artifact finish.
+    withTmpDir("graft_artifact_grace") { base =>
+      val dir = s"$base/sf"
+      (1L to 10L).toDF("k").write.parquet(s"$dir/lineitem.parquet")
+      def readIt() = ArtifactStore.table(spark, dir, "sums@2",
+        Seq("lineitem")) {
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .agg(org.apache.spark.sql.functions.sum($"k").as("s"))
+      }
+      assert(readIt().as[Long].head() === 55L)
+      val oldRoot = ArtifactStore.rootFor(dir, "sums@2", Seq("lineitem"))
+      // a reader of the old artifact plans its scan "now"; the corpus
+      // flips and the new build's sweep runs while that plan is live
+      val planned = VersionedTable.read(spark, oldRoot)
+      (1L to 20L).toDF("k").write.mode("overwrite")
+        .parquet(s"$dir/lineitem.parquet")
+      assert(readIt().as[Long].head() === 210L) // default grace in force
+      assert(Files.exists(Paths.get(oldRoot)),
+        "a just-superseded sibling inside the grace window must survive")
+      // ... so the in-flight plan still completes
+      assert(planned.count() === 1L)
     }
   }
 }

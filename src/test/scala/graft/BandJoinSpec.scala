@@ -58,6 +58,25 @@ class BandJoinSpec extends SparkSpec {
     }
   }
 
+  test("a NaN right value never matches and never unsorts the probe index") {
+    // ADVICE r14 (medium): the probe form's bin index is sorted by a
+    // tandem quicksort whose total order NaN breaks (both comparisons
+    // false) — one NaN right value in a bin could silently misdirect
+    // the binary search and LOSE valid matches. NaN satisfies no
+    // lo<=v<=hi band, so the cursor now skips it like a null; all
+    // three paths must agree AND keep every valid match. The NaN row
+    // is planted in the same bin as valid rows, between values that
+    // must still be found.
+    val left = Seq((100.0, 1L)).toDF("lv", "lid") // band [50, 200]
+    val right = Seq((55.0, 10L), (Double.NaN, 11L), (51.0, 12L),
+      (59.0, 13L), (190.0, 14L), (300.0, 15L)).toDF("rv", "rid")
+    bothPaths { path =>
+      val got = band(left, right, 0.5, 2.0, 10.0)
+        .select($"rid").as[Long].collect().toSet
+      assert(got === Set(10L, 12L, 13L, 14L), s"path $path")
+    }
+  }
+
   test("a pair meets exactly once even when the band spans many bins") {
     // binW=10 against band [50,200]: the left row replicates into 16
     // bins; every matching right must appear EXACTLY once

@@ -93,6 +93,32 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("relocate preserves batch idempotence keys that resemble the old root") {
+    import graft.sources.VersionedTable
+    // ADVICE r14: commitBatch's scaladoc recommends the checkpoint
+    // path as appId, and a checkpoint conventionally lives under the
+    // table root — a whole-file string replace in relocate would
+    // restamp that KEY alongside the file paths, so a post-rename
+    // retry of a pre-rename batch re-commits. The rewrite is
+    // field-scoped; the key must survive the move verbatim.
+    withTmpDir("graft_reloc_keys") { base =>
+      val oldRoot = s"$base/t"
+      val appId = s"$oldRoot/_checkpoint"
+      VersionedTable.commitBatch(Seq(1L, 2L).toDF("k"), oldRoot,
+        batchId = 0L, appId = appId)
+      val newRoot = s"$base/t_renamed"
+      VersionedTable.relocate(oldRoot, newRoot)
+      // post-rename retry of the pre-rename batch: recognized no-op
+      val v = VersionedTable.commitBatch(Seq(1L, 2L).toDF("k"), newRoot,
+        batchId = 0L, appId = appId)
+      assert(v === 1, "the retry must be recognized, not re-committed")
+      assert(VersionedTable.read(spark, newRoot).count() === 2)
+      // ... while the data paths DID restamp to the new root
+      assert(VersionedTable.resolveFiles(newRoot, v)
+        .forall(_.path.startsWith(newRoot)))
+    }
+  }
+
   test("a resolved DataFrame is a stable snapshot under concurrent commits") {
     withTmpDir("graft_cat_snap") { wh =>
       val c = freshCatalog(wh)
