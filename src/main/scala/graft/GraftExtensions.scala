@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.SessionizeStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)
+    // SQL MERGE INTO over the named catalog (round 15): claims the
+    // resolved command for graft tables before the built-in planner
+    // rejects it — see graft.plans.GraftMergeStrategy
+    ext.injectPlannerStrategy(_ => graft.plans.GraftMergeStrategy)
   }
 }
 

@@ -10,8 +10,8 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
   NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
-  SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability,
-  TableCatalog, TableChange}
+  SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table,
+  TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
@@ -256,13 +256,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 /** One resolved catalog table — the head snapshot, or a `VERSION AS
   * OF` pin. Schema comes from the engine's read path, so column
-  * mapping (renames, drop + re-add) is already applied. */
-private[sources] case class GraftCatalogTable(root: String,
+  * mapping (renames, drop + re-add) is already applied.
+  *
+  * `SupportsDelete` (round 15 — r14 verdict item #1) gives SQL users
+  * `DELETE FROM graft.db.t WHERE …`: Spark translates the condition to
+  * source filters and hands them to [[VersionedTable.deleteWhere]],
+  * the stats-targeted partial copy-on-write — files the predicate
+  * provably misses carry verbatim, erased rows land in the change-feed
+  * sidecar. Conditions outside the filter algebra (subqueries,
+  * arithmetic like `k % 100 = 0`) are rejected by `canDeleteWhere`
+  * with Spark's standard error — the Scala API ([[VersionedTable
+  * .delete]] with an explicit key batch) is the general path. */
+private[graft] case class GraftCatalogTable(root: String,
     displayName: String, pinnedVersion: Option[Int],
     snapshotAt: Option[Int] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
 
   override def name(): String = displayName
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinnedVersion.isEmpty &&
+      filters.forall(GraftScanBuilder.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinnedVersion.isEmpty,
+      s"cannot delete from the time-travel pin $displayName")
+    VersionedTable.deleteWhere(SparkSession.active, root,
+      filters.toIndexedSeq)
+  }
 
   // READS pin a version: the explicit time-travel pin, else the head
   // version RESOLVED AT loadTable TIME (`snapshotAt`) — so a resolved

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.sources
 import scala.jdk.CollectionConverters._
 
 /** Manifest-based versioned table (the lakehouse snapshot mechanism,
@@ -1068,8 +1069,8 @@ object VersionedTable {
         "optimize (the materialization point) first")
     val all = resolveFiles(root, basis)
     val schema = resolveSchema(root, basis)
-    val rewritePaths = overlapTargets(spark, all, updates, keyCol,
-      schema.fold(keyCol)(_.physOf(keyCol)))
+    val physKey = schema.fold(keyCol)(_.physOf(keyCol))
+    val rewritePaths = overlapTargets(spark, all, updates, keyCol, physKey)
     val touched =
       if (rewritePaths.isEmpty) read(spark, root, Some(basis)).limit(0)
       else fromPhysical(readFilesMapped(spark, rewritePaths,
@@ -1092,8 +1093,9 @@ object VersionedTable {
       writeCdc(feed, root, schema)
     }
     publishTargetedRewrite(spark, root, basis, all, rewritePaths,
-      merged, numFiles, keyCol, cdcPaths, cdc, "targeted merge",
-      updates.select(col(keyCol)))
+      merged, numFiles, Some(keyCol), cdcPaths, cdc, "targeted merge",
+      interleaved => overlapTargets(spark, interleaved,
+        updates.select(col(keyCol)), keyCol, physKey).nonEmpty)
   }
 
   /** Targeted DELETE — row erasure as a partial copy-on-write: files
@@ -1116,8 +1118,8 @@ object VersionedTable {
         "(the materialization point) first")
     val all = resolveFiles(root, basis)
     val schema = resolveSchema(root, basis)
-    val rewritePaths = overlapTargets(spark, all, deletes, keyCol,
-      schema.fold(keyCol)(_.physOf(keyCol)))
+    val physKey = schema.fold(keyCol)(_.physOf(keyCol))
+    val rewritePaths = overlapTargets(spark, all, deletes, keyCol, physKey)
     val touched =
       if (rewritePaths.isEmpty) read(spark, root, Some(basis)).limit(0)
       else fromPhysical(readFilesMapped(spark, rewritePaths,
@@ -1128,7 +1130,110 @@ object VersionedTable {
       writeCdc(touched.join(keys, Seq(keyCol), "left_semi")
         .withColumn("_change_type", lit("delete")), root, schema)
     publishTargetedRewrite(spark, root, basis, all, rewritePaths,
-      survivors, numFiles, keyCol, cdcPaths, cdc, "targeted delete", keys)
+      survivors, numFiles, Some(keyCol), cdcPaths, cdc, "targeted delete",
+      interleaved => overlapTargets(spark, interleaved, keys, keyCol,
+        physKey).nonEmpty)
+  }
+
+  /** Conservative file-level evaluation of one pushed filter against a
+    * file entry's per-column [min, max] stats: FALSE only when
+    * provably no row of the file satisfies it. Numeric comparisons
+    * only — a non-numeric value, a column without a range, a null
+    * probe (`IsNull` — stats carry no null counts) or an unknown
+    * filter shape all stay TRUE (keep the file). Composition is sound:
+    * an `And` can match only where both legs can, an `Or` where either
+    * can; `Not` is conservatively TRUE (a min/max range cannot be
+    * complemented). Shares the stats layer's double-representation
+    * caveat (integer keys beyond 2^53 can alias across a boundary —
+    * aliasing only ever KEEPS a file, never drops one). */
+  private def mayMatch(f: sources.Filter, entry: FileEntry,
+      phys: String => String): Boolean = {
+    def num(v: Any): Option[Double] = v match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    def test(a: String, v: Any)(
+        p: ((Double, Double), Double) => Boolean): Boolean =
+      (entry.statsRange(phys(a)), num(v)) match {
+        case (Some(r), Some(d)) => p(r, d)
+        case _ => true
+      }
+    def inside(a: String, v: Any): Boolean =
+      test(a, v) { case ((lo, hi), d) => lo <= d && d <= hi }
+    f match {
+      case sources.EqualTo(a, v) => inside(a, v)
+      case sources.EqualNullSafe(a, v) => inside(a, v)
+      case sources.GreaterThan(a, v) =>
+        test(a, v) { case ((_, hi), d) => hi > d }
+      case sources.GreaterThanOrEqual(a, v) =>
+        test(a, v) { case ((_, hi), d) => hi >= d }
+      case sources.LessThan(a, v) =>
+        test(a, v) { case ((lo, _), d) => lo < d }
+      case sources.LessThanOrEqual(a, v) =>
+        test(a, v) { case ((lo, _), d) => lo <= d }
+      case sources.In(a, vs) => vs.exists(v => inside(a, v))
+      case sources.And(l, r) =>
+        mayMatch(l, entry, phys) && mayMatch(r, entry, phys)
+      case sources.Or(l, r) =>
+        mayMatch(l, entry, phys) || mayMatch(r, entry, phys)
+      case sources.AlwaysFalse() => false
+      case _ => true
+    }
+  }
+
+  /** SQL `DELETE FROM … WHERE <pred>` — PREDICATE-targeted row erasure
+    * (the generalization of the key-batch [[delete]]; what the DSv2
+    * `SupportsDelete` bridge on the named catalog calls): only files
+    * whose per-column manifest stats ADMIT a matching row are
+    * rewritten ([[mayMatch]] evaluates each pushed filter as an
+    * interval query against the file's [min, max]; stat-less files
+    * are conservatively rewritten), everything else is carried
+    * VERBATIM — at 100 TB a range-scoped DELETE rewrites the handful
+    * of files its predicate can touch, never the table.
+    *
+    * SQL row semantics: a row is erased iff the predicate is TRUE —
+    * NULL-valued predicates KEEP the row (`filter(!pred)` alone would
+    * drop them). The erased rows are ALWAYS recorded as a `delete`
+    * change-feed sidecar (O(deleted rows); the SQL surface has no cdc
+    * flag to pass, and a feed-breaking replace commit from a plain SQL
+    * statement would be a trap). An empty filter list is DELETE
+    * without WHERE: every row erased, one replace commit, history
+    * intact. Same pending-equality-delete precondition and
+    * disjointness-aware OCC as [[delete]] (the conflict probe asks
+    * whether a concurrently added file's stats admit a matching row).
+    * Returns the published version id. */
+  def deleteWhere(spark: SparkSession, root: String,
+      filters: Seq[sources.Filter], numFiles: Int = 1): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val basis = currentVersion(root)
+    require(basis > 0, s"deleteWhere: $root has no committed version")
+    require(resolveDeletes(root, basis).isEmpty,
+      s"deleteWhere: $root has pending equality deletes — run optimize " +
+        "(the materialization point) first")
+    val pred = filters
+      .map(f => GraftScanBuilder.toColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"deleteWhere: cannot translate filter $f — the caller must " +
+            "gate on the translatable set (canDeleteWhere)")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val hit = coalesce(pred, lit(false))
+    val all = resolveFiles(root, basis)
+    val schema = resolveSchema(root, basis)
+    def phys(n: String): String = schema.fold(n)(_.physOf(n))
+    val rewritePaths = all
+      .filter(f => filters.forall(mayMatch(_, f, phys))).map(_.path)
+    val touched =
+      if (rewritePaths.isEmpty) read(spark, root, Some(basis)).limit(0)
+      else fromPhysical(readFilesMapped(spark, rewritePaths,
+        mergeSchema = false, schema), schema)
+    val survivors = touched.filter(not(hit))
+    val cdcPaths = writeCdc(touched.filter(hit)
+      .withColumn("_change_type", lit("delete")), root, schema)
+    publishTargetedRewrite(spark, root, basis, all, rewritePaths,
+      survivors, numFiles, None, cdcPaths, cdc = true,
+      "predicate delete",
+      interleaved => interleaved
+        .exists(f => filters.forall(mayMatch(_, f, phys))))
   }
 
   /** Overlap plan shared by [[mergeTargeted]] and [[delete]]: the
@@ -1202,9 +1307,9 @@ object VersionedTable {
     * deletes) now lands concurrently. */
   private def publishTargetedRewrite(spark: SparkSession, root: String,
       basis: Int, all: Seq[FileEntry], rewritePaths: Seq[String],
-      rewritten: DataFrame, numFiles: Int, keyCol: String,
+      rewritten: DataFrame, numFiles: Int, statsCol: Option[String],
       cdcPaths: Seq[String], cdc: Boolean, what: String,
-      keyBatch: DataFrame): Int = {
+      mayConflict: Seq[FileEntry] => Boolean): Int = {
     // rewritten files keep the key's stats AND every other column the
     // basis snapshot tracked ranges for (round 14): without the union,
     // one targeted delete keyed on column A would silently strip the
@@ -1219,11 +1324,10 @@ object VersionedTable {
         .filter(live)
     }
     val newFiles = writeData(rewritten.repartition(numFiles), root,
-      Some(keyCol), Nil, basisStats.filterNot(_ == keyCol))
+      statsCol, Nil, basisStats.filterNot(c => statsCol.contains(c)))
     val removed = rewritePaths.toSet
     val basisPaths = all.map(_.path).toSet
     val schemaAtBasis = resolveSchema(root, basis)
-    val physKey = schemaAtBasis.fold(keyCol)(_.physOf(keyCol))
     def abort(v: Int, why: String): Nothing =
       throw new java.util.ConcurrentModificationException(
         s"$what at $root lost the race for v$v ($why) — re-read and re-run")
@@ -1255,9 +1359,9 @@ object VersionedTable {
             if (resolveSchema(root, head) != schemaAtBasis)
               abort(v, "the column mapping changed concurrently")
             val interleaved = headFiles.filterNot(f => basisPaths(f.path))
-            if (overlapTargets(spark, interleaved, keyBatch, keyCol,
-                physKey).nonEmpty)
-              abort(v, "a concurrently added file may contain its keys")
+            if (mayConflict(interleaved))
+              abort(v, "a concurrently added file may contain " +
+                "affected rows")
             if (attempts >= MaxCommitRetries)
               abort(v, s"gave up after $attempts rebases")
             parent = head

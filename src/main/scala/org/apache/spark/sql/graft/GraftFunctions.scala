@@ -42,6 +42,14 @@ object GraftFunctions {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_table_changes",
       graft.GraftExtensions.graftTableChangesBuilder, "scala_udf")
+    // SQL MERGE INTO over the named catalog (round 15): the planner
+    // strategy, injected idempotently so sessions built without
+    // spark.sql.extensions get the statement too
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies
+        .contains(graft.plans.GraftMergeStrategy))
+      cs.experimental.extraStrategies =
+        cs.experimental.extraStrategies :+ graft.plans.GraftMergeStrategy
   }
 
   /** Backward as-of join through the native operator

@@ -448,6 +448,8 @@ class CountsSnapshotSpec extends SparkSpec {
     "q_scan_table_widen" -> 3L,
     // catalog lifecycle: head / pushdown / time-travel legs
     "q_scan_catalog_sql" -> 3L,
+    "q_catalog_merge_sql" -> 2L,
+    "q_catalog_delete_sql" -> 3L,
     // refs: tag, branch pre/post promotion, head
     "q_scan_table_refs" -> 4L)
 

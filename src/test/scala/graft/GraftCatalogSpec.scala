@@ -135,6 +135,156 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL DELETE FROM hash-matches the API delete; untouched files carry") {
+    import graft.sources.VersionedTable
+    // round 15 (r14 verdict #1): the SQL path and the Scala API must
+    // produce the SAME table — build two identical banded tables, erase
+    // the same key range through each path, compare contents exactly.
+    withTmpDir("graft_cat_dml_del") { wh =>
+      val c = freshCatalog(wh)
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      val data = (1L to 400L).map(k => (k, k * 1.5)).toDF("k", "v")
+      def banded(root: String): Unit = (0L to 3L).foreach { b =>
+        VersionedTable.commit(
+          data.filter($"k" > b * 100 && $"k" <= (b + 1) * 100),
+          root, statsCol = Some("k"))
+      }
+      banded(s"$wh/db/sqlside"); banded(s"$wh/db/apiside")
+      spark.sql(s"DELETE FROM $c.db.sqlside WHERE k BETWEEN 40 AND 60")
+      VersionedTable.delete(spark, s"$wh/db/apiside",
+        (40L to 60L).toDF("k"), "k", cdc = true)
+      val sqlRows = spark.table(s"$c.db.sqlside")
+        .as[(Long, Double)].collect().toSet
+      val apiRows = VersionedTable.read(spark, s"$wh/db/apiside")
+        .as[(Long, Double)].collect().toSet
+      assert(sqlRows === apiRows)
+      assert(!sqlRows.exists(r => r._1 >= 40 && r._1 <= 60))
+      assert(sqlRows.size === 400 - 21)
+      // the targeted-CoW witness survives the SQL path: bands 2-4
+      // carried verbatim (paths unchanged), only band 1 rewritten
+      val before = VersionedTable.resolveFiles(s"$wh/db/sqlside", 4)
+      val after = VersionedTable.resolveFiles(s"$wh/db/sqlside", 5).toSet
+      val untouched = before.filter(_.statsRange("k").exists(_._1 > 100))
+      assert(untouched.nonEmpty && untouched.forall(after))
+      assert(!before.filter(_.statsRange("k").exists(_._2 <= 100))
+        .forall(after), "band 1 must have been rewritten")
+      // deleteWhere always records the feed sidecar: 21 delete rows
+      val feed = VersionedTable.readChangeFeed(spark,
+        s"$wh/db/sqlside", 4, 5)
+      assert(feed.filter($"_change_type" === "delete").count() === 21)
+      // NULL predicate semantics: rows where the predicate is NULL stay
+      spark.sql(s"CREATE TABLE $c.db.nulls (k BIGINT, v DOUBLE)")
+      spark.sql(s"INSERT INTO $c.db.nulls VALUES (1, 1.0), " +
+        "(NULL, 2.0), (3, 3.0)")
+      spark.sql(s"DELETE FROM $c.db.nulls WHERE k < 2")
+      assert(spark.table(s"$c.db.nulls").count() === 2,
+        "the NULL-keyed row must survive a k<2 delete")
+    }
+  }
+
+  test("SQL MERGE INTO hash-matches the API mergeTargeted; carried witness") {
+    import graft.sources.VersionedTable
+    withTmpDir("graft_cat_dml_mrg") { wh =>
+      val c = freshCatalog(wh)
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      val data = (1L to 400L).map(k => (k, k * 1.5)).toDF("k", "v")
+      def banded(root: String): Unit = (0L to 3L).foreach { b =>
+        VersionedTable.commit(
+          data.filter($"k" > b * 100 && $"k" <= (b + 1) * 100),
+          root, statsCol = Some("k"))
+      }
+      org.apache.spark.sql.graft.GraftFunctions.register(spark)
+      banded(s"$wh/db/msql"); banded(s"$wh/db/mapi")
+      // updates: double v for keys 1-50 (band 1 only) + insert 501-510
+      val updates = (1L to 50L).map(k => (k, k * 3.0))
+        .++((501L to 510L).map(k => (k, k * 1.5))).toDF("k", "v")
+      updates.createOrReplaceTempView("mrg_updates")
+      spark.sql(
+        s"""MERGE INTO $c.db.msql AS t USING mrg_updates AS s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      VersionedTable.mergeTargeted(spark, s"$wh/db/mapi", updates, "k",
+        cdc = true)
+      val sqlRows = spark.table(s"$c.db.msql")
+        .as[(Long, Double)].collect().toSet
+      val apiRows = VersionedTable.read(spark, s"$wh/db/mapi")
+        .as[(Long, Double)].collect().toSet
+      assert(sqlRows === apiRows)
+      assert(sqlRows.size === 410)
+      assert(sqlRows.contains((10L, 30.0)) && sqlRows.contains((505L, 757.5)))
+      // carried witness through SQL: bands 2-4 verbatim
+      val before = VersionedTable.resolveFiles(s"$wh/db/msql", 4)
+      val after = VersionedTable.resolveFiles(s"$wh/db/msql", 5).toSet
+      val untouched = before.filter(_.statsRange("k").exists(_._1 > 100))
+      assert(untouched.nonEmpty && untouched.forall(after))
+      // the SQL merge records the cdc sidecar (update pre/post + insert)
+      val feed = VersionedTable.readChangeFeed(spark, s"$wh/db/msql", 4, 5)
+      assert(feed.filter($"_change_type" === "update_postimage")
+        .count() === 50)
+      assert(feed.filter($"_change_type" === "insert").count() === 10)
+      // WHEN MATCHED THEN DELETE maps to the targeted key delete
+      (1L to 10L).map(k => (k, 0.0)).toDF("k", "v")
+        .createOrReplaceTempView("mrg_erase")
+      spark.sql(
+        s"""MERGE INTO $c.db.msql AS t USING mrg_erase AS s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+      assert(spark.table(s"$c.db.msql").count() === 400)
+      assert(!spark.table(s"$c.db.msql").as[(Long, Double)]
+        .collect().exists(_._1 <= 10))
+    }
+  }
+
+  test("unsupported MERGE/DELETE shapes fail with actionable errors") {
+    withTmpDir("graft_cat_dml_err") { wh =>
+      val c = freshCatalog(wh)
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (k BIGINT, v DOUBLE)")
+      spark.sql(s"INSERT INTO $c.db.t VALUES (1, 1.0), (2, 2.0)")
+      org.apache.spark.sql.graft.GraftFunctions.register(spark)
+      Seq((1L, 9.0)).toDF("k", "v").createOrReplaceTempView("err_src")
+      // conditional branch → named unsupported shape
+      val e1 = intercept[UnsupportedOperationException] {
+        spark.sql(s"MERGE INTO $c.db.t AS t USING err_src AS s " +
+          "ON t.k = s.k " +
+          "WHEN MATCHED AND s.v > 5 THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      }
+      assert(e1.getMessage.contains("graft MERGE INTO supports"))
+      // branches assigning different expressions → named column
+      val e2 = intercept[UnsupportedOperationException] {
+        spark.sql(s"MERGE INTO $c.db.t AS t USING err_src AS s " +
+          "ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET k = s.k, v = s.v + 1.0 " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      }
+      assert(e2.getMessage.contains("`v`"), e2.getMessage)
+      // assignment reading target columns → named
+      val e3 = intercept[UnsupportedOperationException] {
+        spark.sql(s"MERGE INTO $c.db.t AS t USING err_src AS s " +
+          "ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET v = t.v + s.v " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      }
+      assert(e3.getMessage.contains("reads target columns"))
+      // non-equi merge condition
+      val e4 = intercept[UnsupportedOperationException] {
+        spark.sql(s"MERGE INTO $c.db.t AS t USING err_src AS s " +
+          "ON t.k < s.k WHEN MATCHED THEN DELETE")
+      }
+      assert(e4.getMessage.contains("merge condition"))
+      // DELETE with a predicate outside the filter algebra: Spark's own
+      // canDeleteWhere error (the Scala API is the general path)
+      val e5 = intercept[Exception] {
+        spark.sql(s"DELETE FROM $c.db.t WHERE k % 2 = 0")
+      }
+      assert(e5.getMessage.toLowerCase.contains("delete"))
+      // the table is untouched by all five failures
+      assert(spark.table(s"$c.db.t").count() === 2)
+    }
+  }
+
   test("metadata tables: history and refs resolve by nested name") {
     withTmpDir("graft_cat_meta") { wh =>
       val c = freshCatalog(wh)

@@ -22,6 +22,13 @@ object MergeProbe {
     try s.sql("DELETE FROM g.db.t WHERE k = 3")
     catch { case e: Throwable =>
       println("DELETE-ERR: " + e.getClass.getName + ": " + e.getMessage.take(400)) }
+    println("AFTER-DELETE: " + s.sql("SELECT * FROM g.db.t ORDER BY k").collect().mkString(","))
+    try s.sql("DELETE FROM g.db.t WHERE k % 2 = 0")
+    catch { case e: Throwable =>
+      println("DELETE-MOD-ERR: " + e.getClass.getName + ": " + e.getMessage.take(300)) }
+    try s.sql("DELETE FROM g.db.t WHERE k IN (99)")
+    catch { case e: Throwable =>
+      println("DELETE-IN-ERR: " + e.getClass.getName + ": " + e.getMessage.take(300)) }
     // probe 2: MERGE INTO
     try s.sql("MERGE INTO g.db.t USING src ON g.db.t.k = src.k " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")

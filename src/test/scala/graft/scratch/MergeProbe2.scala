@@ -18,6 +18,7 @@ object ProbeRule extends Rule[LogicalPlan] {
         s"matched=${m.matchedActions.map(_.getClass.getSimpleName)} " +
         s"notMatched=${m.notMatchedActions.map(_.getClass.getSimpleName)} " +
         s"target=${m.targetTable.getClass.getSimpleName}")
+      println("TARGET-TREE:\n" + m.targetTable.treeString)
       plan
     case _ => plan
   }
@@ -40,11 +41,13 @@ object MergeProbe2 {
     s.sql("CREATE TABLE g.db.t (k BIGINT, v DOUBLE)")
     s.sql("INSERT INTO g.db.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
     Seq((2L, 20.0), (4L, 40.0)).toDF("k", "v").createOrReplaceTempView("src")
+    println("STRATEGIES: " + s.sessionState.planner.strategies
+      .map(_.getClass.getSimpleName).mkString(","))
     try s.sql("MERGE INTO g.db.t USING src ON g.db.t.k = src.k " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     catch { case e: Throwable =>
       println("MERGE-ERR: " + e.getClass.getName + ": " + e.getMessage.take(200))
-      println("MERGE-STACK: " + e.getStackTrace.take(8).mkString(" | ")) }
+      println("MERGE-STACK: " + e.getStackTrace.take(10).mkString(" | ")) }
     s.stop()
   }
 }
