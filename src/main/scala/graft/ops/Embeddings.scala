@@ -139,7 +139,12 @@ object Embeddings extends OpModule {
       import s.implicits._
       val e = OpCache.cached(s, dir, "pq_learned_e")(
         Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding"))
-      (0 until 8).map { b =>
+      e.count() // force the shared persist before the legs fork
+      // the 8 block fits are INDEPENDENT seeded models over disjoint
+      // 8-dim slices — overlapped driver jobs (guide §2.6); Par.map
+      // keeps block order, each fit is seed-deterministic, so the
+      // codebook array is bit-identical to the sequential build
+      Par.map((0 until 8).toSeq) { b =>
         val blk = e.select(
           org.apache.spark.ml.functions.array_to_vector(
             expr(s"slice(embedding, ${b * 8 + 1}, 8)")).as("features"))

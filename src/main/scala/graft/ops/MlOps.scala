@@ -700,6 +700,10 @@ object MlOps extends OpModule {
         .setMetricName("accuracy"))
       .setEstimatorParamMaps(grid)
       .setNumFolds(3).setSeed(7L)
+      // fold×grid fits are independent seeded jobs; overlapping them
+      // (guide §2.6) back-fills each fit's scheduling tail — avgMetrics
+      // and the winner are unchanged (MLlib aggregates by index)
+      .setParallelism(4)
     val fitted = cv.fit(data)
     val best = fitted.bestModel
       .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
