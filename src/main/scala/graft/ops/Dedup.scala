@@ -1209,15 +1209,30 @@ object Dedup extends OpModule {
           round(graft.functions.CosineSimF.cosine($"se", $"de"), 4)
             .as("sim4"))
       // seed graph: cell-bounded candidates (node × its THREE nearest
-      // cells' members — the runner-up cells stitch across borders)
+      // cells' members — the runner-up cells stitch across borders).
+      // The embeddings RIDE the cell self-join and each pair is scored
+      // IN the join stage (r15, guide §2.3/§8): the former
+      // pairs→distinct→join(vecs src)→join(vecs dst) shape shuffled the
+      // O(candidate) pair set through three more exchanges just to
+      // re-attach vectors the join already had in hand. A pair sharing
+      // k (≤3) cells is scored k times — identical sim4 each time (one
+      // fixed fold over the same arrays) — and min() collapses the
+      // duplicates in the same shuffle that used to be `distinct`, so
+      // the seeded graph is bit-identical while the pair set crosses
+      // the wire once instead of four times.
       val nodes = corpus
         .select($"vec_id", $"embedding",
           explode(nearestCellsExpr(centers, $"embedding", 3)).as("gcell"))
-      val seedPairs = nodes.select($"gcell", $"vec_id".as("src"))
-        .join(nodes.select($"gcell", $"vec_id".as("dst")), Seq("gcell"))
+      val seedScored = nodes
+        .select($"gcell", $"vec_id".as("src"), $"embedding".as("se"))
+        .join(nodes.select($"gcell", $"vec_id".as("dst"),
+          $"embedding".as("de")), Seq("gcell"))
         .filter($"src" =!= $"dst")
-        .select($"src", $"dst").distinct()
-      var g = topM(scorePairs(seedPairs)).localCheckpoint(true)
+        .select($"src", $"dst",
+          round(graft.functions.CosineSimF.cosine($"se", $"de"), 4)
+            .as("sim4"))
+        .groupBy($"src", $"dst").agg(min($"sim4").as("sim4"))
+      var g = topM(seedScored).localCheckpoint(true)
       // NN-DESCENT refinement (Dong et al.'s distributed k-NN-graph
       // recipe): per node v the round's candidate pool B(v) is its
       // out-neighbors plus its in-neighbors CAPPED at M (the reverse

@@ -179,9 +179,21 @@ object MlOps extends OpModule {
         .groupBy($"o_custkey".cast("int").as("user"), $"brand_id".as("item"))
         .agg(count(lit(1)).cast("float").as("rating"))
     }
+    // block count SIZED TO THE RATINGS (r15, guide §2: partitioning
+    // derives from input, not a constant tuned to one deployment): ALS
+    // defaults numBlocks to defaultParallelism, and its per-iteration
+    // cost carries an O(userBlocks × itemBlocks) message-exchange term
+    // — 32×32 block pairs for a corpus whose whole ratings table fits
+    // one block. Target ~1M ratings per block (the MLlib sizing
+    // guidance), clamp to [1, defaultParallelism]; at cluster scale
+    // the same formula lands back on the parallelism cap.
+    val blocks = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong,
+      ratings.count() / 1000000L + 1L)).toInt
     val als = new ALS().setRank(8).setMaxIter(5).setSeed(42L)
       .setImplicitPrefs(true).setUserCol("user").setItemCol("item")
       .setRatingCol("rating").setColdStartStrategy("drop")
+      .setNumBlocks(blocks)
     val model = als.fit(ratings)
     model.recommendForAllUsers(3)
       .select($"user".as("custkey"),
