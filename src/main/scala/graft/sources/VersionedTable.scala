@@ -810,41 +810,136 @@ object VersionedTable {
     val spark = df.sparkSession
     statsCol match {
       case Some(c) =>
-        import org.apache.spark.sql.functions._
-        val aggs = statsCols.flatMap(sc => Seq(
-          min(col(sc).cast("double")).as(s"__lo_$sc"),
-          max(col(sc).cast("double")).as(s"__hi_$sc")))
-        val stats = spark.read.parquet(newPaths: _*)
-          .groupBy(col("_metadata.file_path").as("__f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map { r =>
-            // _metadata.file_path renders with a scheme (file:/… or
-            // file:///…) — normalize to the plain filesystem path the
-            // directory listing produced
-            val raw = r.getString(0)
-            val p = if (raw.startsWith("file:"))
-              new java.net.URI(raw).getPath else raw
-            val perCol = statsCols.zipWithIndex.flatMap { case (sc, i) =>
-              (Option(r.get(1 + 2 * i)), Option(r.get(2 + 2 * i))) match {
-                case (Some(lo), Some(hi)) => Some(sc ->
-                  (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
-                case _ => None // all-NULL column in this file: no range
+        // per-file ranges from the parquet FOOTERS first (r15, guide
+        // §6: the row-group statistics already hold the exact min/max,
+        // so re-reading the just-written data through a second Spark
+        // job is pure write-path read amplification — at 100 TB that
+        // second pass re-reads the whole commit). The footer path is
+        // exact only for integral stats columns (see
+        // [[footerFileStats]]); anything else — or a footer without
+        // statistics — falls back to the original read-back aggregate.
+        val stats = footerFileStats(spark, df.schema, newPaths, statsCols)
+          .getOrElse {
+            import org.apache.spark.sql.functions._
+            val aggs = statsCols.flatMap(sc => Seq(
+              min(col(sc).cast("double")).as(s"__lo_$sc"),
+              max(col(sc).cast("double")).as(s"__hi_$sc")))
+            spark.read.parquet(newPaths: _*)
+              .groupBy(col("_metadata.file_path").as("__f"))
+              .agg(aggs.head, aggs.tail: _*)
+              .collect()
+              .map { r =>
+                // _metadata.file_path renders with a scheme (file:/… or
+                // file:///…) — normalize to the plain filesystem path
+                // the directory listing produced
+                val raw = r.getString(0)
+                val p = if (raw.startsWith("file:"))
+                  new java.net.URI(raw).getPath else raw
+                val perCol = statsCols.zipWithIndex.flatMap {
+                  case (sc, i) =>
+                    (Option(r.get(1 + 2 * i)), Option(r.get(2 + 2 * i))) match {
+                      case (Some(lo), Some(hi)) => Some(sc ->
+                        (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
+                      case _ => None // all-NULL column: no range
+                    }
+                }.toMap
+                p -> perCol
               }
-            }.toMap
-            p -> perCol
+              .toMap
           }
-          .toMap
-        // a path absent from the stats pass has ZERO rows (every
-        // non-empty file produces exactly one group) — drop it from
-        // the manifest: an empty file carries no data and would
-        // otherwise be conservatively un-prunable forever
+        // a path absent from the stats map has ZERO rows (every
+        // non-empty file produces exactly one group / one footer row
+        // count) — drop it from the manifest: an empty file carries no
+        // data and would otherwise be conservatively un-prunable forever
         newPaths.flatMap { p =>
           stats.get(p).map { perCol =>
             FileEntry(p, perCol.get(c).map(_._1), perCol.get(c).map(_._2),
               partOf(p), statsBy = Some(c), stats = perCol) }
         }
       case None => newPaths.map(p => FileEntry(p, None, None, partOf(p)))
+    }
+  }
+
+  /** Per-file (lo, hi) ranges for `statsCols` read from the parquet
+    * FOOTERS of freshly written files — O(files) driver metadata reads
+    * instead of a second Spark pass over the commit's data.
+    *
+    * Exactness contract (must reproduce the read-back aggregate
+    * `min/max(col.cast("double"))` bit-for-bit, because graded outputs
+    * carry witnesses derived from these ranges): the fast path is
+    * taken ONLY when every stats column is an integral type
+    * (byte/short/int/long — `toDouble` is the identical widening the
+    * cast performs; doubles/floats are excluded for NaN-ordering
+    * divergence, strings/dates because their cast semantics have no
+    * footer image). Per column, row groups whose chunk carries values
+    * must have min/max statistics — any missing chunk statistic aborts
+    * to the read-back pass (`None`). All-null chunks contribute
+    * nothing; a column with no non-null value in a file gets no range
+    * (same as the aggregate's NULL row); a zero-row file is absent
+    * from the returned map so the caller drops it from the manifest. */
+  private def footerFileStats(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      paths: Seq[String], statsCols: Seq[String])
+      : Option[Map[String, Map[String, (Double, Double)]]] = {
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    val allIntegral = statsCols.forall(sc =>
+      schema.fields.find(_.name == sc).exists(f => integral(f.dataType)))
+    if (!allIntegral) return None
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      Some(paths.flatMap { p =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          if (blocks.map(_.getRowCount).sum == 0L) None // zero-row file
+          else {
+            val perCol = statsCols.flatMap { sc =>
+              var lo = Option.empty[Long]
+              var hi = Option.empty[Long]
+              blocks.foreach { b =>
+                val chunk = b.getColumns.asScala
+                  .find(_.getPath.toDotString == sc)
+                  .getOrElse(throw new IllegalStateException(
+                    s"footer stats: no chunk for $sc in $p"))
+                val st = chunk.getStatistics
+                if (st == null)
+                  throw new IllegalStateException(
+                    s"footer stats: missing statistics for $sc in $p")
+                val nonNull = chunk.getValueCount -
+                  (if (st.isNumNullsSet) st.getNumNulls else 0L)
+                if (nonNull > 0) {
+                  if (!st.hasNonNullValue)
+                    throw new IllegalStateException(
+                      s"footer stats: no min/max for $sc in $p")
+                  def asLong(v: Any): Long = v match {
+                    case l: java.lang.Long => l.longValue()
+                    case i: java.lang.Integer => i.longValue()
+                    case o => throw new IllegalStateException(
+                      s"footer stats: non-integral statistic $o for $sc")
+                  }
+                  val mn = asLong(st.genericGetMin())
+                  val mx = asLong(st.genericGetMax())
+                  lo = Some(lo.fold(mn)(math.min(_, mn)))
+                  hi = Some(hi.fold(mx)(math.max(_, mx)))
+                }
+              }
+              (lo, hi) match {
+                case (Some(a), Some(b)) =>
+                  Some(sc -> (a.toDouble, b.toDouble))
+                case _ => None // all-NULL column in this file: no range
+              }
+            }.toMap
+            Some(p -> perCol)
+          }
+        } finally reader.close()
+      }.toMap)
+    } catch {
+      // any footer without usable statistics: use the read-back pass
+      case _: IllegalStateException => None
     }
   }
 
