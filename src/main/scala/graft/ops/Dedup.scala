@@ -1200,14 +1200,6 @@ object Dedup extends OpModule {
         scored.withColumn("r", row_number().over(w)).filter($"r" <= NswM)
           .select($"src", $"dst", $"sim4")
       }
-      def scorePairs(pairs: DataFrame): DataFrame = pairs
-        .join(vecs.select($"vec_id".as("src"), $"embedding".as("se")),
-          Seq("src"))
-        .join(vecs.select($"vec_id".as("dst"), $"embedding".as("de")),
-          Seq("dst"))
-        .select($"src", $"dst",
-          round(graft.functions.CosineSimF.cosine($"se", $"de"), 4)
-            .as("sim4"))
       // seed graph: cell-bounded candidates (node × its THREE nearest
       // cells' members — the runner-up cells stitch across borders).
       // The embeddings RIDE the cell self-join and each pair is scored
@@ -1223,10 +1215,28 @@ object Dedup extends OpModule {
       val nodes = corpus
         .select($"vec_id", $"embedding",
           explode(nearestCellsExpr(centers, $"embedding", 3)).as("gcell"))
-      val seedScored = nodes
-        .select($"gcell", $"vec_id".as("src"), $"embedding".as("se"))
-        .join(nodes.select($"gcell", $"vec_id".as("dst"),
-          $"embedding".as("de")), Seq("gcell"))
+      // SALTED self-join (guide §2.5): the join key has only K=16
+      // distinct values and its INPUT is tiny while its OUTPUT explodes
+      // quadratically per cell — AQE's byte-based coalescing therefore
+      // plans the scoring stage onto ONE task (measured: a single
+      // 3.7 s task computing every seed cosine while 31 cores idle).
+      // Salting the src side with a deterministic pmod(vec_id) and
+      // replicating the dst side across the salt domain spreads each
+      // cell's pair block over cells×salts tasks; the explicit
+      // repartition pins the parallelism against byte-coalescing. The
+      // pair SET is unchanged (each (src,dst,cell) lands in exactly one
+      // salt), so the groupBy-min — and the graph — stay bit-identical.
+      val p = corpus.sparkSession.sparkContext.defaultParallelism
+      val salts = math.max(1, math.round(2.0 * p / centers.length).toInt)
+      val left = nodes
+        .select($"gcell", $"vec_id".as("src"), $"embedding".as("se"),
+          pmod($"vec_id", lit(salts)).cast("int").as("salt"))
+        .repartition(2 * p, $"gcell", $"salt")
+      val right = nodes
+        .select($"gcell", $"vec_id".as("dst"), $"embedding".as("de"),
+          explode(sequence(lit(0), lit(salts - 1))).as("salt"))
+        .repartition(2 * p, $"gcell", $"salt")
+      val seedScored = left.join(right, Seq("gcell", "salt"))
         .filter($"src" =!= $"dst")
         .select($"src", $"dst",
           round(graft.functions.CosineSimF.cosine($"se", $"de"), 4)
@@ -1244,6 +1254,18 @@ object Dedup extends OpModule {
       // QUALITY is what makes best-first search concentrate its
       // budget near the probe (and build quality is FREE at search
       // time: the search budget only counts scored candidates).
+      //
+      // The pool rides its embeddings (r15, the seed's fused-join
+      // recipe): B(v) is ≤2M rows per pivot, so attaching each node's
+      // vector ONCE to the pool and scoring pairs inside the pivot
+      // self-join replaces the former distinct→anti-join→two-vector-
+      // joins chain — the O(n·(2M)²) proposal set crosses the wire
+      // once (as scores) instead of four times (as ids being re-keyed).
+      // Duplicate proposals (a pair sharing several pivots, a pair
+      // already in g) carry the IDENTICAL sim4 — one fixed fold over
+      // the same arrays — so the single groupBy-min dedups the union
+      // exactly where the anti-join used to; the kept graph is
+      // bit-identical (pinned by the saved-index equality law).
       for (_ <- 1 to 3) {
         val e = g
         val wIn = Window.partitionBy($"dst")
@@ -1252,14 +1274,19 @@ object Dedup extends OpModule {
           .filter($"ri" <= NswM)
           .select($"dst".as("pivot"), $"src".as("node"))
         val b = e.select($"src".as("pivot"), $"dst".as("node"))
-          .unionByName(rev).distinct()
-        val proposals = b.select($"pivot", $"node".as("src"))
-          .join(b.select($"pivot", $"node".as("dst")), Seq("pivot"))
+          .unionByName(rev)
+          .join(vecs.select($"vec_id".as("node"), $"embedding"),
+            Seq("node"))
+        val scored = b
+          .select($"pivot", $"node".as("src"), $"embedding".as("se"))
+          .join(b.select($"pivot", $"node".as("dst"),
+            $"embedding".as("de")), Seq("pivot"))
           .filter($"src" =!= $"dst")
-          .select($"src", $"dst").distinct()
-          // only NEW pairs get scored; current edges keep their scores
-          .join(e.select($"src", $"dst"), Seq("src", "dst"), "left_anti")
-        g = topM(scorePairs(proposals).unionByName(g))
+          .select($"src", $"dst",
+            round(graft.functions.CosineSimF.cosine($"se", $"de"), 4)
+              .as("sim4"))
+        g = topM(scored.unionByName(g)
+            .groupBy($"src", $"dst").agg(min($"sim4").as("sim4")))
           .localCheckpoint(true)
       }
       // g is eagerly checkpointed, so the build-scoped persist can go
