@@ -594,16 +594,38 @@ object Aggregates extends OpModule {
       .as[Long].head()
   }
 
-  /** Gate verdict memo — priced once per (session, sf), released by
-    * [[OpCache.clear]] so a bench rep re-derives it honestly. */
+  /** Gate memo (the edge-count upper bound) — priced once per
+    * (session, sf), released by [[OpCache.clear]] so a bench rep
+    * re-derives it honestly. The bound feeds both the broadcast-vs-
+    * merge verdict and the intersect-stage rebalance width. */
   private val adjGateMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Boolean]
+    .empty[(SparkSession, String), Long]
   OpCache.onClear("graph_adjGateMemo")(s =>
     adjGateMemo.keys.filter(_._1 eq s).foreach(adjGateMemo.remove))
 
+  private def edgeBound(s: SparkSession, dir: String): Long =
+    adjGateMemo.getOrElseUpdate((s, dir), copurchaseEdgeBound(s, dir))
+
   private def adjacencyFits(s: SparkSession, dir: String): Boolean =
-    adjGateMemo.getOrElseUpdate((s, dir),
-      copurchaseEdgeBound(s, dir) <= BroadcastAdjMaxEdges)
+    edgeBound(s, dir) <= BroadcastAdjMaxEdges
+
+  /** Partition width for the adjacency-intersect stages: the
+    * `array_intersect`/merge-count work is compute-DENSE per input
+    * byte (two sorted neighbor arrays per edge), while the edge list's
+    * scan partitioning reflects its tiny on-disk footprint — AQE's
+    * byte-based sizing leaves the heavy stage on a handful of tasks
+    * (measured: the triangle close stage ran 10 tasks on 32 cores).
+    * Rebalance by edge key to max(2·parallelism, bound/250k-rows) —
+    * parallelism-floored locally, row-bounded at corpus scale (the
+    * same bound the broadcast gate already derives, one memoized
+    * aggregate). An explicit width pins the exchange against
+    * re-coalescing; hash keys are the edge pair, so the layout is
+    * deterministic and the downstream groupBys are key-invariant. */
+  private def intersectParts(s: SparkSession, dir: String): Int = {
+    val p = 2L * s.sparkContext.defaultParallelism
+    math.max(p, edgeBound(s, dir) / 250000L)
+      .min(200000L).toInt
+  }
 
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     graphTrianglesImpl(s, dir, adjacencyFits(s, dir))
@@ -638,7 +660,14 @@ object Aggregates extends OpModule {
       oriented.groupBy($"src".as("k"))
         .agg(sort_array(collect_list($"dst")).as("nbrs"))
     }
-    val closed = oriented
+    // rebalance ONLY the broadcast path: its intersect runs map-side on
+    // the edge list's scan partitioning (see [[intersectParts]]); the
+    // merge fallback already spreads the work over its join shuffle
+    val orientedBal =
+      if (broadcastAdj)
+        oriented.repartition(intersectParts(s, dir), $"src", $"dst")
+      else oriented
+    val closed = orientedBal
       .join(bhint(adj.as("x")), $"src" === $"x.k")
       .join(bhint(adj.as("y")), $"dst" === $"y.k")
       .select($"src", $"dst",
@@ -693,7 +722,12 @@ object Aggregates extends OpModule {
         .union(pairs.select($"pb".as("k"), $"pa".as("w")))
         .groupBy($"k").agg(sort_array(collect_list($"w")).as("nbrs"))
     }
-    val scored = pairs
+    // same broadcast-path-only rebalance as [[graphTrianglesImpl]]
+    val pairsBal =
+      if (broadcastAdj)
+        pairs.repartition(intersectParts(s, dir), $"pa", $"pb")
+      else pairs
+    val scored = pairsBal
       .join(bhint(adj.as("x")), $"pa" === $"x.k")
       .join(bhint(adj.as("y")), $"pb" === $"y.k")
       .select($"pa", $"pb",
