@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to sbt's own stdout/stderr instead of
+// through sbt's logger: the bench's one-line total JSON used to print
+// behind an "[info] " prefix, which the driver's BENCH parser never
+// consumed (every BENCH_r*.json through r15 has "parsed": null). With
+// StdoutOutput the two JSON lines are clean, parseable stdout lines.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -247,6 +247,18 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] per-query persist failed: $e")
     }
+    // the compact total ALSO lands in its own file (r15 verdict item 2):
+    // stdout now arrives raw (build.sbt outputStrategy), but a file the
+    // driver/judge can read without any stdout parsing is the sturdier
+    // half of the contract — BENCH_r13..r15 all carried "parsed": null
+    // because the total line hid behind sbt's logger prefix
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_TOTAL_OUT", "bench_total.json")),
+      totalLine + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] total persist failed: $e")
+    }
     // per-query FIRST-REP shuffle bytes (see ShuffleMeter) — a
     // separate artifact so the driver-parsed lines above stay stable
     // query entries nest under "queries" (r10 ADVICE): the note is
