@@ -1161,6 +1161,16 @@ object Dedup extends OpModule {
   /** Out-degree of the NSW neighbor graph. */
   private val NswM = 8
 
+  /** Env-gated phase timer (dev-only): prints per-phase wall of the NSW
+    * build/walk when SPARK_GRAFT_NSW_DEBUG is set; zero cost otherwise. */
+  private val NswDbg = sys.env.contains("SPARK_GRAFT_NSW_DEBUG")
+  @inline private def nswPhase[T](tag: String)(f: => T): T =
+    if (!NswDbg) f else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"NSWDBG $tag%-18s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** NSW NEIGHBOR GRAPH (round 13 — the HNSW family beside IVF/PQ/LSH,
     * r12 verdict item #8): each corpus vector keeps directed edges to
     * its [[NswM]] most-cosine-similar neighbors, found among nodes
@@ -1195,9 +1205,17 @@ object Dedup extends OpModule {
       // (a leaked persist would outlive OpCache.clear and quietly
       // carry across bench reps)
       val vecs = corpus.select($"vec_id", $"embedding").persist()
+      val p = corpus.sparkSession.sparkContext.defaultParallelism
+      // dedup+rank on ONE exchange (r16, guide §2.4): hash by src alone
+      // satisfies both the (src,dst) groupBy clustering and the src
+      // window partitioning, so the pair set crosses the wire once
+      // instead of twice (the former groupBy exchange + window exchange).
+      // min() over duplicates is grouping-invariant (identical sim4),
+      // and the row_number orderBy is a total order — bit-identical.
       def topM(scored: DataFrame): DataFrame = {
         val w = Window.partitionBy($"src").orderBy($"sim4".desc, $"dst".asc)
-        scored.withColumn("r", row_number().over(w)).filter($"r" <= NswM)
+        scored.groupBy($"src", $"dst").agg(min($"sim4").as("sim4"))
+          .withColumn("r", row_number().over(w)).filter($"r" <= NswM)
           .select($"src", $"dst", $"sim4")
       }
       // seed graph: cell-bounded candidates (node × its THREE nearest
@@ -1212,7 +1230,16 @@ object Dedup extends OpModule {
       // duplicates in the same shuffle that used to be `distinct`, so
       // the seeded graph is bit-identical while the pair set crosses
       // the wire once instead of four times.
+      // cell assignment runs WIDE (r16): the corpus cache carries the
+      // scan's single-file partitioning, so the former shape evaluated
+      // the 16-center distance fold per row on ONE task — and twice
+      // over, once per self-join branch (two sequential ~1 s single-task
+      // stages in the job trace). Spreading the corpus by vec_id FIRST
+      // puts the fold in the 2p-wide map stages of the branch exchanges
+      // (the identical repartition subtree is shared via exchange
+      // reuse, so the corpus shuffles once).
       val nodes = corpus
+        .repartition(2 * p, $"vec_id")
         .select($"vec_id", $"embedding",
           explode(nearestCellsExpr(centers, $"embedding", 3)).as("gcell"))
       // SALTED self-join (guide §2.5): the join key has only K=16
@@ -1226,7 +1253,6 @@ object Dedup extends OpModule {
       // repartition pins the parallelism against byte-coalescing. The
       // pair SET is unchanged (each (src,dst,cell) lands in exactly one
       // salt), so the groupBy-min — and the graph — stay bit-identical.
-      val p = corpus.sparkSession.sparkContext.defaultParallelism
       val salts = math.max(1, math.round(2.0 * p / centers.length).toInt)
       val left = nodes
         .select($"gcell", $"vec_id".as("src"), $"embedding".as("se"),
@@ -1241,8 +1267,7 @@ object Dedup extends OpModule {
         .select($"src", $"dst",
           round(graft.functions.CosineSimF.cosine($"se", $"de"), 4)
             .as("sim4"))
-        .groupBy($"src", $"dst").agg(min($"sim4").as("sim4"))
-      var g = topM(seedScored).localCheckpoint(true)
+      var g = nswPhase("build:seed")(topM(seedScored).localCheckpoint(true))
       // NN-DESCENT refinement (Dong et al.'s distributed k-NN-graph
       // recipe): per node v the round's candidate pool B(v) is its
       // out-neighbors plus its in-neighbors CAPPED at M (the reverse
@@ -1266,7 +1291,7 @@ object Dedup extends OpModule {
       // the same arrays — so the single groupBy-min dedups the union
       // exactly where the anti-join used to; the kept graph is
       // bit-identical (pinned by the saved-index equality law).
-      for (_ <- 1 to 3) {
+      for (nnRound <- 1 to 3) {
         val e = g
         val wIn = Window.partitionBy($"dst")
           .orderBy($"sim4".desc, $"src".asc)
@@ -1285,9 +1310,8 @@ object Dedup extends OpModule {
           .select($"src", $"dst",
             round(graft.functions.CosineSimF.cosine($"se", $"de"), 4)
               .as("sim4"))
-        g = topM(scored.unionByName(g)
-            .groupBy($"src", $"dst").agg(min($"sim4").as("sim4")))
-          .localCheckpoint(true)
+        g = nswPhase(s"build:nnd$nnRound")(topM(scored.unionByName(g))
+          .localCheckpoint(true))
       }
       // g is eagerly checkpointed, so the build-scoped persist can go
       vecs.unpersist(blocking = false)
@@ -1358,7 +1382,7 @@ object Dedup extends OpModule {
     // it before a byte of data moves — measured); checkpointing
     // truncates lineage to O(1) per round, the same fixpoint recipe
     // as connectedComponents. Frames are O(visited) tiny.
-    var visited = entry.localCheckpoint(true)
+    var visited = nswPhase("walk:entry")(entry.localCheckpoint(true))
     // best-first, batched: each round EXPANDS the best beamWidth
     // visited-but-unexpanded nodes (the HNSW ef-search queue shape —
     // re-expanding the same stabilized beam would stall in a local
@@ -1367,7 +1391,7 @@ object Dedup extends OpModule {
     var expanded = visited.select($"probe_id", $"nbr_id").limit(0)
       .localCheckpoint(true)
     val roundPersists = Seq.newBuilder[DataFrame]
-    for (_ <- 1 to rounds) {
+    for (walkRound <- 1 to rounds) {
       // persist, not localCheckpoint (r15): toExpand is referenced
       // twice (candidate join this round, `expanded` anti-join in later
       // rounds) — the cache serves both without an eager job of its
@@ -1389,7 +1413,8 @@ object Dedup extends OpModule {
         .filter($"probe_id" =!= $"nbr_id")
         .join(visited.select($"probe_id", $"nbr_id"),
           Seq("probe_id", "nbr_id"), "left_anti")
-      val fresh = scoreOf(cand).localCheckpoint(true)
+      val fresh = nswPhase(s"walk:round$walkRound")(
+        scoreOf(cand).localCheckpoint(true))
       // the accumulators stay PLAIN unions of the checkpointed pieces:
       // a union of k LogicalRDDs is a linear plan however often it is
       // referenced, so only the per-round NEW frames need truncation

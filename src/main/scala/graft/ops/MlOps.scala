@@ -562,29 +562,51 @@ object MlOps extends OpModule {
     val labeled = OpCache.cached(s, dir, "rfm_labeled")(
       hist.join(future, $"o_custkey" === $"f_custkey", "left")
         .withColumn("label", when($"f_custkey".isNotNull, 1L).otherwise(0L)))
-    // each rank computed INDEPENDENTLY from the cached base and joined
-    // back by custkey — stacking ranks by nesting each level's output
-    // into the next grows the logical plan ~3× per level (the three
-    // reads inside withGlobalRn), and four nested levels made Catalyst
-    // analysis itself the bottleneck (measured ~2–7 s PER LEVEL at
-    // sf0.1, all driver time); the join-back shape is linear in levels
-    def pr(value: org.apache.spark.sql.Column,
-        binOn: org.apache.spark.sql.Column,
-        ord: Seq[org.apache.spark.sql.Column], out: String,
-        tag: String): DataFrame =
-      Ranks.withGlobalRn(labeled.select($"o_custkey", value), binOn, ord,
-          s"__rn_$tag", s"__n_$tag", tag)
-        .select($"o_custkey",
-          Ranks.percentRankUnique(col(s"__rn_$tag"), col(s"__n_$tag"))
-            .as(out))
-    labeled
-      .join(pr($"recency_days", -$"recency_days",
-        Seq($"recency_days".desc, $"o_custkey"), "pr_r", "sc_r"),
-        Seq("o_custkey"))
-      .join(pr($"frequency", $"frequency",
-        Seq($"frequency", $"o_custkey"), "pr_f", "sc_f"), Seq("o_custkey"))
-      .join(pr($"monetary", $"monetary",
-        Seq($"monetary", $"o_custkey"), "pr_m", "sc_m"), Seq("o_custkey"))
+    // ONE long-form two-level rank replaces the former three (r16,
+    // guide §2.4 — the r15 report's left-on-table item): each axis
+    // contributes one (custkey, axis, v) row with v an EXACT double —
+    // recency/frequency are small integers (double-exact) and monetary
+    // is already the double sumMoney produces, so the union's sort key
+    // loses nothing (the r15 decimal-collision concern applied to a
+    // decimal axis this table does not have). Within axis `a`, rows
+    // ordered by (axis, v, custkey) are the identical permutation the
+    // old per-axis rank sorted ((recency DESC ≡ -recency ASC)), each
+    // axis holds exactly n = N/3 rows, so per-axis rank = global_rn −
+    // a·n and percent_rank = (rank−1)/(n−1) — the same integers, the
+    // same one IEEE division, hence bit-identical pr_r/pr_f/pr_m. One
+    // binning pass + one bin-partitioned window + one pivot replace
+    // three of each plus three custkey join-backs.
+    val longDf = labeled.select($"o_custkey", lit(0L).as("axis"),
+        (-$"recency_days").cast("double").as("v"))
+      .unionByName(labeled.select($"o_custkey", lit(1L).as("axis"),
+        $"frequency".cast("double").as("v")))
+      .unionByName(labeled.select($"o_custkey", lit(2L).as("axis"),
+        $"monetary".as("v")))
+    // binOn must be ASC-monotone over the (axis, v) lexicographic order
+    // (the withGlobalRn contract): per-axis min/max normalization maps
+    // each axis's v into [axis·2, axis·2 + 1] — monotone within an axis
+    // (IEEE subtract/divide by a positive constant are monotone) and
+    // strictly separated across axes. Boundary QUALITY only affects
+    // balance, never the answer.
+    val mm = longDf.groupBy($"axis")
+      .agg(min($"v").as("__mn"), max($"v").as("__mx"))
+    val withBin = OpCache.cached(s, dir, "rfm_long")(
+      longDf.join(broadcast(mm), Seq("axis"))
+        .withColumn("__bo", $"axis".cast("double") * 2.0 +
+          when($"__mx" > $"__mn",
+            ($"v" - $"__mn") / ($"__mx" - $"__mn")).otherwise(lit(0.0d)))
+        .drop("__mn", "__mx"))
+    val ranked = Ranks.withGlobalRn(withBin, $"__bo",
+      Seq($"axis", $"v", $"o_custkey"), "__rn", "__n", "rfm_long")
+    val n1 = expr("__n div 3")
+    val prs = ranked
+      .select($"o_custkey", $"axis",
+        Ranks.percentRankUnique($"__rn" - $"axis" * n1, n1).as("pr"))
+      .groupBy($"o_custkey").agg(
+        max(when($"axis" === 0L, $"pr")).as("pr_r"),
+        max(when($"axis" === 1L, $"pr")).as("pr_f"),
+        max(when($"axis" === 2L, $"pr")).as("pr_m"))
+    labeled.join(prs, Seq("o_custkey"))
       .withColumn("score_pm", expr(
         "CAST(ROUND((pr_r + pr_f + pr_m) / 3 * 10000) AS BIGINT)"))
   }

@@ -59,7 +59,9 @@ object JobTrace {
     org.apache.spark.graft.ListenerFlush.drain(s.sparkContext)
     val sorted = jobs.sortBy(_._2)
     println(f"JT total $wall%.2f s, ${sorted.length} jobs")
-    sorted.filter(j => j._3 - j._2 >= 300).foreach { case (id, st, en, nm) =>
+    val minMs = sys.env.get("SPARK_GRAFT_JT_MIN_MS")
+      .flatMap(_.toLongOption).getOrElse(300L)
+    sorted.filter(j => j._3 - j._2 >= minMs).foreach { case (id, st, en, nm) =>
       println(f"JT job=$id%4d dur=${(en - st) / 1e3}%8.3fs " +
         stageTime.getOrElse(id, ArrayBuffer()).mkString(" "))
     }
